@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.call_function
+
+import graft.functions.RegExpExtractRef
+
+/** Session-level wiring: registers graft's custom Catalyst expressions into
+  * the session's function registry so they resolve in both SQL and the
+  * DataFrame API (via `call_function`). Idempotent; call at the top of every
+  * entry point.
+  */
+object Graft {
+  def init(spark: SparkSession): SparkSession = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "regexp_extract_ref",
+      exprs => RegExpExtractRef(exprs(0), exprs(1), exprs(2)),
+      "scala_udf")
+    spark
+  }
+
+  /** `regexp_extract_ref` as a Column function (requires `init(spark)` first). */
+  def regexp_extract_ref(s: Column, p: Column, idx: Column): Column =
+    call_function("regexp_extract_ref", s, p, idx)
+}
+
+/** Loaders for the driver-generated parquet fixtures (TESTDATA.md). All reads
+  * go through `spark.read.parquet` so Catalyst gets vectorized scans, filter
+  * pushdown, and column pruning for free — at 100 TB these scans are
+  * partitioned across executors by parquet row-group splits
+  * (spark.sql.files.maxPartitionBytes), no collect anywhere.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read as a
+    * timestamp. Read it as a nanos long (legacy flag) and truncate to
+    * microseconds — Spark's native timestamp precision. DuckDB reads the same
+    * column as TIMESTAMP_NS; at the granularities the queries use (hours,
+    * minutes, multi-second session gaps) the truncated values agree.
+    */
+  private def eventsWithTs(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = eventsWithTs(s, d)
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

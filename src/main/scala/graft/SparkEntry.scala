@@ -1,13 +1,40 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{RegexpQueries, Relational}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` maps one entry per implemented operator (SURVEY.md §2 +
+  * LLM-pipeline extensions) to a `(SparkSession, sfDir) => DataFrame`;
+  * `oracleSql` carries the DuckDB-equivalent SQL for the driver's hash
+  * compare. Queries without an oracle entry get a rows-only check (used for
+  * the cases where DuckDB throws but the reference returns "", and for
+  * non-SQL-expressible ops).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. Mirrors the
+    * reference's EP1 (reference: readme.md:38-57): scan -> project with the
+    * registered parity function -> aggregate.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    Graft.init(spark)
+    val d = "/root/testdata/sf0.001"
+    Tables.events(spark, d)
+      .select(col("event_type"),
+        Graft.regexp_extract_ref(col("props"), lit("\"k\": (\\d+)"), lit(1))
+          .cast("int").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), avg(col("k")).as("avg_k"))
+      .orderBy("event_type")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RegexpQueries.queries ++ Relational.queries
+
+  def oracleSql: Map[String, String] =
+    RegexpQueries.oracles ++ Relational.oracles
 }

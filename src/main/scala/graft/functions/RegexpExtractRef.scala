@@ -1,0 +1,97 @@
+package graft.functions
+
+import java.util.regex.{Matcher, Pattern, PatternSyntaxException}
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, ImplicitCastInputTypes, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Mutable last-pattern memo. One instance per expression instance (interpreted
+  * path) or per generated-code object (codegen path); never shared across
+  * threads, so no synchronization. The reference compiles the regex per row
+  * (reference: src/regexp-extract.rs:97); memoizing the last pattern preserves
+  * per-row-pattern semantics while making the constant-pattern case fast.
+  */
+final class RegexCache {
+  var lastPattern: String = null
+  var compiled: Pattern = null // null => lastPattern failed to compile
+}
+
+/** Row kernel for regexp_extract_ref. Static (object) so generated Java code
+  * can call it via the static forwarder.
+  *
+  * Semantics (the reference parity contract, SURVEY.md §2.2; derived from
+  * reference readme.md:60-76 + src/regexp-extract.rs:85-111):
+  *   - no match                         -> ""
+  *   - group idx > group count          -> ""   (Spark built-in throws)
+  *   - negative group idx               -> ""   (Spark built-in throws)
+  *   - group idx 0                      -> whole match
+  *   - matched but non-participating    -> ""
+  *   - invalid regex pattern            -> ""   (Spark built-in throws)
+  *   - any NULL input                   -> NULL (handled by TernaryExpression)
+  */
+object RegExpExtractRefKernel {
+  def extract(s: UTF8String, p: UTF8String, idx: Int, cache: RegexCache): UTF8String = {
+    val pat = p.toString
+    if (cache.lastPattern == null || cache.lastPattern != pat) {
+      cache.lastPattern = pat
+      cache.compiled =
+        try Pattern.compile(pat)
+        catch { case _: PatternSyntaxException => null }
+    }
+    if (cache.compiled == null) return UTF8String.EMPTY_UTF8
+    val m: Matcher = cache.compiled.matcher(s.toString)
+    if (!m.find() || idx < 0 || idx > m.groupCount()) return UTF8String.EMPTY_UTF8
+    val g = m.group(idx)
+    if (g == null) UTF8String.EMPTY_UTF8 else UTF8String.fromString(g)
+  }
+}
+
+/** `regexp_extract_ref(str, pattern, idx)` — the reference's one operator as a
+  * native Catalyst expression with whole-stage-codegen support.
+  *
+  * Registered under a distinct name: Spark silently prefers built-ins in SQL,
+  * and the built-in `regexp_extract` throws where the reference returns ""
+  * (SURVEY.md §7.4).
+  *
+  * Deterministic (reference declares Volatility; the function is pure), so
+  * Catalyst may constant-fold literal calls and push projections freely.
+  */
+case class RegExpExtractRef(subject: Expression, regexp: Expression, idx: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+
+  override def first: Expression = subject
+  override def second: Expression = regexp
+  override def third: Expression = idx
+
+  // Seq is covariant, so Seq[DataType] satisfies Seq[AbstractDataType]
+  // (AbstractDataType itself is private[sql] in Spark 4).
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType, IntegerType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "regexp_extract_ref"
+
+  @transient private lazy val cache = new RegexCache
+
+  override protected def nullSafeEval(s: Any, p: Any, i: Any): Any =
+    RegExpExtractRefKernel.extract(
+      s.asInstanceOf[UTF8String], p.asInstanceOf[UTF8String], i.asInstanceOf[Int], cache)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cacheClass = classOf[RegexCache].getName
+    val cacheRef = ctx.addMutableState(cacheClass, "graftRegexCache",
+      v => s"$v = new $cacheClass();")
+    val kernel = "graft.functions.RegExpExtractRefKernel"
+    nullSafeCodeGen(ctx, ev, (s, p, i) =>
+      s"${ev.value} = $kernel.extract($s, $p, $i, $cacheRef);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(subject = newFirst, regexp = newSecond, idx = newThird)
+}
+
+object RegExpExtractRef {
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[RegExpExtractRef].getName, "regexp_extract_ref")
+}

@@ -1,0 +1,412 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, TimestampType}
+
+import graft.Tables._
+
+/** Relational / TPC-H-style query pack over the driver fixtures.
+  *
+  * The reference only *analyzes* aggregation at scale
+  * (reference: spark-groupby-analysis.md:6-123); every capability it describes
+  * (two-phase hash agg, AQE coalesce/skew, spill, vectorized scan, CBO) is
+  * stock Spark, so these queries demonstrate the roadmap through plain
+  * declarative DataFrame code and let Catalyst/Tungsten pick the physical
+  * plan (SURVEY.md §2.4, §4.2).
+  *
+  * Oracle-parity rules used throughout (see also Verify/driver contract):
+  *   - Money math is done in DECIMAL (exact, associative — immune to
+  *     distributed summation order), then cast to DOUBLE at the very end.
+  *     Both Spark and DuckDB produce bit-identical doubles this way; no
+  *     rounding tolerance needed.
+  *   - Integer sums are cast to BIGINT in DuckDB (its SUM(int) is HUGEINT).
+  *   - Every query ends in a total ORDER BY over a unique key tuple so row
+  *     order matches no matter how the driver hashes.
+  *
+  * Scale notes (100 TB): every query is a declarative plan — scans get
+  * vectorized parquet + pushdown + pruning; aggregations are partial/final
+  * two-phase; nation/region joins are explicitly broadcast (bounded size);
+  * fact-fact joins shuffle on their keys and rely on AQE for skew/coalesce.
+  */
+object Relational {
+
+  // Precisions chosen so the chained money expression
+  // price * (1-disc) * (1+tax) stays within Spark's 38-digit decimal limit
+  // with NO intermediate rounding: (12,2) x (11,4) -> (24,6) x (11,4) ->
+  // (36,10). At (18,2) inputs the last product would need precision 50 and
+  // Spark silently rounds — which broke bit-parity with DuckDB.
+  private def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
+  private def dec4(c: Column): Column = c.cast(DecimalType(6, 4))
+  // A bare lit(1) is decimal(10,0) after implicit cast, which inflates the
+  // chained product past precision 38 (Spark then rounds, breaking DuckDB
+  // bit-parity). decimal(2,0) keeps (12,2)x(7,4)x(7,4) -> (28,10): exact.
+  private val one: Column = lit(1).cast(DecimalType(2, 0))
+  private def ts(s: String): Column = lit(s).cast(TimestampType)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 shape: two-phase hash aggregate, 4 groups, heavy input.
+    "q1_pricing_summary" -> { (s, d) =>
+      lineitem(s, d)
+        .where(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          round(sum(dec2(col("l_extendedprice")) * (one - dec4(col("l_discount")))), 2)
+            .cast("double").as("sum_disc_price"),
+          round(sum(dec2(col("l_extendedprice")) * (one - dec4(col("l_discount")))
+            * (one + dec4(col("l_tax")))), 2).cast("double").as("sum_charge"),
+          (sum(dec2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          (sum(dec2(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+          (sum(dec4(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // TPC-H Q3 shape: 3-way join, agg, top-10. Customer filter lets AQE pick
+    // the join strategy; ties broken by l_orderkey for determinism.
+    "q3_shipping_priority" -> { (s, d) =>
+      customer(s, d).where(col("c_mktsegment") === "BUILDING")
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .where(col("o_orderdate") < ts("1998-03-15 00:00:00") &&
+          col("l_shipdate") > ts("1998-03-15 00:00:00"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(round(sum(dec2(col("l_extendedprice")) * (one - dec4(col("l_discount")))), 2)
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // TPC-H Q5 shape: 6-way join; region/nation broadcast (bounded dims).
+    "q5_revenue_by_nation" -> { (s, d) =>
+      region(s, d).where(col("r_name") === "ASIA")
+        .join(broadcast(nation(s, d)), col("r_regionkey") === col("n_regionkey"))
+        .join(customer(s, d), col("n_nationkey") === col("c_nationkey"))
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+        .where(col("o_orderdate") >= ts("1997-01-01 00:00:00") &&
+          col("o_orderdate") < ts("1999-01-01 00:00:00"))
+        .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum(dec2(col("l_extendedprice")) * (one - dec4(col("l_discount")))), 2)
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // TPC-H Q6 shape: scan-heavy scalar aggregate; all predicates push to parquet.
+    "q6_forecast_revenue" -> { (s, d) =>
+      lineitem(s, d)
+        .where(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
+          col("l_shipdate") < ts("1998-01-01 00:00:00") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(round(sum(dec2(col("l_extendedprice")) * dec4(col("l_discount"))), 2)
+          .cast("double").as("revenue"))
+    },
+
+    // TPC-H Q10 shape: returned items ranked by lost revenue.
+    "q10_returned_items" -> { (s, d) =>
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(lineitem(s, d).where(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(round(sum(dec2(col("l_extendedprice")) * (one - dec4(col("l_discount")))), 2)
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
+    // TPC-H Q12 shape: join + conditional aggregation (no l_shipmode in the
+    // fixture; o_orderpriority carries the urgent/normal split).
+    "q12_priority_lines" -> { (s, d) =>
+      orders(s, d)
+        .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .where(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
+          col("l_shipdate") < ts("1998-01-01 00:00:00"))
+        .groupBy("o_orderpriority")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+            .as("high_line_count"),
+          count(lit(1)).as("line_count"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Window: dense top-3 customers per market segment by balance.
+    "q_topk_per_segment" -> { (s, d) =>
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      customer(s, d)
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+          rank().over(w).as("rnk"))
+        .where(col("rnk") <= 3)
+        .orderBy("c_mktsegment", "rnk", "c_custkey")
+    },
+
+    // Window: per-supplier running quantity. The fixture lineitem key
+    // (l_orderkey, l_linenumber) is NOT unique, so the window order includes
+    // the measure columns too: rows that still tie are fully interchangeable,
+    // making the output multiset deterministic; the final sort includes
+    // running_qty to put interchangeable rows in a canonical order.
+    "q_running_sum" -> { (s, d) =>
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      lineitem(s, d)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          sum(dec2(col("l_quantity"))).over(w).cast("double").as("running_qty"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("running_qty"))
+    },
+
+    // Set ops — distinct union / intersect / except of customer key sets.
+    "q_union_custkeys" -> { (s, d) =>
+      customer(s, d).where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+        .union(orders(s, d).where(col("o_totalprice") > 400000.0)
+          .select(col("o_custkey").as("custkey")))
+        .distinct()
+        .orderBy("custkey")
+    },
+    "q_intersect_custkeys" -> { (s, d) =>
+      customer(s, d).where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+        .intersect(orders(s, d).where(col("o_totalprice") > 400000.0)
+          .select(col("o_custkey").as("custkey")))
+        .orderBy("custkey")
+    },
+    "q_except_custkeys" -> { (s, d) =>
+      customer(s, d).where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+        .except(orders(s, d).where(col("o_totalprice") > 400000.0)
+          .select(col("o_custkey").as("custkey")))
+        .orderBy("custkey")
+    },
+
+    // Multi-level aggregates: ROLLUP and CUBE (NULL-filled subtotal rows).
+    "q_rollup" -> { (s, d) =>
+      lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("l_quantity"))).cast("double").as("qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    },
+    "q_cube" -> { (s, d) =>
+      orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+    },
+
+    // Semi / anti joins (EXISTS / NOT EXISTS).
+    "q_semi_join" -> { (s, d) =>
+      customer(s, d)
+        .join(orders(s, d).where(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+    "q_anti_join" -> { (s, d) =>
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // Exact distinct aggregation (expand + two-phase under the hood).
+    "q_distinct_counts" -> { (s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    },
+
+    // Date functions + aggregation by calendar month.
+    "q_date_agg" -> { (s, d) =>
+      orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+        .orderBy("yr", "mo")
+    },
+
+    // String function battery over part.
+    "q_string_funcs" -> { (s, d) =>
+      part(s, d).select(
+        col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_type"), 1, 4).as("type_pfx"),
+        concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+        split(col("p_name"), " ").getItem(0).as("first_word"))
+        .orderBy("p_partkey")
+    },
+
+    // Reference EP2 battery: CASE WHEN / CAST / modulo (SURVEY.md §2.3,
+    // reference tests/regexp-tests.rs:75-99 shape over a real table).
+    "q_case_cast_modulo" -> { (s, d) =>
+      events(s, d).select(
+        col("event_id"),
+        when(col("event_id") % 2 === 0, col("event_id").cast("string"))
+          .otherwise(lit(null)).as("even_str"))
+        .orderBy("event_id")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(2,0)) - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS sum_disc_price,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(2,0)) - CAST(l_discount AS DECIMAL(6,4))) * (CAST(1 AS DECIMAL(2,0)) + CAST(l_tax AS DECIMAL(6,4)))), 2) AS DOUBLE) AS sum_charge,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+        | CAST(sum(CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) / count(*) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(2,0)) - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        | AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        | AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_revenue_by_nation" ->
+      """SELECT n_name,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(2,0)) - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS revenue
+        |FROM region JOIN nation ON r_regionkey = n_regionkey
+        | JOIN customer ON n_nationkey = c_nationkey
+        | JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON o_orderkey = l_orderkey
+        | JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |WHERE r_name = 'ASIA'
+        | AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        | AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(6,4))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        | AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        | AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(2,0)) - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON o_orderkey = l_orderkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q12_priority_lines" ->
+      """SELECT o_orderpriority,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | count(*) AS line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        | AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_topk_per_segment" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal, rnk FROM (
+        | SELECT c_mktsegment, c_custkey, c_acctbal,
+        |  CAST(rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS rnk
+        | FROM customer) t
+        |WHERE rnk <= 3 ORDER BY c_mktsegment, rnk, c_custkey""".stripMargin,
+
+    "q_running_sum" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) OVER (
+        |   PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+        |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty""".stripMargin,
+
+    "q_union_custkeys" ->
+      """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION
+        |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000.0
+        |ORDER BY custkey""".stripMargin,
+
+    "q_intersect_custkeys" ->
+      """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000.0
+        |ORDER BY custkey""".stripMargin,
+
+    "q_except_custkeys" ->
+      """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000.0
+        |ORDER BY custkey""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_distinct_counts" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_date_agg" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+        | CAST(month(o_orderdate) AS INTEGER) AS mo,
+        | count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY yr, mo ORDER BY yr, mo""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS uname,
+        | CAST(length(p_name) AS INTEGER) AS name_len,
+        | substring(p_type, 1, 4) AS type_pfx,
+        | p_brand || ':' || p_type AS brand_type,
+        | string_split(p_name, ' ')[1] AS first_word
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_case_cast_modulo" ->
+      """SELECT event_id,
+        | CASE WHEN event_id % 2 = 0 THEN CAST(event_id AS VARCHAR) ELSE NULL END AS even_str
+        |FROM events ORDER BY event_id""".stripMargin
+  )
+}
