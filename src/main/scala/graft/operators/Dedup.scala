@@ -1,0 +1,283 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import TextHash._
+
+/** Deduplication pack over the `documents` / `embeddings` fixtures — the
+  * operators a large-scale training-data pipeline runs before anything else.
+  * The reference has no dedup operators (SURVEY.md §2.5); these are the
+  * north-star extensions, built Spark-first:
+  *
+  *   - exact:      hash-groupBy on the full text (one shuffle on md5(text)).
+  *   - minhash:    per-row signature (pure map, no shuffle) -> band keys ->
+  *                 explode(bands) -> equi-join on (band, key) -> distinct
+  *                 candidate pairs -> verify by signature agreement. This is
+  *                 the standard LSH shape that scales: candidate generation
+  *                 touches only same-bucket rows, never the full cross join.
+  *   - simhash:    60-bit fingerprint per row (pure map); near-dup pairs via
+  *                 15-bit chunk banding + popcount(xor) Hamming verify.
+  *   - ngram:      exact Jaccard via inverted shingle index (explode ->
+  *                 equi-join on shingle hash -> count), no cross join.
+  *   - embedding:  cosine near-dup pairs. Brute-force here (sf fixtures);
+  *                 the LSH-bucketed scale path lives in Similarity.scala.
+  *
+  * All hashing is md5-derived (TextHash) so the DuckDB oracles reproduce
+  * every value exactly. Ratios are int/int divisions in double — bit-exact
+  * in both engines.
+  */
+object Dedup {
+
+  // MinHash geometry: 32 permutations in 8 bands of 4 rows. With the
+  // planted fixture dups at J~0.98, P(collision) ~ 1; at J=0.5 ~ 0.4.
+  private val NumHashes = 32
+  private val Bands = 8
+  private val Rows = NumHashes / Bands
+  // Permutation coefficients must be LARGE so a*h wraps around mod P —
+  // small multipliers leave (a*h+b) monotone in h and every component
+  // collapses to the set's global min-hash (caught by DedupSpec's exact-
+  // Jaccard cross-check). Deterministic seed; embedded identically in the
+  // DuckDB oracle. a*h < P^2 ~ 4.6e18 stays inside signed 64-bit.
+  private val coefRng = new scala.util.Random(1234)
+  private val aCoefs: Array[Long] =
+    Array.fill(NumHashes)(1L + coefRng.nextLong(P - 1))
+  private val bCoefs: Array[Long] =
+    Array.fill(NumHashes)(coefRng.nextLong(P))
+  private def aCoef(j: Int): Long = aCoefs(j)
+  private def bCoef(j: Int): Long = bCoefs(j)
+
+  /** doc_id + minhash signature columns s0..s31 + band keys k0..k7.
+    *
+    * Shape: explode shingles -> hash each ONCE -> one hash-aggregate with
+    * 32 min() columns (partial/final two-phase, fully codegen'd). A
+    * per-row array-HOF formulation looks shuffle-free but is a trap: Spark
+    * evaluates lambda HOFs interpreted, and CollapseProject inlines the
+    * md5 array into all 32 signature expressions — md5 per (shingle x
+    * permutation), ~30x the work (measured: 4.3s -> ~1s at sf0.01 for the
+    * pairs query after this rewrite). The explode shuffles only (doc_id,
+    * 8-byte hash) pairs, map-side-combined before exchange.
+    */
+  private def signatures(s: SparkSession, d: String): DataFrame = {
+    val exploded = documents(s, d)
+      .select(col("doc_id"), explode(shingles3(toks(col("text")))).as("sh"))
+      .select(col("doc_id"), (h60(col("sh")) % P).as("h"))
+    val sigAggs = (0 until NumHashes).map { j =>
+      min((col("h") * aCoef(j) + bCoef(j)) % P).as(s"s$j")
+    }
+    val withSigs = exploded.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    val bandCols = (0 until Bands).map { b =>
+      concat_ws(",", (0 until Rows).map(r => col(s"s${b * Rows + r}")): _*).as(s"k$b")
+    }
+    withSigs.select((col("doc_id") +: (0 until NumHashes).map(j => col(s"s$j"))) ++ bandCols: _*)
+  }
+
+  /** SimHash: 60-bit fingerprint from token hashes (frequency-weighted ±1
+    * per bit).
+    *
+    * Shape: explode tokens (md5 ONCE each), cross with the 60 bit
+    * positions, then two codegen'd aggregations: per-(doc, bit) vote sums,
+    * then per-doc fingerprint assembly. The per-row HOF formulation
+    * (aggregate inside transform(sequence(0,59))) was catastrophically
+    * slow — interpreted lambdas + CollapseProject re-inlining md5 per
+    * (token x bit) made the pairs query take 366s at sf0.01; this version
+    * runs in ~2s. Two narrow shuffles on doc_id, both map-side combined.
+    */
+  private def simhashed(s: SparkSession, d: String): DataFrame = {
+    val votes = documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .select(col("doc_id"), h60(col("tok")).as("h"))
+      .select(col("doc_id"), explode(sequence(lit(0), lit(59))).as("j"), col("h"))
+      .groupBy("doc_id", "j")
+      .agg(sum(when(call_function("shiftright", col("h"), col("j"))
+        .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as("vote"))
+    votes.groupBy("doc_id")
+      .agg(sum(when(col("vote") >= 0,
+        call_function("shiftleft", lit(1L), col("j"))).otherwise(0L)).as("simhash"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: one row per distinct text, keeping the smallest doc_id.
+    // The groupBy key is md5(text) — at scale you shuffle 16-byte digests,
+    // not full documents.
+    "dedup_exact" -> { (s, d) =>
+      documents(s, d)
+        .groupBy(md5(col("text")).as("text_md5"))
+        .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keep_doc_id")
+    },
+
+    // MinHash-LSH near-dup candidate pairs with estimated Jaccard >= 0.5.
+    "dedup_minhash_pairs" -> { (s, d) =>
+      val sig = signatures(s, d)
+      val bands = sig.select(col("doc_id"),
+        posexplode(array((0 until Bands).map(b => col(s"k$b")): _*)).as(Seq("band", "key")))
+      // A pair can collide in several bands -> distinct before verification.
+      val cand = bands.as("x")
+        .join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      // Verify: fraction of agreeing signature components (the sig relation
+      // is a pure map — recomputing it on each join side beats materializing
+      // at this size; at 100 TB you'd persist/checkpoint `sig` once).
+      val matches = (0 until NumHashes)
+        .map(j => when(col(s"sa.s$j") === col(s"sb.s$j"), 1).otherwise(0))
+        .reduce(_ + _)
+      cand
+        .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          (matches.cast("double") / NumHashes).as("est_jaccard"))
+        .where(col("est_jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // Exact n-gram Jaccard >= 0.6 via inverted shingle index (no cross join:
+    // only docs sharing a shingle ever meet, shuffled on the shingle hash).
+    "dedup_ngram_jaccard" -> { (s, d) =>
+      val e = documents(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(transform(shingles3(toks(col("text"))), x => h60(x))))
+            .as("g"))
+      val n = e.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+      val inter = e.as("a")
+        .join(e.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(n.as("na"), col("doc_a") === col("na.doc_id"))
+        .join(n.as("nb"), col("doc_b") === col("nb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("inter").cast("double") / (col("na.nsh") + col("nb.nsh") - col("inter")))
+            .as("jaccard"))
+        .where(col("jaccard") >= 0.6)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // Per-document SimHash fingerprint.
+    "dedup_simhash" -> { (s, d) =>
+      simhashed(s, d).orderBy("doc_id")
+    },
+
+    // SimHash near-dup pairs: band on 4x15-bit chunks, verify Hamming <= 10.
+    "dedup_simhash_pairs" -> { (s, d) =>
+      val fp = simhashed(s, d)
+      val chunks = fp.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(k =>
+          shiftright(col("simhash"), 15 * k).bitwiseAND(lit(32767L))): _*))
+          .as(Seq("chunk_id", "chunk")))
+      chunks.as("x")
+        .join(chunks.as("y"),
+          col("x.chunk_id") === col("y.chunk_id") && col("x.chunk") === col("y.chunk") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          call_function("bit_count",
+            col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+        .distinct()
+        .where(col("hamming") <= 10)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // Embedding cosine near-dup pairs (rounded to 6 dp for a stable
+    // threshold compare). Brute force is fine at fixture scale; the
+    // LSH-bucketed path in Similarity.scala is the 100 TB shape.
+    "dedup_embedding_cosine" -> { (s, d) =>
+      val base = embeddings(s, d)
+        .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+        .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+      base.as("a")
+        .join(base.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          round(dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")), 6)
+            .as("cos"))
+        .where(col("cos") >= 0.4)
+        .orderBy("vec_a", "vec_b")
+    }
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  private def sigSqlCte: String = {
+    val sigCols = (0 until NumHashes)
+      .map(j => s"list_min(list_transform(h, v -> (v*${aCoef(j)}+${bCoef(j)}) % $P)) AS s$j")
+      .mkString(", ")
+    s"""WITH tok AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents),
+       |sh AS (SELECT doc_id, ${shingles3Sql("t")} AS s FROM tok),
+       |hs AS (SELECT doc_id, list_transform(s, x -> ${h60Sql("x")} % $P) AS h FROM sh
+       |       WHERE len(s) > 0),
+       |sig AS (SELECT doc_id, $sigCols FROM hs)""".stripMargin
+  }
+
+  private def simhashSqlCte: String =
+    s"""WITH tok AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents),
+       |th AS (SELECT doc_id, list_transform(t, x -> ${h60Sql("x")}) AS th FROM tok
+       |       WHERE len(t) > 0),
+       |sums AS (SELECT doc_id, list_transform(range(0, 60), j ->
+       |  list_sum(list_transform(th, v -> CASE WHEN (v >> j) & 1 = 1 THEN 1 ELSE -1 END))) AS sm
+       |  FROM th),
+       |fp AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), j ->
+       |  CASE WHEN sm[j+1] >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+       |  FROM sums)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_doc_id""".stripMargin,
+
+    "dedup_minhash_pairs" -> {
+      val bandEq = (0 until Bands).map { b =>
+        "(" + (0 until Rows).map(r => s"a.s${b * Rows + r} = b.s${b * Rows + r}")
+          .mkString(" AND ") + ")"
+      }.mkString(" OR ")
+      val est = (0 until NumHashes)
+        .map(j => s"CASE WHEN a.s$j = b.s$j THEN 1 ELSE 0 END").mkString(" + ")
+      s"""$sigSqlCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST($est AS DOUBLE) / $NumHashes AS est_jaccard
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandEq)
+         |WHERE CAST($est AS DOUBLE) / $NumHashes >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH tok AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents),
+         |sh AS (SELECT doc_id, ${shingles3Sql("t")} AS s FROM tok),
+         |e AS (SELECT doc_id, unnest(list_distinct(list_transform(s, x -> ${h60Sql("x")}))) AS g FROM sh),
+         |n AS (SELECT doc_id, count(*) AS nsh FROM e GROUP BY doc_id),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  CAST(inter AS DOUBLE) / (x.nsh + y.nsh - inter) AS jaccard
+         |FROM p JOIN n x ON doc_a = x.doc_id JOIN n y ON doc_b = y.doc_id
+         |WHERE CAST(inter AS DOUBLE) / (x.nsh + y.nsh - inter) >= 0.6
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""$simhashSqlCte
+         |SELECT doc_id, simhash FROM fp ORDER BY doc_id""".stripMargin,
+
+    "dedup_simhash_pairs" -> {
+      val chunkEq = (0 until 4)
+        .map(k => s"((a.simhash >> ${15 * k}) & 32767) = ((b.simhash >> ${15 * k}) & 32767)")
+        .mkString(" OR ")
+      s"""$simhashSqlCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id AND ($chunkEq)
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "dedup_embedding_cosine" ->
+      s"""WITH base AS (SELECT vec_id, embedding AS e,
+         |  sqrt(${dotSql("embedding", "embedding", 64)}) AS nrm FROM embeddings)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  round(${dotSql("a.e", "b.e", 64)} / (a.nrm * b.nrm), 6) AS cos
+         |FROM base a JOIN base b ON a.vec_id < b.vec_id
+         |WHERE round(${dotSql("a.e", "b.e", 64)} / (a.nrm * b.nrm), 6) >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin
+  )
+}

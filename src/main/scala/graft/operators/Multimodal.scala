@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import TextHash._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, flowing through decode -> feature-extract ->
+  * downstream (dedup / similarity) stages.
+  *
+  * The decode step is a STUB: this container has no image/audio codecs, so
+  * `fakeDecodeFeatures` derives a deterministic feature vector from the
+  * bytes themselves (md5-seeded). Swap [[fakeDecodeFeatures]] for a real
+  * decoder (JNI/onnx on executors, or mapInPandas in PySpark) without
+  * touching anything else — the schema, partitioning, and batch shape are
+  * the real, tested plumbing.
+  *
+  * Scale notes: media bytes never hit the driver; every stage is a per-row
+  * projection or a mapPartitions over executor-local batches. Binary
+  * columns ride parquet page compression; metadata lives in a sibling
+  * struct so planners can prune/filter WITHOUT touching the blob column
+  * (verified: filters on meta push down while `bytes` stays unscanned).
+  */
+object Multimodal {
+
+  val FeatureDim = 8
+
+  /** Media ingest: wrap a text fixture as opaque media blobs. In production
+    * this is `spark.read.format("binaryFile")` or a parquet table of blobs;
+    * here `documents.text` stands in as the payload so every stage (and the
+    * DuckDB oracle) sees identical bytes.
+    */
+  def mediaTable(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("bytes"),
+      struct(
+        lit("text/plain").as("mime"),
+        length(col("text")).as("n_bytes"),
+        (col("doc_id") % 3).cast("int").as("channel")).as("meta"))
+
+  /** STUB decode: deterministic pseudo-features from the blob. Feature j =
+    * (h60(hex(bytes) || '#' || j) % 2000 - 1000) / 1000.0 in [-1, 1).
+    * A real implementation decodes pixels/samples here; the signature
+    * (binary -> array<double>) is the contract downstream stages rely on.
+    */
+  def fakeDecodeFeatures(bytes: Column): Column =
+    transform(sequence(lit(0), lit(FeatureDim - 1)), j =>
+      (h60(concat(hex(bytes), lit("#"), j.cast("string"))) % 2000L - 1000L)
+        .cast("double") / 1000.0)
+
+  private def fakeDecodeSql(bytes: String): String = {
+    val f = (0 until FeatureDim).map { j =>
+      s"CAST(${h60Sql(s"upper(hex($bytes)) || '#$j'")} % 2000 - 1000 AS DOUBLE) / 1000.0"
+    }.mkString(", ")
+    s"[$f]"
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Metadata projection/filter WITHOUT decoding: the blob column is never
+    // read (column pruning on the struct sibling).
+    "mm_meta_stats" -> { (s, d) =>
+      mediaTable(s, d)
+        .where(col("meta.n_bytes") > 200)
+        .groupBy(col("meta.channel").as("channel"))
+        .agg(count(lit(1)).as("n"), sum(col("meta.n_bytes")).as("total_bytes"))
+        .orderBy("channel")
+    },
+
+    // Decode -> feature-extract: the full plumbing with the stubbed decoder.
+    "mm_features" -> { (s, d) =>
+      mediaTable(s, d)
+        .select(col("media_id"), fakeDecodeFeatures(col("bytes")).as("f"))
+        .select(col("media_id"),
+          round(element_at(col("f"), 1), 6).as("f0"),
+          round(element_at(col("f"), 2), 6).as("f1"),
+          round(aggregate(col("f"), lit(0.0), (a, x) => a + x * x), 6).as("sq_norm"))
+        .orderBy("media_id")
+    },
+
+    // Feature-space near-dup: media pairs whose stub features collide —
+    // exercises the decode -> dedup composition end-to-end.
+    "mm_feature_dedup" -> { (s, d) =>
+      val f = mediaTable(s, d)
+        .select(col("media_id"), md5(hex(fakeDecodeFeatures(col("bytes"))
+          .cast("string"))).as("fh"))
+      f.groupBy("fh").agg(min("media_id").as("keep_id"), count(lit(1)).as("n"))
+        .where(col("n") > 1)
+        .orderBy("keep_id")
+    }
+  )
+
+  case class MediaRow(media_id: Long, bytes: Array[Byte])
+  case class MediaFeatures(media_id: Long, features: Array[Double])
+
+  /** STUB decode kernel (JVM side): md5-seeded pseudo-features. A real
+    * implementation would decode pixels/samples here (and is where a
+    * native/onnx library gets called once per executor-local batch).
+    */
+  def stubDecode(bytes: Array[Byte]): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(bytes)
+    Array.tabulate(FeatureDim) { j =>
+      val b = java.util.Arrays.copyOfRange(h, j, j + 8)
+      (java.nio.ByteBuffer.wrap(b).getLong % 1000L) / 1000.0
+    }
+  }
+
+  /** Batch-shaped decode over executor-local partitions — the Scala analog
+    * of `mapInPandas`: one iterator per partition, rows never collected to
+    * the driver, output schema fixed by the `MediaFeatures` encoder. Heavy
+    * per-batch init (codec/model load) belongs at the top of the
+    * mapPartitions closure, amortized across the partition.
+    */
+  def decodePartitioned(ds: org.apache.spark.sql.Dataset[MediaRow])
+      : org.apache.spark.sql.Dataset[MediaFeatures] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { rows =>
+      // per-partition init happens here (e.g. codec handle) — STUB: none
+      rows.map(r => MediaFeatures(r.media_id, stubDecode(r.bytes)))
+    }
+  }
+
+  val oracles: Map[String, String] = Map(
+    "mm_meta_stats" ->
+      """SELECT CAST(doc_id % 3 AS INTEGER) AS channel, count(*) AS n,
+        |  CAST(sum(len(text)) AS BIGINT) AS total_bytes
+        |FROM documents WHERE len(text) > 200
+        |GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    "mm_features" ->
+      s"""WITH m AS (SELECT doc_id AS media_id, encode(text) AS bytes FROM documents),
+         |f AS (SELECT media_id, ${fakeDecodeSql("bytes")} AS f FROM m)
+         |SELECT media_id,
+         |  round(f[1], 6) AS f0,
+         |  round(f[2], 6) AS f1,
+         |  round(list_sum(list_transform(f, x -> x * x)), 6) AS sq_norm
+         |FROM f ORDER BY media_id""".stripMargin
+  )
+}

@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import TextHash._
+
+/** Approximate-nearest-neighbor search over the `embeddings` fixture
+  * (64-dim float vectors). Two paths:
+  *
+  *   - `ann_cosine_topk`: brute-force cosine top-k — the correctness
+  *     baseline. The query set is broadcast against a distributed scan of
+  *     the candidates, so even "brute force" is shuffle-free at scale
+  *     (cost = one pass over the corpus per query batch).
+  *   - `ann_lsh_topk`: random-hyperplane signs -> 2^NumPlanes buckets;
+  *     top-k is computed only within the query vector's bucket. The bucket
+  *     join is an equi-join on the bucket id — the 100 TB shape (the corpus
+  *     is shuffled/bucketed once; each query touches only its bucket).
+  *
+  * Hyperplanes are deterministic literals (seed 42), embedded identically
+  * into the Spark plan and the DuckDB oracle; all dot products are
+  * sequential double folds (TextHash.dot) so cosines agree bit-for-bit.
+  * Ranking uses round(cos, 6) with vec_id tie-break — deterministic in
+  * both engines.
+  */
+object Similarity {
+
+  val Dim = 64
+  // 2^NumPlanes buckets; sized so fixture buckets hold ~8 vectors (at 100 TB
+  // you'd raise this with corpus size to keep per-bucket candidate counts flat).
+  val NumPlanes = 6
+  val K = 5
+  /** Query subset for the fixtures: first 10 vectors. */
+  val QuerySet = 10
+
+  /** Deterministic hyperplanes, rounded to 6 dp so the SQL literal parses
+    * back to the exact same double.
+    */
+  lazy val planes: Array[Array[Double]] = {
+    val r = new scala.util.Random(42)
+    Array.fill(NumPlanes, Dim)(math.rint(r.nextGaussian() * 1e6) / 1e6)
+  }
+
+  private def planeLit(j: Int): Column = array(planes(j).map(lit): _*)
+
+  private def planeSqlList(j: Int): String =
+    planes(j).mkString("[", ", ", "]")
+
+  /** NumPlanes-bit LSH bucket: bit j = sign of dot(e, plane_j). */
+  private def bucket(e: Column): Column =
+    (0 until NumPlanes).map { j =>
+      when(dot(e, planeLit(j)) >= 0.0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  private def bucketSql(e: String): String =
+    (0 until NumPlanes).map { j =>
+      s"CASE WHEN ${dotSql(e, planeSqlList(j), Dim)} >= 0.0 THEN ${1 << j} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  private def base(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+
+  private def ranked(joined: DataFrame): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
+    joined
+      .select(col("q_id"), col("cand_id"),
+        round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= K)
+      .orderBy("q_id", "rnk")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact top-k by cosine: broadcast the (small) query batch, stream the
+    // corpus — no shuffle of the big side; the window is per-query-id over
+    // at most |corpus| rows.
+    "ann_cosine_topk" -> { (s, d) =>
+      val b = base(s, d)
+      val q = b.where(col("vec_id") < QuerySet)
+        .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
+      val c = b.select(col("vec_id").as("cand_id"), col("e").as("ce"), col("nrm").as("cn"))
+      ranked(broadcast(q).join(c, col("q_id") =!= col("cand_id")))
+    },
+
+    // LSH-bucketed top-k: equi-join on the hyperplane bucket (shuffle on a
+    // 16-bit key instead of a cross join). Recall < 1 by construction; the
+    // oracle implements the identical bucketing, so results still match.
+    "ann_lsh_topk" -> { (s, d) =>
+      val b = base(s, d).withColumn("bkt", bucket(col("e")))
+      val q = b.where(col("vec_id") < QuerySet)
+        .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"),
+          col("bkt").as("qb"))
+      val c = b.select(col("vec_id").as("cand_id"), col("e").as("ce"),
+        col("nrm").as("cn"), col("bkt").as("cb"))
+      ranked(broadcast(q).join(c,
+        col("qb") === col("cb") && col("q_id") =!= col("cand_id")))
+    },
+
+    // Bucket histogram: how balanced is the LSH partitioning? (Also the
+    // skew diagnostic you'd run before trusting the bucket join at scale.)
+    "ann_lsh_buckets" -> { (s, d) =>
+      base(s, d)
+        .select(bucket(col("e")).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    }
+  )
+
+  private def baseSqlCte: String =
+    s"""WITH base AS (SELECT vec_id, embedding AS e,
+       |  sqrt(${dotSql("embedding", "embedding", Dim)}) AS nrm FROM embeddings)""".stripMargin
+
+  private def rankedSql(bucketed: Boolean): String = {
+    val bktCol = if (bucketed) s", ${bucketSql("e")} AS bkt" else ""
+    val joinCond =
+      if (bucketed) "q.bkt = c.bkt AND q.vec_id <> c.vec_id"
+      else "q.vec_id <> c.vec_id"
+    s"""$baseSqlCte,
+       |b2 AS (SELECT vec_id, e, nrm$bktCol FROM base),
+       |p AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+       |  round(${dotSql("q.e", "c.e", Dim)} / (q.nrm * c.nrm), 6) AS cos
+       |  FROM b2 q JOIN b2 c ON $joinCond
+       |  WHERE q.vec_id < $QuerySet),
+       |r AS (SELECT q_id, cand_id, cos,
+       |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS INTEGER) AS rnk
+       |  FROM p)
+       |SELECT q_id, cand_id, cos, rnk FROM r WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "ann_cosine_topk" -> rankedSql(bucketed = false),
+    "ann_lsh_topk" -> rankedSql(bucketed = true),
+    "ann_lsh_buckets" ->
+      s"""$baseSqlCte
+         |SELECT ${bucketSql("e")} AS bucket, count(*) AS n
+         |FROM base GROUP BY 1 ORDER BY bucket""".stripMargin
+  )
+}

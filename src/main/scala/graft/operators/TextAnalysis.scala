@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import TextHash._
+
+/** Text-analysis pack over `documents`: language-ID (signature-word
+  * scoring), quality scoring, token counting (whitespace + BPE-ish regex),
+  * and rolling-hash fingerprinting.
+  *
+  * Everything is a pure per-row projection — no shuffle, fully codegen'd;
+  * at 100 TB these run at parquet-scan speed. All ratios are int/int
+  * double divisions (bit-exact across engines); the fingerprint bottoms
+  * out in md5 (TextHash) for oracle parity.
+  */
+object TextAnalysis {
+
+  /** Signature stopwords per language for the n-gram/stopword heuristic.
+    * Deliberately tiny: the point is the scoring mechanics (count signature
+    * hits per language, argmax with a fixed priority order), not lexicon
+    * size.
+    */
+  val langSignatures: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "of", "and"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "los", "las", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "和")
+  )
+
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "is", "of", "and", "to", "in")
+
+  /** BPE-ish tokenizer: letter runs, digit runs, or single non-space
+    * symbols — the classic pre-tokenization split.
+    */
+  val bpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  private def score(t: Column, words: Seq[String]): Column =
+    size(filter(t, x => x.isin(words.map(_.asInstanceOf[Any]): _*)))
+
+  private def scoreSql(t: String, words: Seq[String]): String =
+    s"len(list_filter($t, x -> x IN (${words.map(w => s"'$w'").mkString(", ")})))"
+
+  /** Stats + composite quality score for any DataFrame with a `text` column
+    * (composable library entry point; the oracled query applies it to
+    * `documents`).
+    */
+  def stats(df: DataFrame): DataFrame =
+    df.select(col("*"), toks(col("text")).as("_t"))
+      .select(col("*"),
+        length(col("text")).as("n_chars"),
+        size(col("_t")).as("n_tokens"),
+        (aggregate(col("_t"), lit(0), (acc, x) => acc + length(x)).cast("double") /
+          size(col("_t"))).as("avg_token_len"),
+        (length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", "")).cast("double") /
+          length(col("text"))).as("punct_ratio"),
+        (score(col("_t"), stopwords).cast("double") / size(col("_t"))).as("stopword_ratio"))
+      .withColumn("quality_score",
+        round(least(lit(1.0), col("n_tokens").cast("double") / 100.0) * 0.5 +
+          (lit(1.0) - col("punct_ratio")) * 0.3 +
+          least(lit(1.0), col("stopword_ratio") * 5.0) * 0.2, 6))
+      .drop("_t", "text")
+
+  /** Language-ID scores + argmax prediction for any DataFrame with a `text`
+    * column. Fixed priority (en > de > es > fr > zh) on ties; 'und' when no
+    * signature word hits.
+    */
+  def langid(df: DataFrame): DataFrame = {
+    val scored = df
+      .select(col("*"), toks(col("text")).as("_t"))
+      .select(col("*") +:
+        langSignatures.map { case (l, ws) => score(col("_t"), ws).as(s"score_$l") }: _*)
+    val pred = langSignatures.map(_._1).zipWithIndex.foldRight(lit("und")) {
+      case ((l, i), els) =>
+        val rest = langSignatures.map(_._1).drop(i + 1)
+        val isMax = rest.foldLeft(col(s"score_$l") > 0: Column) {
+          (c, o) => c && col(s"score_$l") >= col(s"score_$o")
+        }
+        when(isMax, lit(l)).otherwise(els)
+    }
+    scored.withColumn("lang_pred", pred).drop("_t", "text")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tokens / lengths / punctuation / stopword ratio + a composite quality
+    // score in [0,1] — the filter signal a pretraining pipeline thresholds on.
+    "text_stats" -> { (s, d) =>
+      stats(documents(s, d).select("doc_id", "text")).orderBy("doc_id")
+    },
+
+    // Language-ID: per-language signature-word hits, argmax with fixed
+    // priority (en > de > es > fr > zh) on ties.
+    "text_langid" -> { (s, d) =>
+      langid(documents(s, d).select("doc_id", "text")).orderBy("doc_id")
+    },
+
+    // Token counts: whitespace split vs BPE-ish regex pre-tokenization.
+    "text_token_counts" -> { (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          size(toks(col("text"))).as("n_ws_tokens"),
+          size(regexp_extract_all(lower(col("text")), lit(bpePattern), lit(0)))
+            .as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // Rolling polynomial hash over token hashes — an order-sensitive
+    // document fingerprint (reordered tokens change it; dedup_simhash is the
+    // order-insensitive counterpart).
+    "text_fingerprint" -> { (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          aggregate(
+            transform(toks(col("text")), x => h60(x) % 1000000007L),
+            lit(0L),
+            (acc, h) => (acc * 31L + h) % 1000000007L).as("fingerprint"))
+        .orderBy("doc_id")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_stats" -> {
+      val st = scoreSql("t", stopwords)
+      s"""WITH tok AS (SELECT doc_id, text, ${toksSql("text")} AS t FROM documents),
+         |s AS (SELECT doc_id,
+         |  CAST(len(text) AS INTEGER) AS n_chars,
+         |  CAST(len(t) AS INTEGER) AS n_tokens,
+         |  CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / len(t) AS avg_token_len,
+         |  CAST(len(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / len(text) AS punct_ratio,
+         |  CAST($st AS DOUBLE) / len(t) AS stopword_ratio
+         |  FROM tok)
+         |SELECT doc_id, n_chars, n_tokens, avg_token_len, punct_ratio, stopword_ratio,
+         |  round(least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.5 +
+         |        (1.0 - punct_ratio) * 0.3 +
+         |        least(1.0, stopword_ratio * 5.0) * 0.2, 6) AS quality_score
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    "text_langid" -> {
+      val scoreCols = langSignatures
+        .map { case (l, ws) => s"CAST(${scoreSql("t", ws)} AS INTEGER) AS score_$l" }
+        .mkString(",\n  ")
+      val langs = langSignatures.map(_._1)
+      val pred = langs.zipWithIndex.foldRight("'und'") { case ((l, i), els) =>
+        val rest = langs.drop(i + 1)
+        val isMax = (s"score_$l > 0" +: rest.map(o => s"score_$l >= score_$o"))
+          .mkString(" AND ")
+        s"CASE WHEN $isMax THEN '$l' ELSE $els END"
+      }
+      s"""WITH tok AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents),
+         |s AS (SELECT doc_id,
+         |  $scoreCols
+         |  FROM tok)
+         |SELECT doc_id, ${langs.map(l => s"score_$l").mkString(", ")},
+         |  $pred AS lang_pred
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    "text_token_counts" ->
+      s"""SELECT doc_id,
+         |  CAST(len(${toksSql("text")}) AS INTEGER) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(lower(text), '$bpePattern')) AS INTEGER) AS n_bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""SELECT doc_id,
+         |  CAST(list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(${toksSql("text")}, x -> ${h60Sql("x")} % 1000000007)),
+         |    (acc, h) -> (acc * 31 + h) % 1000000007) AS BIGINT) AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Cross-engine-deterministic text hashing primitives shared by the dedup /
+  * similarity / text-analysis packs.
+  *
+  * Every hash bottoms out in md5 so the DuckDB oracle can reproduce it
+  * bit-for-bit: both engines agree on md5 hex, and 15 hex chars (60 bits)
+  * fit a signed BIGINT. Engine-native hashes (Spark xxhash64 / DuckDB hash)
+  * are NOT interchangeable and are deliberately avoided in oracled queries.
+  *
+  * Scale note: all of these are pure per-row expressions — embarrassingly
+  * parallel maps with no shuffle; they stay inside whole-stage codegen.
+  */
+object TextHash {
+  /** Mersenne prime 2^31-1; modulus for minhash permutations. */
+  val P = 2147483647L
+
+  /** 60-bit hash of a string: first 15 hex chars of md5, parsed base-16.
+    * DuckDB equivalent: CAST(('0x' || substr(md5(x),1,15)) AS BIGINT).
+    */
+  def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** SQL snippet (DuckDB) mirroring [[h60]]. */
+  def h60Sql(x: String): String =
+    s"CAST(('0x' || substr(md5($x),1,15)) AS BIGINT)"
+
+  /** Whitespace tokens of lowercased text. DuckDB:
+    * string_split_regex(lower(x), '\s+') — both return [""] for "".
+    */
+  def toks(c: Column): Column = split(lower(c), "\\s+")
+
+  def toksSql(x: String): String = s"string_split_regex(lower($x), '\\s+')"
+
+  /** Word n-gram shingles (n=3) of a token array; empty when < 3 tokens
+    * (guarded: Spark's sequence(0, negative) would count DOWN).
+    * DuckDB: list_transform(range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2]).
+    */
+  def shingles3(t: Column): Column =
+    when(size(t) >= 3,
+      transform(sequence(lit(0), size(t) - 3), i =>
+        concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3))))
+      .otherwise(array().cast("array<string>"))
+
+  def shingles3Sql(t: String): String =
+    s"CASE WHEN len($t) >= 3 THEN list_transform(range(1, len($t)-1), " +
+      s"i -> $t[i] || ' ' || $t[i+1] || ' ' || $t[i+2]) ELSE [] END"
+
+  /** Sequential-fold dot product of two double arrays. Matches DuckDB's
+    * list_sum(list_transform(range(1,n+1), i -> a[i]*b[i])) bit-for-bit
+    * (both are left-to-right double accumulation; verified empirically —
+    * DuckDB's list_dot_product does NOT match, it accumulates in float32).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Cast a float array to double element-wise (float*float in a zip_with
+    * lambda would multiply in float32 and break oracle parity).
+    */
+  def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  def dotSql(a: String, b: String, n: Int): String =
+    s"list_sum(list_transform(range(1, ${n + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+}

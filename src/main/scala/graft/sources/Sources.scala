@@ -1,0 +1,91 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Source/sink pack: every batch format the engine speaks, exercised as
+  * write -> read-back round trips (the reference only reads CSV,
+  * SURVEY.md §2.5 — this is the full matrix a real pipeline needs).
+  *
+  * Round-trip queries return the re-read data so the DuckDB oracle can
+  * compare against the ORIGINAL parquet fixture — value-exact round-trip
+  * is the assertion. Sinks write under java.io.tmpdir, never into the
+  * read-only fixture tree.
+  *
+  * Scale notes: writes are distributed (one file per task; no coalesce(1)
+  * on the data path), partitioned parquet gets partition pruning on read
+  * (verified in SourcesSpec via the file-listing plan), CSV/JSON carry
+  * explicit schemas on read-back — schema inference is a correctness trap
+  * at scale.
+  */
+object Sources {
+
+  private def tmpDir(name: String): String = {
+    val base = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_io")
+    Files.createDirectories(base)
+    base.resolve(name).toString
+  }
+
+  /** CSV: doubles survive via Java shortest-repr toString; timestamps are
+    * excluded (CSV has no type fidelity for them without format pinning).
+    */
+  def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = tmpDir("part_csv")
+    val src = part(s, d).select("p_partkey", "p_name", "p_brand", "p_type", "p_retailprice")
+    src.write.mode(SaveMode.Overwrite).option("header", "true").csv(out)
+    s.read.schema(src.schema).option("header", "true").csv(out)
+      .orderBy("p_partkey")
+  }
+
+  def jsonRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = tmpDir("supplier_json")
+    val src = supplier(s, d).select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    src.write.mode(SaveMode.Overwrite).json(out)
+    s.read.schema(src.schema).json(out).orderBy("s_suppkey")
+  }
+
+  def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = tmpDir("nation_orc")
+    val src = nation(s, d)
+    src.write.mode(SaveMode.Overwrite).orc(out)
+    s.read.orc(out).orderBy("n_nationkey")
+  }
+
+  /** Parquet partitioned by a low-cardinality column; the read-back filter
+    * prunes to a single partition directory (no full scan).
+    */
+  def partitionedParquet(s: SparkSession, d: String): DataFrame = {
+    val out = tmpDir("events_parquet_parts")
+    events(s, d).select("event_id", "user_id", "event_type")
+      .write.mode(SaveMode.Overwrite).partitionBy("event_type").parquet(out)
+    s.read.parquet(out)
+      .where(col("event_type") === "click")
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_csv_roundtrip" -> csvRoundtrip,
+    "src_json_roundtrip" -> jsonRoundtrip,
+    "src_orc_roundtrip" -> orcRoundtrip,
+    "src_partitioned_parquet" -> partitionedParquet
+  )
+
+  val oracles: Map[String, String] = Map(
+    "src_csv_roundtrip" ->
+      """SELECT p_partkey, p_name, p_brand, p_type, p_retailprice
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "src_json_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "src_orc_roundtrip" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
+    "src_partitioned_parquet" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |WHERE event_type = 'click' GROUP BY event_type""".stripMargin
+  )
+}

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators: the streaming faces of the batch engine.
+  * The reference is batch-only (SURVEY.md §2.5 — tokio async is not
+  * streaming); these extend the engine the way a production ingest pipeline
+  * needs: event-time windows + watermarks, stateful sessionization, and
+  * streaming exact-dedup.
+  *
+  * All operators are `DataFrame => DataFrame` transforms over streaming
+  * inputs — the caller picks the source (`readStream`) and sink
+  * (`writeStream`); specs drive them with MemoryStream + memory sink.
+  *
+  * Scale notes: state is partitioned by the grouping key across executors
+  * (spark.sql.shuffle.partitions state stores); watermarks bound state size
+  * — every operator here evicts state, none grows unboundedly.
+  */
+object StreamingOps {
+
+  /** Tumbling event-time window counts with a watermark. Late rows beyond
+    * the watermark are dropped; state for closed windows is evicted.
+    */
+  def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
+                     watermark: String, windowLen: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col(keyCol), col("n"))
+
+  /** Streaming exact dedup on an id column, watermark-bounded (the
+    * streaming face of Dedup.dedup_exact).
+    */
+  def dedupStream(events: DataFrame, tsCol: String, idCol: String,
+                  watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark).dropDuplicates(idCol, tsCol)
+
+  case class Click(user: String, ts: Timestamp)
+  case class Session(user: String, start: Timestamp, end: Timestamp, nEvents: Int)
+  // public: Spark's state-store encoder generates code that constructs it
+  case class SessionState(start: Long, end: Long, n: Int)
+
+  /** Gap-based sessionization via flatMapGroupsWithState: a session closes
+    * when no event arrives within `gapMs` (enforced by event-time timeout
+    * against the watermark). Emits one row per closed session.
+    */
+  def sessionize(clicks: Dataset[Click], watermark: String, gapMs: Long): Dataset[Session] = {
+    val spark = clicks.sparkSession
+    import spark.implicits._
+    clicks
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: String, rows: Iterator[Click], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(user, new Timestamp(s.start), new Timestamp(s.end), s.n))
+          } else {
+            val sorted = rows.map(_.ts.getTime).toSeq.sorted
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { t =>
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1))
+                case Some(s) =>
+                  closed ::= Session(user, new Timestamp(s.start), new Timestamp(s.end), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Streaming quality filter + token stats over a text stream — the
+    * streaming face of TextAnalysis.stats (stateless, pure projection; at
+    * scale this is the map stage of a continuous ingest pipeline).
+    */
+  def textStatsStream(docs: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.stats(docs)
+}

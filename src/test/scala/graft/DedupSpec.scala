@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Dedup pack over the sf0.001 fixtures: structural invariants plus a
+  * ground-truth recall check against exact shingle Jaccard computed
+  * independently in Scala.
+  */
+class DedupSpec extends SparkSpecBase {
+
+  private def groundTruthPairs(minJ: Double): Set[(Long, Long)] = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split("\\s+").toSeq)
+    val sh = docs.map { case (id, t) =>
+      id -> t.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    }
+    (for {
+      (a, sa) <- sh; (b, sb) <- sh if a < b && sa.nonEmpty
+      inter = (sa & sb).size
+      if inter > 0 && inter.toDouble / (sa.size + sb.size - inter) >= minJ
+    } yield (a, b)).toSet
+  }
+
+  test("dedup_exact keeps one row per distinct text") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = Dedup.queries("dedup_exact")(spark, sfDir)
+    assert(out.count() === docs.select("text").distinct().count())
+    assert(out.agg(sum("n_copies")).head.getLong(0) === docs.count())
+  }
+
+  test("dedup_ngram_jaccard matches independently computed exact Jaccard pairs") {
+    val got = Dedup.queries("dedup_ngram_jaccard")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === groundTruthPairs(0.6))
+  }
+
+  test("dedup_minhash_pairs recalls every planted near-duplicate (J >= 0.9)") {
+    val planted = groundTruthPairs(0.9)
+    assert(planted.nonEmpty, "fixture should contain planted near-dups")
+    val got = Dedup.queries("dedup_minhash_pairs")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.subsetOf(got),
+      s"missing: ${planted -- got}")
+  }
+
+  test("minhash est_jaccard is within 0.25 of exact Jaccard on reported pairs") {
+    val shingleSets = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("\\s+").toSeq
+          .sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet)
+      .toMap
+    def exact(a: Long, b: Long): Double = {
+      val (sa, sb) = (shingleSets(a), shingleSets(b))
+      val i = (sa & sb).size
+      i.toDouble / (sa.size + sb.size - i)
+    }
+    Dedup.queries("dedup_minhash_pairs")(spark, sfDir).collect().foreach { r =>
+      val est = r.getDouble(2)
+      val ex = exact(r.getLong(0), r.getLong(1))
+      assert(math.abs(est - ex) <= 0.25, s"pair ${(r.getLong(0), r.getLong(1))}: est=$est exact=$ex")
+    }
+  }
+
+  test("dedup_simhash_pairs equals the chunk-banding ground truth; complete for hamming <= 3") {
+    val fps = Dedup.queries("dedup_simhash")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(fps(a) ^ fps(b))
+    def chunkMatch(a: Long, b: Long) = (0 until 4)
+      .exists(k => ((fps(a) >> (15 * k)) & 32767L) == ((fps(b) >> (15 * k)) & 32767L))
+    val ids = fps.keys.toSeq.sorted
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      if hamming(a, b) <= 10 && chunkMatch(a, b)
+    } yield (a, b)).toSet
+    val got = Dedup.queries("dedup_simhash_pairs")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected)
+    // pigeonhole: <= 3 differing bits cannot touch all 4 chunks, so banding
+    // is COMPLETE for hamming <= 3 — every such pair must be reported
+    val guaranteed = (for { a <- ids; b <- ids if a < b && hamming(a, b) <= 3 } yield (a, b)).toSet
+    assert(guaranteed.nonEmpty && guaranteed.subsetOf(got))
+  }
+
+  test("dedup_simhash fingerprints are deterministic across runs") {
+    val a = Dedup.queries("dedup_simhash")(spark, sfDir).collect().toSeq
+    val b = Dedup.queries("dedup_simhash")(spark, sfDir).collect().toSeq
+    assert(a === b)
+  }
+
+  test("dedup_embedding_cosine output is a<b ordered with cos in [-1,1]") {
+    Dedup.queries("dedup_embedding_cosine")(spark, sfDir).collect().foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(math.abs(r.getDouble(2)) <= 1.0)
+    }
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.Similarity
+
+/** ANN pack: brute-force top-k cross-checked against an independent Scala
+  * computation; LSH bucketing invariants.
+  */
+class SimilaritySpec extends SparkSpecBase {
+
+  private lazy val vecs: Map[Long, Array[Double]] =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+
+  private def cosine(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("ann_cosine_topk matches independent brute-force ranking") {
+    val got = Similarity.queries("ann_cosine_topk")(spark, sfDir).collect()
+      .groupBy(_.getLong(0))
+    assert(got.keySet === (0L until Similarity.QuerySet).toSet)
+    got.foreach { case (q, rows) =>
+      assert(rows.length === Similarity.K)
+      assert(rows.map(_.getInt(3)).toSeq === (1 to Similarity.K))
+      val expected = vecs.keys.filter(_ != q).toSeq
+        .map(c => (c, math.rint(cosine(vecs(q), vecs(c)) * 1e6) / 1e6))
+        .sortBy { case (c, cos) => (-cos, c) }
+        .take(Similarity.K).map(_._1)
+      assert(rows.sortBy(_.getInt(3)).map(_.getLong(1)).toSeq === expected)
+    }
+  }
+
+  test("ann_lsh_topk returns same-bucket neighbors ranked like brute force") {
+    val rows = Similarity.queries("ann_lsh_topk")(spark, sfDir).collect()
+    assert(rows.nonEmpty, "6-plane LSH should bucket some queries with neighbors")
+    // Every reported (q, cand) cosine must equal the true rounded cosine.
+    rows.foreach { r =>
+      val c = math.rint(cosine(vecs(r.getLong(0)), vecs(r.getLong(1))) * 1e6) / 1e6
+      assert(r.getDouble(2) === c)
+    }
+    // Ranks are consecutive from 1 within each query.
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      assert(g.map(_.getInt(3)).sorted.toSeq === (1 to g.length))
+    }
+  }
+
+  test("ann_lsh_buckets partitions the whole corpus") {
+    val total = Similarity.queries("ann_lsh_buckets")(spark, sfDir)
+      .collect().map(_.getLong(1)).sum
+    assert(total === vecs.size)
+  }
+}

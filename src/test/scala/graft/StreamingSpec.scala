@@ -1,0 +1,98 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Click
+
+/** Structured Streaming operators driven end-to-end with MemoryStream ->
+  * memory sink: event-time windows close under watermark advance, sessions
+  * emit on gap timeout, dedup drops in-watermark duplicates.
+  */
+class StreamingSpec extends SparkSpecBase {
+
+  private def ts(sec: Int) = new Timestamp(sec * 1000L)
+
+  test("windowedCounts: tumbling event-time windows close as watermark advances") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val out = StreamingOps.windowedCounts(
+      in.toDF.toDF("ts", "user"), "ts", "user", "10 seconds", "30 seconds")
+    val q = out.writeStream.format("memory").queryName("wc")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((ts(5), "a"), (ts(10), "a"), (ts(25), "b"))
+      q.processAllAvailable()
+      // watermark still at 0 -> nothing emitted yet in append mode
+      in.addData((ts(100), "c")) // watermark -> 90s; [0,30) closes
+      q.processAllAvailable()
+      in.addData((ts(200), "c")) // close [90,120) too
+      q.processAllAvailable()
+      val rows = s.sql("SELECT user, n FROM wc ORDER BY user").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(rows.contains(("a", 2L)) && rows.contains(("b", 1L)))
+    } finally q.stop()
+  }
+
+  test("sessionize: sessions split on gap and emit on event-time timeout") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[Click]
+    val out = StreamingOps.sessionize(in.toDS(), "5 seconds", gapMs = 10000L)
+    val q = out.writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user u: events at 1s,3s (one session), then 60s (new session)
+      in.addData(Click("u", ts(1)), Click("u", ts(3)), Click("u", ts(60)))
+      q.processAllAvailable()
+      // advance watermark far enough to time out both sessions
+      in.addData(Click("w", ts(300)))
+      q.processAllAvailable()
+      in.addData(Click("w", ts(600)))
+      q.processAllAvailable()
+      val rows = s.sql("SELECT user, start, end, nEvents FROM sess WHERE user='u' ORDER BY start")
+        .collect().map(r => (r.getTimestamp(1).getTime / 1000, r.getTimestamp(2).getTime / 1000, r.getInt(3)))
+      assert(rows.toSeq === Seq((1L, 3L, 2), (60L, 60L, 1)))
+    } finally q.stop()
+  }
+
+  test("dedupStream drops duplicate ids within the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val out = StreamingOps.dedupStream(in.toDF.toDF("ts", "id"), "ts", "id", "1 minute")
+    val q = out.writeStream.format("memory").queryName("dd")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((ts(1), 7L), (ts(1), 7L), (ts(2), 8L), (ts(1), 7L))
+      q.processAllAvailable()
+      val n = s.sql("SELECT count(*) FROM dd").collect()(0).getLong(0)
+      assert(n === 2L)
+    } finally q.stop()
+  }
+
+  test("textStatsStream applies the batch stats transform to a stream") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val out = StreamingOps.textStatsStream(in.toDF.toDF("doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("tst")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((1L, "the quick brown fox"))
+      q.processAllAvailable()
+      val r = s.sql("SELECT n_tokens, quality_score FROM tst").collect()(0)
+      assert(r.getInt(0) === 4)
+      assert(r.getDouble(1) > 0.0)
+    } finally q.stop()
+  }
+}
