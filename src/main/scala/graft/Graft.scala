@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.call_function
 
-import graft.functions.RegExpExtractRef
+import graft.functions.{DotProductD, RegExpExtractRef}
 
 /** Session-level wiring: registers graft's custom Catalyst expressions into
   * the session's function registry so they resolve in both SQL and the
@@ -17,12 +17,19 @@ object Graft {
       "regexp_extract_ref",
       exprs => RegExpExtractRef(exprs(0), exprs(1), exprs(2)),
       "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_dot",
+      exprs => DotProductD(exprs(0), exprs(1)),
+      "scala_udf")
     spark
   }
 
   /** `regexp_extract_ref` as a Column function (requires `init(spark)` first). */
   def regexp_extract_ref(s: Column, p: Column, idx: Column): Column =
     call_function("regexp_extract_ref", s, p, idx)
+
+  /** Codegen'd sequential-fold dot product (requires `init(spark)` first). */
+  def graft_dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 }
 
 /** Loaders for the driver-generated parquet fixtures (TESTDATA.md). All reads

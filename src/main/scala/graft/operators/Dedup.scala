@@ -60,8 +60,7 @@ object Dedup {
     * 8-byte hash) pairs, map-side-combined before exchange.
     */
   private def signatures(s: SparkSession, d: String): DataFrame = {
-    val exploded = documents(s, d)
-      .select(col("doc_id"), explode(shingles3(toks(col("text")))).as("sh"))
+    val exploded = shingleRows(documents(s, d).select("doc_id", "text"))
       .select(col("doc_id"), (h60(col("sh")) % P).as("h"))
     val sigAggs = (0 until NumHashes).map { j =>
       min((col("h") * aCoef(j) + bCoef(j)) % P).as(s"s$j")
@@ -110,7 +109,10 @@ object Dedup {
 
     // MinHash-LSH near-dup candidate pairs with estimated Jaccard >= 0.5.
     "dedup_minhash_pairs" -> { (s, d) =>
-      val sig = signatures(s, d)
+      // persist: sig feeds the band explode AND both verification join
+      // sides — without it the md5+agg subtree runs 3x (at 100 TB this is
+      // a checkpoint of the signature table)
+      val sig = signatures(s, d).persist()
       val bands = sig.select(col("doc_id"),
         posexplode(array((0 until Bands).map(b => col(s"k$b")): _*)).as(Seq("band", "key")))
       // A pair can collide in several bands -> distinct before verification.
@@ -138,10 +140,12 @@ object Dedup {
     // Exact n-gram Jaccard >= 0.6 via inverted shingle index (no cross join:
     // only docs sharing a shingle ever meet, shuffled on the shingle hash).
     "dedup_ngram_jaccard" -> { (s, d) =>
-      val e = documents(s, d)
-        .select(col("doc_id"),
-          explode(array_distinct(transform(shingles3(toks(col("text"))), x => h60(x))))
-            .as("g"))
+      // persist: the inverted index feeds the size agg AND both self-join
+      // sides (3 consumers)
+      val e = shingleRows(documents(s, d).select("doc_id", "text"))
+        .select(col("doc_id"), h60(col("sh")).as("g"))
+        .distinct()
+        .persist()
       val n = e.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
       val inter = e.as("a")
         .join(e.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
@@ -185,6 +189,7 @@ object Dedup {
     // threshold compare). Brute force is fine at fixture scale; the
     // LSH-bucketed path in Similarity.scala is the 100 TB shape.
     "dedup_embedding_cosine" -> { (s, d) =>
+      graft.Graft.init(s)
       val base = embeddings(s, d)
         .select(col("vec_id"), toDouble(col("embedding")).as("e"))
         .withColumn("nrm", sqrt(dot(col("e"), col("e"))))

@@ -59,10 +59,12 @@ object Similarity {
       s"CASE WHEN ${dotSql(e, planeSqlList(j), Dim)} >= 0.0 THEN ${1 << j} ELSE 0 END"
     }.mkString("(", " + ", ")")
 
-  private def base(s: SparkSession, d: String): DataFrame =
+  private def base(s: SparkSession, d: String): DataFrame = {
+    graft.Graft.init(s)
     embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("e"))
       .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+  }
 
   private def ranked(joined: DataFrame): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
