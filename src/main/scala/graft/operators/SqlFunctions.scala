@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+import graft.Tables._
+
+/** JSON / array / map functions, subquery shapes, and batch sessionization
+  * — the remaining SQL surface a DataFusion-style engine user expects
+  * (reference exercises only CASE/CAST/% — SURVEY.md §2.3; everything else
+  * here is north-star extension).
+  *
+  * Subquery queries go through `spark.sql` over temp views — exercising the
+  * EP2 SQL entry point end-to-end (parser -> analyzer subquery rewrite ->
+  * semi/anti join or scalar broadcast).
+  */
+object SqlFunctions {
+
+  private val SessionGapUs = 1800L * 1000000L // 30 min
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // JSON path extraction + aggregation (props is a JSON object column).
+    "json_extract_agg" -> { (s, d) =>
+      events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    },
+
+    // from_json into a typed struct, then field access.
+    "json_from_json" -> { (s, d) =>
+      val schema = StructType(Seq(StructField("k", IntegerType)))
+      events(s, d)
+        .select(col("event_id"), from_json(col("props"), schema).getField("k").as("k"))
+        .orderBy("event_id")
+    },
+
+    // Array function battery over tokenized part names.
+    "q_array_funcs" -> { (s, d) =>
+      part(s, d)
+        .select(col("p_partkey"), split(col("p_name"), " ").as("w"))
+        .select(col("p_partkey"),
+          size(col("w")).as("n_words"),
+          element_at(sort_array(col("w")), 1).as("first_sorted"),
+          array_join(slice(col("w"), 1, 2), "-").as("first_two"),
+          array_contains(col("w"), "blue").as("has_blue"),
+          reverse(col("w")).getItem(0).as("last_word"))
+        .orderBy("p_partkey")
+    },
+
+    // Map construction + lookup (MapType through the engine).
+    "q_map_funcs" -> { (s, d) =>
+      nation(s, d)
+        .select(col("n_nationkey"),
+          map(col("n_name"), col("n_regionkey")).as("m"), col("n_name"))
+        .select(col("n_nationkey"),
+          element_at(col("m"), col("n_name")).as("region_of"),
+          size(col("m")).as("m_size"))
+        .orderBy("n_nationkey")
+    },
+
+    // Scalar subquery: orders above the average order value.
+    "q_scalar_subquery" -> { (s, d) =>
+      orders(s, d).createOrReplaceTempView("g_orders")
+      s.sql(
+        """SELECT o_orderkey, o_totalprice FROM g_orders
+          |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM g_orders)
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    // IN subquery (decorrelates to a semi join).
+    "q_in_subquery" -> { (s, d) =>
+      customer(s, d).createOrReplaceTempView("g_customer")
+      orders(s, d).createOrReplaceTempView("g_orders")
+      s.sql(
+        """SELECT c_custkey, c_name FROM g_customer
+          |WHERE c_custkey IN
+          |  (SELECT o_custkey FROM g_orders WHERE year(o_orderdate) = 1997)
+          |ORDER BY c_custkey""".stripMargin)
+    },
+
+    // Correlated EXISTS with an inequality inside (decorrelated semi join
+    // with a non-trivial condition).
+    "q_correlated_exists" -> { (s, d) =>
+      supplier(s, d).createOrReplaceTempView("g_supplier")
+      lineitem(s, d).createOrReplaceTempView("g_lineitem")
+      s.sql(
+        """SELECT s_suppkey, s_name FROM g_supplier s
+          |WHERE EXISTS (SELECT 1 FROM g_lineitem l
+          |  WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49)
+          |ORDER BY s_suppkey""".stripMargin)
+    },
+
+    // Batch sessionization: 30-min-gap sessions per user via window lag +
+    // running sum (the batch face of StreamingOps.sessionize). One shuffle
+    // on user_id serves both windows and the final aggregation.
+    "q_sessionize_batch" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("prev_us", lag(expr("unix_micros(ts)"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev_us").isNull ||
+            expr("unix_micros(ts)") - col("prev_us") > SessionGapUs, 1).otherwise(0))
+        .withColumn("session_id", sum("new_s").over(wCum))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts").as("session_start"), max("ts").as("session_end"))
+        .orderBy("user_id", "session_id")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "json_extract_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        |  CAST(min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
+        |  CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "json_from_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_array_funcs" ->
+      """WITH t AS (SELECT p_partkey, string_split(p_name, ' ') AS w FROM part)
+        |SELECT p_partkey,
+        |  CAST(len(w) AS INTEGER) AS n_words,
+        |  list_sort(w)[1] AS first_sorted,
+        |  array_to_string(w[1:2], '-') AS first_two,
+        |  list_contains(w, 'blue') AS has_blue,
+        |  list_reverse(w)[1] AS last_word
+        |FROM t ORDER BY p_partkey""".stripMargin,
+
+    "q_map_funcs" ->
+      """SELECT n_nationkey,
+        |  map([n_name], [n_regionkey])[n_name][1] AS region_of,
+        |  CAST(cardinality(map([n_name], [n_regionkey])) AS INTEGER) AS m_size
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_in_subquery" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN
+        |  (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_correlated_exists" ->
+      """SELECT s_suppkey, s_name FROM supplier s
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q_sessionize_batch" ->
+      s"""WITH e AS (SELECT user_id, ts, event_id,
+         |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+         |  FROM events),
+         |s AS (SELECT user_id, ts, event_id,
+         |  CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > $SessionGapUs
+         |       THEN 1 ELSE 0 END AS new_s FROM e),
+         |c AS (SELECT user_id, ts,
+         |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS UNBOUNDED PRECEDING) AS session_id FROM s)
+         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+         |  count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end
+         |FROM c GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+  )
+}

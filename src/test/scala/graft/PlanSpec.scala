@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan assertions: the properties that make these queries hold up
+  * at 100 TB — filters reaching the parquet scan, column pruning, broadcast
+  * vs shuffle join choices, two-phase aggregation, and exchange reuse.
+  * Catching a regression here means a query silently became a full-scan or
+  * a shuffle it doesn't need.
+  */
+class PlanSpec extends SparkSpecBase {
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q6: predicates push down to the parquet scan; only needed columns read") {
+    val p = plan("q6_forecast_revenue")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("IsNotNull(l_shipdate)") || p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    // projection pruning: the scan schema must not include unrelated columns
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("l_orderkey"), s"unpruned scan: $readSchema")
+  }
+
+  test("q5: bounded dims join via broadcast, fact join via shuffle") {
+    val p = plan("q5_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the lineitem-orders fact join must NOT be broadcast at scale factor
+    // growth: it is hash-shuffled (SortMergeJoin or ShuffledHashJoin)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+  }
+
+  /** Final physical plan after AQE re-planning (collect() first — before
+    * execution AdaptiveSparkPlan is a placeholder and hides its subtree).
+    */
+  private def finalPlan(name: String): org.apache.spark.sql.execution.SparkPlan = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  test("q1: two-phase (partial + final) hash aggregation inside codegen") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("partial_sum"), s"no partial aggregation:\n$p")
+    // '*(n)' prefixes in the final plan mark whole-stage-codegen stages
+    val fp = finalPlan("q1_pricing_summary").toString
+    assert(fp.contains("*(") && fp.contains("HashAggregate"),
+      s"aggregation fell out of whole-stage codegen:\n$fp")
+  }
+
+  test("ann_cosine_topk: query batch broadcast, corpus never shuffled before join") {
+    val p = plan("ann_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("dedup_minhash signature aggregation is map-side combined") {
+    val p = plan("dedup_minhash_pairs")
+    val nPartial = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(nPartial >= 2, s"minhash sig agg should be partial+final:\n$p")
+  }
+
+  test("q_sessionize_batch: windows and aggregation share one shuffle on user_id") {
+    // AQE wraps shuffles in leaf ShuffleQueryStage nodes (collect() can't
+    // recurse into them) — count Exchange nodes in the printed final plan
+    val fp = finalPlan("q_sessionize_batch").toString
+    val hashEx = raw"Exchange hashpartitioning".r.findAllIn(fp).size
+    val rangeEx = raw"Exchange rangepartitioning".r.findAllIn(fp).size
+    // 1 hashpartitioning(user_id) feeding lag + running-sum windows AND the
+    // groupBy, + 1 rangepartitioning for the final orderBy — nothing else
+    assert(hashEx == 1 && rangeEx <= 1, s"unexpected shuffles (hash=$hashEx range=$rangeEx):\n$fp")
+  }
+
+  test("src_partitioned_parquet: partition pruning leaves a single partition") {
+    val df = SparkEntry.queries("src_partitioned_parquet")(spark, sfDir)
+    df.collect() // materialize so FileSourceScan has chosen partitions
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), scan)
+  }
+}
