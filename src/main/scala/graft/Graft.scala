@@ -21,6 +21,11 @@ object Graft {
       "graft_dot",
       exprs => DotProductD(exprs(0), exprs(1)),
       "scala_udf")
+    // optimizer rules on an already-built session (builder path:
+    // .withExtensions(new graft.plans.GraftExtensions))
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RewriteHofDotProduct))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RewriteHofDotProduct
     spark
   }
 

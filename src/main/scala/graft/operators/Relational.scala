@@ -260,6 +260,116 @@ object Relational {
         when(col("event_id") % 2 === 0, col("event_id").cast("string"))
           .otherwise(lit(null)).as("even_str"))
         .orderBy("event_id")
+    },
+
+    // TPC-H Q7 shape: trade volume between two nations by year, with the
+    // nation dim joined twice (supplier side + customer side, both
+    // broadcast) over the fact join.
+    "q7_nation_trade" -> { (s, d) =>
+      val n1 = nation(s, d).select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = nation(s, d).select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .where((col("supp_nation") === "FRANCE" && col("cust_nation") === "GERMANY") ||
+          (col("supp_nation") === "GERMANY" && col("cust_nation") === "FRANCE"))
+        .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+        .agg(round(sum(dec2(col("l_extendedprice")) * (one - dec4(col("l_discount")))), 2)
+          .cast("double").as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
+    // TPC-H Q14 shape: promo revenue share — conditional aggregation over a
+    // part join; exact decimal sums, one double division at the end.
+    "q14_promo_revenue" -> { (s, d) =>
+      val disc = dec2(col("l_extendedprice")) * (one - dec4(col("l_discount")))
+      lineitem(s, d)
+        .where(col("l_shipdate") >= ts("1997-03-01 00:00:00") &&
+          col("l_shipdate") < ts("1997-04-01 00:00:00"))
+        .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+        .agg((lit(100.0) *
+          sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0).cast(DecimalType(2, 0)))).cast("double") /
+          sum(disc).cast("double")).as("promo_revenue_pct"))
+    },
+
+    // TPC-H Q18 shape: large orders — groupBy HAVING on the fact table,
+    // then enrich with customer/order dims.
+    "q18_large_orders" -> { (s, d) =>
+      val big = lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(sum(dec2(col("l_quantity"))).as("sum_qty"))
+        .where(col("sum_qty") > 150)
+      big.join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_totalprice"), col("sum_qty").cast("double").as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(50)
+    },
+
+    // Cheapest lineitem per part (window rank-1 per key — the partsupp-less
+    // Q2 analog), restricted to one p_size slice.
+    "q_min_price_per_part" -> { (s, d) =>
+      val w = Window.partitionBy("l_partkey")
+        .orderBy(col("l_extendedprice"), col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+      lineitem(s, d)
+        .join(broadcast(part(s, d).where(col("p_size") === 5)),
+          col("l_partkey") === col("p_partkey"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("p_partkey"), col("p_name"), col("l_suppkey"),
+          col("l_extendedprice"))
+        .orderBy("p_partkey")
+    },
+
+    // Suppliers above a fixed share of total revenue (TPC-H Q11 shape:
+    // aggregate HAVING against a scalar subquery of the same aggregate).
+    "q_supplier_share" -> { (s, d) =>
+      lineitem(s, d).createOrReplaceTempView("g_lineitem_share")
+      s.sql(
+        """SELECT l_suppkey,
+          |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS supp_rev
+          |FROM g_lineitem_share
+          |GROUP BY l_suppkey
+          |HAVING CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) >
+          |  (SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) * 0.0055
+          |   FROM g_lineitem_share)
+          |ORDER BY l_suppkey""".stripMargin)
+    },
+
+    // PIVOT: order counts per priority pivoted on status (explicit value
+    // list -> deterministic columns).
+    "q_pivot_status" -> { (s, d) =>
+      orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("o_orderpriority")
+    },
+
+    // HLL++ sketch vs exact distinct (no oracle: sketch values are
+    // engine-specific — driver does a rows-only check; RelationalSpec
+    // asserts <5% relative error against the exact count).
+    "q_approx_distinct" -> { (s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy("l_returnflag")
+    },
+
+    // GROUPING SETS via SQL (finer than rollup/cube: explicit set list).
+    "q_grouping_sets" -> { (s, d) =>
+      orders(s, d).createOrReplaceTempView("g_orders_gs")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+          |FROM g_orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
     }
   )
 
@@ -407,6 +517,73 @@ object Relational {
     "q_case_cast_modulo" ->
       """SELECT event_id,
         | CASE WHEN event_id % 2 = 0 THEN CAST(event_id AS VARCHAR) ELSE NULL END AS even_str
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q7_nation_trade" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        | CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(2,0)) - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        | JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
+        |   OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE')
+        |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q14_promo_revenue" ->
+      """SELECT 100.0 *
+        | CAST(sum(CASE WHEN p_type = 'PROMO'
+        |   THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(2,0)) - CAST(l_discount AS DECIMAL(6,4)))
+        |   ELSE CAST(0 AS DECIMAL(2,0)) END) AS DOUBLE) /
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(2,0)) - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE)
+        | AS promo_revenue_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 150)
+        |SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+        |  CAST(sum_qty AS DOUBLE) AS total_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin,
+
+    "q_min_price_per_part" ->
+      """SELECT p_partkey, p_name, l_suppkey, l_extendedprice FROM (
+        |  SELECT p.p_partkey, p.p_name, l.l_suppkey, l.l_extendedprice,
+        |    row_number() OVER (PARTITION BY l.l_partkey
+        |      ORDER BY l.l_extendedprice, l.l_suppkey, l.l_orderkey, l.l_linenumber) AS rn
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE p.p_size = 5) t
+        |WHERE rn = 1 ORDER BY p_partkey""".stripMargin,
+
+    "q_supplier_share" ->
+      """SELECT l_suppkey,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS supp_rev
+        |FROM lineitem
+        |GROUP BY l_suppkey
+        |HAVING CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) >
+        |  (SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) * 0.0055
+        |   FROM lineitem)
+        |ORDER BY l_suppkey""".stripMargin,
+
+    "q_pivot_status" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
   )
 }

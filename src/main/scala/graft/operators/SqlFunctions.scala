@@ -96,6 +96,18 @@ object SqlFunctions {
           |ORDER BY s_suppkey""".stripMargin)
     },
 
+    // Typed Aggregator (UDAF machinery): deterministic arg-max — the
+    // o_orderkey of each priority class's most expensive order, ties broken
+    // toward the larger key so any partitioning/merge order agrees.
+    "q_argmax_udaf" -> { (s, d) =>
+      val argmax = udaf(graft.functions.ArgMaxLong)
+      orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(argmax(round(col("o_totalprice") * 100).cast("long"), col("o_orderkey"))
+          .as("top_orderkey"))
+        .orderBy("o_orderpriority")
+    },
+
     // Batch sessionization: 30-min-gap sessions per user via window lag +
     // running sum (the batch face of StreamingOps.sessionize). One shuffle
     // on user_id serves both windows and the final aggregation.
@@ -160,6 +172,14 @@ object SqlFunctions {
         |WHERE EXISTS (SELECT 1 FROM lineitem l
         |  WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49)
         |ORDER BY s_suppkey""".stripMargin,
+
+    "q_argmax_udaf" ->
+      """SELECT o_orderpriority, o_orderkey AS top_orderkey FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC, o_orderkey DESC) AS rn
+        |  FROM orders) t
+        |WHERE rn = 1 ORDER BY o_orderpriority""".stripMargin,
 
     "q_sessionize_batch" ->
       s"""WITH e AS (SELECT user_id, ts, event_id,

@@ -1,0 +1,75 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, Cast, Expression, LambdaFunction, Literal, Multiply, NamedLambdaVariable, ZipWith}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.DoubleType
+
+import graft.functions.DotProductD
+
+/** Catalyst optimizer rule: rewrite the naive higher-order-function dot
+  * product
+  *
+  *   aggregate(zip_with(a, b, (x, y) -> x * y), 0.0, (acc, v) -> acc + v)
+  *
+  * into the codegen'd [[DotProductD]]. The HOF form is what a user
+  * naturally writes, but Spark evaluates lambda HOFs interpreted — ~10x
+  * slower on 64-dim vectors (see DotProductD scaladoc). The shapes are
+  * semantically identical: both are a left-to-right double fold of
+  * pairwise products.
+  *
+  * Fires only on the exact shape (multiply inside zip_with, 0.0 init, add
+  * fold, double arrays) — anything else is left untouched.
+  */
+object RewriteHofDotProduct extends Rule[LogicalPlan] {
+
+  private object DoubleArrays {
+    def unapply(e: Expression): Option[Expression] = e.dataType match {
+      case t: org.apache.spark.sql.types.ArrayType if t.elementType == DoubleType => Some(e)
+      case _ => None
+    }
+  }
+
+  private def isVars(args: Seq[NamedLambdaVariable], used: Seq[Expression]): Boolean =
+    used.forall {
+      case v: NamedLambdaVariable => args.exists(_.exprId == v.exprId)
+      case _ => false
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case agg @ ArrayAggregate(
+        ZipWith(DoubleArrays(a), DoubleArrays(b),
+          LambdaFunction(Multiply(x1, y1, _), Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _)),
+        Literal(0.0, DoubleType),
+        LambdaFunction(Add(accRef, vRef, _), Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), _),
+        finish)
+      if isVars(Seq(x, y), Seq(x1, y1)) && isVars(Seq(acc, v), Seq(accRef, vRef)) &&
+        isIdentityFinish(finish) =>
+      DotProductD(a, b)
+  }
+
+  /** aggregate()'s finish lambda must be the identity (id -> id) for the
+    * rewrite to be value-preserving.
+    */
+  private def isIdentityFinish(finish: Expression): Boolean = finish match {
+    case LambdaFunction(body: NamedLambdaVariable, Seq(arg: NamedLambdaVariable), _) =>
+      body.exprId == arg.exprId
+    case _ => false
+  }
+}
+
+/** SparkSessionExtensions entry point:
+  *
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)   // or
+  *     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+  *
+  * Injects graft's optimizer rules into Catalyst. (Function registration
+  * stays in Graft.init, which works on any already-built session.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => RewriteHofDotProduct)
+  }
+}

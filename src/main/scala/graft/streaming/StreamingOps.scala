@@ -93,4 +93,11 @@ object StreamingOps {
     */
   def textStatsStream(docs: DataFrame): DataFrame =
     graft.operators.TextAnalysis.stats(docs)
+
+  /** Stream-static enrichment join: the static dim is broadcast to every
+    * task — no stream shuffle, no state. The dim is re-resolved per
+    * micro-batch, so slowly-changing dims refresh on their own.
+    */
+  def enrichStream(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
 }

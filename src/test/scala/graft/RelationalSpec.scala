@@ -1,0 +1,29 @@
+package graft
+
+import graft.operators.Relational
+
+/** Checks for queries whose semantics the DuckDB oracle can't pin down
+  * (sketches) plus spot invariants on the newest relational queries.
+  */
+class RelationalSpec extends SparkSpecBase {
+
+  test("approx_count_distinct stays within 5% of exact") {
+    Relational.queries("q_approx_distinct")(spark, sfDir).collect().foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"${r.getString(0)}: approx=$approx exact=$exact")
+    }
+  }
+
+  test("q14 promo revenue is a percentage in (0, 100)") {
+    val v = Relational.queries("q14_promo_revenue")(spark, sfDir)
+      .head.getDouble(0)
+    assert(v > 0.0 && v < 100.0, s"promo pct $v")
+  }
+
+  test("q_min_price_per_part returns exactly one row per size-5 part with lineitems") {
+    val out = Relational.queries("q_min_price_per_part")(spark, sfDir).collect()
+    assert(out.map(_.getLong(0)).distinct.length === out.length)
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.RewriteHofDotProduct
+
+/** The RewriteHofDotProduct optimizer rule: naive HOF dot products become
+  * the codegen'd graft_dot expression, values unchanged; non-matching
+  * shapes are left alone.
+  */
+class RuleSpec extends SparkSpecBase {
+
+  private def hofDot = aggregate(
+    zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  // parquet-backed (a LocalRelation gets constant-folded away before the
+  // rule's effect is observable); both columns double arrays
+  private def df = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    .select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("a"))
+    .withColumn("b", col("a"))
+
+  test("rewrites aggregate(zip_with(a,b,*),0.0,+) to graft_dot") {
+    val q = df.select(col("vec_id"), hofDot.as("d"))
+    val optimized = q.queryExecution.optimizedPlan
+    assert(optimized.toString.contains("graft_dot"),
+      s"rule did not fire:\n$optimized")
+    // value check: rewritten result == norm^2 computed independently
+    val row = q.orderBy("vec_id").head
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .orderBy("vec_id").head.getSeq[Float](1).map(_.toDouble)
+    assert(row.getDouble(1) === emb.foldLeft(0.0)((s, x) => s + x * x))
+  }
+
+  test("does not fire on a non-identity finish or different fold") {
+    // subtraction fold is NOT a dot product — must stay untouched
+    val q = df.select(aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0), (acc, v) => acc - v).as("d"))
+    assert(!q.queryExecution.optimizedPlan.toString.contains("graft_dot"))
+  }
+
+  test("rule applied directly is idempotent") {
+    val q = df.select(hofDot.as("d"))
+    val once = RewriteHofDotProduct(q.queryExecution.optimizedPlan)
+    assert(RewriteHofDotProduct(once) === once)
+  }
+}
