@@ -35,6 +35,28 @@ object Graft {
 
   /** Codegen'd sequential-fold dot product (requires `init(spark)` first). */
   def graft_dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Recommended session for this engine at scale. `local[cores]` here; on
+    * a cluster, keep every config and swap the master. The shuffle
+    * partition count should track total executor cores (AQE coalesces
+    * down, so err high); maxPartitionBytes sizes scan tasks so a 100 TB
+    * input yields ~800k tasks rather than a handful of giant ones.
+    */
+  def recommendedSession(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
+    val s = SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")                    // default, pinned
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "128m")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    init(s)
+  }
 }
 
 /** Loaders for the driver-generated parquet fixtures (TESTDATA.md). All reads

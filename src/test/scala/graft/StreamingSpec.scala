@@ -79,6 +79,67 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("enrichStream joins a static dim without shuffling the stream") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dim = Seq(("a", "alpha"), ("b", "beta")).toDF("user", "full_name")
+    val in = MemoryStream[(Timestamp, String)]
+    val out = StreamingOps.enrichStream(in.toDF.toDF("ts", "user"), dim, "user")
+    val q = out.writeStream.format("memory").queryName("enr")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((ts(1), "a"), (ts(2), "c"))
+      q.processAllAvailable()
+      val rows = s.sql("SELECT user, full_name FROM enr ORDER BY user").collect()
+        .map(r => (r.getString(0), Option(r.getString(1)))).toSeq
+      assert(rows === Seq(("a", Some("alpha")), ("c", None)))
+    } finally q.stop()
+  }
+
+  test("streamStreamJoin matches events within the time range, drops outside") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val impressions = MemoryStream[(Timestamp, String)]
+    val clicks = MemoryStream[(Timestamp, String)]
+    val out = StreamingOps.streamStreamJoin(
+      impressions.toDF.toDF("imp_ts", "imp_user"),
+      clicks.toDF.toDF("click_ts", "click_user"),
+      "imp_user", "click_user", "imp_ts", "click_ts",
+      watermark = "10 seconds", rangeSeconds = 30L)
+    val q = out.writeStream.format("memory").queryName("ssj")
+      .outputMode(OutputMode.Append).start()
+    try {
+      impressions.addData((ts(10), "u1"), (ts(10), "u2"))
+      clicks.addData((ts(20), "u1"), (ts(100), "u2")) // u2 click outside 30s range
+      q.processAllAvailable()
+      val rows = s.sql("SELECT imp_user FROM ssj").collect().map(_.getString(0)).toSeq
+      assert(rows === Seq("u1"))
+    } finally q.stop()
+  }
+
+  test("foreachBatch sink writes each micro-batch to parquet exactly once") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_febatch").toString
+    val in = MemoryStream[(Timestamp, Long)]
+    val q = in.toDF.toDF("ts", "id").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("append").parquet(s"$dir/out")
+      }
+      .start()
+    try {
+      in.addData((ts(1), 1L), (ts(2), 2L))
+      q.processAllAvailable()
+      in.addData((ts(3), 3L))
+      q.processAllAvailable()
+      val n = s.read.parquet(s"$dir/out").count()
+      assert(n === 3L)
+    } finally q.stop()
+  }
+
   test("textStatsStream applies the batch stats transform to a stream") {
     val s = spark
     import s.implicits._
