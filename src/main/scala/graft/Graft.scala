@@ -71,9 +71,15 @@ object Tables {
 
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read as a
     * timestamp. Read it as a nanos long (legacy flag) and truncate to
-    * microseconds — Spark's native timestamp precision. DuckDB reads the same
-    * column as TIMESTAMP_NS; at the granularities the queries use (hours,
-    * minutes, multi-second session gaps) the truncated values agree.
+    * microseconds — Spark's native timestamp precision (the fixture has zero
+    * sub-microsecond bits, so this is lossless and DuckDB's TIMESTAMP_NS
+    * view agrees exactly).
+    *
+    * NOTE: the legacy flag is a SESSION-WIDE config — after this, any other
+    * parquet table with TIMESTAMP(NANOS) columns read in the same session
+    * also surfaces them as bigint. Deliberate for this engine (the fixture
+    * set has exactly one nanos column); a multi-tenant session would scope
+    * it differently.
     */
   private def eventsWithTs(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

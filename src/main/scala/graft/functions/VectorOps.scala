@@ -19,8 +19,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * list_sum(list_transform(range(..), i -> a[i]*b[i])) uses, so oracle
   * float parity is bit-exact. ImplicitCastInputTypes lifts array<float>
   * inputs to array<double> before the fold (multiplying in float32 would
-  * diverge). Arrays are assumed element-non-null (embedding vectors);
-  * lengths are min-folded defensively.
+  * diverge). Arrays are assumed element-non-null (embedding vectors).
+  * Mismatched lengths return NULL — the same result the HOF form produces
+  * (zip_with null-pads the shorter side, and null poisons the fold), so
+  * RewriteHofDotProduct is value-preserving on every input.
   */
 case class DotProductD(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
@@ -30,10 +32,13 @@ case class DotProductD(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -43,12 +48,16 @@ case class DotProductD(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
-         |int graftDotN = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double graftDotS = 0.0;
-         |for (int graftDotI = 0; graftDotI < graftDotN; graftDotI++) {
-         |  graftDotS += $a.getDouble(graftDotI) * $b.getDouble(graftDotI);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int graftDotN = $a.numElements();
+         |  double graftDotS = 0.0;
+         |  for (int graftDotI = 0; graftDotI < graftDotN; graftDotI++) {
+         |    graftDotS += $a.getDouble(graftDotI) * $b.getDouble(graftDotI);
+         |  }
+         |  ${ev.value} = graftDotS;
          |}
-         |${ev.value} = graftDotS;
        """.stripMargin)
 
   override protected def withNewChildrenInternal(

@@ -122,9 +122,8 @@ object Dedup {
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
-      // Verify: fraction of agreeing signature components (the sig relation
-      // is a pure map — recomputing it on each join side beats materializing
-      // at this size; at 100 TB you'd persist/checkpoint `sig` once).
+      // Verify: fraction of agreeing signature components, read from the
+      // persisted sig relation on both join sides.
       val matches = (0 until NumHashes)
         .map(j => when(col(s"sa.s$j") === col(s"sb.s$j"), 1).otherwise(0))
         .reduce(_ + _)

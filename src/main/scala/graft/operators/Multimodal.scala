@@ -38,7 +38,9 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("bytes"),
       struct(
         lit("text/plain").as("mime"),
-        length(col("text")).as("n_bytes"),
+        // byte length of the payload, not the character count — they
+        // diverge on any non-ASCII text
+        octet_length(encode(col("text"), "UTF-8")).as("n_bytes"),
         (col("doc_id") % 3).cast("int").as("channel")).as("meta"))
 
   /** STUB decode: deterministic pseudo-features from the blob. Feature j =
@@ -127,8 +129,8 @@ object Multimodal {
   val oracles: Map[String, String] = Map(
     "mm_meta_stats" ->
       """SELECT CAST(doc_id % 3 AS INTEGER) AS channel, count(*) AS n,
-        |  CAST(sum(len(text)) AS BIGINT) AS total_bytes
-        |FROM documents WHERE len(text) > 200
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
+        |FROM documents WHERE octet_length(encode(text)) > 200
         |GROUP BY 1 ORDER BY channel""".stripMargin,
 
     "mm_features" ->

@@ -10,10 +10,13 @@ import TextHash._
   * scoring), quality scoring, token counting (whitespace + BPE-ish regex),
   * and rolling-hash fingerprinting.
   *
-  * Everything is a pure per-row projection — no shuffle, fully codegen'd;
-  * at 100 TB these run at parquet-scan speed. All ratios are int/int
-  * double divisions (bit-exact across engines); the fingerprint bottoms
-  * out in md5 (TextHash) for oracle parity.
+  * Everything is a pure per-row projection — no shuffle. The per-row array
+  * folds (aggregate/filter over ~10^2 tokens) run interpreted, which is
+  * fine at this token count; documents orders of magnitude longer should
+  * use the explode + codegen'd-aggregate shape instead (see
+  * TextHash.shingleRows and the Dedup rewrites for the measured cliff).
+  * All ratios are int/int double divisions (bit-exact across engines); the
+  * fingerprint bottoms out in md5 (TextHash) for oracle parity.
   */
 object TextAnalysis {
 

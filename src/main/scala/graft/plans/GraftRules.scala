@@ -31,20 +31,36 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
     }
   }
 
-  private def isVars(args: Seq[NamedLambdaVariable], used: Seq[Expression]): Boolean =
-    used.forall {
-      case v: NamedLambdaVariable => args.exists(_.exprId == v.exprId)
+  /** The multiply must use ONE variable from EACH zip_with argument —
+    * (x,y)->x*y or (x,y)->y*x. Same-variable products like (x,y)->x*x are
+    * sums of squares of one side, NOT a dot product, and must not match.
+    */
+  private def isCrossProduct(x: NamedLambdaVariable, y: NamedLambdaVariable,
+                             lhs: Expression, rhs: Expression): Boolean =
+    (lhs, rhs) match {
+      case (l: NamedLambdaVariable, r: NamedLambdaVariable) =>
+        (l.exprId == x.exprId && r.exprId == y.exprId) ||
+          (l.exprId == y.exprId && r.exprId == x.exprId)
+      case _ => false
+    }
+
+  private def isFold(acc: NamedLambdaVariable, v: NamedLambdaVariable,
+                     lhs: Expression, rhs: Expression): Boolean =
+    (lhs, rhs) match {
+      case (l: NamedLambdaVariable, r: NamedLambdaVariable) =>
+        (l.exprId == acc.exprId && r.exprId == v.exprId) ||
+          (l.exprId == v.exprId && r.exprId == acc.exprId)
       case _ => false
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
-    case agg @ ArrayAggregate(
+    case ArrayAggregate(
         ZipWith(DoubleArrays(a), DoubleArrays(b),
           LambdaFunction(Multiply(x1, y1, _), Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _)),
         Literal(0.0, DoubleType),
         LambdaFunction(Add(accRef, vRef, _), Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), _),
         finish)
-      if isVars(Seq(x, y), Seq(x1, y1)) && isVars(Seq(acc, v), Seq(accRef, vRef)) &&
+      if isCrossProduct(x, y, x1, y1) && isFold(acc, v, accRef, vRef) &&
         isIdentityFinish(finish) =>
       DotProductD(a, b)
   }

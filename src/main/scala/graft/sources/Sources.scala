@@ -24,12 +24,11 @@ import graft.Tables._
   */
 object Sources {
 
-  private def tmpDir(name: String): String = {
-    val base = java.nio.file.Paths.get(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_io")
-    Files.createDirectories(base)
-    base.resolve(name).toString
-  }
+  // per-process sink root: two concurrent runs (sbt test alongside Verify)
+  // must not overwrite each other's round-trip data between write and read
+  private lazy val base = Files.createTempDirectory("graft_io_")
+
+  private def tmpDir(name: String): String = base.resolve(name).toString
 
   /** CSV: doubles survive via Java shortest-repr toString; timestamps are
     * excluded (CSV has no type fidelity for them without format pinning).

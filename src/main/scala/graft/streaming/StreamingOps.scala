@@ -35,11 +35,14 @@ object StreamingOps {
         col(keyCol), col("n"))
 
   /** Streaming exact dedup on an id column, watermark-bounded (the
-    * streaming face of Dedup.dedup_exact).
+    * streaming face of Dedup.dedup_exact). dropDuplicatesWithinWatermark
+    * keys on the id ALONE — a retried event with the same id but a later
+    * timestamp is still a duplicate (dropDuplicates(id, ts) would let it
+    * through); state for an id is evicted once the watermark passes it.
     */
   def dedupStream(events: DataFrame, tsCol: String, idCol: String,
                   watermark: String): DataFrame =
-    events.withWatermark(tsCol, watermark).dropDuplicates(idCol, tsCol)
+    events.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(idCol)
 
   case class Click(user: String, ts: Timestamp)
   case class Session(user: String, start: Timestamp, end: Timestamp, nEvents: Int)
@@ -64,13 +67,21 @@ object StreamingOps {
             state.remove()
             Iterator(Session(user, new Timestamp(s.start), new Timestamp(s.end), s.n))
           } else {
-            val sorted = rows.map(_.ts.getTime).toSeq.sorted
+            // flatMapGroupsWithState does NOT filter late rows — drop
+            // anything at/below the watermark ourselves, like the built-in
+            // watermark operators do. Without this, (a) an event far in the
+            // past would merge into the current session (t - end <= gap is
+            // trivially true for old t), and (b) a late event for a fresh
+            // key would setTimeoutTimestamp below the watermark, which
+            // THROWS and kills the query.
+            val wm = state.getCurrentWatermarkMs()
+            val sorted = rows.map(_.ts.getTime).filter(_ > wm).toSeq.sorted
             var closed = List.empty[Session]
             var cur = state.getOption
             sorted.foreach { t =>
               cur match {
                 case Some(s) if t - s.end <= gapMs =>
-                  cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1))
+                  cur = Some(SessionState(math.min(s.start, t), math.max(s.end, t), s.n + 1))
                 case Some(s) =>
                   closed ::= Session(user, new Timestamp(s.start), new Timestamp(s.end), s.n)
                   cur = Some(SessionState(t, t, 1))
@@ -80,7 +91,8 @@ object StreamingOps {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.end + gapMs)
+              // timeout must be strictly above the watermark or Spark throws
+              state.setTimeoutTimestamp(math.max(s.end + gapMs, wm + 1))
             }
             closed.reverseIterator
           }

@@ -25,13 +25,13 @@ class PlanSpec extends SparkSpecBase {
     assert(!readSchema.contains("l_orderkey"), s"unpruned scan: $readSchema")
   }
 
-  test("q5: bounded dims join via broadcast, fact join via shuffle") {
+  test("q5: bounded dims join via broadcast") {
     val p = plan("q5_revenue_by_nation")
     assert(p.contains("BroadcastHashJoin"), p)
-    // the lineitem-orders fact join must NOT be broadcast at scale factor
-    // growth: it is hash-shuffled (SortMergeJoin or ShuffledHashJoin)
-    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
-      || p.contains("BroadcastHashJoin"), p)
+    // Whether the lineitem-orders fact join broadcasts or shuffles is
+    // size-dependent (AQE decides from runtime stats); at sf0.001
+    // everything legitimately fits under the broadcast threshold, so only
+    // the dim-broadcast property is assertable here.
   }
 
   /** Final physical plan after AQE re-planning (collect() first — before

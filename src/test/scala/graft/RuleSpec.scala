@@ -38,6 +38,32 @@ class RuleSpec extends SparkSpecBase {
     assert(!q.queryExecution.optimizedPlan.toString.contains("graft_dot"))
   }
 
+  test("does not fire on same-variable products (sum of squares is not a dot product)") {
+    val q = df.select(aggregate(
+      zip_with(col("a"), col("b"), (x, _) => x * x), lit(0.0), (acc, v) => acc + v).as("d"))
+    assert(!q.queryExecution.optimizedPlan.toString.contains("graft_dot"))
+    // value must be sum of squares of a, untouched by the rule
+    val row = q.head
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .head.getSeq[Float](1).map(_.toDouble)
+    assert(q.count() > 0) // evaluates fine
+  }
+
+  test("fires on the commuted product (x,y)->y*x") {
+    val q = df.select(aggregate(
+      zip_with(col("a"), col("b"), (x, y) => y * x), lit(0.0), (acc, v) => acc + v).as("d"))
+    assert(q.queryExecution.optimizedPlan.toString.contains("graft_dot"))
+  }
+
+  test("graft_dot returns NULL on mismatched lengths (matches zip_with null-pad fold)") {
+    Graft.init(spark)
+    val r = spark.sql(
+      """SELECT graft_dot(array(1.0d, 2.0d), array(3.0d)) AS short,
+        |       aggregate(zip_with(array(1.0d, 2.0d), array(3.0d), (x, y) -> x * y),
+        |                 0.0d, (acc, v) -> acc + v) AS hof""".stripMargin).head
+    assert(r.isNullAt(0) && r.isNullAt(1), s"expected (null, null), got $r")
+  }
+
   test("rule applied directly is idempotent") {
     val q = df.select(hofDot.as("d"))
     val once = RewriteHofDotProduct(q.queryExecution.optimizedPlan)

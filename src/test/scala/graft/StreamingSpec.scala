@@ -72,7 +72,9 @@ class StreamingSpec extends SparkSpecBase {
     val q = out.writeStream.format("memory").queryName("dd")
       .outputMode(OutputMode.Append).start()
     try {
-      in.addData((ts(1), 7L), (ts(1), 7L), (ts(2), 8L), (ts(1), 7L))
+      // id 7 retried with a DIFFERENT timestamp must still dedup (keying is
+      // on the id alone, not (id, ts))
+      in.addData((ts(1), 7L), (ts(1), 7L), (ts(2), 8L), (ts(3), 7L))
       q.processAllAvailable()
       val n = s.sql("SELECT count(*) FROM dd").collect()(0).getLong(0)
       assert(n === 2L)
