@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Join utilities for skew: explicit key salting.
@@ -29,5 +30,40 @@ object Joins {
     val exploded = small.withColumn("_salt",
       explode(sequence(lit(0L), lit(factor - 1L))))
     salted.join(exploded, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** As-of (backward) join — an operator Spark has no native form of: for
+    * every left row, the latest `rightVal` whose `rightTs` <= `leftTs`
+    * within the same `key` (NULL when no prior right row exists).
+    *
+    * Implemented the scalable way: tag both sides, UNION, and take a
+    * running `last(ignoreNulls)` over one (key, ts, side)-ordered window —
+    * a single shuffle on `key`, O((|L|+|R|) log) per partition. The naive
+    * inequality join is O(|L|x|R|) per key and is exactly what NOT to ship
+    * at 100 TB.
+    *
+    * Right rows must be unique per (key, rightTs) — pre-aggregate
+    * otherwise, or ties make "the latest value" ill-defined (DuckDB's
+    * native ASOF JOIN, used as the oracle, has the same requirement).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTs: String, rightTs: String, rightVal: String): DataFrame = {
+    val lCols = left.columns
+    val l = left
+      .withColumn("_ts", col(leftTs))
+      .withColumn("_side", lit(1))
+      .withColumn("_v", lit(null).cast(right.schema(rightVal).dataType))
+    val r = right.select(
+      col(key), col(rightTs).as("_ts"), lit(0).as("_side"), col(rightVal).as("_v"))
+    val u = l.select((Seq(col(key), col("_ts"), col("_side"), col("_v")) ++
+      lCols.filterNot(_ == key).map(c => col(c))): _*)
+      .unionByName(r, allowMissingColumns = true)
+    // right rows (side 0) sort before left rows at the same timestamp, so a
+    // same-instant right value is visible to the left row (ts <= semantics)
+    val w = Window.partitionBy(key).orderBy(col("_ts"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn(rightVal, last(col("_v"), ignoreNulls = true).over(w))
+      .where(col("_side") === 1)
+      .select((lCols.map(c => col(c)) :+ col(rightVal)): _*)
   }
 }

@@ -108,6 +108,29 @@ object SqlFunctions {
         .orderBy("o_orderpriority")
     },
 
+    // As-of join (operator Spark lacks natively — Joins.asofJoin implements
+    // it with union + running last() over one shuffle): each click paired
+    // with the user's latest prior-or-simultaneous purchase value. Oracle:
+    // DuckDB's native ASOF LEFT JOIN.
+    "q_asof_join" -> { (s, d) =>
+      val ev = events(s, d)
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("value").as("pval"))
+      Joins.asofJoin(clicks, purchases, "user_id", "ts", "ts", "pval")
+        .select(col("event_id"), round(col("pval"), 6).as("last_purchase"))
+        .orderBy("event_id")
+    },
+
+    // Table-generating explode / unnest: corpus-wide token frequencies.
+    "q_explode_tokens" -> { (s, d) =>
+      documents(s, d)
+        .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+    },
+
     // Batch sessionization: 30-min-gap sessions per user via window lag +
     // running sum (the batch face of StreamingOps.sessionize). One shuffle
     // on user_id serves both windows and the final aggregation.
@@ -172,6 +195,20 @@ object SqlFunctions {
         |WHERE EXISTS (SELECT 1 FROM lineitem l
         |  WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49)
         |ORDER BY s_suppkey""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |purchases AS (SELECT user_id, ts, max(value) AS pval
+        |              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT l.event_id, round(r.pval, 6) AS last_purchase
+        |FROM clicks l ASOF LEFT JOIN purchases r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY event_id""".stripMargin,
+
+    "q_explode_tokens" ->
+      """SELECT tok, count(*) AS n FROM (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok FROM documents)
+        |GROUP BY tok ORDER BY n DESC, tok""".stripMargin,
 
     "q_argmax_udaf" ->
       """SELECT o_orderpriority, o_orderkey AS top_orderkey FROM (

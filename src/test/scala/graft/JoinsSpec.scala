@@ -25,6 +25,37 @@ class JoinsSpec extends SparkSpecBase {
     assert(salted === plain)
   }
 
+  test("asofJoin picks the latest right value at or before each left ts") {
+    val s = spark
+    import s.implicits._
+    import java.sql.Timestamp
+    def t(sec: Int) = new Timestamp(sec * 1000L)
+    val clicks = Seq((1L, "u", t(5)), (2L, "u", t(15)), (3L, "u", t(30)), (4L, "v", t(10)))
+      .toDF("event_id", "user", "ts")
+    val purchases = Seq(("u", t(10), 100.0), ("u", t(15), 200.0), ("u", t(20), 300.0))
+      .toDF("user", "pts", "pval")
+    val out = graft.operators.Joins
+      .asofJoin(clicks, purchases, "user", "ts", "pts", "pval")
+      .orderBy("event_id")
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Double]))
+    assert(out.toSeq === Seq(
+      1L -> None,          // click before any purchase
+      2L -> Some(200.0),   // same-instant purchase visible (ts <= semantics)
+      3L -> Some(300.0),   // latest prior
+      4L -> None))         // other key, no purchases
+  }
+
+  test("asofJoin plans a single shuffle on the key (no inequality join)") {
+    val s = spark
+    import s.implicits._
+    import java.sql.Timestamp
+    val clicks = Seq((1L, "u", new Timestamp(0L))).toDF("event_id", "user", "ts")
+    val purchases = Seq(("u", new Timestamp(0L), 1.0)).toDF("user", "pts", "pval")
+    val j = graft.operators.Joins.asofJoin(clicks, purchases, "user", "ts", "pts", "pval")
+    val plan = j.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), s"asofJoin must not plan a join:\n$plan")
+  }
+
   test("salted join shuffles on (key, salt)") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select("l_orderkey", "l_suppkey", "l_linenumber")
