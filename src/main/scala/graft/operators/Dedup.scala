@@ -96,6 +96,36 @@ object Dedup {
         call_function("shiftleft", lit(1L), col("j"))).otherwise(0L)).as("simhash"))
   }
 
+  /** MinHash-LSH near-dup pairs (est. Jaccard >= 0.5), unordered — the
+    * composable core reused by the corpus-cleaning pipeline.
+    */
+  def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    // persist: sig feeds the band explode AND both verification join
+    // sides — without it the md5+agg subtree runs 3x (at 100 TB this is
+    // a checkpoint of the signature table)
+    val sig = signatures(s, d).persist()
+    val bands = sig.select(col("doc_id"),
+      posexplode(array((0 until Bands).map(b => col(s"k$b")): _*)).as(Seq("band", "key")))
+    // A pair can collide in several bands -> distinct before verification.
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // Verify: fraction of agreeing signature components, read from the
+    // persisted sig relation on both join sides.
+    val matches = (0 until NumHashes)
+      .map(j => when(col(s"sa.s$j") === col(s"sb.s$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (matches.cast("double") / NumHashes).as("est_jaccard"))
+      .where(col("est_jaccard") >= 0.5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: one row per distinct text, keeping the smallest doc_id.
     // The groupBy key is md5(text) — at scale you shuffle 16-byte digests,
@@ -109,31 +139,7 @@ object Dedup {
 
     // MinHash-LSH near-dup candidate pairs with estimated Jaccard >= 0.5.
     "dedup_minhash_pairs" -> { (s, d) =>
-      // persist: sig feeds the band explode AND both verification join
-      // sides — without it the md5+agg subtree runs 3x (at 100 TB this is
-      // a checkpoint of the signature table)
-      val sig = signatures(s, d).persist()
-      val bands = sig.select(col("doc_id"),
-        posexplode(array((0 until Bands).map(b => col(s"k$b")): _*)).as(Seq("band", "key")))
-      // A pair can collide in several bands -> distinct before verification.
-      val cand = bands.as("x")
-        .join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-      // Verify: fraction of agreeing signature components, read from the
-      // persisted sig relation on both join sides.
-      val matches = (0 until NumHashes)
-        .map(j => when(col(s"sa.s$j") === col(s"sb.s$j"), 1).otherwise(0))
-        .reduce(_ + _)
-      cand
-        .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
-        .select(col("doc_a"), col("doc_b"),
-          (matches.cast("double") / NumHashes).as("est_jaccard"))
-        .where(col("est_jaccard") >= 0.5)
-        .orderBy("doc_a", "doc_b")
+      minhashPairs(s, d).orderBy("doc_a", "doc_b")
     },
 
     // Exact n-gram Jaccard >= 0.6 via inverted shingle index (no cross join:
@@ -204,7 +210,7 @@ object Dedup {
 
   // ---------------------------------------------------------------- oracles
 
-  private def sigSqlCte: String = {
+  private[operators] def sigSqlCte: String = {
     val sigCols = (0 until NumHashes)
       .map(j => s"list_min(list_transform(h, v -> (v*${aCoef(j)}+${bCoef(j)}) % $P)) AS s$j")
       .mkString(", ")
@@ -213,6 +219,22 @@ object Dedup {
        |hs AS (SELECT doc_id, list_transform(s, x -> ${h60Sql("x")} % $P) AS h FROM sh
        |       WHERE len(s) > 0),
        |sig AS (SELECT doc_id, $sigCols FROM hs)""".stripMargin
+  }
+
+  /** SELECT producing (doc_a, doc_b, est_jaccard) pairs; requires
+    * [[sigSqlCte]] in scope.
+    */
+  private[operators] def minhashPairsSqlSelect: String = {
+    val bandEq = (0 until Bands).map { b =>
+      "(" + (0 until Rows).map(r => s"a.s${b * Rows + r} = b.s${b * Rows + r}")
+        .mkString(" AND ") + ")"
+    }.mkString(" OR ")
+    val est = (0 until NumHashes)
+      .map(j => s"CASE WHEN a.s$j = b.s$j THEN 1 ELSE 0 END").mkString(" + ")
+    s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST($est AS DOUBLE) / $NumHashes AS est_jaccard
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandEq)
+       |WHERE CAST($est AS DOUBLE) / $NumHashes >= 0.5""".stripMargin
   }
 
   private def simhashSqlCte: String =
@@ -231,20 +253,10 @@ object Dedup {
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_doc_id""".stripMargin,
 
-    "dedup_minhash_pairs" -> {
-      val bandEq = (0 until Bands).map { b =>
-        "(" + (0 until Rows).map(r => s"a.s${b * Rows + r} = b.s${b * Rows + r}")
-          .mkString(" AND ") + ")"
-      }.mkString(" OR ")
-      val est = (0 until NumHashes)
-        .map(j => s"CASE WHEN a.s$j = b.s$j THEN 1 ELSE 0 END").mkString(" + ")
+    "dedup_minhash_pairs" ->
       s"""$sigSqlCte
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  CAST($est AS DOUBLE) / $NumHashes AS est_jaccard
-         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandEq)
-         |WHERE CAST($est AS DOUBLE) / $NumHashes >= 0.5
-         |ORDER BY doc_a, doc_b""".stripMargin
-    },
+         |$minhashPairsSqlSelect
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH tok AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents),
