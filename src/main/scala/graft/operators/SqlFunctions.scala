@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import org.apache.spark.sql.types.{DecimalType, IntegerType, StructField, StructType}
 
 import graft.Tables._
 
@@ -108,6 +108,58 @@ object SqlFunctions {
         .orderBy("o_orderpriority")
     },
 
+    // Date/time function battery. Outputs that would be DATE-typed go
+    // through CAST(.. AS STRING): pandas represents Spark dates and DuckDB
+    // dates differently, strings compare exactly. weekday() (0=Monday)
+    // pairs with DuckDB isodow-1; dayofweek would not (1=Sunday vs 0).
+    "q_datetime_funcs" -> { (s, d) =>
+      orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        quarter(col("o_orderdate")).as("qtr"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        weekday(col("o_orderdate")).as("wd"),
+        date_trunc("month", col("o_orderdate")).cast("date").cast("string").as("mon_start"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since"),
+        add_months(col("o_orderdate"), 3).cast("string").as("plus3mo"))
+        .orderBy("o_orderkey")
+    },
+
+    // Math battery — only functions with IEEE-exact cross-engine results
+    // (sqrt/abs/ceil/floor/sign/mod; ln/exp/pow differ between libms).
+    "q_math_funcs" -> { (s, d) =>
+      lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("l_quantity"),
+        abs(col("l_extendedprice") * -1).as("abs_p"),
+        ceil(col("l_extendedprice")).as("ceil_p"),
+        floor(col("l_extendedprice")).as("floor_p"),
+        sqrt(col("l_quantity")).as("sqrt_q"),
+        signum(col("l_discount") - 0.05).as("sgn"),
+        pmod(col("l_orderkey"), lit(7L)).as("k_mod7"),
+        greatest(col("l_quantity"), col("l_discount") * 100).as("gr"))
+        // total order over OUTPUT columns: (orderkey, linenumber) is not
+        // unique in this fixture, and rows tied on the sort key must be
+        // identical in every compared column
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity",
+          "sgn", "gr")
+    },
+
+    // RANGE window frame: for each order, total revenue of all orders of
+    // the same priority within the preceding 30 days (value-range frame,
+    // not row counts).
+    "q_range_window" -> { (s, d) =>
+      // integer day offset as the range key (TIMESTAMP_NTZ has no direct
+      // numeric cast under ANSI; day granularity is what the frame means)
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(datediff(col("o_orderdate"), lit("1990-01-01").cast("date")))
+        .rangeBetween(-30, 0)
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          sum(col("o_totalprice").cast(DecimalType(12, 2))).over(w)
+            .cast("double").as("rev_30d"))
+        .orderBy("o_orderkey")
+    },
+
     // As-of join (operator Spark lacks natively — Joins.asofJoin implements
     // it with union + running last() over one shuffle): each click paired
     // with the user's latest prior-or-simultaneous purchase value. Oracle:
@@ -195,6 +247,37 @@ object SqlFunctions {
         |WHERE EXISTS (SELECT 1 FROM lineitem l
         |  WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49)
         |ORDER BY s_suppkey""".stripMargin,
+
+    "q_datetime_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+        |  CAST(day(o_orderdate) AS INTEGER) AS dom,
+        |  CAST(isodow(o_orderdate) - 1 AS INTEGER) AS wd,
+        |  CAST(date_trunc('month', o_orderdate) AS VARCHAR) AS mon_start,
+        |  CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS INTEGER) AS days_since,
+        |  CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS VARCHAR) AS plus3mo
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity,
+        |  abs(l_extendedprice * -1) AS abs_p,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_p,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS floor_p,
+        |  sqrt(l_quantity) AS sqrt_q,
+        |  CAST(sign(l_discount - 0.05) AS DOUBLE) AS sgn,
+        |  l_orderkey % 7 AS k_mod7,
+        |  greatest(l_quantity, l_discount * 100) AS gr
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_quantity, sgn, gr""".stripMargin,
+
+    "q_range_window" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY o_orderpriority
+        |    ORDER BY datediff('day', DATE '1990-01-01', o_orderdate)
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_30d
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_asof_join" ->
       """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
