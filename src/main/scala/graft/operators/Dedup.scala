@@ -59,8 +59,8 @@ object Dedup {
     * pairs query after this rewrite). The explode shuffles only (doc_id,
     * 8-byte hash) pairs, map-side-combined before exchange.
     */
-  private def signatures(s: SparkSession, d: String): DataFrame = {
-    val exploded = shingleRows(documents(s, d).select("doc_id", "text"))
+  private def signaturesFor(docs: DataFrame): DataFrame = {
+    val exploded = shingleRows(docs)
       .select(col("doc_id"), (h60(col("sh")) % P).as("h"))
     val sigAggs = (0 until NumHashes).map { j =>
       min((col("h") * aCoef(j) + bCoef(j)) % P).as(s"s$j")
@@ -96,14 +96,25 @@ object Dedup {
         call_function("shiftleft", lit(1L), col("j"))).otherwise(0L)).as("simhash"))
   }
 
-  /** MinHash-LSH near-dup pairs (est. Jaccard >= 0.5), unordered — the
-    * composable core reused by the corpus-cleaning pipeline.
+  /** Smallest doc_id per identical text — the exact-dedup keep set, shared
+    * by dedup_exact and the pipeline.
     */
-  def minhashPairs(s: SparkSession, d: String): DataFrame = {
+  def exactKeepIds(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+
+  def minhashPairs(s: SparkSession, d: String): DataFrame =
+    minhashPairsFor(documents(s, d).select("doc_id", "text"))
+
+  /** MinHash-LSH near-dup pairs (est. Jaccard >= 0.5) over any
+    * (doc_id, text) DataFrame, unordered — the composable core reused by
+    * the corpus-cleaning pipeline.
+    */
+  def minhashPairsFor(docs: DataFrame): DataFrame = {
     // persist: sig feeds the band explode AND both verification join
     // sides — without it the md5+agg subtree runs 3x (at 100 TB this is
     // a checkpoint of the signature table)
-    val sig = signatures(s, d).persist()
+    val sig = signaturesFor(docs).persist()
     val bands = sig.select(col("doc_id"),
       posexplode(array((0 until Bands).map(b => col(s"k$b")): _*)).as(Seq("band", "key")))
     // A pair can collide in several bands -> distinct before verification.
@@ -129,7 +140,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: one row per distinct text, keeping the smallest doc_id.
     // The groupBy key is md5(text) — at scale you shuffle 16-byte digests,
-    // not full documents.
+    // not full documents. (exactKeepIds is the id-only composable form.)
     "dedup_exact" -> { (s, d) =>
       documents(s, d)
         .groupBy(md5(col("text")).as("text_md5"))
@@ -210,16 +221,21 @@ object Dedup {
 
   // ---------------------------------------------------------------- oracles
 
-  private[operators] def sigSqlCte: String = {
+  /** CTE list (no WITH keyword) building `sig` from `src`, a relation with
+    * (doc_id, text) — composable into larger WITH chains.
+    */
+  private[operators] def sigCtes(src: String): String = {
     val sigCols = (0 until NumHashes)
       .map(j => s"list_min(list_transform(h, v -> (v*${aCoef(j)}+${bCoef(j)}) % $P)) AS s$j")
       .mkString(", ")
-    s"""WITH tok AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents),
+    s"""tok AS (SELECT doc_id, ${toksSql("text")} AS t FROM $src),
        |sh AS (SELECT doc_id, ${shingles3Sql("t")} AS s FROM tok),
        |hs AS (SELECT doc_id, list_transform(s, x -> ${h60Sql("x")} % $P) AS h FROM sh
        |       WHERE len(s) > 0),
        |sig AS (SELECT doc_id, $sigCols FROM hs)""".stripMargin
   }
+
+  private[operators] def sigSqlCte: String = "WITH " + sigCtes("documents")
 
   /** SELECT producing (doc_a, doc_b, est_jaccard) pairs; requires
     * [[sigSqlCte]] in scope.

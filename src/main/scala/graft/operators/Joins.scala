@@ -49,12 +49,26 @@ object Joins {
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String, rightVal: String): DataFrame = {
     val lCols = left.columns
+    val reserved = Seq("_ts", "_side", "_v")
+    require(!lCols.exists(c => reserved.contains(c) || c == rightVal),
+      s"asofJoin: left columns may not include ${reserved.mkString("/")} or '$rightVal'")
+    // The carried value is a STRUCT of (ts, val), not the bare val: a
+    // matched right row whose value is NULL must still win over an older
+    // non-null row (bare last(ignoreNulls) would skip it and silently
+    // return the stale value). Right rows with NULL rightTs are unmatchable
+    // by ts <= semantics and are dropped (they would otherwise sort
+    // nulls-first and phantom-match every left row).
     val l = left
       .withColumn("_ts", col(leftTs))
       .withColumn("_side", lit(1))
-      .withColumn("_v", lit(null).cast(right.schema(rightVal).dataType))
-    val r = right.select(
-      col(key), col(rightTs).as("_ts"), lit(0).as("_side"), col(rightVal).as("_v"))
+      .withColumn("_v", lit(null).cast(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("t", right.schema(rightTs).dataType),
+          org.apache.spark.sql.types.StructField("v", right.schema(rightVal).dataType)))))
+    val r = right
+      .where(col(rightTs).isNotNull)
+      .select(col(key), col(rightTs).as("_ts"), lit(0).as("_side"),
+        struct(col(rightTs).as("t"), col(rightVal).as("v")).as("_v"))
     val u = l.select((Seq(col(key), col("_ts"), col("_side"), col("_v")) ++
       lCols.filterNot(_ == key).map(c => col(c))): _*)
       .unionByName(r, allowMissingColumns = true)
@@ -62,8 +76,8 @@ object Joins {
     // same-instant right value is visible to the left row (ts <= semantics)
     val w = Window.partitionBy(key).orderBy(col("_ts"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    u.withColumn(rightVal, last(col("_v"), ignoreNulls = true).over(w))
+    u.withColumn("_last", last(col("_v"), ignoreNulls = true).over(w))
       .where(col("_side") === 1)
-      .select((lCols.map(c => col(c)) :+ col(rightVal)): _*)
+      .select((lCols.map(c => col(c)) :+ col("_last").getField("v").as(rightVal)): _*)
   }
 }

@@ -47,6 +47,19 @@ object TextAnalysis {
   private def scoreSql(t: String, words: Seq[String]): String =
     s"len(list_filter($t, x -> x IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
+  // quality_score weights — single source of truth for the Spark
+  // expression, the text_stats oracle, and the Pipeline oracles
+  val WLen = 0.5; val WPunct = 0.3; val WStop = 0.2
+  val LenCap = 100.0; val StopBoost = 5.0
+
+  /** DuckDB SQL for quality_score, given a token-list column `t` and the
+    * raw `text` column — must mirror [[stats]] exactly.
+    */
+  private[operators] def qualitySql(t: String, text: String): String =
+    s"""round(least(1.0, CAST(len($t) AS DOUBLE) / $LenCap) * $WLen +
+       |      (1.0 - CAST(len(regexp_replace(lower($text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / len($text)) * $WPunct +
+       |      least(1.0, (CAST(${scoreSql(t, stopwords)} AS DOUBLE) / len($t)) * $StopBoost) * $WStop, 6)""".stripMargin
+
   /** Stats + composite quality score for any DataFrame with a `text` column
     * (composable library entry point; the oracled query applies it to
     * `documents`).
@@ -62,9 +75,9 @@ object TextAnalysis {
           length(col("text"))).as("punct_ratio"),
         (score(col("_t"), stopwords).cast("double") / size(col("_t"))).as("stopword_ratio"))
       .withColumn("quality_score",
-        round(least(lit(1.0), col("n_tokens").cast("double") / 100.0) * 0.5 +
-          (lit(1.0) - col("punct_ratio")) * 0.3 +
-          least(lit(1.0), col("stopword_ratio") * 5.0) * 0.2, 6))
+        round(least(lit(1.0), col("n_tokens").cast("double") / LenCap) * WLen +
+          (lit(1.0) - col("punct_ratio")) * WPunct +
+          least(lit(1.0), col("stopword_ratio") * StopBoost) * WStop, 6))
       .drop("_t", "text")
 
   /** Language-ID scores + argmax prediction for any DataFrame with a `text`
@@ -136,9 +149,9 @@ object TextAnalysis {
          |  CAST($st AS DOUBLE) / len(t) AS stopword_ratio
          |  FROM tok)
          |SELECT doc_id, n_chars, n_tokens, avg_token_len, punct_ratio, stopword_ratio,
-         |  round(least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.5 +
-         |        (1.0 - punct_ratio) * 0.3 +
-         |        least(1.0, stopword_ratio * 5.0) * 0.2, 6) AS quality_score
+         |  round(least(1.0, CAST(n_tokens AS DOUBLE) / $LenCap) * $WLen +
+         |        (1.0 - punct_ratio) * $WPunct +
+         |        least(1.0, stopword_ratio * $StopBoost) * $WStop, 6) AS quality_score
          |FROM s ORDER BY doc_id""".stripMargin
     },
 

@@ -45,6 +45,26 @@ class JoinsSpec extends SparkSpecBase {
       4L -> None))         // other key, no purchases
   }
 
+  test("asofJoin: a matched NULL value wins over an older non-null; NULL rightTs never matches") {
+    val s = spark
+    import s.implicits._
+    import java.sql.Timestamp
+    def t(sec: Int) = new Timestamp(sec * 1000L)
+    val clicks = Seq((1L, "u", t(15)), (2L, "w", t(5))).toDF("event_id", "user", "ts")
+    val purchases = Seq(
+      ("u", Option(t(5)), Option(100.0)),
+      ("u", Option(t(10)), None),          // matched row with NULL value
+      ("w", Option.empty[Timestamp], Option(7.0))) // NULL ts: unmatchable
+      .toDF("user", "pts", "pval")
+    val out = graft.operators.Joins
+      .asofJoin(clicks, purchases, "user", "ts", "pts", "pval")
+      .orderBy("event_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(out.toSeq === Seq(
+      1L -> None,   // the t=10 NULL-valued purchase is the match, NOT t=5's 100.0
+      2L -> None))  // NULL-ts purchase must not phantom-match
+  }
+
   test("asofJoin plans a single shuffle on the key (no inequality join)") {
     val s = spark
     import s.implicits._
