@@ -24,18 +24,23 @@ object Pipeline {
 
   val QualityThreshold = 0.5
 
-  /** doc_ids surviving quality gate + exact dedup + minhash near-dedup. */
-  def cleanCorpus(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d).select("doc_id", "text")
-    val qualityOk = TextAnalysis.stats(docs)
+  /** doc_ids surviving quality gate + exact dedup + minhash near-dedup,
+    * over any (doc_id, text) corpus.
+    */
+  def cleanCorpusFor(docs: DataFrame): DataFrame = {
+    val base = docs.select("doc_id", "text")
+    val qualityOk = TextAnalysis.stats(base)
       .where(col("quality_score") >= QualityThreshold)
       .select("doc_id")
-    val gated = docs
+    val gated = base
       .join(qualityOk, Seq("doc_id"), "left_semi")
-      .join(Dedup.exactKeepIds(docs), Seq("doc_id"), "left_semi")
+      .join(Dedup.exactKeepIds(base), Seq("doc_id"), "left_semi")
     val nearDupDrop = Dedup.minhashPairsFor(gated).select(col("doc_b").as("doc_id"))
     gated.select("doc_id").join(nearDupDrop, Seq("doc_id"), "left_anti")
   }
+
+  def cleanCorpus(s: SparkSession, d: String): DataFrame =
+    cleanCorpusFor(documents(s, d))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // The surviving corpus: ordered doc_ids (size accounting lives in
