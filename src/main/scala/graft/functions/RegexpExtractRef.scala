@@ -32,13 +32,67 @@ final class RegexCache {
   *   - any NULL input                   -> NULL (handled by TernaryExpression)
   */
 object RegExpExtractRefKernel {
+
+  /** Rust `regex`-crate dialect guard. The reference compiles patterns with
+    * regex 1.10 (reference: cargo.toml:10), which REJECTS constructs Java's
+    * `Pattern` happily compiles; a compile failure there returns ""
+    * (reference: src/regexp-extract.rs:106-109). Without this guard, a
+    * pattern like `(a)\1` silently *matches* here instead of returning "".
+    *
+    * Rejected (scanned outside character classes only — inside a class the
+    * divergent escapes are compile errors in Java too, which already maps
+    * to "" via the compile catch):
+    *   - backreferences `\1`..`\9`, named `\k<name>`, octal `\0`
+    *   - lookaround `(?=` `(?!` `(?<=` `(?<!` and atomic groups `(?>`
+    *   - possessive quantifiers `*+` `++` `?+` (double repetition is a
+    *     Rust parse error; Java makes it possessive)
+    *   - Java-only escapes `\G \Z \Q \E \R \X \h \H \V`
+    * `(?<name>...)` named groups are valid in BOTH dialects and pass.
+    */
+  def rustRejects(pat: String): Boolean = {
+    val javaOnlyEscapes = "kGZQERXhHV"
+    val n = pat.length
+    var i = 0
+    var depth = 0 // character-class nesting level
+    while (i < n) {
+      val c = pat.charAt(i)
+      if (c == '\\') {
+        if (i + 1 < n) {
+          val e = pat.charAt(i + 1)
+          if (depth == 0 && (e.isDigit || javaOnlyEscapes.indexOf(e.toInt) >= 0))
+            return true
+          i += 1 // consume the escaped char so `\[` / `\*` stay literal
+        }
+      } else if (c == '[') depth += 1
+      else if (c == ']') { if (depth > 0) depth -= 1 }
+      else if (depth == 0 && c == '(' && i + 2 < n && pat.charAt(i + 1) == '?') {
+        val g = pat.charAt(i + 2)
+        if (g == '=' || g == '!' || g == '>') return true
+        if (g == '<' && i + 3 < n) {
+          val h = pat.charAt(i + 3)
+          if (h == '=' || h == '!') return true
+        }
+      } else if (depth == 0 && (c == '*' || c == '+' || c == '?') &&
+                 i + 1 < n && pat.charAt(i + 1) == '+') {
+        // quantifier followed by '+': Java possessive, Rust parse error.
+        // (A dangling first quantifier is an error in both engines, so
+        // flagging without checking for a preceding atom never diverges.)
+        return true
+      }
+      i += 1
+    }
+    false
+  }
+
   def extract(s: UTF8String, p: UTF8String, idx: Int, cache: RegexCache): UTF8String = {
     val pat = p.toString
     if (cache.lastPattern == null || cache.lastPattern != pat) {
       cache.lastPattern = pat
       cache.compiled =
-        try Pattern.compile(pat)
-        catch { case _: PatternSyntaxException => null }
+        if (rustRejects(pat)) null
+        else
+          try Pattern.compile(pat)
+          catch { case _: PatternSyntaxException => null }
     }
     if (cache.compiled == null) return UTF8String.EMPTY_UTF8
     val m: Matcher = cache.compiled.matcher(s.toString)

@@ -19,10 +19,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * list_sum(list_transform(range(..), i -> a[i]*b[i])) uses, so oracle
   * float parity is bit-exact. ImplicitCastInputTypes lifts array<float>
   * inputs to array<double> before the fold (multiplying in float32 would
-  * diverge). Arrays are assumed element-non-null (embedding vectors).
-  * Mismatched lengths return NULL — the same result the HOF form produces
-  * (zip_with null-pads the shorter side, and null poisons the fold), so
-  * RewriteHofDotProduct is value-preserving on every input.
+  * diverge). NULL semantics mirror the HOF form exactly, so
+  * RewriteHofDotProduct is value-preserving on every input:
+  *   - mismatched lengths -> NULL (zip_with null-pads the shorter side and
+  *     null poisons the fold);
+  *   - any NULL element on either side -> NULL (the pairwise product is
+  *     NULL and acc + NULL stays NULL for the rest of the fold).
   */
 case class DotProductD(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
@@ -41,7 +43,11 @@ case class DotProductD(left: Expression, right: Expression)
     val n = x.numElements()
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -54,9 +60,15 @@ case class DotProductD(left: Expression, right: Expression)
          |  int graftDotN = $a.numElements();
          |  double graftDotS = 0.0;
          |  for (int graftDotI = 0; graftDotI < graftDotN; graftDotI++) {
+         |    if ($a.isNullAt(graftDotI) || $b.isNullAt(graftDotI)) {
+         |      ${ev.isNull} = true;
+         |      break;
+         |    }
          |    graftDotS += $a.getDouble(graftDotI) * $b.getDouble(graftDotI);
          |  }
-         |  ${ev.value} = graftDotS;
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = graftDotS;
+         |  }
          |}
        """.stripMargin)
 

@@ -16,8 +16,11 @@ import graft.functions.DotProductD
   * into the codegen'd [[DotProductD]]. The HOF form is what a user
   * naturally writes, but Spark evaluates lambda HOFs interpreted — ~10x
   * slower on 64-dim vectors (see DotProductD scaladoc). The shapes are
-  * semantically identical: both are a left-to-right double fold of
-  * pairwise products.
+  * semantically identical on EVERY input: both are a left-to-right double
+  * fold of pairwise products, and DotProductD reproduces the HOF's NULL
+  * behavior (mismatched lengths and NULL elements both yield NULL), so the
+  * rewrite is safe on arrays whose element type is nullable
+  * (containsNull=true) — RuleSpec locks this.
   *
   * Fires only on the exact shape (multiply inside zip_with, 0.0 init, add
   * fold, double arrays) — anything else is left untouched.

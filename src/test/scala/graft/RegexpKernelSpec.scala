@@ -64,6 +64,44 @@ class RegexpKernelSpec extends AnyFunSuite {
     assert(ex("test$value", "(\\d+)-(\\d+)", 1) == "")
   }
 
+  test("Rust-dialect guard: backrefs/lookaround compile-fail -> \"\" (reference cargo.toml:10, src/regexp-extract.rs:106-109)") {
+    // Java's Pattern compiles AND matches every one of these; the reference's
+    // regex crate rejects them at compile time, which maps to "".
+    assert(ex("aa", "(a)\\1", 1) == "")          // backreference
+    assert(ex("aa", "(?<g>a)\\k<g>", 1) == "")   // named backreference
+    assert(ex("abc", "a(?=b)", 0) == "")         // lookahead
+    assert(ex("abc", "a(?!z)", 0) == "")         // negative lookahead
+    assert(ex("abc", "(?<=a)b", 0) == "")        // lookbehind
+    assert(ex("abc", "(?<!y)b", 0) == "")        // negative lookbehind
+    assert(ex("abc", "(?>ab)c", 0) == "")        // atomic group
+    assert(ex("aaa", "a*+", 0) == "")            // possessive quantifiers
+    assert(ex("aaa", "a++", 0) == "")
+    assert(ex("aaa", "a?+", 0) == "")
+    assert(ex("a(b", "\\Qa(b\\E", 0) == "")      // \Q..\E quoting
+    assert(ex("a\nb", "a\\Rb", 0) == "")         // \R linebreak
+    assert(ex("ab", "a\\Z", 0) == "")            // \Z anchor (Rust has only \z)
+  }
+
+  test("Rust-dialect guard: shared constructs still pass") {
+    assert(ex("ab", "(?<name>a)b", 1) == "a")    // named group: both dialects
+    assert(ex("ab", "(?:a)(b)", 1) == "b")       // non-capturing group
+    assert(ex("a+b", "a\\+(b)", 1) == "b")       // escaped '+' stays literal
+    assert(ex("**x", "\\*+(x)", 1) == "x")       // escaped-star repetition
+    assert(ex("a1", "[\\w]([0-9])", 1) == "1")   // class escapes unaffected
+    assert(ex("end", "en\\w$", 0) == "end")      // $ anchor: both dialects
+    assert(ex("aab", "a*?ab", 0) == "aab")       // lazy quantifiers: both
+    assert(ex("xy", "x.?", 0) == "xy")           // '?' alone is fine
+  }
+
+  test("Rust-dialect guard: rejection is memo-stable") {
+    val cache = new RegexCache
+    def exc(s: String, p: String) = RegExpExtractRefKernel
+      .extract(UTF8String.fromString(s), UTF8String.fromString(p), 0, cache).toString
+    assert(exc("aa", "(a)\\1") == "")
+    assert(exc("bb", "(a)\\1") == "")   // memoized rejection
+    assert(exc("ab", "ab") == "ab")     // valid after rejected
+  }
+
   test("pattern memoization keeps per-row patterns correct") {
     val cache = new RegexCache
     def exc(s: String, p: String, i: Int) = RegExpExtractRefKernel

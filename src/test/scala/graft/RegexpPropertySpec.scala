@@ -36,6 +36,21 @@ object RegexpPropertySpec extends Properties("RegExpExtractRefKernel") {
       run(s, "[invalid", 1) == "" && run(s, "(unclosed", 1) == ""
     }
 
+  property("Rust-rejected constructs are empty for any subject/context (reference src/regexp-extract.rs:106-109)") =
+    forAll(asciiStr, asciiStr,
+      Gen.oneOf("(a)\\1", "(?=x)", "(?!x)", "(?<=x)", "(?<!y)", "(?>a)",
+        "a*+", "a++", "a?+", "\\k<g>", "\\Qq\\E", "x\\Z", "y\\G")) { (s, pre, bad) =>
+      // the divergent construct anywhere in the pattern rejects the whole
+      // pattern, exactly like a Rust compile error does
+      run(s, pre.filter(_.isLetterOrDigit) + bad, 0) == "" &&
+        run(s, bad, 1) == ""
+    }
+
+  property("guard never fires on plain alphanumeric capture patterns") =
+    forAll(asciiStr.suchThat(_.nonEmpty)) { s =>
+      run(s, "(" + s.take(8) + ")", 1) == s.take(8)
+    }
+
   property("memo cache never changes results under alternating patterns") = {
     val cache = new RegexCache
     def runShared(s: String, p: String) = RegExpExtractRefKernel.extract(

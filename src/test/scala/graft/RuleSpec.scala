@@ -64,6 +64,35 @@ class RuleSpec extends SparkSpecBase {
     assert(r.isNullAt(0) && r.isNullAt(1), s"expected (null, null), got $r")
   }
 
+  test("graft_dot returns NULL on NULL elements (matches HOF null-poisoned fold)") {
+    Graft.init(spark)
+    val r = spark.sql(
+      """SELECT graft_dot(array(1.0d, cast(null as double)), array(3.0d, 4.0d)) AS ln,
+        |       graft_dot(array(3.0d, 4.0d), array(1.0d, cast(null as double))) AS rn,
+        |       aggregate(zip_with(array(1.0d, cast(null as double)), array(3.0d, 4.0d),
+        |                 (x, y) -> x * y), 0.0d, (acc, v) -> acc + v) AS hof,
+        |       graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS ok""".stripMargin).head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2),
+      s"expected NULLs to match the HOF fold, got $r")
+    assert(r.getDouble(3) == 11.0)
+  }
+
+  test("rewritten HOF over null-element arrays yields the same NULL as the HOF form") {
+    // parquet-backed so the rule observably fires; inject a null element
+    val withNulls = df.select(col("vec_id"),
+      transform(col("a"), x => when(col("vec_id") % 2 === 0, x)).as("a"))
+      .withColumn("b", col("a"))
+    val q = withNulls.select(col("vec_id"), hofDot.as("d")).orderBy("vec_id")
+    assert(q.queryExecution.optimizedPlan.toString.contains("graft_dot"),
+      "rule should fire on containsNull arrays now that DotProductD matches HOF null semantics")
+    val rows = q.limit(4).collect()
+    rows.foreach { r =>
+      val even = r.getLong(0) % 2 == 0
+      assert(r.isNullAt(1) != even,
+        s"vec ${r.getLong(0)}: expected ${if (even) "value" else "NULL"}, got $r")
+    }
+  }
+
   test("rule applied directly is idempotent") {
     val q = df.select(hofDot.as("d"))
     val once = RewriteHofDotProduct(q.queryExecution.optimizedPlan)
