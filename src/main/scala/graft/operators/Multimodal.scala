@@ -60,6 +60,25 @@ object Multimodal {
     s"[$f]"
   }
 
+  /** Duplicate-group count for [[mediaDupTable]]'s planted payloads. */
+  val DupGroups = 25
+
+  /** Media fixture WITH planted byte-identical duplicates: every 4th doc's
+    * payload is replaced by one of [[DupGroups]] shared blobs (keyed on
+    * media_id div 4 mod DupGroups), the rest keep their real text bytes.
+    * Identical bytes => identical stub features, so the feature-dedup path
+    * has non-vacuous groups to find at every SF (the raw documents fixture
+    * has no exact duplicates, which made the r1 query return 0 rows).
+    */
+  def mediaDupTable(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id").as("media_id"),
+      encode(
+        when(col("doc_id") % 4 === 0,
+          concat(lit("dup-"), (expr("doc_id div 4") % DupGroups).cast("string")))
+          .otherwise(col("text")),
+        "UTF-8").as("bytes"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Metadata projection/filter WITHOUT decoding: the blob column is never
     // read (column pruning on the struct sibling).
@@ -82,14 +101,19 @@ object Multimodal {
         .orderBy("media_id")
     },
 
-    // Feature-space near-dup: media pairs whose stub features collide —
-    // exercises the decode -> dedup composition end-to-end.
+    // Feature-space near-dup over the planted-duplicate media fixture:
+    // groups whose stub features collide — the decode -> dedup composition
+    // end-to-end. Grouping is on the feature ARRAY itself (no string
+    // formatting in the key: array grouping hashes raw doubles identically
+    // in both engines; casting the array to a string would hinge on each
+    // engine's list-rendering format).
     "mm_feature_dedup" -> { (s, d) =>
-      val f = mediaTable(s, d)
-        .select(col("media_id"), md5(hex(fakeDecodeFeatures(col("bytes"))
-          .cast("string"))).as("fh"))
-      f.groupBy("fh").agg(min("media_id").as("keep_id"), count(lit(1)).as("n"))
+      mediaDupTable(s, d)
+        .select(col("media_id"), fakeDecodeFeatures(col("bytes")).as("f"))
+        .groupBy("f")
+        .agg(min("media_id").as("keep_id"), count(lit(1)).as("n"))
         .where(col("n") > 1)
+        .select(col("keep_id"), col("n"))
         .orderBy("keep_id")
     }
   )
@@ -140,6 +164,16 @@ object Multimodal {
          |  round(f[1], 6) AS f0,
          |  round(f[2], 6) AS f1,
          |  round(list_sum(list_transform(f, x -> x * x)), 6) AS sq_norm
-         |FROM f ORDER BY media_id""".stripMargin
+         |FROM f ORDER BY media_id""".stripMargin,
+
+    "mm_feature_dedup" ->
+      s"""WITH m AS (SELECT doc_id AS media_id,
+         |  encode(CASE WHEN doc_id % 4 = 0
+         |              THEN 'dup-' || CAST((doc_id // 4) % $DupGroups AS VARCHAR)
+         |              ELSE text END) AS bytes
+         |  FROM documents),
+         |f AS (SELECT media_id, ${fakeDecodeSql("bytes")} AS f FROM m)
+         |SELECT min(media_id) AS keep_id, count(*) AS n
+         |FROM f GROUP BY f HAVING count(*) > 1 ORDER BY keep_id""".stripMargin
   )
 }

@@ -48,6 +48,25 @@ class MultimodalSpec extends SparkSpecBase {
     assert(one.features.toSeq === Multimodal.stubDecode(txt.getBytes("UTF-8")).toSeq)
   }
 
+  test("mm_feature_dedup finds exactly the planted duplicate groups") {
+    // independent ground truth: doc_ids with id % 4 == 0 share a payload
+    // keyed on (id div 4) % DupGroups; all other payloads are the (unique
+    // at this SF) document texts
+    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val expected = ids.filter(_ % 4 == 0)
+      .groupBy(id => (id / 4) % Multimodal.DupGroups)
+      .values.filter(_.length > 1)
+      .map(g => (g.min, g.length.toLong))
+      .toSeq.sorted
+    assert(expected.nonEmpty, "fixture must plant duplicate groups")
+
+    val got = Multimodal.queries("mm_feature_dedup")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === expected,
+      s"planted groups mismatch: got ${got.take(5)}... expected ${expected.take(5)}...")
+  }
+
   test("mm_meta_stats never scans the blob column") {
     val q = Multimodal.queries("mm_meta_stats")(spark, sfDir)
     // the optimized plan must not reference the blob column `bytes#N`
