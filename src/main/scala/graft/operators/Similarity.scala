@@ -59,6 +59,36 @@ object Similarity {
       s"CASE WHEN ${dotSql(e, planeSqlList(j), Dim)} >= 0.0 THEN ${1 << j} ELSE 0 END"
     }.mkString("(", " + ", ")")
 
+  // ------------------------------------------------------------------
+  // Banded hyperplane geometry for pairwise near-dup candidate generation
+  // (Dedup.dedup_embedding_cosine). Minhash-style banding over sign bits:
+  // a pair is a candidate iff ALL plane signs agree in at least one band.
+  // 16 bands x 4 planes: a cos 0.98 near-dup collides with probability
+  // ~1 - 7e-11; a borderline cos 0.4 pair with ~0.94 — tune bands up for
+  // higher recall at the cost of more candidates.
+  // ------------------------------------------------------------------
+  val PairBands = 16
+  val PairPlanesPerBand = 4
+
+  /** Deterministic banded planes (seed 7), 6-dp-rounded like [[planes]]. */
+  lazy val pairPlanes: Array[Array[Double]] = {
+    val r = new scala.util.Random(7)
+    Array.fill(PairBands * PairPlanesPerBand, Dim)(math.rint(r.nextGaussian() * 1e6) / 1e6)
+  }
+
+  /** 4-bit key of band `b`: bit j = sign of dot(e, plane_{4b+j}). */
+  private[operators] def pairBandKey(e: Column, b: Int): Column =
+    (0 until PairPlanesPerBand).map { j =>
+      val p = array(pairPlanes(b * PairPlanesPerBand + j).map(lit): _*)
+      when(dot(e, p) >= 0.0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  private[operators] def pairBandKeySql(e: String, b: Int): String =
+    (0 until PairPlanesPerBand).map { j =>
+      val p = pairPlanes(b * PairPlanesPerBand + j).mkString("[", ", ", "]")
+      s"CASE WHEN ${dotSql(e, p, Dim)} >= 0.0 THEN ${1 << j} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
   private def base(s: SparkSession, d: String): DataFrame = {
     graft.Graft.init(s)
     embeddings(s, d)

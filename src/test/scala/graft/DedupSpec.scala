@@ -96,4 +96,25 @@ class DedupSpec extends SparkSpecBase {
       assert(math.abs(r.getDouble(2)) <= 1.0)
     }
   }
+
+  test("embedding LSH pairs are a sound subset of brute force with high recall") {
+    val brute = Dedup.embeddingCosineBrute(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Dedup.queries("dedup_embedding_cosine")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // soundness: every LSH pair is a true above-threshold pair with the
+    // exact same cosine
+    lsh.foreach { case (k, c) =>
+      assert(brute.contains(k), s"LSH invented pair $k")
+      assert(brute(k) == c, s"cosine mismatch on $k: ${brute(k)} vs $c")
+    }
+    // recall: the fixture's pairs all sit in cos 0.4-0.51 (no planted
+    // embedding near-dups — verified by inspection), the WORST case for
+    // banded LSH; expected per-pair collision p ~ 0.97 at 16 bands x 4
+    // planes (a true cos 0.8+ near-dup collides with p ~ 1 - 1e-6).
+    // Deterministic: fixed planes + fixed data.
+    assert(brute.nonEmpty && lsh.nonEmpty)
+    assert(lsh.size >= brute.size * 0.9,
+      s"overall recall too low: ${lsh.size}/${brute.size}")
+  }
 }

@@ -61,6 +61,14 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("dedup_embedding_cosine: candidate generation is equi-join only (no all-pairs)") {
+    val p = plan("dedup_embedding_cosine")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join leaked back into the LSH path:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"expected an equi-join:\n$p")
+  }
+
   test("dedup_minhash signature aggregation is map-side combined") {
     val p = plan("dedup_minhash_pairs")
     val nPartial = p.linesIterator.count(_.contains("HashAggregate"))
