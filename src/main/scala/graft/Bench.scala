@@ -27,7 +27,12 @@ object Bench {
         failed ::= name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // caller-owned cache lifecycle: operators persist multiply-consumed
+      // intermediates; release them so storage memory doesn't accumulate
+      // across the run (and no query benefits from a predecessor's cache)
+      Graft.releaseCaches(spark)
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -29,6 +29,18 @@ object Graft {
     spark
   }
 
+  /** Release every relation the library's operators persisted. Some
+    * operators (Dedup.minhashPairsFor, Dedup.ngramJaccardPairs) persist a
+    * multiply-consumed intermediate; the RETURNED DataFrame is lazy, so the
+    * operator itself can never know when it is safe to unpersist. The
+    * caller owns the lifecycle: run the action, then call this (the driver
+    * mains Verify/Bench do so after each materialized query — without it, a
+    * long-lived session accumulates one cached signature/index relation per
+    * library call).
+    */
+  def releaseCaches(spark: SparkSession): Unit =
+    spark.sharedState.cacheManager.clearCache()
+
   /** `regexp_extract_ref` as a Column function (requires `init(spark)` first). */
   def regexp_extract_ref(s: Column, p: Column, idx: Column): Column =
     call_function("regexp_extract_ref", s, p, idx)
@@ -75,17 +87,25 @@ object Tables {
     * sub-microsecond bits, so this is lossless and DuckDB's TIMESTAMP_NS
     * view agrees exactly).
     *
-    * NOTE: the legacy flag is a SESSION-WIDE config — after this, any other
-    * parquet table with TIMESTAMP(NANOS) columns read in the same session
-    * also surfaces them as bigint. Deliberate for this engine (the fixture
-    * set has exactly one nanos column); a multi-tenant session would scope
-    * it differently.
+    * The legacy flag is SCOPED to this read: parquet-to-catalyst schema
+    * conversion happens eagerly inside `spark.read.parquet(...)`, so the
+    * prior value is restored immediately after — later actions on the
+    * returned DataFrame do not re-consult it (TablesSpec proves both
+    * directions: the df still computes, and an unscoped nanos read in the
+    * same session still gets Spark's default PARQUET_TYPE_ILLEGAL refusal).
     */
   private def eventsWithTs(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val flag = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = spark.conf.getOption(flag)
+    spark.conf.set(flag, "true")
+    val raw =
+      try spark.read.parquet(s"$dir/events.parquet")
+      finally prior match {
+        case Some(v) => spark.conf.set(flag, v)
+        case None => spark.conf.unset(flag)
+      }
+    raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+      org.apache.spark.sql.functions.expr("ts div 1000")))
   }
 
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")

@@ -96,6 +96,68 @@ object Dedup {
         call_function("shiftleft", lit(1L), col("j"))).otherwise(0L)).as("simhash"))
   }
 
+  /** Document-frequency cap for the capped n-gram query: shingles appearing
+    * in more than this many documents are skipped during candidate
+    * generation (boilerplate never identifies a near-dup pair anyway).
+    */
+  val NgramDfCap = 4L
+
+  /** Exact n-gram (3-shingle) Jaccard pairs >= `minJaccard` over a
+    * (doc_id, text) corpus, via an inverted shingle index — no cross join:
+    * only documents sharing a shingle ever meet, shuffled on the shingle
+    * hash.
+    *
+    * `dfCap`: with `Some(c)`, shingles whose document frequency exceeds `c`
+    * are dropped from CANDIDATE GENERATION only — the standard defense
+    * against a corpus-frequent shingle whose posting list would explode
+    * quadratically in the self-join. Intersection counts for surviving
+    * candidates still use the full index, so reported jaccard values are
+    * exact and the capped output is always a subset of the uncapped one
+    * (a pair is only ever lost, never gained or re-scored).
+    *
+    * NOTE the inverted index is persisted (it feeds the size aggregate and
+    * both self-join sides); the caller owns release — the driver mains
+    * clear caches after each materialized query (see Graft.releaseCaches).
+    */
+  def ngramJaccardPairs(docs: DataFrame, minJaccard: Double,
+                        dfCap: Option[Long]): DataFrame = {
+    val e = shingleRows(docs)
+      .select(col("doc_id"), h60(col("sh")).as("g"))
+      .distinct()
+      .persist()
+    val n = e.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val inter = dfCap match {
+      case None =>
+        // candidate generation and intersection counting in ONE self-join
+        e.as("a")
+          .join(e.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+      case Some(cap) =>
+        // rare-shingle index for candidates; full index for exact counts
+        val rare = e.groupBy("g").agg(count(lit(1)).as("df"))
+          .where(col("df") <= cap).select("g")
+        val idx = e.join(rare, Seq("g"), "left_semi")
+        val cand = idx.as("a")
+          .join(idx.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        cand
+          .join(e.as("fa"), col("doc_a") === col("fa.doc_id"))
+          .join(e.as("fb"),
+            col("doc_b") === col("fb.doc_id") && col("fa.g") === col("fb.g"))
+          .groupBy("doc_a", "doc_b")
+          .agg(count(lit(1)).as("inter"))
+    }
+    inter
+      .join(n.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(n.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / (col("na.nsh") + col("nb.nsh") - col("inter")))
+          .as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
   /** Smallest doc_id per identical text — the exact-dedup keep set, shared
     * by dedup_exact and the pipeline.
     */
@@ -113,7 +175,9 @@ object Dedup {
   def minhashPairsFor(docs: DataFrame): DataFrame = {
     // persist: sig feeds the band explode AND both verification join
     // sides — without it the md5+agg subtree runs 3x (at 100 TB this is
-    // a checkpoint of the signature table)
+    // a checkpoint of the signature table). Caller owns release: after the
+    // consuming action, call Graft.releaseCaches (the result is lazy, so
+    // unpersisting here would drop the cache before it is ever used).
     val sig = signaturesFor(docs).persist()
     val bands = sig.select(col("doc_id"),
       posexplode(array((0 until Bands).map(b => col(s"k$b")): _*)).as(Seq("band", "key")))
@@ -156,24 +220,19 @@ object Dedup {
     // Exact n-gram Jaccard >= 0.6 via inverted shingle index (no cross join:
     // only docs sharing a shingle ever meet, shuffled on the shingle hash).
     "dedup_ngram_jaccard" -> { (s, d) =>
-      // persist: the inverted index feeds the size agg AND both self-join
-      // sides (3 consumers)
-      val e = shingleRows(documents(s, d).select("doc_id", "text"))
-        .select(col("doc_id"), h60(col("sh")).as("g"))
-        .distinct()
-        .persist()
-      val n = e.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-      val inter = e.as("a")
-        .join(e.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(n.as("na"), col("doc_a") === col("na.doc_id"))
-        .join(n.as("nb"), col("doc_b") === col("nb.doc_id"))
-        .select(col("doc_a"), col("doc_b"),
-          (col("inter").cast("double") / (col("na.nsh") + col("nb.nsh") - col("inter")))
-            .as("jaccard"))
-        .where(col("jaccard") >= 0.6)
+      ngramJaccardPairs(documents(s, d).select("doc_id", "text"), 0.6, dfCap = None)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // Same operator with the document-frequency cap engaged — the 100 TB
+    // guard: a boilerplate shingle shared by 10^5 docs would otherwise
+    // produce a 10^10-pair join bucket. Capped candidate generation skips
+    // hot shingles; verification still uses FULL shingle sets, so every
+    // reported jaccard is exact and the output is a subset of the uncapped
+    // query (DedupSpec proves both).
+    "dedup_ngram_jaccard_capped" -> { (s, d) =>
+      ngramJaccardPairs(documents(s, d).select("doc_id", "text"), 0.6,
+        dfCap = Some(NgramDfCap))
         .orderBy("doc_a", "doc_b")
     },
 
@@ -323,6 +382,25 @@ object Dedup {
          |n AS (SELECT doc_id, count(*) AS nsh FROM e GROUP BY doc_id),
          |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
          |      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  CAST(inter AS DOUBLE) / (x.nsh + y.nsh - inter) AS jaccard
+         |FROM p JOIN n x ON doc_a = x.doc_id JOIN n y ON doc_b = y.doc_id
+         |WHERE CAST(inter AS DOUBLE) / (x.nsh + y.nsh - inter) >= 0.6
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_ngram_jaccard_capped" ->
+      s"""WITH tok AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents),
+         |sh AS (SELECT doc_id, ${shingles3Sql("t")} AS s FROM tok),
+         |e AS (SELECT doc_id, unnest(list_distinct(list_transform(s, x -> ${h60Sql("x")}))) AS g FROM sh),
+         |n AS (SELECT doc_id, count(*) AS nsh FROM e GROUP BY doc_id),
+         |rare AS (SELECT g FROM (SELECT g, count(*) AS df FROM e GROUP BY g) WHERE df <= $NgramDfCap),
+         |idx AS (SELECT doc_id, g FROM e WHERE g IN (SELECT g FROM rare)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM idx a JOIN idx b ON a.g = b.g AND a.doc_id < b.doc_id),
+         |p AS (SELECT doc_a, doc_b, count(*) AS inter FROM cand
+         |      JOIN e fa ON fa.doc_id = doc_a
+         |      JOIN e fb ON fb.doc_id = doc_b AND fb.g = fa.g
+         |      GROUP BY 1, 2)
          |SELECT doc_a, doc_b,
          |  CAST(inter AS DOUBLE) / (x.nsh + y.nsh - inter) AS jaccard
          |FROM p JOIN n x ON doc_a = x.doc_id JOIN n y ON doc_b = y.doc_id

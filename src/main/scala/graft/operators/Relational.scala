@@ -34,9 +34,11 @@ object Relational {
 
   // Precisions chosen so the chained money expression
   // price * (1-disc) * (1+tax) stays within Spark's 38-digit decimal limit
-  // with NO intermediate rounding: (12,2) x (11,4) -> (24,6) x (11,4) ->
-  // (36,10). At (18,2) inputs the last product would need precision 50 and
-  // Spark silently rounds — which broke bit-parity with DuckDB.
+  // with NO intermediate rounding: (1 +/- x) is (2,0)+(6,4) -> (7,4), so the
+  // chain is (12,2) x (7,4) -> (20,6) x (7,4) -> (28,10) <= 38 digits exact
+  // (multiply: p1+p2+1, s1+s2). At (18,2)/(10,4) inputs the last product
+  // would exceed 38 and Spark silently rounds — which broke DuckDB
+  // bit-parity.
   private def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
   private def dec4(c: Column): Column = c.cast(DecimalType(6, 4))
   // A bare lit(1) is decimal(10,0) after implicit cast, which inflates the
@@ -362,6 +364,22 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    // Oracled companion to q_approx_distinct: the exact column hash-matches
+    // outright, and the SKETCH is oracled through its accuracy INVARIANT —
+    // each engine runs its own HLL sketch and both must land within 5% of
+    // the exact count, so the boolean column agrees even though the raw
+    // sketch values never could. Only the raw sketch stays rows-only.
+    "q_approx_distinct_check" -> { (s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")).cast("double") /
+            col("exact_parts") <= 0.05).as("sketch_within_5pct"))
+        .orderBy("l_returnflag")
+    },
+
     // GROUPING SETS via SQL (finer than rollup/cube: explicit set list).
     "q_grouping_sets" -> { (s, d) =>
       orders(s, d).createOrReplaceTempView("g_orders_gs")
@@ -497,6 +515,13 @@ object Relational {
         | count(DISTINCT l_partkey) AS n_parts,
         | count(DISTINCT l_suppkey) AS n_supps,
         | count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_approx_distinct_check" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_partkey) AS exact_parts,
+        | CAST(abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey)) AS DOUBLE)
+        |   / count(DISTINCT l_partkey) <= 0.05 AS sketch_within_5pct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_date_agg" ->

@@ -90,6 +90,53 @@ class DedupSpec extends SparkSpecBase {
     assert(a === b)
   }
 
+  test("df-capped ngram output is a subset of uncapped with identical jaccard values") {
+    val uncapped = Dedup.queries("dedup_ngram_jaccard")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val capped = Dedup.queries("dedup_ngram_jaccard_capped")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    capped.foreach { case (k, j) =>
+      assert(uncapped.contains(k), s"capped invented pair $k")
+      assert(uncapped(k) == j, s"capped re-scored $k: ${uncapped(k)} vs $j")
+    }
+    // the fixture has no hot shingles above the cap that carry whole pairs,
+    // so at this SF the subset is actually equality — document that too
+    assert(capped.size >= uncapped.size * 0.9, s"${capped.size}/${uncapped.size}")
+  }
+
+  test("df cap bounds the hot-shingle bucket; near-dups still found via rare shingles") {
+    val s = spark
+    import s.implicits._
+    // 20 docs: 10 shared boilerplate tokens + 1 unique token each => the 8
+    // pure-boilerplate shingles have df=20 (hot); every cross pair has
+    // jaccard 8/10 >= 0.6 purely through boilerplate. Docs 100/101 are
+    // exact duplicates => all 9 of their shingles shared, one of them rare.
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ")
+    val docs = ((0 until 20).map(i => (i.toLong, s"$boiler u$i")) :+
+      (100L, s"$boiler dupmark") :+ (101L, s"$boiler dupmark"))
+      .toDF("doc_id", "text")
+
+    val uncapped = Dedup.ngramJaccardPairs(docs, 0.6, dfCap = None).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.ngramJaccardPairs(docs, 0.6, dfCap = Some(4)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // uncapped: every pair meets through the hot shingles (quadratic blowup)
+    assert(uncapped.size >= 20 * 21 / 2, s"got ${uncapped.size}")
+    // capped: the hot bucket is skipped entirely; only the true duplicate
+    // pair survives, discovered via its rare (unique-suffix) shingles
+    assert(capped === Set((100L, 101L)), s"got $capped")
+    assert(capped.subsetOf(uncapped))
+  }
+
+  test("releaseCaches leaves no persisted relations after a library call") {
+    Dedup.queries("dedup_minhash_pairs")(spark, sfDir).count()
+    Dedup.queries("dedup_ngram_jaccard")(spark, sfDir).count()
+    assert(!spark.sharedState.cacheManager.isEmpty, "operators should persist intermediates")
+    Graft.releaseCaches(spark)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "caller-owned release must leave a clean session")
+  }
+
   test("dedup_embedding_cosine output is a<b ordered with cos in [-1,1]") {
     Dedup.queries("dedup_embedding_cosine")(spark, sfDir).collect().foreach { r =>
       assert(r.getLong(0) < r.getLong(1))

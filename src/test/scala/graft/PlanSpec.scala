@@ -61,6 +61,17 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("ann_cosine_topk: the query-batch side scan is pushdown-pruned") {
+    // Similarity.base is built twice (query side + corpus side). The two
+    // subtrees differ (one filtered, one not) so there is no common
+    // Exchange for ReusedExchange to kick in on — the property that
+    // actually matters at scale is that the SECOND scan is bounded: the
+    // vec_id < QuerySet predicate must reach the parquet scan, making the
+    // query-batch read tiny regardless of corpus size.
+    val p = plan("ann_cosine_topk")
+    assert(p.contains("LessThan(vec_id,"), s"query-batch filter not pushed:\n$p")
+  }
+
   test("dedup_embedding_cosine: candidate generation is equi-join only (no all-pairs)") {
     val p = plan("dedup_embedding_cosine")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
