@@ -63,6 +63,49 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("sessionize(stream) equals q_sessionize_batch on the full events fixture") {
+    // Oracle-grade signal for streaming: the SAME corpus through the
+    // stateful streaming operator and the oracled batch query must produce
+    // identical sessions (same gap, 30 min).
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val gapMs = 1800L * 1000L
+    // columns: user_id, session_id, n_events, session_start, session_end
+    val batch = SparkEntry.queries("q_sessionize_batch")(spark, sfDir).collect()
+      .map(r => (r.getLong(0).toString, r.getTimestamp(3).getTime,
+        r.getTimestamp(4).getTime, r.getLong(2).toInt)).toSet
+
+    val clicks = Tables.events(spark, sfDir)
+      .select(col("user_id").cast("string"), col("ts"))
+      .collect().map(r => Click(r.getString(0), r.getTimestamp(1)))
+    val maxTs = clicks.map(_.ts.getTime).max
+
+    val in = MemoryStream[Click]
+    val out = StreamingOps.sessionize(in.toDS(), "0 seconds", gapMs)
+    val q = out.writeStream.format("memory").queryName("sess_eq")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(clicks.toSeq)
+      q.processAllAvailable()
+      // two sentinel batches: the first advances the watermark past every
+      // real session's (end + gap), the second triggers their timeouts
+      in.addData(Click("sentinel", new Timestamp(maxTs + gapMs + 3600 * 1000L)))
+      q.processAllAvailable()
+      in.addData(Click("sentinel", new Timestamp(maxTs + 10 * gapMs)))
+      q.processAllAvailable()
+      val streamed = s.sql("SELECT user, start, end, nEvents FROM sess_eq WHERE user <> 'sentinel'")
+        .collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime,
+          r.getTimestamp(2).getTime, r.getInt(3))).toSet
+      assert(streamed.size === batch.size,
+        s"session count mismatch: streaming ${streamed.size} vs batch ${batch.size}")
+      assert(streamed === batch,
+        s"only-in-streaming: ${(streamed -- batch).take(3)}; only-in-batch: ${(batch -- streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("dedupStream drops duplicate ids within the watermark") {
     val s = spark
     import s.implicits._
