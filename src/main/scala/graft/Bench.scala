@@ -10,11 +10,27 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the JVM/scan/codegen infra once so per-query numbers measure the
-    // queries, not first-action classloading (~3-4s otherwise charged to
-    // whichever query happens to run first).
+    // Warm-up (untimed): first-action classloading, whole-stage-codegen
+    // compilation, parquet footer reads and OS page cache would otherwise
+    // be charged to whichever query happens to touch each table first
+    // (~10s+ smeared over the early alphabet in a cold JVM). Touch every
+    // fixture table once and exercise the common physical shapes (agg,
+    // window, join, custom expressions) so the timed loop measures plans,
+    // not infrastructure.
+    Graft.init(spark)
     spark.range(1000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/nation.parquet").count()
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet").count()
+    }
+    Tables.events(spark, sfDir).count() // nanos-scoped loader path
+    spark.sql(
+      """SELECT w, count(*) n, sum(l) s,
+        |  regexp_extract_ref(w, '(\\d+)', 1) r,
+        |  graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) g,
+        |  row_number() OVER (PARTITION BY w ORDER BY l) rn
+        |FROM (SELECT cast(id % 7 AS STRING) w, id l FROM range(10000))
+        |GROUP BY w, l ORDER BY w, l LIMIT 10""".stripMargin).collect()
     // Deterministic (sorted) order for round-over-round comparability.
     // The noop sink materializes every output row — count() would let
     // Catalyst prune the computed columns and the sort, timing only the

@@ -67,11 +67,39 @@ object Sources {
       .groupBy("event_type").agg(count(lit(1)).as("n"))
   }
 
+  /** Bucketed tables + co-located join — THE shuffle-elimination tool for
+    * repeated fact-fact joins at 100 TB: both tables are written
+    * pre-hash-partitioned (bucketBy) and pre-sorted on the join key, so the
+    * join reads bucket i against bucket i directly — no Exchange on either
+    * side of the SortMergeJoin (PlanSpec-locked). Pay the shuffle once at
+    * write time, amortize it over every subsequent join.
+    */
+  def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val nBuckets = 8
+    val path = tmpDir("bucketed")
+    orders(s, d).write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$path/orders").saveAsTable("graft_b_orders")
+    lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_quantity")
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$path/lineitem").saveAsTable("graft_b_lineitem")
+    s.table("graft_b_lineitem")
+      .join(s.table("graft_b_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+          .cast("double").as("total_price"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_csv_roundtrip" -> csvRoundtrip,
     "src_json_roundtrip" -> jsonRoundtrip,
     "src_orc_roundtrip" -> orcRoundtrip,
-    "src_partitioned_parquet" -> partitionedParquet
+    "src_partitioned_parquet" -> partitionedParquet,
+    "src_bucketed_join" -> bucketedJoin
   )
 
   val oracles: Map[String, String] = Map(
@@ -85,6 +113,11 @@ object Sources {
       "SELECT * FROM nation ORDER BY n_nationkey",
     "src_partitioned_parquet" ->
       """SELECT event_type, count(*) AS n FROM events
-        |WHERE event_type = 'click' GROUP BY event_type""".stripMargin
+        |WHERE event_type = 'click' GROUP BY event_type""".stripMargin,
+    "src_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }

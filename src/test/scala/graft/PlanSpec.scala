@@ -80,6 +80,20 @@ class PlanSpec extends SparkSpecBase {
       p.contains("BroadcastHashJoin"), s"expected an equi-join:\n$p")
   }
 
+  test("src_bucketed_join: co-located SortMergeJoin with no exchange on either side") {
+    // broadcast off: at fixture scale AQE would broadcast the small side and
+    // hide the property under test (bucket co-location kills the shuffle)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val fp = finalPlan("src_bucketed_join").toString
+      assert(fp.contains("SortMergeJoin"), s"expected SMJ:\n$fp")
+      val hashEx = raw"Exchange hashpartitioning".r.findAllIn(fp).size
+      // exactly 1: the groupBy(o_orderpriority) after the join — the join
+      // itself reads bucket i vs bucket i with no exchange
+      assert(hashEx == 1, s"bucketed join should not shuffle (hash=$hashEx):\n$fp")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+  }
+
   test("dedup_minhash signature aggregation is map-side combined") {
     val p = plan("dedup_minhash_pairs")
     val nPartial = p.linesIterator.count(_.contains("HashAggregate"))
