@@ -89,6 +89,44 @@ object Similarity {
       s"CASE WHEN ${dotSql(e, p, Dim)} >= 0.0 THEN ${1 << j} ELSE 0 END"
     }.mkString("(", " + ", ")")
 
+  // ------------------------------------------------------------------
+  // IVF-style cells: a fixed set of seeded "centroids"; every vector is
+  // assigned to its argmax-dot centroid (coarse quantization), queries
+  // probe their top-`IvfProbes` cells. Unlike trained k-means centroids,
+  // the seeded ones are deterministic and embeddable in the DuckDB oracle
+  // verbatim — the PLUMBING (assignment, multi-probe, cell-local top-k) is
+  // the operator under test; swap in trained centroids without touching it.
+  // ------------------------------------------------------------------
+  val IvfCells = 16
+  val IvfProbes = 4
+
+  lazy val centroids: Array[Array[Double]] = {
+    val r = new scala.util.Random(99)
+    Array.fill(IvfCells, Dim)(math.rint(r.nextGaussian() * 1e6) / 1e6)
+  }
+
+  /** Array of the 16 centroid dot products — pure per-row map. */
+  private def centroidDots(e: Column): Column =
+    array((0 until IvfCells).map { j =>
+      dot(e, array(centroids(j).map(lit): _*))
+    }: _*)
+
+  private def centroidDotsSql(e: String): String =
+    (0 until IvfCells).map { j =>
+      dotSql(e, centroids(j).mkString("[", ", ", "]"), Dim)
+    }.mkString("[", ", ", "]")
+
+  /** 1-based cell id: FIRST index of the max dot (array_position and
+    * DuckDB's list_position both return the first match, so ties — which
+    * cannot occur with these centroids anyway — break identically).
+    */
+  private def cellOf(ds: Column): Column = array_position(ds, array_max(ds))
+
+  /** Mask the winning index to -inf so the next argmax finds the runner-up. */
+  private def maskCell(ds: Column, c: Column): Column =
+    transform(sequence(lit(1), lit(IvfCells)), i =>
+      when(i === c, lit(-1e308)).otherwise(element_at(ds, i)))
+
   private def base(s: SparkSession, d: String): DataFrame = {
     graft.Graft.init(s)
     embeddings(s, d)
@@ -139,6 +177,37 @@ object Similarity {
         .select(bucket(col("e")).as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as("n"))
         .orderBy("bucket")
+    },
+
+    // IVF top-k: corpus assigned to argmax-dot cells (pure map, no
+    // shuffle); each query probes its `IvfProbes` best cells; top-k within
+    // the probed cells only. The probe explode keeps the broadcast tiny
+    // (IvfProbes rows/query); the corpus is streamed once, equi-joined on
+    // cell id.
+    "ann_ivf_topk" -> { (s, d) =>
+      val b = base(s, d).withColumn("ds", centroidDots(col("e")))
+      val c = b.select(col("vec_id").as("cand_id"), col("e").as("ce"),
+        col("nrm").as("cn"), cellOf(col("ds")).as("cell"))
+      // iterative argmax-then-mask, one named column per step (no
+      // exponential expression duplication)
+      val q0 = b.where(col("vec_id") < QuerySet).withColumn("ds1", col("ds"))
+      val probed = (1 to IvfProbes).foldLeft(q0) { (df, k) =>
+        df.withColumn(s"c$k", cellOf(col(s"ds$k")))
+          .withColumn(s"ds${k + 1}", maskCell(col(s"ds$k"), col(s"c$k")))
+      }
+      val q = probed.select(col("vec_id").as("q_id"), col("e").as("qe"),
+        col("nrm").as("qn"),
+        explode(array((1 to IvfProbes).map(k => col(s"c$k")): _*)).as("probe"))
+      ranked(broadcast(q).join(c,
+        col("probe") === col("cell") && col("q_id") =!= col("cand_id")))
+    },
+
+    // Cell histogram: the balance diagnostic for the IVF partitioning.
+    "ann_ivf_cells" -> { (s, d) =>
+      base(s, d)
+        .select(cellOf(centroidDots(col("e"))).as("cell"))
+        .groupBy("cell").agg(count(lit(1)).as("n"))
+        .orderBy("cell")
     }
   )
 
@@ -169,6 +238,44 @@ object Similarity {
     "ann_lsh_buckets" ->
       s"""$baseSqlCte
          |SELECT ${bucketSql("e")} AS bucket, count(*) AS n
-         |FROM base GROUP BY 1 ORDER BY bucket""".stripMargin
+         |FROM base GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "ann_ivf_topk" -> {
+      // same iterative argmax-then-mask chain as the Spark side: two CTEs
+      // per probe step (pick the argmax, then mask it for the next step),
+      // carrying the already-chosen probe cells forward
+      val steps = (1 to IvfProbes).map { k =>
+        val prev = if (k == 1) "d" else s"s${k - 1}"
+        val carry = (1 until k).map(p => s"c$p, ").mkString
+        s"""t$k AS (SELECT vec_id, e, nrm, ${carry}ds$k,
+           |  list_position(ds$k, list_max(ds$k)) AS c$k FROM $prev),
+           |s$k AS (SELECT vec_id, e, nrm, ${carry}c$k,
+           |  list_transform(range(1, ${IvfCells + 1}),
+           |    i -> CASE WHEN i = c$k THEN -1e308 ELSE ds$k[i] END) AS ds${k + 1}
+           |  FROM t$k)""".stripMargin
+      }.mkString(",\n")
+      val probeList = (1 to IvfProbes).map(k => s"c$k").mkString("[", ", ", "]")
+      s"""$baseSqlCte,
+         |d AS (SELECT vec_id, e, nrm, ${centroidDotsSql("e")} AS ds1 FROM base
+         |      WHERE vec_id < $QuerySet),
+         |$steps,
+         |pr AS (SELECT vec_id, e, nrm, unnest($probeList) AS probe FROM s$IvfProbes),
+         |c AS (SELECT vec_id, e, nrm,
+         |  list_position(${centroidDotsSql("e")}, list_max(${centroidDotsSql("e")})) AS cell
+         |  FROM base),
+         |p AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+         |  round(${dotSql("q.e", "c.e", Dim)} / (q.nrm * c.nrm), 6) AS cos
+         |  FROM pr q JOIN c ON q.probe = c.cell AND q.vec_id <> c.vec_id),
+         |r AS (SELECT q_id, cand_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS INTEGER) AS rnk
+         |  FROM p)
+         |SELECT q_id, cand_id, cos, rnk FROM r WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin
+    },
+
+    "ann_ivf_cells" ->
+      s"""$baseSqlCte,
+         |d AS (SELECT ${centroidDotsSql("e")} AS ds FROM base)
+         |SELECT CAST(list_position(ds, list_max(ds)) AS BIGINT) AS cell, count(*) AS n
+         |FROM d GROUP BY 1 ORDER BY cell""".stripMargin
   )
 }
