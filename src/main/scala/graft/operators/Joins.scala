@@ -32,6 +32,38 @@ object Joins {
     salted.join(exploded, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Range (band) join — an operator Spark has no native optimized form
+    * of: all (left, right) pairs with the same `key` whose timestamps are
+    * within `windowSec` of each other. A naive `|l.ts - r.ts| <= W` join
+    * condition gives Catalyst nothing to hash on and degenerates to a
+    * per-key nested loop; at 100 TB that is the scale-killer.
+    *
+    * Scale shape: BIN both sides into width-W buckets of epoch time,
+    * explode the LEFT side into its bin and both neighbors, equi-join on
+    * (key, bin), and apply the exact band predicate last. Any in-window
+    * pair is at most one bin apart, so candidates are complete; the right
+    * side keeps a single bin per row, so each candidate pair meets exactly
+    * once (no distinct needed). The shuffle key is (key, bin) — bounded
+    * bucket sizes, no nested loop anywhere (PlanSpec-locked).
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, key: String,
+                leftTs: String, rightTs: String, windowSec: Long): DataFrame = {
+    val w = windowSec * 1000000L // micros
+    // integer `div`, not `/`: column division is double-typed and floor
+    // rounding near bin edges would mis-bucket (epoch micros are positive,
+    // so div == floor here)
+    val lb = left
+      .withColumn("_lus", unix_micros(col(leftTs)))
+      .withColumn("_bin",
+        explode(array(Seq(-1L, 0L, 1L).map(d => expr(s"_lus div $w") + d): _*)))
+    val rb = right
+      .withColumn("_rus", unix_micros(col(rightTs)))
+      .withColumn("_bin", expr(s"_rus div $w"))
+    lb.join(rb, Seq(key, "_bin"))
+      .where(abs(col("_lus") - col("_rus")) <= w)
+      .drop("_bin", "_lus", "_rus")
+  }
+
   /** As-of (backward) join — an operator Spark has no native form of: for
     * every left row, the latest `rightVal` whose `rightTs` <= `leftTs`
     * within the same `key` (NULL when no prior right row exists).

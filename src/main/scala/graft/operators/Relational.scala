@@ -223,6 +223,76 @@ object Relational {
         .orderBy("c_custkey")
     },
 
+    // FULL OUTER join: every order with its customer AND every orderless
+    // customer (the fixture has no customer-less orders, but the plan shape
+    // is the full-outer SortMergeJoin). NULLS FIRST pinned on both engines.
+    "q_outer_join" -> { (s, d) =>
+      customer(s, d).select("c_custkey", "c_name")
+        .join(orders(s, d).select("o_custkey", "o_orderkey", "o_totalprice"),
+          col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_name"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(asc_nulls_first("custkey"), asc_nulls_first("o_orderkey"))
+    },
+
+    // Multiset set ops: INTERSECT ALL / EXCEPT ALL keep duplicate
+    // multiplicity (min / difference of per-key counts).
+    "q_intersect_all" -> { (s, d) =>
+      lineitem(s, d).where(col("l_quantity") > 25).select(col("l_partkey"))
+        .intersectAll(
+          lineitem(s, d).where(col("l_returnflag") === "R").select(col("l_partkey")))
+        .orderBy("l_partkey")
+    },
+    "q_except_all" -> { (s, d) =>
+      lineitem(s, d).where(col("l_quantity") > 25).select(col("l_partkey"))
+        .exceptAll(
+          lineitem(s, d).where(col("l_returnflag") === "R").select(col("l_partkey")))
+        .orderBy("l_partkey")
+    },
+
+    // Window battery 2: value-position functions + distribution functions
+    // (percent_rank/cume_dist are int-ratio doubles — bit-exact both
+    // engines; o_orderkey is unique within the partition order).
+    "q_window_funcs2" -> { (s, d) =>
+      val w = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          first_value(col("o_orderkey")).over(w).as("first_key"),
+          last_value(col("o_orderkey")).over(w).as("last_key"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_key"),
+          lead(col("o_orderkey"), 1, -1L).over(w).as("next_key"),
+          lag(col("o_orderkey"), 2).over(w).as("prev2_key"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("o_orderkey")
+    },
+
+    // NULL-handling battery: coalesce / nullif / ifnull over planted nulls.
+    "q_null_funcs" -> { (s, d) =>
+      orders(s, d)
+        .select(col("o_orderkey"),
+          nullif(col("o_orderstatus"), lit("O")).as("status_or_null"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_filled"),
+          when(col("o_totalprice") > 300000.0, col("o_totalprice")).as("big_or_null"),
+          expr("ifnull(CASE WHEN o_totalprice > 300000.0 THEN o_totalprice END, 0.0)")
+            .as("big_or_zero"))
+        .orderBy("o_orderkey")
+    },
+
+    // Conditional aggregates: count_if / bool_or / bool_and / FILTER'd sum.
+    "q_cond_aggs" -> { (s, d) =>
+      orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          expr("count_if(o_totalprice > 200000.0)").as("n_big"),
+          expr("bool_or(o_orderstatus = 'F')").as("any_f"),
+          expr("bool_and(o_totalprice > 0)").as("all_pos"),
+          expr("CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE)")
+            .as("open_total"))
+        .orderBy("o_orderpriority")
+    },
+
     // Exact distinct aggregation (expand + two-phase under the hood).
     "q_distinct_counts" -> { (s, d) =>
       lineitem(s, d)
@@ -509,6 +579,53 @@ object Relational {
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_outer_join" ->
+      """SELECT coalesce(c_custkey, o_custkey) AS custkey, c_name, o_orderkey, o_totalprice
+        |FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey
+        |ORDER BY custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin,
+
+    "q_intersect_all" ->
+      """SELECT l_partkey FROM lineitem WHERE l_quantity > 25
+        |INTERSECT ALL
+        |SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+        |ORDER BY l_partkey""".stripMargin,
+
+    "q_except_all" ->
+      """SELECT l_partkey FROM lineitem WHERE l_quantity > 25
+        |EXCEPT ALL
+        |SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+        |ORDER BY l_partkey""".stripMargin,
+
+    "q_window_funcs2" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  first_value(o_orderkey) OVER w AS first_key,
+        |  last_value(o_orderkey) OVER w AS last_key,
+        |  nth_value(o_orderkey, 2) OVER w AS second_key,
+        |  lead(o_orderkey, 1, -1) OVER w AS next_key,
+        |  lag(o_orderkey, 2) OVER w AS prev2_key,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_null_funcs" ->
+      """SELECT o_orderkey,
+        |  nullif(o_orderstatus, 'O') AS status_or_null,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_filled,
+        |  CASE WHEN o_totalprice > 300000.0 THEN o_totalprice END AS big_or_null,
+        |  ifnull(CASE WHEN o_totalprice > 300000.0 THEN o_totalprice END, 0.0) AS big_or_zero
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_cond_aggs" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_totalprice > 200000.0) AS n_big,
+        |  bool_or(o_orderstatus = 'F') AS any_f,
+        |  bool_and(o_totalprice > 0) AS all_pos,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS open_total
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_distinct_counts" ->
       """SELECT l_returnflag,

@@ -175,6 +175,22 @@ object SqlFunctions {
         .orderBy("event_id")
     },
 
+    // Range (band) join via the binned equi-join operator (Joins.rangeJoin
+    // — no nested loop, PlanSpec-locked): for each click, the purchases by
+    // the same user within +/-10 minutes. Oracle: DuckDB's native
+    // inequality join.
+    "q_range_join" -> { (s, d) =>
+      val ev = events(s, d)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"), col("value"))
+      Joins.rangeJoin(clicks, purchases, "user_id", "ts", "pts", 600L)
+        .groupBy("event_id")
+        .agg(count(lit(1)).as("n_near"), round(max("value"), 6).as("max_value"))
+        .orderBy("event_id")
+    },
+
     // Table-generating explode / unnest: corpus-wide token frequencies.
     "q_explode_tokens" -> { (s, d) =>
       documents(s, d)
@@ -287,6 +303,15 @@ object SqlFunctions {
         |FROM clicks l ASOF LEFT JOIN purchases r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY event_id""".stripMargin,
+
+    "q_range_join" ->
+      """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |purchases AS (SELECT user_id, ts AS pts, value FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, count(*) AS n_near, round(max(p.value), 6) AS max_value
+        |FROM clicks c JOIN purchases p ON c.user_id = p.user_id
+        |  AND p.pts >= c.ts - INTERVAL 10 MINUTE
+        |  AND p.pts <= c.ts + INTERVAL 10 MINUTE
+        |GROUP BY c.event_id ORDER BY event_id""".stripMargin,
 
     "q_explode_tokens" ->
       """SELECT tok, count(*) AS n FROM (

@@ -76,6 +76,42 @@ class JoinsSpec extends SparkSpecBase {
     assert(!plan.toLowerCase.contains("join"), s"asofJoin must not plan a join:\n$plan")
   }
 
+  test("rangeJoin equals the naive non-equi join on the events fixture") {
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("pts"), col("value"))
+    val w = 600L
+    val naive = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          abs(unix_micros(col("ts")) - unix_micros(col("pts"))) <= w * 1000000L)
+      .select("event_id", "pts", "value")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2))).sorted.toSeq
+    val binned = Joins.rangeJoin(clicks, purchases.withColumnRenamed("p_user", "user_id"),
+        "user_id", "ts", "pts", w)
+      .select("event_id", "pts", "value")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2))).sorted.toSeq
+    assert(binned.nonEmpty, "fixture should produce in-window pairs")
+    assert(binned === naive)
+  }
+
+  test("rangeJoin boundary: exactly-at-window and one-past pairs, across bin edges") {
+    val s = spark
+    import s.implicits._
+    import java.sql.Timestamp
+    def t(sec: Long) = new Timestamp(sec * 1000L)
+    // window 10s; right rows at the exact window edge (inclusive), one past
+    // it, and in a neighboring bin
+    val l = Seq((1L, "u", t(100))).toDF("event_id", "user", "ts")
+    val r = Seq(("u", t(90), 1.0), ("u", t(110), 2.0), ("u", t(89), 3.0),
+      ("u", t(111), 4.0), ("u", t(101), 5.0))
+      .toDF("user", "pts", "value")
+    val got = Joins.rangeJoin(l, r, "user", "ts", "pts", 10L)
+      .select("value").collect().map(_.getDouble(0)).sorted.toSeq
+    assert(got === Seq(1.0, 2.0, 5.0))
+  }
+
   test("salted join shuffles on (key, salt)") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select("l_orderkey", "l_suppkey", "l_linenumber")

@@ -80,6 +80,12 @@ class PlanSpec extends SparkSpecBase {
       p.contains("BroadcastHashJoin"), s"expected an equi-join:\n$p")
   }
 
+  test("q_range_join: binned equi-join, never a nested loop") {
+    val p = plan("q_range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"range join degenerated to a nested loop:\n$p")
+  }
+
   test("src_bucketed_join: co-located SortMergeJoin with no exchange on either side") {
     // broadcast off: at fixture scale AQE would broadcast the small side and
     // hide the property under test (bucket co-location kills the shuffle)
