@@ -66,6 +66,15 @@ object Similarity {
   // 16 bands x 4 planes: a cos 0.98 near-dup collides with probability
   // ~1 - 7e-11; a borderline cos 0.4 pair with ~0.94 — tune bands up for
   // higher recall at the cost of more candidates.
+  //
+  // SCALING RULE (the constants below are fixture-tuned): a band key has
+  // `planesPerBand` bits, so random pairs collide per band with ~2^-r —
+  // candidate volume is ~bands * N^2 / 2^r. To keep it linear-ish in N,
+  // grow planesPerBand with log2(N) (r ~ log2(N) - log2(avg bucket size))
+  // and add bands to buy back recall; at a true NEAR-DUP threshold
+  // (cos >= 0.8, p_plane >= 0.8) each extra plane costs little recall.
+  // The fixture query deliberately keeps a low 0.4 threshold to exercise
+  // the verification join, which is why r stays at 4 here.
   // ------------------------------------------------------------------
   val PairBands = 16
   val PairPlanesPerBand = 4

@@ -63,6 +63,40 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("windowedCounts(stream) equals the batch tumbling-window aggregation on the fixture") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val ev = Tables.events(spark, sfDir)
+      .select(col("ts"), col("event_type")).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)))
+    val maxTs = ev.map(_._1.getTime).max
+
+    val expected = Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2))).toSet
+
+    val in = MemoryStream[(Timestamp, String)]
+    val out = StreamingOps.windowedCounts(
+      in.toDF.toDF("ts", "event_type"), "ts", "event_type", "0 seconds", "1 hour")
+    val q = out.writeStream.format("memory").queryName("wc_eq")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev.toSeq)
+      q.processAllAvailable()
+      // close the last window: watermark must pass its end
+      in.addData((new Timestamp(maxTs + 2 * 3600 * 1000L), "sentinel"))
+      q.processAllAvailable()
+      val streamed = s.sql(
+        "SELECT win_start, event_type, n FROM wc_eq WHERE event_type <> 'sentinel'")
+        .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2))).toSet
+      assert(streamed === expected,
+        s"only-in-streaming: ${(streamed -- expected).take(3)}; only-in-batch: ${(expected -- streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("sessionize(stream) equals q_sessionize_batch on the full events fixture") {
     // Oracle-grade signal for streaming: the SAME corpus through the
     // stateful streaming operator and the oracled batch query must produce
