@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables._
 import TextHash._
@@ -100,6 +101,20 @@ object TextAnalysis {
     scored.withColumn("lang_pred", pred).drop("_t", "text")
   }
 
+  private[operators] def langScoreColsSql: String = langSignatures
+    .map { case (l, ws) => s"CAST(${scoreSql("t", ws)} AS INTEGER) AS score_$l" }
+    .mkString(",\n  ")
+
+  private[operators] def langPredSql: String = {
+    val langs = langSignatures.map(_._1)
+    langs.zipWithIndex.foldRight("'und'") { case ((l, i), els) =>
+      val rest = langs.drop(i + 1)
+      val isMax = (s"score_$l > 0" +: rest.map(o => s"score_$l >= score_$o"))
+        .mkString(" AND ")
+      s"CASE WHEN $isMax THEN '$l' ELSE $els END"
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tokens / lengths / punctuation / stopword ratio + a composite quality
     // score in [0,1] — the filter signal a pretraining pipeline thresholds on.
@@ -121,6 +136,21 @@ object TextAnalysis {
           size(regexp_extract_all(lower(col("text")), lit(bpePattern), lit(0)))
             .as("n_bpe_tokens"))
         .orderBy("doc_id")
+    },
+
+    // Composition: per-predicted-language corpus rollup — doc counts and
+    // mean quality. The mean goes through an exact DECIMAL sum (double
+    // summation is order-dependent across partitions; decimal is
+    // associative) divided once at the end.
+    "text_lang_quality" -> { (s, d) =>
+      val docs = documents(s, d).select("doc_id", "text")
+      langid(docs).select("doc_id", "lang_pred")
+        .join(stats(docs).select("doc_id", "quality_score"), "doc_id")
+        .groupBy("lang_pred")
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(col("quality_score").cast(DecimalType(12, 6))).cast("double") /
+            count(lit(1))).as("mean_quality"))
+        .orderBy("lang_pred")
     },
 
     // Rolling polynomial hash over token hashes — an order-sensitive
@@ -156,24 +186,26 @@ object TextAnalysis {
     },
 
     "text_langid" -> {
-      val scoreCols = langSignatures
-        .map { case (l, ws) => s"CAST(${scoreSql("t", ws)} AS INTEGER) AS score_$l" }
-        .mkString(",\n  ")
       val langs = langSignatures.map(_._1)
-      val pred = langs.zipWithIndex.foldRight("'und'") { case ((l, i), els) =>
-        val rest = langs.drop(i + 1)
-        val isMax = (s"score_$l > 0" +: rest.map(o => s"score_$l >= score_$o"))
-          .mkString(" AND ")
-        s"CASE WHEN $isMax THEN '$l' ELSE $els END"
-      }
       s"""WITH tok AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents),
          |s AS (SELECT doc_id,
-         |  $scoreCols
+         |  $langScoreColsSql
          |  FROM tok)
          |SELECT doc_id, ${langs.map(l => s"score_$l").mkString(", ")},
-         |  $pred AS lang_pred
+         |  $langPredSql AS lang_pred
          |FROM s ORDER BY doc_id""".stripMargin
     },
+
+    "text_lang_quality" ->
+      s"""WITH tok AS (SELECT doc_id, text, ${toksSql("text")} AS t FROM documents),
+         |s AS (SELECT doc_id,
+         |  $langScoreColsSql,
+         |  ${qualitySql("t", "text")} AS quality_score
+         |  FROM tok),
+         |p AS (SELECT doc_id, $langPredSql AS lang_pred, quality_score FROM s)
+         |SELECT lang_pred, count(*) AS n_docs,
+         |  CAST(sum(CAST(quality_score AS DECIMAL(12,6))) AS DOUBLE) / count(*) AS mean_quality
+         |FROM p GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
 
     "text_token_counts" ->
       s"""SELECT doc_id,
