@@ -44,16 +44,36 @@ object RegExpExtractRefKernel {
     * to "" via the compile catch):
     *   - backreferences `\1`..`\9`, named `\k<name>`, octal `\0`
     *   - lookaround `(?=` `(?!` `(?<=` `(?<!` and atomic groups `(?>`
-    *   - possessive quantifiers `*+` `++` `?+` (double repetition is a
-    *     Rust parse error; Java makes it possessive)
+    *   - possessive quantifiers `*+` `++` `?+` `{n}+` `{n,m}+` (double
+    *     repetition is a Rust parse error; Java makes it possessive)
     *   - Java-only escapes `\G \Z \Q \E \R \X \h \H \V`
     * `(?<name>...)` named groups are valid in BOTH dialects and pass.
+    * Known remaining divergence (documented, unguarded): inline flags with
+    * different meanings, e.g. `(?U)` is Java's unicode-classes flag but
+    * Rust's swap-greediness flag — both compile, semantics differ.
     */
+  /** Does `pat(from)` start a syntactically valid bounded quantifier
+    * `{m}` / `{m,}` / `{m,n}`? Returns the index just past '}' or -1.
+    */
+  private def boundedQuantEnd(pat: String, from: Int): Int = {
+    val n = pat.length
+    var j = from + 1
+    val d0 = j
+    while (j < n && pat.charAt(j).isDigit) j += 1
+    if (j == d0) return -1 // no digits after '{'
+    if (j < n && pat.charAt(j) == ',') {
+      j += 1
+      while (j < n && pat.charAt(j).isDigit) j += 1
+    }
+    if (j < n && pat.charAt(j) == '}') j + 1 else -1
+  }
+
   def rustRejects(pat: String): Boolean = {
     val javaOnlyEscapes = "kGZQERXhHV"
     val n = pat.length
     var i = 0
     var depth = 0 // character-class nesting level
+
     while (i < n) {
       val c = pat.charAt(i)
       if (c == '\\') {
@@ -78,10 +98,58 @@ object RegExpExtractRefKernel {
         // (A dangling first quantifier is an error in both engines, so
         // flagging without checking for a preceding atom never diverges.)
         return true
+      } else if (depth == 0 && c == '{') {
+        // `{m}`/`{m,n}` followed by '+' is the possessive form too; a
+        // literal non-quantifier `{` is handled by toJavaDialect (Rust
+        // treats it as a literal, Java throws) and must not be flagged
+        val end = boundedQuantEnd(pat, i)
+        if (end >= 0) {
+          if (end < n && pat.charAt(end) == '+') return true
+          i = end - 1 // resume right after '}'
+        }
       }
       i += 1
     }
     false
+  }
+
+  /** Rewrite Rust-dialect spellings that Java either rejects or interprets
+    * DIFFERENTLY into their Java equivalent, so the kernel follows the
+    * reference's regex-crate semantics (reference: cargo.toml:10):
+    *   - `(?P<name>...)` — valid Rust named group, Java syntax error.
+    *     Java spells it `(?<name>...)` (Rust accepts both).
+    *   - `\v` — vertical TAB literal in Rust; Java treats `\v` as the
+    *     vertical-whitespace CLASS (matches \n too). `\x0B` is the literal
+    *     in both.
+    *   - a `{` that does not start a valid bounded quantifier — a literal
+    *     in Rust, but Java throws "Illegal repetition". Escaped to `\{`.
+    */
+  def toJavaDialect(pat: String): String = {
+    val sb = new java.lang.StringBuilder(pat.length)
+    val n = pat.length
+    var i = 0
+    var depth = 0 // character-class nesting ('{' is a literal in a class for both)
+    while (i < n) {
+      val c = pat.charAt(i)
+      if (c == '\\' && i + 1 < n) {
+        if (pat.charAt(i + 1) == 'v') sb.append("\\x0B")
+        else { sb.append(c); sb.append(pat.charAt(i + 1)) }
+        i += 2
+      } else if (c == '(' && i + 3 < n && pat.charAt(i + 1) == '?' &&
+                 pat.charAt(i + 2) == 'P' && pat.charAt(i + 3) == '<') {
+        sb.append("(?<")
+        i += 4
+      } else if (c == '{' && depth == 0 && boundedQuantEnd(pat, i) < 0) {
+        sb.append("\\{")
+        i += 1
+      } else {
+        if (c == '[') depth += 1
+        else if (c == ']' && depth > 0) depth -= 1
+        sb.append(c)
+        i += 1
+      }
+    }
+    sb.toString
   }
 
   def extract(s: UTF8String, p: UTF8String, idx: Int, cache: RegexCache): UTF8String = {
@@ -91,7 +159,7 @@ object RegExpExtractRefKernel {
       cache.compiled =
         if (rustRejects(pat)) null
         else
-          try Pattern.compile(pat)
+          try Pattern.compile(toJavaDialect(pat))
           catch { case _: PatternSyntaxException => null }
     }
     if (cache.compiled == null) return UTF8String.EMPTY_UTF8

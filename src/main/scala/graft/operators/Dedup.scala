@@ -280,10 +280,7 @@ object Dedup {
     */
   private val CosThreshold = 0.4
   private def embeddingCosineLsh(s: SparkSession, d: String): DataFrame = {
-    graft.Graft.init(s)
-    val base = embeddings(s, d)
-      .select(col("vec_id"), toDouble(col("embedding")).as("e"))
-      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+    val base = Similarity.base(s, d)
     val banded = base.select(col("vec_id"),
       posexplode(array((0 until Similarity.PairBands)
         .map(b => Similarity.pairBandKey(col("e"), b)): _*)).as(Seq("band", "key")))
@@ -308,10 +305,7 @@ object Dedup {
     * shape (r1 verdict), kept only to measure LSH recall at fixture scale.
     */
   private[graft] def embeddingCosineBrute(s: SparkSession, d: String): DataFrame = {
-    graft.Graft.init(s)
-    val base = embeddings(s, d)
-      .select(col("vec_id"), toDouble(col("embedding")).as("e"))
-      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+    val base = Similarity.base(s, d)
     base.as("a")
       .join(base.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),

@@ -48,6 +48,9 @@ object Joins {
     */
   def rangeJoin(left: DataFrame, right: DataFrame, key: String,
                 leftTs: String, rightTs: String, windowSec: Long): DataFrame = {
+    val reserved = Seq("_bin", "_lus", "_rus")
+    require(!(left.columns ++ right.columns).exists(reserved.contains),
+      s"rangeJoin: input columns may not include ${reserved.mkString("/")}")
     val w = windowSec * 1000000L // micros
     // integer `div`, not `/`: column division is double-typed and floor
     // rounding near bin edges would mis-bucket (epoch micros are positive,

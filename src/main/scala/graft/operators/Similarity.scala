@@ -136,7 +136,11 @@ object Similarity {
     transform(sequence(lit(1), lit(IvfCells)), i =>
       when(i === c, lit(-1e308)).otherwise(element_at(ds, i)))
 
-  private def base(s: SparkSession, d: String): DataFrame = {
+  /** (vec_id, e: array<double>, nrm) — the shared normalized-embedding
+    * projection every cosine path builds on (Dedup's LSH/brute pair paths
+    * included; one definition so the cosines stay bit-identical).
+    */
+  private[operators] def base(s: SparkSession, d: String): DataFrame = {
     graft.Graft.init(s)
     embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("e"))

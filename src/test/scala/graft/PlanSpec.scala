@@ -88,8 +88,12 @@ class PlanSpec extends SparkSpecBase {
 
   test("src_bucketed_join: co-located SortMergeJoin with no exchange on either side") {
     // broadcast off: at fixture scale AQE would broadcast the small side and
-    // hide the property under test (bucket co-location kills the shuffle)
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // hide the property under test (bucket co-location kills the shuffle).
+    // Save/restore the session's actual prior value — suites share one
+    // JVM-wide session, so a hardcoded restore would leak into later suites.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "-1")
     try {
       val fp = finalPlan("src_bucketed_join").toString
       assert(fp.contains("SortMergeJoin"), s"expected SMJ:\n$fp")
@@ -97,7 +101,10 @@ class PlanSpec extends SparkSpecBase {
       // exactly 1: the groupBy(o_orderpriority) after the join — the join
       // itself reads bucket i vs bucket i with no exchange
       assert(hashEx == 1, s"bucketed join should not shuffle (hash=$hashEx):\n$fp")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   test("dedup_minhash signature aggregation is map-side combined") {

@@ -77,6 +77,9 @@ class RegexpKernelSpec extends AnyFunSuite {
     assert(ex("aaa", "a*+", 0) == "")            // possessive quantifiers
     assert(ex("aaa", "a++", 0) == "")
     assert(ex("aaa", "a?+", 0) == "")
+    assert(ex("aaa", "a{2}+", 0) == "")          // possessive bounded quantifier
+    assert(ex("aaa", "a{1,2}+", 0) == "")
+    assert(ex("aaa", "a{1,}+", 0) == "")
     assert(ex("a(b", "\\Qa(b\\E", 0) == "")      // \Q..\E quoting
     assert(ex("a\nb", "a\\Rb", 0) == "")         // \R linebreak
     assert(ex("ab", "a\\Z", 0) == "")            // \Z anchor (Rust has only \z)
@@ -91,6 +94,20 @@ class RegexpKernelSpec extends AnyFunSuite {
     assert(ex("end", "en\\w$", 0) == "end")      // $ anchor: both dialects
     assert(ex("aab", "a*?ab", 0) == "aab")       // lazy quantifiers: both
     assert(ex("xy", "x.?", 0) == "xy")           // '?' alone is fine
+    assert(ex("aaa", "a{2}", 0) == "aa")         // plain bounded quantifier
+    assert(ex("a{2}", "a\\{2}", 0) == "a{2}")    // escaped '{' stays literal
+    assert(ex("x{y", "x{y?", 0) == "x{y")        // non-quantifier '{' is literal in both
+  }
+
+  test("Rust-dialect spellings are followed, not rejected (reference regex-crate semantics)") {
+    // (?P<name>...) — Rust named group, Java alone would throw -> "" wrongly
+    assert(ex("ab", "(?P<g>a)b", 1) == "a")
+    // \v — Rust: literal VT only; Java alone would treat it as the
+    // vertical-whitespace CLASS and match \n
+    assert(ex("a\u000bb", "a\\vb", 0) == "a\u000bb")
+    assert(ex("a\nb", "a\\vb", 0) == "")
+    assert(ex("x\u000b", "[\\v]", 0) == "\u000b")
+    assert(ex("\n", "[\\v]", 0) == "")
   }
 
   test("Rust-dialect guard: rejection is memo-stable") {
