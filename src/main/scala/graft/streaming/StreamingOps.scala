@@ -44,6 +44,20 @@ object StreamingOps {
                   watermark: String): DataFrame =
     events.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(idCol)
 
+  /** Streaming CONTENT dedup (the streaming face of Dedup.dedup_exact):
+    * keys the watermark-bounded duplicate state on md5(content), so a
+    * re-ingested document with a new id but identical bytes is dropped.
+    * State per digest is 16 bytes + watermark bookkeeping — the same
+    * shuffle-digests-not-documents shape as the batch operator.
+    */
+  def dedupStreamByContent(docs: DataFrame, tsCol: String, contentCol: String,
+                           watermark: String): DataFrame =
+    docs
+      .withColumn("_content_md5", md5(col(contentCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("_content_md5")
+      .drop("_content_md5")
+
   case class Click(user: String, ts: Timestamp)
   case class Session(user: String, start: Timestamp, end: Timestamp, nEvents: Int)
   // public: Spark's state-store encoder generates code that constructs it

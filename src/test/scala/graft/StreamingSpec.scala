@@ -158,6 +158,30 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("dedupStreamByContent drops re-ingested identical content under new ids") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamingOps.dedupStreamByContent(
+      in.toDF.toDF("ts", "doc_id", "text"), "ts", "text", "1 minute")
+    val q = out.writeStream.format("memory").queryName("cdd")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        (ts(1), 1L, "the quick brown fox"),
+        (ts(2), 2L, "the quick brown fox"), // same bytes, new id -> dropped
+        (ts(3), 3L, "something else"),
+        (ts(4), 1L, "the quick brown fox")) // retried id -> dropped
+      q.processAllAvailable()
+      val rows = s.sql("SELECT doc_id, text FROM cdd ORDER BY doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(rows === Seq((1L, "the quick brown fox"), (3L, "something else")))
+      // the helper digest column must not leak into the output schema
+      assert(!out.schema.fieldNames.contains("_content_md5"))
+    } finally q.stop()
+  }
+
   test("enrichStream joins a static dim without shuffling the stream") {
     val s = spark
     import s.implicits._
