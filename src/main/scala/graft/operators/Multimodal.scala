@@ -101,6 +101,30 @@ object Multimodal {
         .orderBy("media_id")
     },
 
+    // Cross-pack composition: decode -> feature vectors -> similarity
+    // search. Top-3 most similar media per query by stub-feature cosine —
+    // the broadcast-query-batch ANN shape from Similarity applied to
+    // decoded media features (swap the stub for a real encoder and this is
+    // image near-dup search).
+    "mm_feature_topk" -> { (s, d) =>
+      graft.Graft.init(s)
+      val f = mediaTable(s, d)
+        .select(col("media_id"), fakeDecodeFeatures(col("bytes")).as("f"))
+        .withColumn("nrm", sqrt(dot(col("f"), col("f"))))
+      val q = f.where(col("media_id") < 5)
+        .select(col("media_id").as("q_id"), col("f").as("qf"), col("nrm").as("qn"))
+      val c = f.select(col("media_id").as("cand_id"), col("f").as("cf"),
+        col("nrm").as("cn"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
+      broadcast(q).join(c, col("q_id") =!= col("cand_id"))
+        .select(col("q_id"), col("cand_id"),
+          round(dot(col("qf"), col("cf")) / (col("qn") * col("cn")), 6).as("cos"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .orderBy("q_id", "rnk")
+    },
+
     // Feature-space near-dup over the planted-duplicate media fixture:
     // groups whose stub features collide — the decode -> dedup composition
     // end-to-end. Grouping is on the feature ARRAY itself (no string
@@ -165,6 +189,19 @@ object Multimodal {
          |  round(f[2], 6) AS f1,
          |  round(list_sum(list_transform(f, x -> x * x)), 6) AS sq_norm
          |FROM f ORDER BY media_id""".stripMargin,
+
+    "mm_feature_topk" ->
+      s"""WITH m AS (SELECT doc_id AS media_id, encode(text) AS bytes FROM documents),
+         |f AS (SELECT media_id, ${fakeDecodeSql("bytes")} AS f FROM m),
+         |b AS (SELECT media_id, f, sqrt(${dotSql("f", "f", FeatureDim)}) AS nrm FROM f),
+         |p AS (SELECT q.media_id AS q_id, c.media_id AS cand_id,
+         |  round(${dotSql("q.f", "c.f", FeatureDim)} / (q.nrm * c.nrm), 6) AS cos
+         |  FROM b q JOIN b c ON q.media_id <> c.media_id
+         |  WHERE q.media_id < 5),
+         |r AS (SELECT q_id, cand_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS INTEGER) AS rnk
+         |  FROM p)
+         |SELECT q_id, cand_id, cos, rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
 
     "mm_feature_dedup" ->
       s"""WITH m AS (SELECT doc_id AS media_id,
