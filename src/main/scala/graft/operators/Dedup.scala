@@ -75,25 +75,31 @@ object Dedup {
   /** SimHash: 60-bit fingerprint from token hashes (frequency-weighted ±1
     * per bit).
     *
-    * Shape: explode tokens (md5 ONCE each), cross with the 60 bit
-    * positions, then two codegen'd aggregations: per-(doc, bit) vote sums,
-    * then per-doc fingerprint assembly. The per-row HOF formulation
-    * (aggregate inside transform(sequence(0,59))) was catastrophically
-    * slow — interpreted lambdas + CollapseProject re-inlining md5 per
-    * (token x bit) made the pairs query take 366s at sf0.01; this version
-    * runs in ~2s. Two narrow shuffles on doc_id, both map-side combined.
+    * Shape: explode tokens (md5 ONCE each), then ONE codegen'd two-phase
+    * aggregation with 60 vote-sum columns (`sum(bit_j(h) ? 1 : -1)`), and
+    * the fingerprint assembled as a per-row expression over the 60 sums.
+    * Two earlier shapes were measured and rejected: the per-row HOF
+    * formulation (aggregate inside transform(sequence(0,59))) ran
+    * interpreted with CollapseProject re-inlining md5 per (token x bit) —
+    * 366s at sf0.01; and an explode(0..59) cross shape shuffled 60x the
+    * token rows (60M rows at sf0.1, ~10s) where this one shuffles the
+    * 1M (doc_id, h) rows once, map-side combined.
     */
   private def simhashed(s: SparkSession, d: String): DataFrame = {
-    val votes = documents(s, d)
+    val Bits = 60
+    val th = documents(s, d)
       .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
       .select(col("doc_id"), h60(col("tok")).as("h"))
-      .select(col("doc_id"), explode(sequence(lit(0), lit(59))).as("j"), col("h"))
-      .groupBy("doc_id", "j")
-      .agg(sum(when(call_function("shiftright", col("h"), col("j"))
-        .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as("vote"))
-    votes.groupBy("doc_id")
-      .agg(sum(when(col("vote") >= 0,
-        call_function("shiftleft", lit(1L), col("j"))).otherwise(0L)).as("simhash"))
+    val voteAggs = (0 until Bits).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"v$j")
+    }
+    val fp = (0 until Bits)
+      .map(j => when(col(s"v$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    th.groupBy("doc_id")
+      .agg(voteAggs.head, voteAggs.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
   }
 
   /** Document-frequency cap for the capped n-gram query: shingles appearing
