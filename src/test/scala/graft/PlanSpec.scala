@@ -107,6 +107,28 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("CBO: ANALYZE TABLE statistics reach the optimizer (SURVEY 2.4 CBO row)") {
+    // the catalog tables written by src_bucketed_join double as the CBO
+    // fixture: compute stats, enable CBO, and assert the optimizer sees an
+    // exact row count (the signal join reorder / stats-based planning keys
+    // off) rather than a size-only estimate
+    SparkEntry.queries("src_bucketed_join")(spark, sfDir).collect()
+    spark.sql("ANALYZE TABLE graft_b_orders COMPUTE STATISTICS FOR COLUMNS o_orderkey")
+    val key = "spark.sql.cbo.enabled"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      val stats = spark.table("graft_b_orders")
+        .queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.isDefined, s"ANALYZE stats not visible to optimizer: $stats")
+      val expected = spark.table("graft_b_orders").count()
+      assert(stats.rowCount.get.toLong === expected)
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("dedup_minhash signature aggregation is map-side combined") {
     val p = plan("dedup_minhash_pairs")
     val nPartial = p.linesIterator.count(_.contains("HashAggregate"))
