@@ -32,9 +32,14 @@ object Pipeline {
     val qualityOk = TextAnalysis.stats(base)
       .where(col("quality_score") >= QualityThreshold)
       .select("doc_id")
+    // persist: gated feeds the minhash signature subtree AND the final
+    // anti-join base — without it the quality gate + both semi-joins run
+    // twice. Caller owns release (Graft.releaseCaches; the driver mains
+    // call it after each materialized query).
     val gated = base
       .join(qualityOk, Seq("doc_id"), "left_semi")
       .join(Dedup.exactKeepIds(base), Seq("doc_id"), "left_semi")
+      .persist()
     val nearDupDrop = Dedup.minhashPairsFor(gated).select(col("doc_b").as("doc_id"))
     gated.select("doc_id").join(nearDupDrop, Seq("doc_id"), "left_anti")
   }

@@ -324,6 +324,35 @@ object Relational {
         .orderBy("p_partkey")
     },
 
+    // String battery 2: replace/translate/pad/repeat/position functions.
+    "q_string_funcs2" -> { (s, d) =>
+      part(s, d).select(
+        col("p_partkey"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+        translate(col("p_brand"), "#", "-").as("brand_dash"),
+        lpad(col("p_partkey").cast("string"), 8, "0").as("key_padded"),
+        rpad(col("p_type"), 30, ".").as("type_padded"),
+        repeat(col("p_brand"), 2).as("brand_twice"),
+        expr("right(p_name, 5)").as("name_tail"),
+        instr(col("p_name"), "o").as("first_o"),
+        ascii(col("p_type")).as("type_ascii0"))
+        .orderBy("p_partkey")
+    },
+
+    // Datetime battery 2: calendar arithmetic beyond q_datetime_funcs.
+    "q_datetime_funcs2" -> { (s, d) =>
+      orders(s, d).select(
+        col("o_orderkey"),
+        last_day(col("o_orderdate")).cast("string").as("month_end"),
+        dayofyear(col("o_orderdate")).as("doy"),
+        date_add(col("o_orderdate").cast("date"), 45).cast("string").as("plus45"),
+        date_sub(col("o_orderdate").cast("date"), 45).cast("string").as("minus45"),
+        trunc(col("o_orderdate").cast("date"), "year").cast("string").as("year_start"),
+        make_date(year(col("o_orderdate")), month(col("o_orderdate")), lit(1))
+          .cast("string").as("month_start"))
+        .orderBy("o_orderkey")
+    },
+
     // Reference EP2 battery: CASE WHEN / CAST / modulo (SURVEY.md §2.3,
     // reference tests/regexp-tests.rs:75-99 shape over a real table).
     "q_case_cast_modulo" -> { (s, d) =>
@@ -655,6 +684,28 @@ object Relational {
         | p_brand || ':' || p_type AS brand_type,
         | string_split(p_name, ' ')[1] AS first_word
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_string_funcs2" ->
+      """SELECT p_partkey,
+        | regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+        | translate(p_brand, '#', '-') AS brand_dash,
+        | lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+        | rpad(p_type, 30, '.') AS type_padded,
+        | repeat(p_brand, 2) AS brand_twice,
+        | right(p_name, 5) AS name_tail,
+        | CAST(strpos(p_name, 'o') AS INTEGER) AS first_o,
+        | CAST(ascii(p_type) AS INTEGER) AS type_ascii0
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_datetime_funcs2" ->
+      """SELECT o_orderkey,
+        | CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+        | CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+        | CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 45 DAY AS DATE) AS VARCHAR) AS plus45,
+        | CAST(CAST(CAST(o_orderdate AS DATE) - INTERVAL 45 DAY AS DATE) AS VARCHAR) AS minus45,
+        | CAST(CAST(date_trunc('year', o_orderdate) AS DATE) AS VARCHAR) AS year_start,
+        | CAST(make_date(CAST(year(o_orderdate) AS INTEGER), CAST(month(o_orderdate) AS INTEGER), 1) AS VARCHAR) AS month_start
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_case_cast_modulo" ->
       """SELECT event_id,
