@@ -191,6 +191,26 @@ object SqlFunctions {
         .orderBy("event_id")
     },
 
+    // Higher-order-function battery: transform/filter/exists/forall/
+    // zip_with/aggregate-with-finish as SURFACE coverage. Lambdas run
+    // interpreted in Spark — fine on ~10^2-element token arrays; hot paths
+    // use the explode + codegen'd-aggregate shapes instead (TextHash,
+    // Dedup scaladocs).
+    "q_hof_funcs" -> { (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), split(lower(col("text")), "\\s+").as("t"))
+        .select(col("doc_id"),
+          size(filter(col("t"), x => length(x) > 5)).as("n_long_toks"),
+          exists(col("t"), x => x.rlike("[0-9]")).as("has_digit_tok"),
+          forall(col("t"), x => length(x) < 20).as("all_short"),
+          aggregate(col("t"), lit(0),
+            (acc, x) => acc + length(x), acc => acc * 2).as("double_len_sum"),
+          element_at(zip_with(col("t"), reverse(col("t")),
+            (a, b) => concat(a, lit("-"), b)), 1).as("first_last"),
+          array_max(transform(col("t"), x => length(x))).as("max_tok_len"))
+        .orderBy("doc_id")
+    },
+
     // Table-generating explode / unnest: corpus-wide token frequencies.
     "q_explode_tokens" -> { (s, d) =>
       documents(s, d)
@@ -303,6 +323,17 @@ object SqlFunctions {
         |FROM clicks l ASOF LEFT JOIN purchases r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY event_id""".stripMargin,
+
+    "q_hof_funcs" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(t, x -> len(x) > 5)) AS INTEGER) AS n_long_toks,
+        |  len(list_filter(t, x -> regexp_matches(x, '[0-9]'))) > 0 AS has_digit_tok,
+        |  len(list_filter(t, x -> len(x) >= 20)) = 0 AS all_short,
+        |  CAST(2 * list_sum(list_transform(t, x -> len(x))) AS INTEGER) AS double_len_sum,
+        |  t[1] || '-' || t[len(t)] AS first_last,
+        |  CAST(list_max(list_transform(t, x -> len(x))) AS INTEGER) AS max_tok_len
+        |FROM tok ORDER BY doc_id""".stripMargin,
 
     "q_range_join" ->
       """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),

@@ -127,19 +127,25 @@ object StreamingOps {
   def enrichStream(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
 
-  /** Stream-stream inner join: both sides watermarked, and the join
-    * condition carries an event-time range so the state store can evict
-    * rows older than watermark + range (without the range bound, both
-    * sides' state grows forever).
+  /** Stream-stream join: both sides watermarked, and the join condition
+    * carries an event-time range so the state store can evict rows older
+    * than watermark + range (without the range bound, both sides' state
+    * grows forever).
+    *
+    * `joinType` "inner" (default) or "left_outer"/"right_outer"/
+    * "full_outer": outer results are NULL-padded rows emitted only once
+    * the watermark proves no match can still arrive — they trail the
+    * inner results by the watermark delay by construction.
     */
   def streamStreamJoin(left: DataFrame, right: DataFrame,
                        leftKey: String, rightKey: String,
                        leftTs: String, rightTs: String,
-                       watermark: String, rangeSeconds: Long): DataFrame = {
+                       watermark: String, rangeSeconds: Long,
+                       joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, watermark)
     val r = right.withWatermark(rightTs, watermark)
     l.join(r, expr(
       s"$leftKey = $rightKey AND $rightTs >= $leftTs AND " +
-        s"$rightTs <= $leftTs + interval $rangeSeconds seconds"))
+        s"$rightTs <= $leftTs + interval $rangeSeconds seconds"), joinType)
   }
 }

@@ -222,6 +222,41 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streamStreamJoin left_outer emits NULL-padded rows once the watermark closes the window") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val impressions = MemoryStream[(Timestamp, String)]
+    val clicks = MemoryStream[(Timestamp, String)]
+    val out = StreamingOps.streamStreamJoin(
+      impressions.toDF.toDF("imp_ts", "imp_user"),
+      clicks.toDF.toDF("click_ts", "click_user"),
+      "imp_user", "click_user", "imp_ts", "click_ts",
+      watermark = "5 seconds", rangeSeconds = 30L, joinType = "left_outer")
+    val q = out.writeStream.format("memory").queryName("ssjo")
+      .outputMode(OutputMode.Append).start()
+    try {
+      impressions.addData((ts(10), "matched"), (ts(10), "unmatched"))
+      clicks.addData((ts(20), "matched"))
+      q.processAllAvailable()
+      // inner match emits immediately; the unmatched row must NOT emit yet
+      // (its 30s range window is still open)
+      val early = s.sql("SELECT imp_user FROM ssjo").collect().map(_.getString(0)).toSeq
+      assert(early === Seq("matched"))
+      // advance both watermarks far past imp_ts 10 + 30s range
+      impressions.addData((ts(500), "wm1"))
+      clicks.addData((ts(500), "wm2"))
+      q.processAllAvailable()
+      impressions.addData((ts(900), "wm3"))
+      clicks.addData((ts(900), "wm4"))
+      q.processAllAvailable()
+      val rows = s.sql("SELECT imp_user, click_user FROM ssjo WHERE imp_user IN ('matched','unmatched')")
+        .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSet
+      assert(rows === Set(("matched", Some("matched")), ("unmatched", None)),
+        s"got $rows")
+    } finally q.stop()
+  }
+
   test("foreachBatch sink writes each micro-batch to parquet exactly once") {
     val s = spark
     import s.implicits._
