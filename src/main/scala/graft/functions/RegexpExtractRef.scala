@@ -135,7 +135,7 @@ object RegExpExtractRefKernel {
         if (pat.charAt(i + 1) == 'v') sb.append("\\x0B")
         else { sb.append(c); sb.append(pat.charAt(i + 1)) }
         i += 2
-      } else if (c == '(' && i + 3 < n && pat.charAt(i + 1) == '?' &&
+      } else if (c == '(' && depth == 0 && i + 3 < n && pat.charAt(i + 1) == '?' &&
                  pat.charAt(i + 2) == 'P' && pat.charAt(i + 3) == '<') {
         sb.append("(?<")
         i += 4

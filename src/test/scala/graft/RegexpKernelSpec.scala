@@ -108,6 +108,9 @@ class RegexpKernelSpec extends AnyFunSuite {
     assert(ex("a\nb", "a\\vb", 0) == "")
     assert(ex("x\u000b", "[\\v]", 0) == "\u000b")
     assert(ex("\n", "[\\v]", 0) == "")
+    // '(?P<' inside a character class is just the literal chars ( ? P < —
+    // the named-group rewrite must not fire there
+    assert(ex("P", "[(?P<]", 0) == "P")
   }
 
   test("Rust-dialect guard: rejection is memo-stable") {
