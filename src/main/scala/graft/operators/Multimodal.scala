@@ -112,17 +112,10 @@ object Multimodal {
         .select(col("media_id"), fakeDecodeFeatures(col("bytes")).as("f"))
         .withColumn("nrm", sqrt(dot(col("f"), col("f"))))
       val q = f.where(col("media_id") < 5)
-        .select(col("media_id").as("q_id"), col("f").as("qf"), col("nrm").as("qn"))
-      val c = f.select(col("media_id").as("cand_id"), col("f").as("cf"),
+        .select(col("media_id").as("q_id"), col("f").as("qe"), col("nrm").as("qn"))
+      val c = f.select(col("media_id").as("cand_id"), col("f").as("ce"),
         col("nrm").as("cn"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
-      broadcast(q).join(c, col("q_id") =!= col("cand_id"))
-        .select(col("q_id"), col("cand_id"),
-          round(dot(col("qf"), col("cf")) / (col("qn") * col("cn")), 6).as("cos"))
-        .withColumn("rnk", row_number().over(w))
-        .where(col("rnk") <= 3)
-        .orderBy("q_id", "rnk")
+      Similarity.ranked(broadcast(q).join(c, col("q_id") =!= col("cand_id")), k = 3)
     },
 
     // Feature-space near-dup over the planted-duplicate media fixture:

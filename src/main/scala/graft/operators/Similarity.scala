@@ -147,13 +147,18 @@ object Similarity {
       .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
   }
 
-  private def ranked(joined: DataFrame): DataFrame = {
+  /** Top-k ranking contract shared by every similarity query (Multimodal's
+    * feature top-k included): round-6 cosine from (qe, qn) x (ce, cn),
+    * row_number over (cos desc, cand_id) — one definition so the
+    * rounding/tie-break parity with the oracles lives in one place.
+    */
+  private[operators] def ranked(joined: DataFrame, k: Int = K): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
     joined
       .select(col("q_id"), col("cand_id"),
         round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6).as("cos"))
       .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= K)
+      .where(col("rnk") <= k)
       .orderBy("q_id", "rnk")
   }
 

@@ -45,18 +45,23 @@ object StreamingOps {
     events.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(idCol)
 
   /** Streaming CONTENT dedup (the streaming face of Dedup.dedup_exact):
-    * keys the watermark-bounded duplicate state on md5(content), so a
-    * re-ingested document with a new id but identical bytes is dropped.
-    * State per digest is 16 bytes + watermark bookkeeping — the same
-    * shuffle-digests-not-documents shape as the batch operator.
+    * keys the watermark-bounded duplicate state on the raw 16-byte md5
+    * digest of the content (`unhex(md5(...))` — binary, not the 32-char
+    * hex string), so a re-ingested document with a new id but identical
+    * bytes is dropped and state per digest is 16 bytes + watermark
+    * bookkeeping — the same shuffle-digests-not-documents shape as the
+    * batch operator.
     */
   def dedupStreamByContent(docs: DataFrame, tsCol: String, contentCol: String,
-                           watermark: String): DataFrame =
+                           watermark: String): DataFrame = {
+    require(!docs.columns.contains("_content_md5"),
+      "dedupStreamByContent: input may not include the reserved column _content_md5")
     docs
-      .withColumn("_content_md5", md5(col(contentCol)))
+      .withColumn("_content_md5", unhex(md5(col(contentCol))))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("_content_md5")
       .drop("_content_md5")
+  }
 
   case class Click(user: String, ts: Timestamp)
   case class Session(user: String, start: Timestamp, end: Timestamp, nEvents: Int)
