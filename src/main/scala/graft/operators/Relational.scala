@@ -479,6 +479,20 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    // Approx percentile oracled through its accuracy invariant (same trick
+    // as q_approx_distinct_check): the exact interpolated median
+    // hash-matches outright; each engine's own sketch must land within 5%.
+    "q_approx_percentile_check" -> { (s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("exact_med"),
+          expr("approx_percentile(l_quantity, 0.5, 10000)").as("approx_med"))
+        .select(col("l_returnflag"), col("exact_med"),
+          (abs(col("approx_med") - col("exact_med")) / col("exact_med") <= 0.05)
+            .as("sketch_within_5pct"))
+        .orderBy("l_returnflag")
+    },
+
     // GROUPING SETS via SQL (finer than rollup/cube: explicit set list).
     "q_grouping_sets" -> { (s, d) =>
       orders(s, d).createOrReplaceTempView("g_orders_gs")
@@ -772,6 +786,13 @@ object Relational {
         |  count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
         |  count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_approx_percentile_check" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_quantity, 0.5) AS exact_med,
+        | abs(approx_quantile(l_quantity, 0.5) - quantile_cont(l_quantity, 0.5))
+        |   / quantile_cont(l_quantity, 0.5) <= 0.05 AS sketch_within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n

@@ -53,6 +53,58 @@ object SqlFunctions {
         .orderBy("p_partkey")
     },
 
+    // Array battery 2: set-ish ops, slicing, flattening, generation.
+    // Order-sensitive outputs go through sort_array or size() — Spark
+    // preserves first-occurrence order where DuckDB's list_distinct /
+    // list_intersect make no ordering promise.
+    "q_array_funcs2" -> { (s, d) =>
+      part(s, d)
+        .select(col("p_partkey"), split(col("p_name"), " ").as("w"))
+        .select(col("p_partkey"),
+          size(array_distinct(col("w"))).as("n_distinct"),
+          array_join(sort_array(array_intersect(col("w"),
+            array(lit("blue"), lit("red"), lit("green")))), ",").as("colors"),
+          arrays_overlap(col("w"), array(lit("blue"), lit("green"))).as("has_bg"),
+          array_join(slice(col("w"), 2, 2), ",").as("mid"),
+          array_join(flatten(array(col("w"), array(lit("x")))), ",").as("flat"),
+          array_join(transform(sequence(lit(1), size(col("w"))),
+            i => i.cast("string")), ",").as("idx_seq"),
+          array_join(array_remove(col("w"), "blue"), ",").as("no_blue"))
+        .orderBy("p_partkey")
+    },
+
+    // Map battery 2: construction from arrays/entries, keys/values, concat.
+    "q_map_funcs2" -> { (s, d) =>
+      nation(s, d)
+        .select(col("n_nationkey"),
+          map_from_arrays(
+            array(lit("name"), lit("region")),
+            array(col("n_name"), col("n_regionkey").cast("string"))).as("m1"),
+          map(lit("nk"), col("n_nationkey").cast("string")).as("m2"))
+        .select(col("n_nationkey"),
+          array_join(map_keys(col("m1")), ",").as("m1_keys"),
+          array_join(map_values(col("m1")), ",").as("m1_vals"),
+          element_at(col("m1"), "name").as("nm"),
+          size(map_concat(col("m1"), col("m2"))).as("n_entries"),
+          element_at(map_concat(col("m1"), col("m2")), "nk").as("nk_val"))
+        .orderBy("n_nationkey")
+    },
+
+    // Struct battery: named construction, nested access, structs in arrays.
+    "q_struct_funcs" -> { (s, d) =>
+      supplier(s, d)
+        .select(col("s_suppkey"),
+          struct(col("s_name").as("nm"),
+            struct(col("s_nationkey").as("nk"), col("s_acctbal").as("bal")).as("geo"))
+            .as("sup"))
+        .select(col("s_suppkey"),
+          col("sup.nm").as("nm"),
+          col("sup.geo.nk").as("nk"),
+          col("sup.geo.bal").as("bal"),
+          element_at(array(col("sup"), col("sup")), 2).getField("nm").as("nm2"))
+        .orderBy("s_suppkey")
+    },
+
     // Map construction + lookup (MapType through the engine).
     "q_map_funcs" -> { (s, d) =>
       nation(s, d)
@@ -260,6 +312,40 @@ object SqlFunctions {
         |  list_contains(w, 'blue') AS has_blue,
         |  list_reverse(w)[1] AS last_word
         |FROM t ORDER BY p_partkey""".stripMargin,
+
+    "q_array_funcs2" ->
+      """WITH t AS (SELECT p_partkey, string_split(p_name, ' ') AS w FROM part)
+        |SELECT p_partkey,
+        |  CAST(len(list_distinct(w)) AS INTEGER) AS n_distinct,
+        |  coalesce(array_to_string(list_sort(list_intersect(w, ['blue','red','green'])), ','), '') AS colors,
+        |  len(list_intersect(w, ['blue','green'])) > 0 AS has_bg,
+        |  coalesce(array_to_string(w[2:3], ','), '') AS mid,
+        |  coalesce(array_to_string(flatten([w, ['x']]), ','), '') AS flat,
+        |  coalesce(array_to_string(list_transform(range(1, len(w)+1), i -> CAST(i AS VARCHAR)), ','), '') AS idx_seq,
+        |  coalesce(array_to_string(list_filter(w, x -> x <> 'blue'), ','), '') AS no_blue
+        |FROM t ORDER BY p_partkey""".stripMargin,
+
+    "q_map_funcs2" ->
+      """WITH t AS (SELECT n_nationkey,
+        |  map(['name','region'], [n_name, CAST(n_regionkey AS VARCHAR)]) AS m1,
+        |  map(['nk'], [CAST(n_nationkey AS VARCHAR)]) AS m2
+        |  FROM nation)
+        |SELECT n_nationkey,
+        |  array_to_string(map_keys(m1), ',') AS m1_keys,
+        |  array_to_string(map_values(m1), ',') AS m1_vals,
+        |  m1['name'][1] AS nm,
+        |  CAST(cardinality(map_concat(m1, m2)) AS INTEGER) AS n_entries,
+        |  map_concat(m1, m2)['nk'][1] AS nk_val
+        |FROM t ORDER BY n_nationkey""".stripMargin,
+
+    "q_struct_funcs" ->
+      """WITH t AS (SELECT s_suppkey,
+        |  struct_pack(nm := s_name,
+        |    geo := struct_pack(nk := s_nationkey, bal := s_acctbal)) AS sup
+        |  FROM supplier)
+        |SELECT s_suppkey, sup.nm AS nm, sup.geo.nk AS nk, sup.geo.bal AS bal,
+        |  ([sup, sup])[2].nm AS nm2
+        |FROM t ORDER BY s_suppkey""".stripMargin,
 
     "q_map_funcs" ->
       """SELECT n_nationkey,
