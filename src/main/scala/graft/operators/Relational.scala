@@ -493,6 +493,31 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    // grouping()/grouping_id() over a cube — how a reader distinguishes
+    // real NULL group keys from subtotal rows.
+    "q_grouping_id" -> { (s, d) =>
+      orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          grouping_id().as("gid"),
+          grouping(col("o_orderstatus")).as("g_status"))
+        .orderBy(col("gid"), asc_nulls_first("o_orderstatus"),
+          asc_nulls_first("o_orderpriority"))
+    },
+
+    // IGNORE NULLS window navigation: the last known non-null value per
+    // partition (gap-fill / forward-fill shape).
+    "q_window_ignore_nulls" -> { (s, d) =>
+      val w = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          when(col("o_orderstatus") === "F", col("o_totalprice")).as("f_price"))
+        .withColumn("last_f_price",
+          last(col("f_price"), ignoreNulls = true).over(w))
+        .orderBy("o_orderkey")
+    },
+
     // GROUPING SETS via SQL (finer than rollup/cube: explicit set list).
     "q_grouping_sets" -> { (s, d) =>
       orders(s, d).createOrReplaceTempView("g_orders_gs")
@@ -786,6 +811,21 @@ object Relational {
         |  count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
         |  count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_grouping_id" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        | CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        | CAST(grouping(o_orderstatus) AS TINYINT) AS g_status
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_window_ignore_nulls" ->
+      """SELECT o_orderkey, o_orderpriority,
+        | CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS f_price,
+        | last_value(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END IGNORE NULLS) OVER (
+        |   PARTITION BY o_orderpriority ORDER BY o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_f_price
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_approx_percentile_check" ->
       """SELECT l_returnflag,

@@ -136,6 +136,20 @@ object SqlFunctions {
           |ORDER BY c_custkey""".stripMargin)
     },
 
+    // LATERAL correlated derived table: per-nation top spender computed in
+    // a lateral subquery (decorrelates to a join + window/agg under the
+    // hood in both engines).
+    "q_lateral" -> { (s, d) =>
+      nation(s, d).createOrReplaceTempView("g_nation_lat")
+      customer(s, d).createOrReplaceTempView("g_customer_lat")
+      s.sql(
+        """SELECT n.n_name, t.top_bal
+          |FROM g_nation_lat n,
+          |LATERAL (SELECT max(c_acctbal) AS top_bal FROM g_customer_lat c
+          |         WHERE c.c_nationkey = n.n_nationkey) t
+          |ORDER BY n.n_name""".stripMargin)
+    },
+
     // Correlated EXISTS with an inequality inside (decorrelated semi join
     // with a non-trivial condition).
     "q_correlated_exists" -> { (s, d) =>
@@ -363,6 +377,13 @@ object SqlFunctions {
         |WHERE c_custkey IN
         |  (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_lateral" ->
+      """SELECT n.n_name, t.top_bal
+        |FROM nation n,
+        |LATERAL (SELECT max(c_acctbal) AS top_bal FROM customer c
+        |         WHERE c.c_nationkey = n.n_nationkey) t
+        |ORDER BY n.n_name""".stripMargin,
 
     "q_correlated_exists" ->
       """SELECT s_suppkey, s_name FROM supplier s
