@@ -107,6 +107,42 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("AQE splits a skewed join partition (skew-join readiness, SURVEY 2.4)") {
+    // one hot key carrying ~100k rows vs 9 cold keys; thresholds lowered so
+    // fixture-scale skew trips the same OptimizeSkewedJoin path a hot key
+    // at 100 TB would
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prior = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions._
+      // key 0 carries 90% of the rows; key 9 the rest
+      val big = spark.range(110000)
+        .select(when(col("id") % 10 < 9, lit(0L)).otherwise(lit(9L)).as("k"),
+          concat(lit("payload-payload-payload-"), col("id")).as("pad"))
+      val dim = spark.range(10).select(col("id").as("k"), col("id").as("v"))
+      // final aggregate is global (no distribution requirement downstream —
+      // a groupBy(k) would forbid splitting the join's partitions) and
+      // consumes pad so the payload survives column pruning into the join
+      val j = big.join(dim, "k").agg(sum(length(col("pad"))).as("bytes"))
+      j.collect()
+      val fp = j.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan.toString
+        case p => p.toString
+      }
+      assert(fp.contains("isSkewJoin=true") || fp.contains("skewed"),
+        s"AQE did not split the skewed partition:\n$fp")
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("CBO: ANALYZE TABLE statistics reach the optimizer (SURVEY 2.4 CBO row)") {
     // the catalog tables written by src_bucketed_join double as the CBO
     // fixture: compute stats, enable CBO, and assert the optimizer sees an
