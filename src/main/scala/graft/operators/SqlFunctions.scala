@@ -285,6 +285,22 @@ object SqlFunctions {
         .orderBy(col("n").desc, col("tok"))
     },
 
+    // Native session_window operator (the built-in face of the same
+    // 30-min-gap semantics; SessionWindowing + merging session aggregate
+    // under the hood). Boundary note: session_window treats an event at
+    // EXACTLY prev_ts + gap as a new session where the lag-based query
+    // keeps it (strict > vs >=); fixture timestamps are random
+    // microseconds, so exact-equality cases don't occur and the same
+    // oracle verifies both shapes.
+    "q_session_window_native" -> { (s, d) =>
+      events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min("ts").as("session_start"), max("ts").as("session_end"))
+        .select("user_id", "n_events", "session_start", "session_end")
+        .orderBy("user_id", "session_start")
+    },
+
     // Batch sessionization: 30-min-gap sessions per user via window lag +
     // running sum (the batch face of StreamingOps.sessionize). One shuffle
     // on user_id serves both windows and the final aggregation.
@@ -463,6 +479,20 @@ object SqlFunctions {
         |      ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC, o_orderkey DESC) AS rn
         |  FROM orders) t
         |WHERE rn = 1 ORDER BY o_orderpriority""".stripMargin,
+
+    "q_session_window_native" ->
+      s"""WITH e AS (SELECT user_id, ts, event_id,
+         |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+         |  FROM events),
+         |s AS (SELECT user_id, ts, event_id,
+         |  CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > $SessionGapUs
+         |       THEN 1 ELSE 0 END AS new_s FROM e),
+         |c AS (SELECT user_id, ts,
+         |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS UNBOUNDED PRECEDING) AS session_id FROM s)
+         |SELECT user_id, count(*) AS n_events,
+         |  min(ts) AS session_start, max(ts) AS session_end
+         |FROM c GROUP BY user_id, session_id ORDER BY user_id, session_start""".stripMargin,
 
     "q_sessionize_batch" ->
       s"""WITH e AS (SELECT user_id, ts, event_id,
