@@ -140,6 +140,44 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("native session_window(stream) equals its batch result on the events fixture") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)))
+    val maxTs = ev.map(_._2.getTime).max
+
+    val batch = SparkEntry.queries("q_session_window_native")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime,
+        r.getTimestamp(3).getTime)).toSet
+
+    val in = MemoryStream[(Long, Timestamp)]
+    val out = in.toDF.toDF("user_id", "ts")
+      .withWatermark("ts", "0 seconds")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("session_start"), max("ts").as("session_end"))
+      .select("user_id", "n_events", "session_start", "session_end")
+    val q = out.writeStream.format("memory").queryName("swn")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev.toSeq)
+      q.processAllAvailable()
+      in.addData((-1L, new Timestamp(maxTs + 3600 * 1000L)))
+      q.processAllAvailable()
+      in.addData((-1L, new Timestamp(maxTs + 4 * 3600 * 1000L)))
+      q.processAllAvailable()
+      val streamed = s.sql(
+        "SELECT user_id, n_events, session_start, session_end FROM swn WHERE user_id >= 0")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime,
+          r.getTimestamp(3).getTime)).toSet
+      assert(streamed === batch,
+        s"only-in-streaming: ${(streamed -- batch).take(3)}; only-in-batch: ${(batch -- streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("dedupStream drops duplicate ids within the watermark") {
     val s = spark
     import s.implicits._
