@@ -493,6 +493,20 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    // Modern aggregate battery: exact median, arg-min/arg-max with a
+    // unique ordering key (deterministic), and associative bit aggregates.
+    "q_more_aggs" -> { (s, d) =>
+      orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(median(dec2(col("o_totalprice"))).cast("double").as("med_price"),
+          max_by(col("o_orderstatus"), col("o_orderkey")).as("latest_status"),
+          min_by(col("o_orderstatus"), col("o_orderkey")).as("first_status"),
+          expr("bit_and(o_orderkey)").as("key_and"),
+          expr("bit_or(o_orderkey)").as("key_or"),
+          expr("bit_xor(o_orderkey)").as("key_xor"))
+        .orderBy("o_orderpriority")
+    },
+
     // grouping()/grouping_id() over a cube — how a reader distinguishes
     // real NULL group keys from subtotal rows.
     "q_grouping_id" -> { (s, d) =>
@@ -810,6 +824,16 @@ object Relational {
         |  count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
         |  count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
         |  count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_more_aggs" ->
+      """SELECT o_orderpriority,
+        | CAST(quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE), 0.5) AS DOUBLE) AS med_price,
+        | arg_max(o_orderstatus, o_orderkey) AS latest_status,
+        | arg_min(o_orderstatus, o_orderkey) AS first_status,
+        | bit_and(o_orderkey) AS key_and,
+        | bit_or(o_orderkey) AS key_or,
+        | bit_xor(o_orderkey) AS key_xor
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_grouping_id" ->

@@ -277,6 +277,36 @@ object SqlFunctions {
         .orderBy("doc_id")
     },
 
+    // stack() generator: columns-to-rows unpivot (the generator dual of
+    // PIVOT; q_pivot_status is the other direction).
+    "q_stack" -> { (s, d) =>
+      region(s, d)
+        .selectExpr("r_regionkey",
+          "stack(2, 'name', r_name, 'name_len', cast(length(r_name) as string)) AS (attr, val)")
+        .orderBy("r_regionkey", "attr")
+    },
+
+    // explode_outer: empty arrays keep their parent row (NULL element) —
+    // the generator face of null-preserving joins.
+    "q_explode_outer" -> { (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          // words longer than 11 chars: empty for most docs
+          filter(split(lower(col("text")), "\\s+"), x => length(x) > 11).as("w"))
+        .select(col("doc_id"), explode_outer(col("w")).as("long_word"))
+        .orderBy(col("doc_id"), asc_nulls_first("long_word"))
+    },
+
+    // Deterministic collect aggregation: collect_list is unordered across
+    // partitions, so the result is pinned through sort_array + join.
+    "q_collect_agg" -> { (s, d) =>
+      nation(s, d)
+        .groupBy("n_regionkey")
+        .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"),
+          size(collect_set(col("n_nationkey") % 5)).as("n_mod_classes"))
+        .orderBy("n_regionkey")
+    },
+
     // Table-generating explode / unnest: corpus-wide token frequencies.
     "q_explode_tokens" -> { (s, d) =>
       documents(s, d)
@@ -466,6 +496,27 @@ object SqlFunctions {
         |  AND p.pts >= c.ts - INTERVAL 10 MINUTE
         |  AND p.pts <= c.ts + INTERVAL 10 MINUTE
         |GROUP BY c.event_id ORDER BY event_id""".stripMargin,
+
+    "q_stack" ->
+      """SELECT r_regionkey, attr, val FROM (
+        |  SELECT r_regionkey, 'name' AS attr, r_name AS val FROM region
+        |  UNION ALL
+        |  SELECT r_regionkey, 'name_len', CAST(length(r_name) AS VARCHAR) FROM region)
+        |ORDER BY r_regionkey, attr""".stripMargin,
+
+    "q_explode_outer" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 11) AS w
+        |  FROM documents)
+        |SELECT doc_id,
+        |  unnest(CASE WHEN len(w) = 0 THEN [CAST(NULL AS VARCHAR)] ELSE w END) AS long_word
+        |FROM t ORDER BY doc_id, long_word ASC NULLS FIRST""".stripMargin,
+
+    "q_collect_agg" ->
+      """SELECT n_regionkey,
+        |  array_to_string(list_sort(list(n_name)), ',') AS nations,
+        |  CAST(count(DISTINCT n_nationkey % 5) AS INTEGER) AS n_mod_classes
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
 
     "q_explode_tokens" ->
       """SELECT tok, count(*) AS n FROM (
