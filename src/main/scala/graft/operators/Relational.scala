@@ -353,6 +353,19 @@ object Relational {
         .orderBy("o_orderkey")
     },
 
+    // String battery 3: edit distance, field splitting, predicates.
+    "q_string_funcs3" -> { (s, d) =>
+      part(s, d).select(
+        col("p_partkey"),
+        levenshtein(col("p_brand"), lit("Brand#11")).as("brand_dist"),
+        expr("split_part(p_type, ' ', 1)").as("type_first"),
+        expr("split_part(p_type, ' ', -1)").as("type_last"),
+        col("p_name").startsWith("blue").as("starts_blue"),
+        col("p_name").contains("red").as("has_red"),
+        col("p_type").endsWith("STEEL").as("ends_steel"))
+        .orderBy("p_partkey")
+    },
+
     // Reference EP2 battery: CASE WHEN / CAST / modulo (SURVEY.md §2.3,
     // reference tests/regexp-tests.rs:75-99 shape over a real table).
     "q_case_cast_modulo" -> { (s, d) =>
@@ -759,6 +772,16 @@ object Relational {
         | CAST(CAST(date_trunc('year', o_orderdate) AS DATE) AS VARCHAR) AS year_start,
         | CAST(make_date(CAST(year(o_orderdate) AS INTEGER), CAST(month(o_orderdate) AS INTEGER), 1) AS VARCHAR) AS month_start
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_string_funcs3" ->
+      """SELECT p_partkey,
+        | CAST(levenshtein(p_brand, 'Brand#11') AS INTEGER) AS brand_dist,
+        | split_part(p_type, ' ', 1) AS type_first,
+        | split_part(p_type, ' ', -1) AS type_last,
+        | starts_with(p_name, 'blue') AS starts_blue,
+        | contains(p_name, 'red') AS has_red,
+        | ends_with(p_type, 'STEEL') AS ends_steel
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "q_case_cast_modulo" ->
       """SELECT event_id,
