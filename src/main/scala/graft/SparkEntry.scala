@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Pipeline, RegexpQueries, Relational, Similarity, SqlFunctions, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Pipeline, RegexpQueries, Relational, Similarity, SqlFunctions, TextAnalysis, TpchSuite}
 import graft.sources.Sources
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -34,12 +34,14 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RegexpQueries.queries ++ Relational.queries ++ Dedup.queries ++
-      Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
-      Sources.queries ++ SqlFunctions.queries ++ Pipeline.queries
+    RegexpQueries.queries ++ Relational.queries ++ TpchSuite.queries ++
+      Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
+      Multimodal.queries ++ Sources.queries ++ SqlFunctions.queries ++
+      Pipeline.queries
 
   def oracleSql: Map[String, String] =
-    RegexpQueries.oracles ++ Relational.oracles ++ Dedup.oracles ++
-      Similarity.oracles ++ TextAnalysis.oracles ++ Multimodal.oracles ++
-      Sources.oracles ++ SqlFunctions.oracles ++ Pipeline.oracles
+    RegexpQueries.oracles ++ Relational.oracles ++ TpchSuite.oracles ++
+      Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++
+      Multimodal.oracles ++ Sources.oracles ++ SqlFunctions.oracles ++
+      Pipeline.oracles
 }

@@ -216,9 +216,13 @@ object Relational {
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
     },
+    // Anti-joined against a date-sliced orders side so the result is
+    // non-empty at every fixture SF (every customer has SOME order, so the
+    // unrestricted anti join was a vacuous 0-row pass).
     "q_anti_join" -> { (s, d) =>
       customer(s, d)
-        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(orders(s, d).where(col("o_orderdate") < ts("1996-01-01 00:00:00")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
     },
@@ -388,8 +392,8 @@ object Relational {
         .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
         .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
-        .where((col("supp_nation") === "FRANCE" && col("cust_nation") === "GERMANY") ||
-          (col("supp_nation") === "GERMANY" && col("cust_nation") === "FRANCE"))
+        .where((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_8") ||
+          (col("supp_nation") === "NATION_8" && col("cust_nation") === "NATION_3"))
         .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
         .agg(round(sum(dec2(col("l_extendedprice")) * (one - dec4(col("l_discount")))), 2)
           .cast("double").as("revenue"))
@@ -672,7 +676,8 @@ object Relational {
 
     "q_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
         |ORDER BY c_custkey""".stripMargin,
 
     "q_outer_join" ->
@@ -797,8 +802,8 @@ object Relational {
         | JOIN supplier ON l_suppkey = s_suppkey
         | JOIN nation n1 ON s_nationkey = n1.n_nationkey
         | JOIN nation n2 ON c_nationkey = n2.n_nationkey
-        |WHERE (n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
-        |   OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE')
+        |WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+        |   OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3')
         |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
 
     "q14_promo_revenue" ->

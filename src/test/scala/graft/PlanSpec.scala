@@ -80,6 +80,32 @@ class PlanSpec extends SparkSpecBase {
       p.contains("BroadcastHashJoin"), s"expected an equi-join:\n$p")
   }
 
+  test("q21: EXISTS/NOT EXISTS decorrelation stays equi-join (no nested loop)") {
+    // The per-order aggregate replaces two correlated self-joins; if the
+    // decorrelation regressed to Spark's generic correlated-subquery
+    // rewrite, a nested loop would appear and the query would be
+    // quadratic per order at scale.
+    val p = plan("q21_waiting_suppliers")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"correlated self-join degenerated to a nested loop:\n$p")
+  }
+
+  test("q2: correlated-min decorrelation is a key equi-join; dims broadcast") {
+    val p = plan("q2_min_cost_ship")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"min-per-part join is not an equi-join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
+  }
+
+  test("q17: correlated-avg decorrelation keeps the part filter pushed down") {
+    val p = plan("q17_small_qty_revenue")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"per-part avg join is not an equi-join:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(p_brand)") ||
+      p.contains("EqualTo(p_brand,Brand#11)"),
+      s"part filter not pushed to the scan:\n$p")
+  }
+
   test("q_range_join: binned equi-join, never a nested loop") {
     val p = plan("q_range_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
