@@ -20,6 +20,10 @@ object SqlFunctions {
 
   private val SessionGapUs = 1800L * 1000000L // 30 min
 
+  // Exact money/quantity cast — same precision discipline as Relational.
+  private def dec2(c: org.apache.spark.sql.Column) =
+    c.cast(DecimalType(12, 2))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // JSON path extraction + aggregation (props is a JSON object column).
     "json_extract_agg" -> { (s, d) =>
@@ -307,6 +311,80 @@ object SqlFunctions {
         .orderBy("n_regionkey")
     },
 
+    // try_* error-safe arithmetic: divide-by-zero, long overflow, and bad
+    // casts return NULL instead of failing the job — at 100 TB a single
+    // poisoned row must not kill a 1000-executor stage.
+    "q_try_funcs" -> { (s, d) =>
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("try_divide(l_extendedprice, l_quantity - 1)").as("unit_price_m1"),
+          expr("try_add(9223372036854775807L, l_orderkey)").as("overflow_add"),
+          expr("try_multiply(l_orderkey, 9223372036854775807L)").as("overflow_mul"),
+          expr("try_cast(l_returnflag AS INT)").as("flag_int"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // listagg WITHIN GROUP: ordered string aggregation (deterministic by
+    // construction — the ORDER BY is part of the aggregate, so distributed
+    // accumulation order can't leak into the result).
+    "q_listagg" -> { (s, d) =>
+      nation(s, d)
+        .groupBy("n_regionkey")
+        .agg(expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy("n_regionkey")
+    },
+
+    // Single-pass OLS regression from exact decimal partial sums: the
+    // scale-correct substitute for regr_slope/regr_intercept/regr_r2,
+    // whose double accumulation is summation-order-dependent and therefore
+    // irreproducible across partitionings. Six map-side-combinable exact
+    // sums -> closed-form coefficients in one final double expression
+    // (identical expression tree on both engines -> bit-identical IEEE
+    // results).
+    "q_regr_funcs" -> { (s, d) =>
+      val x = dec2(col("l_quantity"))
+      val y = dec2(col("l_extendedprice"))
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          col("n").cast("double").as("nd"),
+          col("sx").cast("double").as("sxd"), col("sy").cast("double").as("syd"),
+          col("sxy").cast("double").as("sxyd"),
+          col("sxx").cast("double").as("sxxd"),
+          col("syy").cast("double").as("syyd"))
+        .select(col("l_returnflag"), col("n"),
+          (col("nd") * col("sxyd") - col("sxd") * col("syd")).as("cov_n"),
+          (col("nd") * col("sxxd") - col("sxd") * col("sxd")).as("varx_n"),
+          (col("nd") * col("syyd") - col("syd") * col("syd")).as("vary_n"),
+          col("nd"), col("sxd"), col("syd"))
+        .select(col("l_returnflag"), col("n"),
+          (col("cov_n") / col("varx_n")).as("slope"),
+          ((col("syd") - (col("cov_n") / col("varx_n")) * col("sxd")) / col("nd"))
+            .as("intercept"),
+          (col("cov_n") * col("cov_n") / (col("varx_n") * col("vary_n"))).as("r2"))
+        .orderBy("l_returnflag")
+    },
+
+    // WITH RECURSIVE: a 12-month spine left-joined to per-month order
+    // counts (zero-filled) — iteration expressed declaratively, no driver
+    // loop.
+    "q_recursive_cte" -> { (s, d) =>
+      orders(s, d).createOrReplaceTempView("g_rec_orders")
+      s.sql(
+        """WITH RECURSIVE m(mo) AS (
+          |  SELECT 1 UNION ALL SELECT mo + 1 FROM m WHERE mo < 12)
+          |SELECT mo, coalesce(c, CAST(0 AS BIGINT)) AS n_orders
+          |FROM m LEFT JOIN (
+          |  SELECT month(o_orderdate) AS omo, count(*) AS c
+          |  FROM g_rec_orders WHERE year(o_orderdate) = 1997 GROUP BY 1) o
+          |ON mo = omo
+          |ORDER BY mo""".stripMargin)
+    },
+
     // Table-generating explode / unnest: corpus-wide token frequencies.
     "q_explode_tokens" -> { (s, d) =>
       documents(s, d)
@@ -522,6 +600,54 @@ object SqlFunctions {
       """SELECT tok, count(*) AS n FROM (
         |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok FROM documents)
         |GROUP BY tok ORDER BY n DESC, tok""".stripMargin,
+
+    "q_try_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        | l_extendedprice / NULLIF(l_quantity - 1, 0) AS unit_price_m1,
+        | CASE WHEN l_orderkey = 0 THEN 9223372036854775807 ELSE NULL END AS overflow_add,
+        | CASE WHEN l_orderkey = 0 THEN 0
+        |      WHEN l_orderkey = 1 THEN 9223372036854775807
+        |      ELSE NULL END AS overflow_mul,
+        | TRY_CAST(l_returnflag AS INTEGER) AS flag_int
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_listagg" ->
+      """SELECT n_regionkey,
+        | string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        | count(*) AS n
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    "q_regr_funcs" ->
+      """WITH sums AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxd,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syd,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxyd,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxxd,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syyd
+        |  FROM lineitem GROUP BY l_returnflag),
+        |terms AS (
+        |  SELECT l_returnflag, n,
+        |    CAST(n AS DOUBLE) * sxyd - sxd * syd AS cov_n,
+        |    CAST(n AS DOUBLE) * sxxd - sxd * sxd AS varx_n,
+        |    CAST(n AS DOUBLE) * syyd - syd * syd AS vary_n,
+        |    CAST(n AS DOUBLE) AS nd, sxd, syd
+        |  FROM sums)
+        |SELECT l_returnflag, n,
+        |  cov_n / varx_n AS slope,
+        |  (syd - (cov_n / varx_n) * sxd) / nd AS intercept,
+        |  cov_n * cov_n / (varx_n * vary_n) AS r2
+        |FROM terms ORDER BY l_returnflag""".stripMargin,
+
+    "q_recursive_cte" ->
+      """WITH RECURSIVE m(mo) AS (
+        |  SELECT 1 UNION ALL SELECT mo + 1 FROM m WHERE mo < 12)
+        |SELECT mo, coalesce(c, CAST(0 AS BIGINT)) AS n_orders
+        |FROM m LEFT JOIN (
+        |  SELECT CAST(month(o_orderdate) AS INTEGER) AS omo, count(*) AS c
+        |  FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1) o
+        |ON mo = omo
+        |ORDER BY mo""".stripMargin,
 
     "q_argmax_udaf" ->
       """SELECT o_orderpriority, o_orderkey AS top_orderkey FROM (
