@@ -313,14 +313,22 @@ object SqlFunctions {
 
     // try_* error-safe arithmetic: divide-by-zero, long overflow, and bad
     // casts return NULL instead of failing the job — at 100 TB a single
-    // poisoned row must not kill a 1000-executor stage.
+    // poisoned row must not kill a 1000-executor stage. Poison is RARE by
+    // construction here (~0.1% of rows): Spark implements try_add/multiply/
+    // cast failure as a caught per-row exception, so they are built for
+    // occasional bad rows — an always-failing column pays exception cost on
+    // every row (measured 50x slower on this fixture) and should be a CASE
+    // guard instead.
     "q_try_funcs" -> { (s, d) =>
       lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"),
           expr("try_divide(l_extendedprice, l_quantity - 1)").as("unit_price_m1"),
-          expr("try_add(9223372036854775807L, l_orderkey)").as("overflow_add"),
-          expr("try_multiply(l_orderkey, 9223372036854775807L)").as("overflow_mul"),
-          expr("try_cast(l_returnflag AS INT)").as("flag_int"))
+          expr("try_add(CASE WHEN l_orderkey % 1000 = 0 THEN 9223372036854775807L ELSE 0L END, l_orderkey)")
+            .as("overflow_add"),
+          expr("try_multiply(l_orderkey, CASE WHEN l_orderkey % 1000 = 1 THEN 9223372036854775807L ELSE 1L END)")
+            .as("overflow_mul"),
+          expr("try_cast(CASE WHEN l_orderkey % 997 = 0 THEN l_returnflag ELSE CAST(l_linenumber AS STRING) END AS INT)")
+            .as("maybe_int"))
         .orderBy("l_orderkey", "l_linenumber")
     },
 
@@ -383,6 +391,32 @@ object SqlFunctions {
           |  FROM g_rec_orders WHERE year(o_orderdate) = 1997 GROUP BY 1) o
           |ON mo = omo
           |ORDER BY mo""".stripMargin)
+    },
+
+    // VARIANT (semi-structured) ingestion: parse once into the binary
+    // variant encoding, extract typed fields, aggregate — the
+    // shred-on-read path for JSON event streams (vs the fixed-schema
+    // from_json in json_from_json).
+    "q_variant" -> { (s, d) =>
+      events(s, d)
+        .select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k"))
+        .orderBy("event_type")
+    },
+
+    // Exact interpolated percentile (PERCENTILE_CONT WITHIN GROUP) — the
+    // ANSI ordered-set aggregate face of the percentile surface
+    // (q_approx_percentile_check covers the sketch face).
+    "q_percentile_cont" -> { (s, d) =>
+      orders(s, d).createOrReplaceTempView("g_pc_orders")
+      s.sql(
+        """SELECT o_orderstatus,
+          |  percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS median_price,
+          |  percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS p90_price
+          |FROM g_pc_orders
+          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     },
 
     // Table-generating explode / unnest: corpus-wide token frequencies.
@@ -601,14 +635,29 @@ object SqlFunctions {
         |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok FROM documents)
         |GROUP BY tok ORDER BY n DESC, tok""".stripMargin,
 
+    "q_variant" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_percentile_cont" ->
+      """SELECT o_orderstatus,
+        | quantile_cont(o_totalprice, 0.5) AS median_price,
+        | quantile_cont(o_totalprice, 0.9) AS p90_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
     "q_try_funcs" ->
       """SELECT l_orderkey, l_linenumber,
         | l_extendedprice / NULLIF(l_quantity - 1, 0) AS unit_price_m1,
-        | CASE WHEN l_orderkey = 0 THEN 9223372036854775807 ELSE NULL END AS overflow_add,
-        | CASE WHEN l_orderkey = 0 THEN 0
-        |      WHEN l_orderkey = 1 THEN 9223372036854775807
-        |      ELSE NULL END AS overflow_mul,
-        | TRY_CAST(l_returnflag AS INTEGER) AS flag_int
+        | CASE WHEN l_orderkey % 1000 = 0 THEN
+        |        CASE WHEN l_orderkey = 0 THEN 9223372036854775807 ELSE NULL END
+        |      ELSE l_orderkey END AS overflow_add,
+        | CASE WHEN l_orderkey % 1000 = 1 THEN
+        |        CASE WHEN l_orderkey = 1 THEN 9223372036854775807 ELSE NULL END
+        |      ELSE l_orderkey END AS overflow_mul,
+        | CASE WHEN l_orderkey % 997 = 0 THEN TRY_CAST(l_returnflag AS INTEGER)
+        |      ELSE CAST(l_linenumber AS INTEGER) END AS maybe_int
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_listagg" ->
