@@ -94,6 +94,46 @@ object SqlFunctions {
         .orderBy("n_nationkey")
     },
 
+    // Map higher-order functions: transform_keys/values, map_filter,
+    // map_zip_with. The oracle computes each extracted scalar by an
+    // independent direct route (DuckDB has no map lambdas).
+    "q_map_hofs" -> { (s, d) =>
+      nation(s, d)
+        .select(col("n_nationkey"),
+          map(lit("rk"), col("n_regionkey"), lit("nk"), col("n_nationkey")).as("m"))
+        .select(col("n_nationkey"),
+          element_at(transform_values(col("m"), (_, v) => v * 2), "rk").as("rk2"),
+          element_at(transform_keys(col("m"), (k, _) => concat(k, lit("_x"))), "rk_x")
+            .as("rk_renamed"),
+          element_at(map_filter(col("m"), (_, v) => v % 2 === 0), "nk").as("nk_even"),
+          element_at(map_zip_with(col("m"), col("m"), (_, v1, v2) => v1 + v2), "nk")
+            .as("nk_sum"))
+        .orderBy("n_nationkey")
+    },
+
+    // NULL-safe equality (<=>): NULL <=> NULL is TRUE, NULL <=> x is FALSE
+    // — the three-valued-logic escape hatch join/compare code needs.
+    // Inline VALUES with planted NULLs (the fixture columns are NULL-free).
+    "q_null_safe_eq" -> { (s, d) =>
+      s.sql(
+        """SELECT a.id AS ida, a.v AS va, b.v AS vb, a.v <=> b.v AS v_eq
+          |FROM VALUES (1, 10), (2, CAST(NULL AS INT)), (3, 30), (4, CAST(NULL AS INT))
+          |       AS a(id, v)
+          |JOIN VALUES (1, 10), (2, CAST(NULL AS INT)), (3, 31), (4, 40)
+          |       AS b(id, v) ON a.id = b.id
+          |ORDER BY ida""".stripMargin)
+    },
+
+    // inline() generator: array-of-structs to rows with named columns (the
+    // struct face of explode).
+    "q_inline" -> { (s, d) =>
+      region(s, d)
+        .selectExpr("r_regionkey",
+          """inline(array(named_struct('tag', 'a', 'val', r_name),
+            |             named_struct('tag', 'b', 'val', upper(r_name))))""".stripMargin)
+        .orderBy("r_regionkey", "tag")
+    },
+
     // Struct battery: named construction, nested access, structs in arrays.
     "q_struct_funcs" -> { (s, d) =>
       supplier(s, d)
@@ -634,6 +674,29 @@ object SqlFunctions {
       """SELECT tok, count(*) AS n FROM (
         |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok FROM documents)
         |GROUP BY tok ORDER BY n DESC, tok""".stripMargin,
+
+    "q_map_hofs" ->
+      """SELECT n_nationkey,
+        | n_regionkey * 2 AS rk2,
+        | n_regionkey AS rk_renamed,
+        | CASE WHEN n_nationkey % 2 = 0 THEN n_nationkey ELSE NULL END AS nk_even,
+        | n_nationkey + n_nationkey AS nk_sum
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_null_safe_eq" ->
+      """SELECT a.id AS ida, a.v AS va, b.v AS vb,
+        | a.v IS NOT DISTINCT FROM b.v AS v_eq
+        |FROM (VALUES (1, 10), (2, CAST(NULL AS INTEGER)), (3, 30), (4, CAST(NULL AS INTEGER)))
+        |       a(id, v)
+        |JOIN (VALUES (1, 10), (2, CAST(NULL AS INTEGER)), (3, 31), (4, 40))
+        |       b(id, v) ON a.id = b.id
+        |ORDER BY ida""".stripMargin,
+
+    "q_inline" ->
+      """SELECT r_regionkey, 'a' AS tag, r_name AS val FROM region
+        |UNION ALL
+        |SELECT r_regionkey, 'b' AS tag, upper(r_name) AS val FROM region
+        |ORDER BY r_regionkey, tag""".stripMargin,
 
     "q_variant" ->
       """SELECT event_type, count(*) AS n,
