@@ -32,20 +32,9 @@ import graft.Tables._
   */
 object Relational {
 
-  // Precisions chosen so the chained money expression
-  // price * (1-disc) * (1+tax) stays within Spark's 38-digit decimal limit
-  // with NO intermediate rounding: (1 +/- x) is (2,0)+(6,4) -> (7,4), so the
-  // chain is (12,2) x (7,4) -> (20,6) x (7,4) -> (28,10) <= 38 digits exact
-  // (multiply: p1+p2+1, s1+s2). At (18,2)/(10,4) inputs the last product
-  // would exceed 38 and Spark silently rounds — which broke DuckDB
-  // bit-parity.
-  private def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
-  private def dec4(c: Column): Column = c.cast(DecimalType(6, 4))
-  // A bare lit(1) is decimal(10,0) after implicit cast, which inflates the
-  // chained product past precision 38 (Spark then rounds, breaking DuckDB
-  // bit-parity). decimal(2,0) keeps (12,2)x(7,4)x(7,4) -> (28,10): exact.
-  private val one: Column = lit(1).cast(DecimalType(2, 0))
-  private def ts(s: String): Column = lit(s).cast(TimestampType)
+  // Decimal-precision discipline lives in Money (one copy — see its
+  // scaladoc for the overflow/rounding derivation).
+  import Money.{dec2, dec4, one, ts}
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1 shape: two-phase hash aggregate, 4 groups, heavy input.

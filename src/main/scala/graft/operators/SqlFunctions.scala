@@ -20,9 +20,7 @@ object SqlFunctions {
 
   private val SessionGapUs = 1800L * 1000000L // 30 min
 
-  // Exact money/quantity cast — same precision discipline as Relational.
-  private def dec2(c: org.apache.spark.sql.Column) =
-    c.cast(DecimalType(12, 2))
+  import Money.dec2
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // JSON path extraction + aggregation (props is a JSON object column).
@@ -369,7 +367,10 @@ object SqlFunctions {
             .as("overflow_mul"),
           expr("try_cast(CASE WHEN l_orderkey % 997 = 0 THEN l_returnflag ELSE CAST(l_linenumber AS STRING) END AS INT)")
             .as("maybe_int"))
-        .orderBy("l_orderkey", "l_linenumber")
+        // (orderkey, linenumber) is NOT unique in this fixture; the price/
+        // quantity keys make remaining ties fully identical output rows.
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_quantity"))
     },
 
     // listagg WITHIN GROUP: ordered string aggregation (deterministic by
@@ -721,7 +722,8 @@ object SqlFunctions {
         |      ELSE l_orderkey END AS overflow_mul,
         | CASE WHEN l_orderkey % 997 = 0 THEN TRY_CAST(l_returnflag AS INTEGER)
         |      ELSE CAST(l_linenumber AS INTEGER) END AS maybe_int
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_quantity""".stripMargin,
 
     "q_listagg" ->
       """SELECT n_regionkey,

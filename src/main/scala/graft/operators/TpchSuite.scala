@@ -30,12 +30,9 @@ import graft.Tables._
   */
 object TpchSuite {
 
-  // Same precision discipline as Relational: (12,2) x (7,4) -> (20,6),
-  // summed exactly, cast to double once at the end.
-  private def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
-  private def dec4(c: Column): Column = c.cast(DecimalType(6, 4))
-  private val one: Column = lit(1).cast(DecimalType(2, 0))
-  private def ts(s: String): Column = lit(s).cast(TimestampType)
+  import Money.{dec2, dec4, one, ts}
+
+  // Exact discounted revenue, summed before one final double cast.
   private def volume: Column =
     dec2(col("l_extendedprice")) * (one - dec4(col("l_discount")))
 
@@ -64,8 +61,9 @@ object TpchSuite {
         .select(col("s_acctbal"), col("s_name"), col("n_name"),
           col("p_partkey"), col("p_name"),
           col("l_extendedprice").as("min_price"))
-        // every output column participates in the sort, so the LIMIT
-        // boundary is deterministic even under ties
+        // the LIMIT boundary is deterministic: p_name (the one output
+        // column not in the sort) is functionally dependent on p_partkey,
+        // so rows tying on all five sort keys are fully identical
         .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
           col("p_partkey"), col("min_price"))
         .limit(100)
