@@ -22,6 +22,35 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingOps {
 
+  /** Incremental catch-up ingestion: process exactly the files that
+    * arrived in `srcDir` since the last run (tracked by the checkpoint),
+    * apply the corpus-stats transform, append to `outDir`, then STOP —
+    * `Trigger.AvailableNow` drains whatever is available and terminates.
+    * This is the scheduled-job pattern for continuous corpus ingestion at
+    * scale: each invocation is a bounded batch with streaming exactly-once
+    * bookkeeping (file-source log + sink commit log), so a crashed or
+    * re-run job never double-ingests and never skips.
+    *
+    * Returns the number of rows in `outDir` after the run (for callers /
+    * specs; the data path never touches the driver).
+    */
+  def incrementalIngest(spark: SparkSession, srcDir: String,
+                        schema: org.apache.spark.sql.types.StructType,
+                        checkpointDir: String, outDir: String): Long = {
+    val q = spark.readStream
+      .schema(schema)
+      .parquet(srcDir)
+      .transform(graft.operators.TextAnalysis.stats)
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir).count()
+  }
+
   /** Tumbling event-time window counts with a watermark. Late rows beyond
     * the watermark are dropped; state for closed windows is evicted.
     */

@@ -316,6 +316,32 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("incrementalIngest: AvailableNow processes only new files, exactly once") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_incr").toString
+    val (src, ckpt, out) = (s"$base/src", s"$base/ckpt", s"$base/out")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+
+    // run 1: two docs arrive
+    Seq((1L, "the quick brown fox"), (2L, "jumps over the lazy dog"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
+    assert(StreamingOps.incrementalIngest(s, src, schema, ckpt, out) === 2L)
+
+    // run 2: one NEW doc — checkpoint resume must ingest only it
+    Seq((3L, "a third document arrives later"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
+    assert(StreamingOps.incrementalIngest(s, src, schema, ckpt, out) === 3L)
+    // the new doc is present exactly once, with the stats transform applied
+    val r3 = s.read.parquet(out).where(col("doc_id") === 3L).collect()
+    assert(r3.length === 1 && r3(0).getAs[Int]("n_tokens") === 5, r3.mkString(","))
+
+    // run 3: nothing new — a re-run must be a no-op (no double ingestion)
+    assert(StreamingOps.incrementalIngest(s, src, schema, ckpt, out) === 3L)
+  }
+
   test("textStatsStream applies the batch stats transform to a stream") {
     val s = spark
     import s.implicits._
