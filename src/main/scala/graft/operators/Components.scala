@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables._
+
+/** Cluster formation over the near-dup pair graph — the step a real dedup
+  * pipeline runs AFTER pair generation: near-dup pairs (Dedup.minhashPairs)
+  * are edges of a graph whose connected components are the duplicate
+  * clusters; the pipeline then keeps one representative per cluster. The
+  * reference has nothing in this category (SURVEY.md §2.5); this is a
+  * north-star extension.
+  *
+  * Algorithm: iterative min-label propagation with pointer jumping.
+  * Each round does
+  *
+  *   1. propagate:  L(v) := min(L(v), min over neighbors u of L(u))
+  *                  — one equi-join of the label table with the (src, dst)
+  *                  edge table, then one map-side-combined min() aggregate;
+  *   2. jump:       L(v) := L(L(v))
+  *                  — one self-join of the label table (every label IS a
+  *                  node id, so the join is total).
+  *
+  * Propagation alone needs O(diameter) rounds (a 10^4-node path would take
+  * 10^4 shuffles); the jump step doubles the distance a small label has
+  * travelled per round, giving O(log n) rounds on any topology — the same
+  * bound as the large-star/small-star algorithm (Kiveris et al., "Connected
+  * Components in MapReduce and Beyond", SOCC'14) with a simpler per-round
+  * plan. Per round: two shuffles on node id, both map-side combined, no
+  * driver-side data (convergence is detected from a 1-row sum aggregate —
+  * labels only ever decrease, so the label-sum is strictly monotone until
+  * the fixpoint).
+  *
+  * The intermediate label table is persisted each round and the previous
+  * one released — at 100 TB each round's labels are (id, cc) pairs only,
+  * orders of magnitude smaller than the documents they index.
+  */
+object Components {
+
+  /** Connected components of an undirected graph.
+    *
+    * @param nodes single-column DataFrame of node ids (any integral type)
+    * @param edges two-column DataFrame of undirected edges; endpoints
+    *              should be node ids (extra endpoints join in as nodes)
+    * @return (id, cc) — cc is the minimum node id of the component,
+    *         deterministic regardless of round count or partitioning
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                          maxRounds: Int = 50): DataFrame = {
+    val e = edges.toDF("src", "dst")
+    val und = e.union(e.select(col("dst"), col("src"))).persist()
+    var labels = nodes.toDF("id").select(col("id"), col("id").as("cc")).persist()
+    // Exact (decimal) label sum: the convergence metric. Option-wrapped so
+    // an empty node set (null sum) still compares cleanly.
+    def labelSum(df: DataFrame): Option[BigDecimal] =
+      Option(df.agg(sum(col("cc").cast(DecimalType(38, 0)))).head.getDecimal(0))
+        .map(BigDecimal(_))
+    var prev = labelSum(labels)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val prop = labels.join(und, labels("id") === und("src"))
+        .select(und("dst").as("id"), col("cc"))
+      val m = labels.union(prop).groupBy("id").agg(min("cc").as("cc")).persist()
+      // pointer jump; y.cc = L(L(v)) <= L(v) by the monotone invariant,
+      // least() keeps that explicit rather than implied
+      val next = m.as("x").join(m.as("y"), col("x.cc") === col("y.id"))
+        .select(col("x.id").as("id"), least(col("x.cc"), col("y.cc")).as("cc"))
+        .persist()
+      val cur = labelSum(next)
+      m.unpersist()
+      labels.unpersist()
+      labels = next
+      converged = cur == prev
+      prev = cur
+      rounds += 1
+    }
+    und.unpersist()
+    require(converged, s"connectedComponents: not converged after $maxRounds rounds")
+    labels
+  }
+
+  /** (doc_id, component_id) over the minhash near-dup graph — doc ids
+    * sharing an LSH-verified pair (est. Jaccard >= 0.5) land in one
+    * component; everything else is a singleton.
+    */
+  def nearDupComponents(s: SparkSession, d: String): DataFrame =
+    connectedComponents(
+      documents(s, d).select("doc_id"),
+      Dedup.minhashPairs(s, d).select("doc_a", "doc_b"))
+      .toDF("doc_id", "component_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Full doc -> duplicate-cluster mapping (singletons map to themselves).
+    "dedup_components" -> { (s, d) =>
+      nearDupComponents(s, d).orderBy("doc_id")
+    },
+
+    // The near-dedup keep set: one representative per cluster — the
+    // HIGHEST-quality member (tie-break: smallest doc_id), not an arbitrary
+    // one — plus the cluster size. This is the corpus a training pipeline
+    // actually emits after near-dedup. Both window functions share one
+    // shuffle on component_id.
+    "dedup_cluster_keep" -> { (s, d) =>
+      val docs = documents(s, d).select("doc_id", "text")
+      val quality = TextAnalysis.stats(docs).select("doc_id", "quality_score")
+      val byComponent = Window.partitionBy("component_id")
+      val ranked = byComponent.orderBy(desc("quality_score"), asc("doc_id"))
+      nearDupComponents(s, d)
+        .join(quality, "doc_id")
+        .withColumn("rn", row_number().over(ranked))
+        .withColumn("n_docs", count(lit(1)).over(byComponent))
+        .where(col("rn") === 1)
+        .select(col("component_id"), col("doc_id").as("keep_doc_id"),
+          col("n_docs"), col("quality_score"))
+        .orderBy("component_id")
+    }
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  /** CTE list (no WITH keyword): minhash pairs -> undirected edges ->
+    * recursive reachability -> cc(doc_id, component_id). Must be prefixed
+    * with WITH RECURSIVE by the consuming query.
+    */
+  private def ccCtes: String =
+    s"""${Dedup.sigCtes("documents")},
+       |pairs AS (${Dedup.minhashPairsSqlSelect}),
+       |und AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach AS (SELECT doc_id AS id, doc_id AS cc FROM documents
+       |          UNION
+       |          SELECT u.dst, r.cc FROM reach r JOIN und u ON u.src = r.id),
+       |cc AS (SELECT id AS doc_id, min(cc) AS component_id FROM reach GROUP BY id)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_components" ->
+      s"""WITH RECURSIVE $ccCtes
+         |SELECT doc_id, component_id FROM cc ORDER BY doc_id""".stripMargin,
+
+    "dedup_cluster_keep" ->
+      s"""WITH RECURSIVE $ccCtes,
+         |qtok AS (SELECT doc_id, text, ${TextHash.toksSql("text")} AS t FROM documents),
+         |qual AS (SELECT doc_id, ${TextAnalysis.qualitySql("t", "text")} AS quality_score FROM qtok),
+         |ranked AS (SELECT cc.component_id, cc.doc_id, q.quality_score,
+         |    row_number() OVER (PARTITION BY cc.component_id
+         |                       ORDER BY q.quality_score DESC, cc.doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY cc.component_id) AS n_docs
+         |  FROM cc JOIN qual q USING (doc_id))
+         |SELECT component_id, doc_id AS keep_doc_id, n_docs, quality_score
+         |FROM ranked WHERE rn = 1 ORDER BY component_id""".stripMargin
+  )
+}
