@@ -52,25 +52,37 @@ object Components {
                           maxRounds: Int = 50): DataFrame = {
     val e = edges.toDF("src", "dst")
     val und = e.union(e.select(col("dst"), col("src"))).persist()
-    var labels = nodes.toDF("id").select(col("id"), col("id").as("cc")).persist()
-    // Exact (decimal) label sum: the convergence metric. Option-wrapped so
-    // an empty node set (null sum) still compares cleanly.
-    def labelSum(df: DataFrame): Option[BigDecimal] =
-      Option(df.agg(sum(col("cc").cast(DecimalType(38, 0)))).head.getDecimal(0))
-        .map(BigDecimal(_))
-    var prev = labelSum(labels)
+    // Edge endpoints outside `nodes` join in as nodes (docstring contract);
+    // und carries both directions, so src alone covers every endpoint.
+    var labels = nodes.toDF("id").union(und.select(col("src").as("id")))
+      .distinct().select(col("id"), col("id").as("cc")).persist()
+    // Convergence metric: exact (row count, decimal label sum). The node set
+    // is fixed after initialization and labels only ever decrease, so the
+    // pair is strictly monotone until the fixpoint; comparing the pair (not
+    // the sum alone) rules out an added-row increase masking a decrease.
+    def state(df: DataFrame): (Long, Option[BigDecimal]) = {
+      val r = df.agg(count(lit(1)), sum(col("cc").cast(DecimalType(38, 0)))).head
+      (r.getLong(0), Option(r.getDecimal(1)).map(BigDecimal(_)))
+    }
+    var prev = state(labels)
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
-      val prop = labels.join(und, labels("id") === und("src"))
-        .select(und("dst").as("id"), col("cc"))
+      // alias-qualified: labels' lineage contains und from round 2 on, so an
+      // unaliased labels("id") === und("src") is an ambiguous self-join
+      val prop = labels.as("l").join(und.as("e"), col("l.id") === col("e.src"))
+        .select(col("e.dst").as("id"), col("l.cc").as("cc"))
       val m = labels.union(prop).groupBy("id").agg(min("cc").as("cc")).persist()
       // pointer jump; y.cc = L(L(v)) <= L(v) by the monotone invariant,
-      // least() keeps that explicit rather than implied
+      // least() keeps that explicit rather than implied.
+      // localCheckpoint (eager) truncates lineage: the self-join doubles the
+      // logical plan per round, so without truncation the planner goes
+      // exponential (OOMs around round 12). On a cluster the same call uses
+      // executor-local storage; a reliable checkpoint dir is the HA variant.
       val next = m.as("x").join(m.as("y"), col("x.cc") === col("y.id"))
         .select(col("x.id").as("id"), least(col("x.cc"), col("y.cc")).as("cc"))
-        .persist()
-      val cur = labelSum(next)
+        .localCheckpoint()
+      val cur = state(next)
       m.unpersist()
       labels.unpersist()
       labels = next
