@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import TextHash._
+
+/** Trained k-means (Lloyd iterations) over the `embeddings` fixture — the
+  * trainer that produces the centroids `Similarity`'s IVF index consumes
+  * (Similarity.scala:106-118 deliberately uses seeded centroids so the
+  * plumbing is oracle-able; this is the training side, made oracle-able
+  * too). The reference has nothing in this category (SURVEY.md §2.5).
+  *
+  * Per Lloyd round, the 100 TB shape:
+  *
+  *   1. assign: centroids (k rows — model state, not data) are BROADCAST
+  *      against the corpus; dist2(x,c) = x·x − 2·x·c + c·c with x·x
+  *      precomputed once per vector. Argmin via a map-side-combinable
+  *      min(struct(dist2, cid)) — the corpus is never shuffled, only the
+  *      k-row aggregate stream.
+  *   2. update: posexplode to (cid, dim, value), one map-side-combined
+  *      sum/count per (cid, dim) — k·dim output rows — then reassembled
+  *      into centroid arrays. No collect(): centroids stay a DataFrame
+  *      end-to-end; localCheckpoint truncates the per-round lineage (the
+  *      same planner-blowup fix as Components.connectedComponents).
+  *
+  * Cross-engine determinism (everything hash-matches DuckDB):
+  *   - centroid means go through FIXED-POINT accumulation: each component
+  *     is scaled to a 1e-9-granularity long (round(v·1e9)), summed exactly
+  *     as integers, and divided back in two IEEE double divisions — the
+  *     usual float-mean nondeterminism (partial-agg order) is gone by
+  *     construction;
+  *   - distances are sequential double folds (TextHash.dot) of identical
+  *     operands — bit-equal in both engines;
+  *   - argmin ties break on the smaller centroid id;
+  *   - output dist2 is clamped at 0 before rounding: a vector that IS its
+  *     (singleton) centroid can produce dist2 ≈ −1e−16, which rounds to
+  *     −0.0 in one engine and +0.0 in the other.
+  */
+object Clustering {
+
+  val Dim = 64
+  val K = 8
+  val Rounds = 2
+  private val Fix = 1e9 // centroid fixed-point scale
+  private val DistFix = 1e6 // mean-dist2 fixed-point scale
+
+  /** `rounds` Lloyd iterations from deterministic seeds (vectors 0..K-1).
+    * Returns (final assignment (vec_id, cid, dist2, x), final centroids
+    * (cid, c)). The assignment is the one computed against the
+    * PRE-update centroids of the last round, matching the unrolled oracle.
+    */
+  def lloyd(s: SparkSession, d: String, rounds: Int = Rounds): (DataFrame, DataFrame) = {
+    graft.Graft.init(s)
+    val e = embeddings(s, d).select(col("vec_id"), toDouble(col("embedding")).as("x"))
+    val x2 = e.withColumn("xx", dot(col("x"), col("x")))
+    var cents = e.where(col("vec_id") < K)
+      .select(col("vec_id").as("cid"), col("x").as("c"))
+      .localCheckpoint()
+    var assign: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val cc = cents.select(col("cid"), col("c"), dot(col("c"), col("c")).as("cc"))
+      assign = x2.crossJoin(broadcast(cc))
+        .withColumn("dist2", col("xx") - lit(2.0) * dot(col("x"), col("c")) + col("cc"))
+        .groupBy("vec_id")
+        // min(struct) = (dist2 asc, cid asc) argmin; first(x) is safe —
+        // every row in the group carries the same x
+        .agg(min(struct(col("dist2"), col("cid"))).as("m"), first(col("x")).as("x"))
+        .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist2").as("dist2"), col("x"))
+      cents = assign
+        .select(col("cid"), posexplode(col("x")).as(Seq("pos", "v")))
+        .withColumn("v9", round(col("v") * lit(Fix)).cast("long"))
+        .groupBy("cid", "pos")
+        .agg(sum("v9").as("s9"), count(lit(1)).as("n"))
+        .withColumn("cj", col("s9").cast("double") / col("n").cast("double") / lit(Fix))
+        .groupBy("cid")
+        .agg(collect_list(struct(col("pos"), col("cj"))).as("pc"))
+        .select(col("cid"), transform(array_sort(col("pc")), t => t.getField("cj")).as("c"))
+        .localCheckpoint()
+    }
+    (assign, cents)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Final-round assignment: vector -> trained cluster + distance².
+    "kmeans_assign" -> { (s, d) =>
+      val (assign, _) = lloyd(s, d)
+      assign.select(col("vec_id"), col("cid").as("cluster"),
+        round(greatest(col("dist2"), lit(0.0)), 6).as("dist2"))
+        .orderBy("vec_id")
+    },
+
+    // Cluster audit: sizes, trained-centroid norms, mean within-cluster
+    // dist² (fixed-point sum — double summation order is partition-
+    // dependent; scaled-long summation is exact and associative).
+    "kmeans_sizes" -> { (s, d) =>
+      val (assign, cents) = lloyd(s, d)
+      val sizes = assign.groupBy("cid").agg(
+        count(lit(1)).as("n_vecs"),
+        sum(round(greatest(col("dist2"), lit(0.0)) * lit(DistFix)).cast("long")).as("s6"))
+      sizes
+        .join(cents.select(col("cid"),
+          round(dot(col("c"), col("c")), 6).as("centroid_norm2")), "cid")
+        .select(col("cid").as("cluster"), col("n_vecs"), col("centroid_norm2"),
+          (col("s6").cast("double") / col("n_vecs").cast("double") / lit(DistFix))
+            .as("mean_dist2"))
+        .orderBy("cluster")
+    }
+  )
+
+  // -------------------------------------------------------------- oracles
+
+  /** Unrolled Lloyd rounds as DuckDB CTEs: c0 = seed centroids; per round
+    * r, d_r (distances) -> a_r (argmin assignment) -> u_r/g_r (fixed-point
+    * per-dim sums) -> c_r (reassembled centroids).
+    */
+  private def lloydCtes(rounds: Int): String = {
+    val sb = new StringBuilder(
+      s"""e AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x FROM embeddings),
+         |x2 AS (SELECT vec_id, x, ${dotSql("x", "x", Dim)} AS xx FROM e),
+         |c0 AS (SELECT vec_id AS cid, x AS c FROM e WHERE vec_id < $K)""".stripMargin)
+    for (r <- 1 to rounds) {
+      val p = r - 1
+      sb.append(
+        s""",
+           |d$r AS (SELECT v.vec_id, v.x, c.cid,
+           |    v.xx - 2 * ${dotSql("v.x", "c.c", Dim)} + ${dotSql("c.c", "c.c", Dim)} AS dist2
+           |  FROM x2 v CROSS JOIN c$p c),
+           |a$r AS (SELECT vec_id, x, cid, dist2 FROM
+           |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn FROM d$r)
+           |  WHERE rn = 1),
+           |u$r AS (SELECT cid, unnest(range(1, ${Dim + 1})) AS pos,
+           |    unnest(list_transform(x, v -> CAST(round(v * 1000000000.0) AS BIGINT))) AS v9
+           |  FROM a$r),
+           |g$r AS (SELECT cid, pos, CAST(sum(v9) AS BIGINT) AS s9, count(*) AS n
+           |  FROM u$r GROUP BY cid, pos),
+           |c$r AS (SELECT cid,
+           |    list(CAST(s9 AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000.0 ORDER BY pos) AS c
+           |  FROM g$r GROUP BY cid)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  val oracles: Map[String, String] = Map(
+    "kmeans_assign" ->
+      s"""WITH ${lloydCtes(Rounds)}
+         |SELECT vec_id, cid AS cluster, round(greatest(dist2, 0.0), 6) AS dist2
+         |FROM a$Rounds ORDER BY vec_id""".stripMargin,
+
+    "kmeans_sizes" ->
+      s"""WITH ${lloydCtes(Rounds)},
+         |s1 AS (SELECT cid, count(*) AS n_vecs,
+         |    CAST(sum(CAST(round(greatest(dist2, 0.0) * 1000000.0) AS BIGINT)) AS BIGINT) AS s6
+         |  FROM a$Rounds GROUP BY cid)
+         |SELECT s1.cid AS cluster, n_vecs, round(${dotSql("c.c", "c.c", Dim)}, 6) AS centroid_norm2,
+         |  CAST(s6 AS DOUBLE) / CAST(n_vecs AS DOUBLE) / 1000000.0 AS mean_dist2
+         |FROM s1 JOIN c$Rounds c ON s1.cid = c.cid ORDER BY cluster""".stripMargin
+  )
+}

@@ -1,0 +1,392 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import TextHash._
+
+/** Corpus-preparation pack — the operations a large-scale training-data
+  * pipeline runs between raw ingestion and dedup/packing. The reference has
+  * nothing in this category (SURVEY.md §2.5); these are north-star
+  * extensions, each built for the 100 TB shape:
+  *
+  *   - TF-IDF term weighting: two map-side-combined aggregations (tf on
+  *     (doc, term), df on term) + a broadcast join of the vocabulary —
+  *     the corpus is never shuffled twice on the same key.
+  *   - Sequence packing (concat-and-chunk): the standard LLM pretraining
+  *     step — documents are concatenated IN ORDER within a shard and cut
+  *     into fixed token-budget chunks. Packing is inherently sequential,
+  *     so it is computed per `source` shard (window partitioned by source,
+  *     never a global single-partition sort — that is the scale trap).
+  *   - Benchmark-contamination check: shingle inverted-index semi-join of
+  *     the corpus against a (small, broadcast) benchmark shingle set.
+  *   - PII redaction: pure per-row regexp scrubbing, no shuffle.
+  *   - Deterministic hash sampling (plain + per-language stratified):
+  *     md5-keyed so re-runs, retries, and the DuckDB oracle all select the
+  *     exact same rows — seeded `rand()` is NOT reproducible across
+  *     engines or even across Spark partitionings.
+  *   - Heavy hitters + shingle inverted index: vocabulary-sized outputs
+  *     from corpus-sized inputs, both map-side combined.
+  *
+  * Everything bottoms out in md5 (TextHash) or integer arithmetic so the
+  * DuckDB oracle reproduces results bit-for-bit; doubles only ever come
+  * from single IEEE divisions / multiplications of identical operands
+  * (deterministic), with round(,6) applied where a transcendental (ln in
+  * TF-IDF) could differ in the last ulp across libm implementations.
+  */
+object Corpus {
+
+  /** TF-IDF top terms kept per document. */
+  val TopTerms = 3
+
+  /** Packing token budget per chunk. Power of two on purpose: cumulative
+    * token counts are exact longs, and long/2^k double division is exact,
+    * so floor() agrees bit-for-bit across engines.
+    */
+  val ChunkTokens = 256L
+
+  /** doc_id % BenchMod == 0 selects the fixture's "benchmark" subset. */
+  val BenchMod = 50
+
+  /** Shingle-overlap ratio at or above which a non-benchmark doc is
+    * flagged contaminated.
+    */
+  val ContamThreshold = 0.5
+
+  /** Salt for deterministic sampling — changing it draws an independent
+    * sample (the md5 analog of a new seed).
+    */
+  val SampleSalt = "graft-s1:"
+
+  /** Per-language keep thresholds (out of 1000) for stratified sampling:
+    * downsample the dominant language, keep more of the rare ones.
+    */
+  val strataRates: Seq[(String, Int)] =
+    Seq("en" -> 50, "de" -> 200, "es" -> 200, "fr" -> 200, "zh" -> 500)
+  val DefaultRate = 100
+
+  // ------------------------------------------------------------------ pii
+
+  // Patterns stay inside the RE2 ∩ java.util.regex common subset (no
+  // lookaround/backrefs) so Spark and DuckDB match identically.
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val SsnRe = "\\d{3}-\\d{2}-\\d{4}"
+  val PhoneRe = "\\+1-555-\\d{4}"
+
+  /** The fixture's word-soup docs carry no natural PII, so the query plants
+    * deterministic PII on a doc_id-keyed subset (emails on %3, phones on
+    * %4, SSNs on %5) — redaction is verified non-vacuously and the oracle
+    * synthesizes the identical text.
+    */
+  private def withPlantedPii: Column = {
+    val id4 = lpad((col("doc_id") % 10000).cast("string"), 4, "0")
+    concat(
+      col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com"))).otherwise(lit("")),
+      when(col("doc_id") % 4 === 0,
+        concat(lit(" call +1-555-"), id4)).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" ssn 123-45-"), id4)).otherwise(lit("")))
+  }
+
+  private def plantedPiiSql: String = {
+    val id4 = "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    s"""text ||
+       |  CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END ||
+       |  CASE WHEN doc_id % 4 = 0 THEN ' call +1-555-' || $id4 ELSE '' END ||
+       |  CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-' || $id4 ELSE '' END""".stripMargin
+  }
+
+  /** Chain-redact a text column: email -> SSN -> phone. Order matters only
+    * for overlapping matches (there are none among these patterns); fixed
+    * anyway so both engines agree by construction.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        SsnRe, "<SSN>"),
+      PhoneRe, "<PHONE>")
+
+  private def redactPiiSql(x: String): String =
+    s"regexp_replace(regexp_replace(regexp_replace($x, '$EmailRe', '<EMAIL>', 'g'), " +
+      s"'$SsnRe', '<SSN>', 'g'), '$PhoneRe', '<PHONE>', 'g')"
+
+  // ------------------------------------------------------------- sampling
+
+  /** Deterministic per-row sample key in [0, 1000): 60-bit md5 of
+    * salt:doc_id:text, mod 1000. Uniform enough for rate control, exactly
+    * reproducible everywhere.
+    */
+  def sampleKey(docId: Column, text: Column): Column =
+    h60(concat(lit(SampleSalt), docId.cast("string"), lit(":"), text)) % 1000
+
+  private def sampleKeySql: String =
+    s"${h60Sql(s"'$SampleSalt' || CAST(doc_id AS VARCHAR) || ':' || text")} % 1000"
+
+  private def strataThreshold: Column =
+    strataRates.foldRight(lit(DefaultRate): Column) { case ((l, t), els) =>
+      when(col("lang") === l, lit(t)).otherwise(els)
+    }
+
+  private def strataThresholdSql: String =
+    strataRates.foldRight(DefaultRate.toString) { case ((l, t), els) =>
+      s"CASE WHEN lang = '$l' THEN $t ELSE $els END"
+    }
+
+  // -------------------------------------------------------------- queries
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TF-IDF top-3 terms per document. tf aggregates on (doc_id, term)
+    // (map-side combined), df on term; the vocabulary relation (31 rows
+    // here, vocab-sized always) is broadcast back onto tf — the corpus
+    // shuffles once. idf = ln((N+1)/(df+1)) + 1 (smoothed); tfidf rounded
+    // to 6 dp BEFORE ranking so both engines rank identical values
+    // (term-asc tie-break makes the top-3 cut deterministic).
+    "tfidf_top_terms" -> { (s, d) =>
+      val docs = documents(s, d).select("doc_id", "text")
+      val tok = docs.select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val total = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("term"))
+      tf.join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(total))
+        .withColumn("tfidf",
+          round(col("tf") * (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1.0), 6))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= TopTerms)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rnk")
+        .orderBy("doc_id", "rnk")
+    },
+
+    // Concat-and-chunk sequence packing: per source shard, documents are
+    // laid out in doc_id order and cut into ChunkTokens-token chunks; each
+    // doc reports the chunk span it lands in. The window is PARTITIONED BY
+    // source — packing parallelizes across shards; a global ORDER BY
+    // window would serialize the corpus through one partition.
+    "pack_chunks" -> { (s, d) =>
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(toks(col("text"))).cast("long").as("n_tok"))
+        .withColumn("tok_before", coalesce(sum("n_tok").over(w), lit(0L)))
+        .withColumn("chunk_start", floor(col("tok_before") / lit(ChunkTokens.toDouble)))
+        .withColumn("chunk_end",
+          floor((col("tok_before") + col("n_tok") - 1) / lit(ChunkTokens.toDouble)))
+        .withColumn("n_chunks", col("chunk_end") - col("chunk_start") + 1)
+        .orderBy("source", "doc_id")
+    },
+
+    // Chunk-level utilization: explode each doc's chunk span, compute the
+    // exact token contribution per (doc, chunk) with integer boundary
+    // arithmetic, aggregate per chunk. Every chunk but the last per shard
+    // must hold exactly ChunkTokens tokens — the invariant the spec locks.
+    "pack_chunk_stats" -> { (s, d) =>
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val b = lit(ChunkTokens)
+      documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(toks(col("text"))).cast("long").as("n_tok"))
+        .withColumn("tok_before", coalesce(sum("n_tok").over(w), lit(0L)))
+        .withColumn("chunk_start", floor(col("tok_before") / lit(ChunkTokens.toDouble)))
+        .withColumn("chunk_end",
+          floor((col("tok_before") + col("n_tok") - 1) / lit(ChunkTokens.toDouble)))
+        .withColumn("chunk_id", explode(sequence(col("chunk_start"), col("chunk_end"))))
+        .withColumn("tok_in_chunk",
+          least((col("chunk_id") + 1) * b, col("tok_before") + col("n_tok"))
+            - greatest(col("chunk_id") * b, col("tok_before")))
+        .groupBy("source", "chunk_id")
+        .agg(count(lit(1)).as("n_docs"), sum("tok_in_chunk").as("n_tokens"))
+        .orderBy("source", "chunk_id")
+    },
+
+    // Benchmark contamination: fraction of each doc's distinct 3-shingles
+    // that appear in the benchmark subset (doc_id % 50 == 0 stands in for
+    // an eval suite). The benchmark shingle set is benchmark-sized ->
+    // broadcast; the corpus side streams through the semi-join probe.
+    "contamination_check" -> { (s, d) =>
+      val docs = documents(s, d).select("doc_id", "text")
+      val sh = shingleRows(docs).distinct()
+      val benchSh = sh.where(col("doc_id") % BenchMod === 0)
+        .select("sh").distinct().withColumn("_hit", lit(1))
+      sh.join(broadcast(benchSh), Seq("sh"), "left_outer")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(coalesce(col("_hit"), lit(0))).as("n_overlap"))
+        .withColumn("overlap_ratio",
+          round(col("n_overlap").cast("double") / col("n_shingles"), 6))
+        .withColumn("is_benchmark", col("doc_id") % BenchMod === 0)
+        .withColumn("contaminated",
+          col("overlap_ratio") >= ContamThreshold && !col("is_benchmark"))
+        .orderBy("doc_id")
+    },
+
+    // PII redaction: per-row regexp scrub (email/SSN/phone) with match
+    // counts taken BEFORE redaction. Pure projection — no shuffle, stays
+    // in whole-stage codegen.
+    "pii_redact" -> { (s, d) =>
+      documents(s, d).select(col("doc_id"), withPlantedPii.as("_pii"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("_pii"), lit(EmailRe), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("_pii"), lit(SsnRe), lit(0))).as("n_ssns"),
+          size(regexp_extract_all(col("_pii"), lit(PhoneRe), lit(0))).as("n_phones"),
+          redactPii(col("_pii")).as("redacted"))
+        .orderBy("doc_id")
+    },
+
+    // Deterministic 10% sample: md5-keyed row filter — reproducible across
+    // engines, retries, and partitionings (rand(seed) is none of those).
+    "sample_hash_10pct" -> { (s, d) =>
+      documents(s, d)
+        .where(sampleKey(col("doc_id"), col("text")) < 100)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    },
+
+    // Stratified sampling audit: per-language kept counts under per-lang
+    // thresholds. One map-side-combined aggregation over the corpus.
+    "sample_stratified" -> { (s, d) =>
+      documents(s, d)
+        .withColumn("_k", sampleKey(col("doc_id"), col("text")))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("_k") < strataThreshold, 1L).otherwise(0L)).as("n_kept"))
+        .withColumn("kept_ratio", round(col("n_kept").cast("double") / col("n_total"), 6))
+        .orderBy("lang")
+    },
+
+    // Exact heavy hitters: top-20 tokens by corpus frequency with corpus
+    // share. Token counts are vocab-sized after the map-side combine; the
+    // 1-row total is broadcast back.
+    "tokens_heavy_hitters" -> { (s, d) =>
+      val tok = documents(s, d)
+        .select(explode(toks(col("text"))).as("term"))
+      val counts = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+      val total = tok.agg(count(lit(1)).as("total"))
+      counts.crossJoin(broadcast(total))
+        .withColumn("share", round(col("cnt").cast("double") / col("total"), 6))
+        .orderBy(desc("cnt"), asc("term"))
+        .limit(20)
+        .select("term", "cnt", "share")
+    },
+
+    // Shingle inverted index: posting lists (sorted doc_id arrays) for
+    // every 3-shingle shared by >= 2 docs — the direct index behind the
+    // n-gram dedup join. Map-side-combined aggregation; output is
+    // index-sized (distinct shingles), not corpus-sized.
+    "inverted_shingle_index" -> { (s, d) =>
+      val sh = shingleRows(documents(s, d).select("doc_id", "text")).distinct()
+      sh.groupBy("sh")
+        .agg(count(lit(1)).as("df"),
+          sort_array(collect_list(col("doc_id"))).as("doc_ids"))
+        .where(col("df") >= 2)
+        .orderBy("sh")
+    }
+  )
+
+  // -------------------------------------------------------------- oracles
+
+  private def tokCte =
+    s"tok AS (SELECT doc_id, source, ${toksSql("text")} AS tt FROM documents)"
+
+  private def shCte =
+    s"""t AS (SELECT doc_id, ${toksSql("text")} AS tt FROM documents),
+       |s AS (SELECT DISTINCT doc_id, unnest(${shingles3Sql("tt")}) AS sh FROM t)""".stripMargin
+
+  private def packCte =
+    s"""$tokCte,
+       |c AS (SELECT doc_id, source, CAST(len(tt) AS BIGINT) AS n_tok,
+       |  CAST(COALESCE(sum(len(tt)) OVER (PARTITION BY source ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_before
+       |  FROM tok),
+       |p AS (SELECT doc_id, source, n_tok, tok_before,
+       |  CAST(floor(tok_before / $ChunkTokens.0) AS BIGINT) AS chunk_start,
+       |  CAST(floor((tok_before + n_tok - 1) / $ChunkTokens.0) AS BIGINT) AS chunk_end
+       |  FROM c)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "tfidf_top_terms" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(${toksSql("text")}) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (SELECT doc_id, term, tf, df,
+         |    round(tf * (ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) + 1.0), 6) AS tfidf
+         |  FROM tf JOIN df USING (term) CROSS JOIN n),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY tfidf DESC, term) AS INTEGER) AS rnk FROM scored)
+         |SELECT doc_id, term, tf, df, tfidf, rnk FROM r
+         |WHERE rnk <= $TopTerms ORDER BY doc_id, rnk""".stripMargin,
+
+    "pack_chunks" ->
+      s"""WITH $packCte
+         |SELECT doc_id, source, n_tok, tok_before, chunk_start, chunk_end,
+         |  chunk_end - chunk_start + 1 AS n_chunks
+         |FROM p ORDER BY source, doc_id""".stripMargin,
+
+    "pack_chunk_stats" ->
+      s"""WITH $packCte,
+         |x AS (SELECT source, unnest(range(chunk_start, chunk_end + 1)) AS chunk_id,
+         |    n_tok, tok_before FROM p),
+         |y AS (SELECT source, chunk_id,
+         |    least((chunk_id + 1) * $ChunkTokens, tok_before + n_tok)
+         |      - greatest(chunk_id * $ChunkTokens, tok_before) AS tok_in_chunk
+         |  FROM x)
+         |SELECT source, chunk_id, count(*) AS n_docs,
+         |  CAST(sum(tok_in_chunk) AS BIGINT) AS n_tokens
+         |FROM y GROUP BY source, chunk_id ORDER BY source, chunk_id""".stripMargin,
+
+    "contamination_check" ->
+      s"""WITH $shCte,
+         |b AS (SELECT DISTINCT sh FROM s WHERE doc_id % $BenchMod = 0),
+         |j AS (SELECT s.doc_id, count(*) AS n_shingles,
+         |    CAST(sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+         |  FROM s LEFT JOIN b ON s.sh = b.sh GROUP BY s.doc_id)
+         |SELECT doc_id, n_shingles, n_overlap,
+         |  round(CAST(n_overlap AS DOUBLE) / n_shingles, 6) AS overlap_ratio,
+         |  doc_id % $BenchMod = 0 AS is_benchmark,
+         |  (round(CAST(n_overlap AS DOUBLE) / n_shingles, 6) >= $ContamThreshold
+         |    AND doc_id % $BenchMod <> 0) AS contaminated
+         |FROM j ORDER BY doc_id""".stripMargin,
+
+    "pii_redact" ->
+      s"""WITH p AS (SELECT doc_id, ${plantedPiiSql} AS pii FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(pii, '$EmailRe')) AS INTEGER) AS n_emails,
+         |  CAST(len(regexp_extract_all(pii, '$SsnRe')) AS INTEGER) AS n_ssns,
+         |  CAST(len(regexp_extract_all(pii, '$PhoneRe')) AS INTEGER) AS n_phones,
+         |  ${redactPiiSql("pii")} AS redacted
+         |FROM p ORDER BY doc_id""".stripMargin,
+
+    "sample_hash_10pct" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE $sampleKeySql < 100 ORDER BY doc_id""".stripMargin,
+
+    "sample_stratified" ->
+      s"""WITH k AS (SELECT lang, $sampleKeySql AS kk FROM documents)
+         |SELECT lang, count(*) AS n_total,
+         |  CAST(sum(CASE WHEN kk < $strataThresholdSql THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  round(CAST(sum(CASE WHEN kk < $strataThresholdSql THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS kept_ratio
+         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "tokens_heavy_hitters" ->
+      s"""WITH tok AS (SELECT unnest(${toksSql("text")}) AS term FROM documents),
+         |c AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+         |t AS (SELECT count(*) AS total FROM tok)
+         |SELECT term, cnt, round(CAST(cnt AS DOUBLE) / total, 6) AS share
+         |FROM c CROSS JOIN t ORDER BY cnt DESC, term LIMIT 20""".stripMargin,
+
+    "inverted_shingle_index" ->
+      s"""WITH $shCte
+         |SELECT sh, count(*) AS df, list_sort(list(doc_id)) AS doc_ids
+         |FROM s GROUP BY sh HAVING count(*) >= 2 ORDER BY sh""".stripMargin
+  )
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Clustering
+
+/** Lloyd k-means: agreement with a local reference implementation on the
+  * fixture (the strongest signal — the Spark DAG and a sequential loop
+  * must land on identical clusters), plus the fixture-level invariants.
+  */
+class ClusteringSpec extends SparkSpecBase {
+
+  /** Local reference: same fixed-point arithmetic, plain loops. */
+  private def localLloyd(vecs: Array[(Long, Array[Double])], k: Int, rounds: Int)
+    : Map[Long, Long] = {
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    // identical association to the Spark/DuckDB formula:
+    // (x·x − 2·(x·c)) + c·c with sequential folds
+    def dist2(x: Array[Double], c: Array[Double]): Double =
+      dot(x, x) - 2.0 * dot(x, c) + dot(c, c)
+    var cents: Map[Long, Array[Double]] =
+      vecs.filter(_._1 < k).map { case (id, x) => id -> x.clone() }.toMap
+    var assign = Map.empty[Long, Long]
+    for (_ <- 1 to rounds) {
+      assign = vecs.map { case (id, x) =>
+        id -> cents.toSeq.map { case (cid, c) => (dist2(x, c), cid) }.min._2
+      }.toMap
+      cents = vecs.groupBy { case (id, _) => assign(id) }.map { case (cid, members) =>
+        val d = members.head._2.length
+        cid -> Array.tabulate(d) { j =>
+          val s9 = members.map(m => math.round(m._2(j) * 1e9)).sum
+          s9.toDouble / members.length.toDouble / 1e9
+        }
+      }
+    }
+    assign
+  }
+
+  test("kmeans matches the sequential reference on the fixture") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val wantAssign = localLloyd(vecs, Clustering.K, Clustering.Rounds)
+    val got = Clustering.queries("kmeans_assign")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == wantAssign)
+  }
+
+  test("every vector is assigned exactly once; clusters cover the corpus") {
+    val assign = Clustering.queries("kmeans_assign")(spark, sfDir).collect()
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(assign.length == n)
+    assert(assign.map(_.getLong(0)).distinct.length == n)
+    val sizes = Clustering.queries("kmeans_sizes")(spark, sfDir).collect()
+    assert(sizes.map(_.getLong(1)).sum == n)
+    assert(sizes.forall(_.getDouble(3) >= 0.0), "mean dist2 is non-negative")
+  }
+
+  test("assignment is run-stable (no RNG, no partition sensitivity)") {
+    val a = Clustering.queries("kmeans_assign")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val b = Clustering.queries("kmeans_assign")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(a == b)
+  }
+
+  test("plan: centroids broadcast — the corpus side never shuffles to assign") {
+    val (assign, _) = Clustering.lloyd(spark, sfDir)
+    val plan = assign.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"expected broadcast centroid join, got:\n$plan")
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Corpus
+
+/** Corpus-prep pack invariants at sf0.001 — the properties the DuckDB
+  * hash-compare can't express directly (conservation laws, determinism
+  * across runs, redaction completeness).
+  */
+class CorpusSpec extends SparkSpecBase {
+
+  private def q(name: String) = Corpus.queries(name)(spark, sfDir)
+
+  test("tfidf: exactly top-3 per doc, ranks 1..3, tie-break is term-asc") {
+    val rows = q("tfidf_top_terms").collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.values.forall(_.length <= 3))
+    byDoc.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getInt(5))
+      assert(sorted.map(_.getInt(5)).toSeq == (1 to sorted.length))
+      // rank order must agree with (tfidf desc, term asc)
+      val pairs = sorted.map(r => (-r.getDouble(4), r.getString(1)))
+      assert(pairs.toSeq == pairs.sortBy(identity).toSeq)
+    }
+  }
+
+  test("packing: token conservation and full-chunk invariant per shard") {
+    val docs = q("pack_chunks").collect()
+    val chunks = q("pack_chunk_stats").collect()
+    // conservation: sum of per-chunk tokens == sum of doc token counts
+    assert(chunks.map(_.getLong(3)).sum == docs.map(_.getLong(2)).sum)
+    // every chunk but the per-source last holds exactly ChunkTokens
+    chunks.groupBy(_.getString(0)).values.foreach { cs =>
+      val sorted = cs.sortBy(_.getLong(1))
+      // chunk ids are contiguous from 0
+      assert(sorted.map(_.getLong(1)).toSeq == (0L until sorted.length))
+      sorted.dropRight(1).foreach(c => assert(c.getLong(3) == Corpus.ChunkTokens))
+      assert(sorted.last.getLong(3) <= Corpus.ChunkTokens)
+    }
+    // per-doc chunk spans are consistent with the budget
+    docs.foreach { r =>
+      val (nTok, before, start, end) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(start == before / Corpus.ChunkTokens)
+      assert(end == (before + nTok - 1) / Corpus.ChunkTokens)
+    }
+  }
+
+  test("contamination: benchmark docs overlap 100%; ratios in [0,1]") {
+    val rows = q("contamination_check").collect()
+    rows.foreach { r =>
+      val ratio = r.getDouble(3)
+      assert(ratio >= 0.0 && ratio <= 1.0)
+      if (r.getBoolean(4)) { // is_benchmark
+        assert(ratio == 1.0, s"benchmark doc ${r.getLong(0)} must self-overlap fully")
+        assert(!r.getBoolean(5), "benchmark members are never flagged contaminated")
+      }
+    }
+    assert(rows.exists(_.getBoolean(4)), "fixture must contain benchmark docs")
+  }
+
+  test("pii: planted PII is fully redacted and counted") {
+    val rows = q("pii_redact").collect()
+    rows.foreach { r =>
+      val (id, red) = (r.getLong(0), r.getString(4))
+      assert(!red.matches(s".*${Corpus.EmailRe}.*"), s"doc $id leaks an email")
+      assert(!red.matches(s".*${Corpus.SsnRe}.*"), s"doc $id leaks an SSN")
+      assert(r.getInt(1) == (if (id % 3 == 0) 1 else 0), s"doc $id email count")
+      assert(r.getInt(2) == (if (id % 5 == 0) 1 else 0), s"doc $id ssn count")
+      assert(r.getInt(3) == (if (id % 4 == 0) 1 else 0), s"doc $id phone count")
+      if (id % 3 == 0) assert(red.contains("<EMAIL>"))
+      if (id % 5 == 0) assert(red.contains("<SSN>"))
+      if (id % 4 == 0) assert(red.contains("<PHONE>"))
+    }
+  }
+
+  test("sampling: deterministic across runs, stratified counts consistent") {
+    val a = q("sample_hash_10pct").collect().map(_.getLong(0)).toSeq
+    val b = q("sample_hash_10pct").collect().map(_.getLong(0)).toSeq
+    assert(a == b, "hash sampling must be run-stable")
+    val strat = q("sample_stratified").collect()
+    strat.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "kept <= total per language")
+    }
+  }
+
+  test("heavy hitters: descending counts, shares sum below 1") {
+    val rows = q("tokens_heavy_hitters").collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    val cnts = rows.map(_.getLong(1)).toSeq
+    assert(cnts == cnts.sorted.reverse)
+    assert(rows.map(_.getDouble(2)).sum <= 1.000001)
+  }
+
+  test("inverted index: posting lists sorted, df matches list length") {
+    val rows = q("inverted_shingle_index").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ids = r.getSeq[Long](2)
+      assert(r.getLong(1) == ids.length)
+      assert(ids == ids.sorted)
+      assert(ids.distinct.length == ids.length)
+    }
+  }
+
+  test("plans: contamination benchmark side broadcast; pii stays map-only") {
+    val contamPlan = Corpus.queries("contamination_check")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(contamPlan.contains("BroadcastHashJoin"),
+      "benchmark shingle set must broadcast, not shuffle")
+    val piiPlan = Corpus.queries("pii_redact")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!piiPlan.contains("Exchange") || piiPlan.indexOf("Exchange") >
+      piiPlan.indexOf("Sort"), // only the output orderBy may exchange
+      "redaction must not shuffle before the final sort")
+  }
+}

@@ -31,8 +31,12 @@ def cell_eq(a, b):
             return False
     except (TypeError, ValueError):
         pass
-    if isinstance(a, (list, tuple)) or isinstance(b, (list, tuple)):
-        return list(a) == list(b)
+    import numpy as np
+    if isinstance(a, (list, tuple, np.ndarray)) or isinstance(b, (list, tuple, np.ndarray)):
+        la, lb = list(a), list(b)
+        if len(la) != len(lb):
+            return False
+        return all(cell_eq(x, y) for x, y in zip(la, lb))
     return a == b
 
 def main(sf_dir, out_dir):
