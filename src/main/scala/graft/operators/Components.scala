@@ -52,10 +52,18 @@ object Components {
                           maxRounds: Int = 50): DataFrame = {
     val e = edges.toDF("src", "dst")
     val und = e.union(e.select(col("dst"), col("src"))).persist()
-    // Edge endpoints outside `nodes` join in as nodes (docstring contract);
-    // und carries both directions, so src alone covers every endpoint.
-    var labels = nodes.toDF("id").union(und.select(col("src").as("id")))
-      .distinct().select(col("id"), col("id").as("cc")).persist()
+    // Singleton fast-path: a node touching no edge keeps cc = id forever,
+    // so ONLY edge endpoints enter the iteration. Near-dup graphs are
+    // sparse — at corpus scale the endpoint set is orders of magnitude
+    // smaller than the node set, and every per-round shuffle shrinks from
+    // corpus-sized to subgraph-sized. Singletons are unioned back at the
+    // end. (und carries both directions, so src alone covers every
+    // endpoint; endpoints outside `nodes` join in as nodes — docstring
+    // contract.)
+    val endpoints = und.select(col("src").as("id")).distinct().persist()
+    val singletons = nodes.toDF("id").join(endpoints, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("cc"))
+    var labels = endpoints.select(col("id"), col("id").as("cc")).persist()
     // Convergence metric: exact (row count, decimal label sum). The node set
     // is fixed after initialization and labels only ever decrease, so the
     // pair is strictly monotone until the fixpoint; comparing the pair (not
@@ -90,9 +98,15 @@ object Components {
       prev = cur
       rounds += 1
     }
-    und.unpersist()
     require(converged, s"connectedComponents: not converged after $maxRounds rounds")
-    labels
+    // materialize the result WHILE und/endpoints are still cached —
+    // otherwise the singleton anti-join re-derives the whole edge lineage
+    // (for the near-dup graph: a full minhash recompute) at consumption
+    val out = labels.union(singletons).localCheckpoint()
+    und.unpersist()
+    endpoints.unpersist()
+    labels.unpersist()
+    out
   }
 
   /** (doc_id, component_id) over the minhash near-dup graph — doc ids

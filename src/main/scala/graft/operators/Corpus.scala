@@ -67,6 +67,9 @@ object Corpus {
     Seq("en" -> 50, "de" -> 200, "es" -> 200, "fr" -> 200, "zh" -> 500)
   val DefaultRate = 100
 
+  /** Training-shuffle shard count (tracks cluster parallelism at scale). */
+  val NumShards = 8
+
   // ------------------------------------------------------------------ pii
 
   // Patterns stay inside the RE2 ∩ java.util.regex common subset (no
@@ -214,7 +217,9 @@ object Corpus {
     "contamination_check" -> { (s, d) =>
       val docs = documents(s, d).select("doc_id", "text")
       val sh = shingleRows(docs).distinct()
-      val benchSh = sh.where(col("doc_id") % BenchMod === 0)
+      // benchmark side shingles ONLY the benchmark docs (filter before the
+      // shingle window — 2% of the corpus, not a second full pass)
+      val benchSh = shingleRows(docs.where(col("doc_id") % BenchMod === 0))
         .select("sh").distinct().withColumn("_hit", lit(1))
       sh.join(broadcast(benchSh), Seq("sh"), "left_outer")
         .groupBy("doc_id")
@@ -275,6 +280,22 @@ object Corpus {
         .orderBy(desc("cnt"), asc("term"))
         .limit(20)
         .select("term", "cnt", "share")
+    },
+
+    // Deterministic training shuffle: md5 sort keys assign every doc a
+    // shard and a position within it — the global permutation a training
+    // run consumes. Shards sort independently (row_number windows are
+    // per-shard, never one global ORDER BY partition); re-runs, retries,
+    // and the oracle produce the identical permutation.
+    "corpus_shuffle" -> { (s, d) =>
+      val w = Window.partitionBy("shard").orderBy("sort_key", "doc_id")
+      documents(s, d)
+        .select(col("doc_id"),
+          (h60(concat(lit("shard:"), col("doc_id").cast("string"))) % NumShards).as("shard"),
+          h60(concat(lit("pos:"), col("doc_id").cast("string"))).as("sort_key"))
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
     },
 
     // Shingle inverted index: posting lists (sorted doc_id arrays) for
@@ -383,6 +404,15 @@ object Corpus {
          |t AS (SELECT count(*) AS total FROM tok)
          |SELECT term, cnt, round(CAST(cnt AS DOUBLE) / total, 6) AS share
          |FROM c CROSS JOIN t ORDER BY cnt DESC, term LIMIT 20""".stripMargin,
+
+    "corpus_shuffle" ->
+      s"""WITH k AS (SELECT doc_id,
+         |    ${h60Sql("'shard:' || CAST(doc_id AS VARCHAR)")} % $NumShards AS shard,
+         |    ${h60Sql("'pos:' || CAST(doc_id AS VARCHAR)")} AS sort_key
+         |  FROM documents)
+         |SELECT doc_id, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY sort_key, doc_id) AS BIGINT) AS pos
+         |FROM k ORDER BY shard, pos""".stripMargin,
 
     "inverted_shingle_index" ->
       s"""WITH $shCte

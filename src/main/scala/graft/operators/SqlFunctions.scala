@@ -328,6 +328,19 @@ object SqlFunctions {
         .orderBy("r_regionkey", "attr")
     },
 
+    // unpivot (melt): wide aggregate -> long (metric, value) rows — the
+    // inverse of pivot. Unpivot is a per-row expansion (no shuffle beyond
+    // the feeding aggregate).
+    "q_unpivot" -> { (s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price")), "metric", "value")
+        .orderBy("l_returnflag", "metric")
+    },
+
     // explode_outer: empty arrays keep their parent row (NULL element) —
     // the generator face of null-preserving joins.
     "q_explode_outer" -> { (s, d) =>
@@ -656,6 +669,17 @@ object SqlFunctions {
         |  UNION ALL
         |  SELECT r_regionkey, 'name_len', CAST(length(r_name) AS VARCHAR) FROM region)
         |ORDER BY r_regionkey, attr""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH w AS (SELECT l_returnflag,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, metric, value FROM (
+        |  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+        |  UNION ALL
+        |  SELECT l_returnflag, 'sum_price', sum_price FROM w)
+        |ORDER BY l_returnflag, metric""".stripMargin,
 
     "q_explode_outer" ->
       """WITH t AS (SELECT doc_id,

@@ -55,6 +55,17 @@ object Sources {
     s.read.orc(out).orderBy("n_nationkey")
   }
 
+  /** Plain-text source: one line per document (the rawest ingestion format
+    * a text pipeline meets). Line files carry no ids, so the roundtrip
+    * assertion is on the sorted value multiset.
+    */
+  def textRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = tmpDir("documents_text")
+    documents(s, d).select(col("text").as("value"))
+      .write.mode(SaveMode.Overwrite).text(out)
+    s.read.text(out).orderBy("value")
+  }
+
   /** Parquet partitioned by a low-cardinality column; the read-back filter
     * prunes to a single partition directory (no full scan).
     */
@@ -102,6 +113,7 @@ object Sources {
     "src_csv_roundtrip" -> csvRoundtrip,
     "src_json_roundtrip" -> jsonRoundtrip,
     "src_orc_roundtrip" -> orcRoundtrip,
+    "src_text_roundtrip" -> textRoundtrip,
     "src_partitioned_parquet" -> partitionedParquet,
     "src_bucketed_join" -> bucketedJoin
   )
@@ -115,6 +127,8 @@ object Sources {
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
     "src_orc_roundtrip" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
+    "src_text_roundtrip" ->
+      "SELECT text AS value FROM documents ORDER BY text",
     "src_partitioned_parquet" ->
       """SELECT event_type, count(*) AS n FROM events
         |WHERE event_type = 'click' GROUP BY event_type""".stripMargin,

@@ -92,6 +92,21 @@ class CorpusSpec extends SparkSpecBase {
     assert(rows.map(_.getDouble(2)).sum <= 1.000001)
   }
 
+  test("corpus shuffle: a permutation — every doc once, contiguous positions per shard") {
+    val rows = q("corpus_shuffle").collect()
+    val n = Tables.documents(spark, sfDir).count()
+    assert(rows.length == n)
+    assert(rows.map(_.getLong(0)).distinct.length == n, "each doc exactly once")
+    rows.groupBy(_.getLong(1)).values.foreach { rs =>
+      val pos = rs.map(_.getLong(2)).sorted.toSeq
+      assert(pos == (1L to rs.length), "positions are 1..n within the shard")
+    }
+    // deterministic across runs
+    val again = q("corpus_shuffle").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      again.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
+
   test("inverted index: posting lists sorted, df matches list length") {
     val rows = q("inverted_shingle_index").collect()
     assert(rows.nonEmpty)

@@ -208,6 +208,32 @@ class PlanSpec extends SparkSpecBase {
     assert(hashEx == 1 && rangeEx <= 1, s"unexpected shuffles (hash=$hashEx range=$rangeEx):\n$fp")
   }
 
+  test("runtime bloom filter: selective dim filter injects a bloom probe on the fact side") {
+    // Row-level runtime filtering — at 100 TB a selective dim predicate
+    // becomes a bloom probe on the fact scan, dropping most fact rows
+    // BEFORE the join shuffle. Broadcast is disabled to force the shuffle
+    // join this feature exists for.
+    import org.apache.spark.sql.functions.col
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prior = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.lineitem(spark, sfDir)
+      val ord = Tables.orders(spark, sfDir).where(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") || p.contains("bloom_filter_agg"),
+        s"no runtime bloom filter injected:\n$p")
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("src_partitioned_parquet: partition pruning leaves a single partition") {
     val df = SparkEntry.queries("src_partitioned_parquet")(spark, sfDir)
     df.collect() // materialize so FileSourceScan has chosen partitions
