@@ -21,11 +21,17 @@ object Graft {
       "graft_dot",
       exprs => DotProductD(exprs(0), exprs(1)),
       "scala_udf")
-    // optimizer rules on an already-built session (builder path:
-    // .withExtensions(new graft.plans.GraftExtensions))
+    // optimizer rules + strategies on an already-built session (builder
+    // path: .withExtensions(new graft.plans.GraftExtensions))
     if (!spark.experimental.extraOptimizations.contains(graft.plans.RewriteHofDotProduct))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.RewriteHofDotProduct
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RewriteGroupTopK))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RewriteGroupTopK
+    if (!spark.experimental.extraStrategies.contains(graft.plans.GroupTopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.GroupTopKStrategy
     spark
   }
 

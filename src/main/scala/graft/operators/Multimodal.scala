@@ -27,6 +27,9 @@ object Multimodal {
 
   val FeatureDim = 8
 
+  /** Frame-sampling stride (keep every FrameStride-th frame). */
+  val FrameStride = 3
+
   /** Media ingest: wrap a text fixture as opaque media blobs. In production
     * this is `spark.read.format("binaryFile")` or a parquet table of blobs;
     * here `documents.text` stands in as the payload so every stage (and the
@@ -118,6 +121,27 @@ object Multimodal {
       Similarity.ranked(broadcast(q).join(c, col("q_id") =!= col("cand_id")), k = 3)
     },
 
+    // Video-style frame sampling: each blob is treated as a clip of
+    // meta-derived frame count; frames are sampled at a fixed stride
+    // (sequence(0, n-1, stride) — generated directly, no generate-all-
+    // then-filter) and fingerprinted per frame. Pure per-row generator +
+    // projection: no shuffle, blob bytes read once. Swap the stub
+    // fingerprint for a real frame decoder and this is the
+    // frame-dedup/scene-cut ingestion path.
+    "mm_frame_sample" -> { (s, d) =>
+      mediaTable(s, d)
+        .select(col("media_id"), col("bytes"),
+          (col("meta.n_bytes") % 7 + 2).cast("long").as("n_frames"))
+        .select(col("media_id"), col("n_frames"),
+          explode(sequence(lit(0L), col("n_frames") - 1, lit(FrameStride.toLong)))
+            .as("frame_idx"),
+          col("bytes"))
+        .select(col("media_id"), col("n_frames"), col("frame_idx"),
+          (h60(concat(hex(col("bytes")), lit("@"), col("frame_idx").cast("string")))
+            % 1000000007L).as("frame_sig"))
+        .orderBy("media_id", "frame_idx")
+    },
+
     // Feature-space near-dup over the planted-duplicate media fixture:
     // groups whose stub features collide — the decode -> dedup composition
     // end-to-end. Grouping is on the feature ARRAY itself (no string
@@ -195,6 +219,15 @@ object Multimodal {
          |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS INTEGER) AS rnk
          |  FROM p)
          |SELECT q_id, cand_id, cos, rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+
+    "mm_frame_sample" ->
+      s"""WITH m AS (SELECT doc_id AS media_id, encode(text) AS bytes,
+         |    octet_length(encode(text)) % 7 + 2 AS n_frames FROM documents),
+         |x AS (SELECT media_id, CAST(n_frames AS BIGINT) AS n_frames,
+         |    unnest(range(0, n_frames, $FrameStride)) AS frame_idx, bytes FROM m)
+         |SELECT media_id, n_frames, frame_idx,
+         |  ${h60Sql("upper(hex(bytes)) || '@' || CAST(frame_idx AS VARCHAR)")} % 1000000007 AS frame_sig
+         |FROM x ORDER BY media_id, frame_idx""".stripMargin,
 
     "mm_feature_dedup" ->
       s"""WITH m AS (SELECT doc_id AS media_id,

@@ -36,6 +36,15 @@ object Relational {
   // scaladoc for the overflow/rounding derivation).
   import Money.{dec2, dec4, one, ts}
 
+  /** Synthetic insert rows for q_upsert_merge (negative keys cannot
+    * collide with fixture orders; mirrored verbatim in the oracle VALUES).
+    */
+  private def spark_range_inserts(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (1 to 5).map(i => (-i.toLong, "Z-SYNTH", 100.0 * i))
+      .toDF("o_orderkey", "u_priority", "u_price")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1 shape: two-phase hash aggregate, 4 groups, heavy input.
     "q1_pricing_summary" -> { (s, d) =>
@@ -284,6 +293,55 @@ object Relational {
           expr("CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE)")
             .as("open_total"))
         .orderBy("o_orderpriority")
+    },
+
+    // Batch upsert (MERGE semantics without a table format): base ⟕⟖
+    // updates on the key, update wins per column, inserts flow through.
+    // The 100 TB shape: one co-partitioned full-outer join on the key —
+    // with both sides bucketed on o_orderkey (src_bucketed_join) it is
+    // exchange-free. Updates = +10% price on every 10th order; inserts =
+    // 5 synthetic orders with negative keys. Verified via a per-priority
+    // rollup (count + exact decimal sum) over the merged result.
+    "q_upsert_merge" -> { (s, d) =>
+      // the +10% uplift runs in EXACT decimal arithmetic — double * 1.1
+      // lands on 3-decimal half-way points whose 2-dp rounding tie-breaks
+      // differently across engines (shortest-repr HALF_UP vs binary)
+      val base = orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("o_price"))
+      val updates = base.where(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"),
+          col("o_orderpriority").as("u_priority"),
+          expr("CAST(o_price * CAST(1.1 AS DECIMAL(3,1)) AS DECIMAL(25,3))").as("u_price"))
+        .unionByName(spark_range_inserts(s)
+          .select(col("o_orderkey"), col("u_priority"),
+            col("u_price").cast(DecimalType(25, 3))))
+      base.join(updates, Seq("o_orderkey"), "full_outer")
+        .select(
+          coalesce(col("u_priority"), col("o_orderpriority")).as("priority"),
+          coalesce(col("u_price"), col("o_price").cast(DecimalType(25, 3))).as("price"))
+        .groupBy("priority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("price")).cast("double").as("total_price"))
+        .orderBy("priority")
+    },
+
+    // Key-skew diagnostic: per-key share of the fact table for the top
+    // keys plus the max/mean ratio — the report that decides whether a
+    // join needs salting (Joins.saltedJoin) or AQE skew handling. One
+    // map-side-combined count; everything downstream is key-cardinality-
+    // sized.
+    "q_skew_report" -> { (s, d) =>
+      val counts = lineitem(s, d).groupBy("l_suppkey").agg(count(lit(1)).as("cnt"))
+      val tot = counts.agg(
+        sum("cnt").as("total_rows"), count(lit(1)).as("n_keys"), max("cnt").as("max_cnt"))
+      counts.crossJoin(broadcast(tot))
+        .withColumn("share", round(col("cnt").cast("double") / col("total_rows"), 6))
+        .withColumn("skew_ratio",
+          round(col("max_cnt").cast("double") / (col("total_rows").cast("double") / col("n_keys").cast("double")), 6))
+        .orderBy(desc("cnt"), asc("l_suppkey"))
+        .limit(10)
+        .select("l_suppkey", "cnt", "share", "skew_ratio")
     },
 
     // Exact distinct aggregation (expand + two-phase under the hood).
@@ -550,6 +608,33 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_upsert_merge" ->
+      """WITH b AS (SELECT o_orderkey, o_orderpriority,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS o_price FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, o_orderpriority AS u_priority,
+        |    CAST(o_price * CAST(1.1 AS DECIMAL(3,1)) AS DECIMAL(25,3)) AS u_price
+        |  FROM b WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, u_priority, CAST(u_price AS DECIMAL(25,3))
+        |  FROM (VALUES (-1, 'Z-SYNTH', 100.0), (-2, 'Z-SYNTH', 200.0),
+        |    (-3, 'Z-SYNTH', 300.0), (-4, 'Z-SYNTH', 400.0), (-5, 'Z-SYNTH', 500.0))
+        |    t(o_orderkey, u_priority, u_price)),
+        |m AS (SELECT COALESCE(u.u_priority, b.o_orderpriority) AS priority,
+        |    COALESCE(u.u_price, CAST(b.o_price AS DECIMAL(25,3))) AS price
+        |  FROM b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey)
+        |SELECT priority, count(*) AS n_orders,
+        |  CAST(sum(price) AS DOUBLE) AS total_price
+        |FROM m GROUP BY priority ORDER BY priority""".stripMargin,
+
+    "q_skew_report" ->
+      """WITH c AS (SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY l_suppkey),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_rows, count(*) AS n_keys,
+        |    CAST(max(cnt) AS BIGINT) AS max_cnt FROM c)
+        |SELECT l_suppkey, cnt, round(CAST(cnt AS DOUBLE) / total_rows, 6) AS share,
+        |  round(CAST(max_cnt AS DOUBLE) / (CAST(total_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)), 6) AS skew_ratio
+        |FROM c CROSS JOIN t ORDER BY cnt DESC, l_suppkey LIMIT 10""".stripMargin,
+
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

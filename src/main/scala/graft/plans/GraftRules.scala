@@ -90,5 +90,7 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
+    ext.injectOptimizerRule(_ => RewriteGroupTopK)
+    ext.injectPlannerStrategy(_ => GroupTopKStrategy)
   }
 }
