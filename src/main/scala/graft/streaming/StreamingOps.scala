@@ -182,4 +182,34 @@ object StreamingOps {
       s"$leftKey = $rightKey AND $rightTs >= $leftTs AND " +
         s"$rightTs <= $leftTs + interval $rangeSeconds seconds"), joinType)
   }
+
+  /** Streaming heavy hitters, phase 1: watermarked tumbling-window token
+    * counts over a text stream, append mode — each (window, term, cnt) row
+    * emits exactly once, when the watermark closes its window, and every
+    * row of one window emits in the same micro-batch (the watermark
+    * crossing window-end releases them together). State is bounded by
+    * (windows in flight) x (vocabulary), already aggregated — never raw
+    * tokens.
+    */
+  def windowedTokenCounts(docs: DataFrame, tsCol: String, textCol: String,
+                          windowDur: String, watermark: String): DataFrame =
+    docs
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), explode(graft.operators.TextHash.toks(col(textCol))).as("term"))
+      .groupBy(window(col(tsCol), windowDur), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("win_start"), col("term"), col("cnt"))
+
+  /** Phase 2, applied per micro-batch (foreachBatch): top-k terms per
+    * closed window. Because append mode delivers each window atomically,
+    * per-batch top-k equals global per-window top-k. The row_number filter
+    * is exactly the shape RewriteGroupTopK turns into the bounded-heap
+    * GroupTopK operator — the streaming sink rides the same custom
+    * machinery as the batch engine.
+    */
+  def topKPerWindow(batch: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("win_start").orderBy(desc("cnt"), asc("term"))
+    batch.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+  }
 }

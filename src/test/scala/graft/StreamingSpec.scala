@@ -295,6 +295,42 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters: per-window top-k via foreachBatch equals the batch answer") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val counts = StreamingOps.windowedTokenCounts(
+      in.toDF.toDF("ts", "text"), "ts", "text", "10 seconds", "5 seconds")
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Int)]
+    val q = counts.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // per-batch top-k is sound: append mode emits each window atomically
+        StreamingOps.topKPerWindow(batch, k = 2).collect().foreach { r =>
+          got.synchronized {
+            got += ((r.getTimestamp(0).getTime / 1000, r.getString(1), r.getLong(2), r.getInt(3)))
+          }
+        }
+      }
+      .start()
+    try {
+      // window [0,10): a x3, b x2, c x1 -> top2 = a, b
+      in.addData((ts(1), "a b a"), (ts(3), "a b c"))
+      // window [10,20): c x2, d x1 -> top2 = c, d
+      in.addData((ts(11), "c c d"))
+      q.processAllAvailable()
+      in.addData((ts(100), "zz")) // watermark past both windows
+      q.processAllAvailable()
+      in.addData((ts(200), "zz"))
+      q.processAllAvailable()
+      val closed = got.filter(_._1 < 100).sortBy(r => (r._1, r._4))
+      assert(closed.toSeq === Seq(
+        (0L, "a", 3L, 1), (0L, "b", 2L, 2),
+        (10L, "c", 2L, 1), (10L, "d", 1L, 2)))
+    } finally q.stop()
+  }
+
   test("foreachBatch sink writes each micro-batch to parquet exactly once") {
     val s = spark
     import s.implicits._
