@@ -60,6 +60,9 @@ object Corpus {
     */
   val SampleSalt = "graft-s1:"
 
+  /** Salt for the train/val/test split (independent of [[SampleSalt]]). */
+  val SplitSalt = "graft-split:"
+
   /** Per-language keep thresholds (out of 1000) for stratified sampling:
     * downsample the dominant language, keep more of the rare ones.
     */
@@ -267,6 +270,23 @@ object Corpus {
         .orderBy("lang")
     },
 
+    // Deterministic 80/10/10 train/validation/test split: md5-keyed per-doc
+    // assignment (salted independently of the sampling key, so split and
+    // sample draws are uncorrelated). Doc-level output so the oracle
+    // verifies every single assignment, not just the counts. Pure per-row
+    // map — no shuffle; the same row lands in the same split on any
+    // cluster, any partitioning, any retry.
+    "corpus_split" -> { (s, d) =>
+      val k = h60(concat(lit(SplitSalt), col("doc_id").cast("string"))) % 1000
+      documents(s, d)
+        .select(col("doc_id"), col("lang"), k.as("k"))
+        .withColumn("split",
+          when(col("k") < 800, "train")
+            .when(col("k") < 900, "validation")
+            .otherwise("test"))
+        .orderBy("doc_id")
+    },
+
     // Exact heavy hitters: top-20 tokens by corpus frequency with corpus
     // share. Token counts are vocab-sized after the map-side combine; the
     // 1-row total is broadcast back.
@@ -397,6 +417,15 @@ object Corpus {
          |  round(CAST(sum(CASE WHEN kk < $strataThresholdSql THEN 1 ELSE 0 END) AS DOUBLE)
          |    / count(*), 6) AS kept_ratio
          |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "corpus_split" ->
+      s"""WITH k AS (SELECT doc_id, lang,
+         |    ${h60Sql(s"'$SplitSalt' || CAST(doc_id AS VARCHAR)")} % 1000 AS k
+         |  FROM documents)
+         |SELECT doc_id, lang, k,
+         |  CASE WHEN k < 800 THEN 'train' WHEN k < 900 THEN 'validation'
+         |       ELSE 'test' END AS split
+         |FROM k ORDER BY doc_id""".stripMargin,
 
     "tokens_heavy_hitters" ->
       s"""WITH tok AS (SELECT unnest(${toksSql("text")}) AS term FROM documents),

@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import TextHash.toks
+
+/** Graph analytics over corpus-derived graphs — TextRank keyword scoring
+  * (weighted PageRank on the token co-occurrence graph) and the degree
+  * diagnostics you'd run before it. The reference has nothing in this
+  * category (SURVEY.md §2.5); complements [[Components]] (connected
+  * components) with the other classic iterative-graph primitive.
+  *
+  * Scale shape:
+  *   - Graph CONSTRUCTION is the corpus-sized stage: one pass over the
+  *     tokens (posexplode + window lead — the same single-shuffle shape as
+  *     [[TextHash.shingleRows]]), then a map-side-combined groupBy that
+  *     collapses the corpus to a VOCAB²-bounded edge list. At 100 TB the
+  *     edge list is orders of magnitude smaller than the corpus — the
+  *     iteration never touches the corpus again.
+  *   - The ITERATION is vocab-sized: rank ⋈ edges ⋈ out-weights, ten
+  *     rounds. Edges and out-weights are persisted once and reused; each
+  *     round is one shuffle of a vocabulary-sized relation (AQE broadcasts
+  *     it when small). Plan depth is linear in rounds (no self-join lineage
+  *     blowup — contributions join the STATIC edge relation, unlike the
+  *     label-propagation self-join in Components that needs checkpointing).
+  *
+  * Cross-engine exactness: PageRank in scaled-integer arithmetic. Ranks
+  * live at 10^12 fixed point; contribution = rank*w div out_w (floor),
+  * update = (15·base) div 100 + (85·Σcontrib) div 100 — every op is exact
+  * BIGINT math, so ten rounds reproduce bit-for-bit in DuckDB's unrolled
+  * CTE chain (same trick as the k-means trainer's 1e-9 fixed point,
+  * Clustering.scala). Float PageRank would drift in the last ulp across
+  * engines and orderings; integer PageRank is associative and exact.
+  */
+object Graph {
+
+  /** Fixed-point scale for ranks (10^12: 31 nodes × rank ≤ 10^12 × weight
+    * ≤ 10^4 stays far under 2^63 in the contribution product).
+    */
+  val Scale = 1000000000000L
+
+  /** Damping 0.85 expressed as integer percentages. */
+  val DampNum = 85L
+  val TeleNum = 15L
+
+  /** PageRank rounds — fixed (not convergence-tested) so the oracle can
+    * unroll the exact same count.
+    */
+  val Iters = 10
+
+  /** Undirected token co-occurrence edges (adjacent-token pairs, both
+    * directions), weight = number of adjacencies in the corpus. Self-loops
+    * (repeated tokens) dropped. One corpus-sized shuffle on doc_id for the
+    * window, one map-side-combined groupBy down to vocab² rows.
+    */
+  def cooccurEdges(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val adj = docs
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("nxt", lead("tok", 1).over(w))
+      .where(col("nxt").isNotNull && col("tok") =!= col("nxt"))
+    val und = adj.select(col("tok").as("src"), col("nxt").as("dst"))
+      .union(adj.select(col("nxt").as("src"), col("tok").as("dst")))
+    und.groupBy("src", "dst").agg(count(lit(1)).as("w"))
+  }
+
+  /** Weighted PageRank over an edge list, scaled-integer arithmetic.
+    * Returns (node, rank) with rank at [[Scale]] fixed point.
+    */
+  def pagerank(edges: DataFrame, iters: Int = Iters): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w")).persist()
+    val outw = e.groupBy("src").agg(sum("w").as("out_w")).persist()
+    val n = outw.count() // vocab-sized scalar; the one intentional action
+    val base = Scale / n
+    val teleport = (TeleNum * base) / 100L
+    var ranks = outw.select(col("src").as("node"), lit(base).as("rank"))
+    for (_ <- 1 to iters) {
+      // contribution floors BEFORE the sum (matches the unrolled oracle)
+      val contrib = ranks.as("r")
+        .join(e.as("e"), col("r.node") === col("e.src"))
+        .join(outw.as("o"), col("r.node") === col("o.src"))
+        .select(col("e.dst").as("node"),
+          expr("r.rank * e.w DIV o.out_w").as("c"))
+      ranks = contrib.groupBy("node")
+        .agg((lit(teleport) + expr(s"$DampNum * sum(c) DIV 100")).as("rank"))
+    }
+    ranks
+  }
+
+  // -------------------------------------------------------------- queries
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TextRank keyword scores: every vocab token ranked by its stationary
+    // weight in the co-occurrence graph. Corpus → vocab-sized edges once,
+    // then ten vocab-sized iterations.
+    "graph_textrank" -> { (s, d) =>
+      pagerank(cooccurEdges(documents(s, d).select("doc_id", "text")))
+        .select(col("node"), col("rank").cast("long").as("rank"))
+        .orderBy(desc("rank"), asc("node"))
+    },
+
+    // Degree diagnostics of the same graph — the skew check you run before
+    // committing to an iteration count / partitioning.
+    "graph_degree_stats" -> { (s, d) =>
+      cooccurEdges(documents(s, d).select("doc_id", "text"))
+        .groupBy("src")
+        .agg(count(lit(1)).as("degree"), sum("w").cast("long").as("wdegree"))
+        .select(col("src").as("node"), col("degree"), col("wdegree"))
+        .orderBy(desc("wdegree"), asc("node"))
+    }
+  )
+
+  // -------------------------------------------------------------- oracles
+
+  private def graphCtes =
+    s"""tok AS (SELECT doc_id, ${TextHash.toksSql("text")} AS t FROM documents),
+       |adjp AS (SELECT unnest(list_transform(range(1, len(t)),
+       |    i -> struct_pack(a := t[i], b := t[i+1]))) AS p FROM tok),
+       |adj AS (SELECT p.a AS a, p.b AS b FROM adjp WHERE p.a <> p.b),
+       |und AS (SELECT a AS src, b AS dst FROM adj UNION ALL SELECT b, a FROM adj),
+       |edges AS (SELECT src, dst, count(*) AS w FROM und GROUP BY 1, 2)""".stripMargin
+
+  private def pagerankSql: String = {
+    val head =
+      s"""WITH $graphCtes,
+         |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS out_w FROM edges GROUP BY 1),
+         |nn AS (SELECT count(DISTINCT src) AS n FROM edges),
+         |r0 AS (SELECT DISTINCT src AS node, (SELECT $Scale // n FROM nn) AS rank FROM edges)""".stripMargin
+    val iters = (1 to Iters).map { k =>
+      s""",
+         |r$k AS (SELECT e.dst AS node,
+         |  (SELECT ($TeleNum * ($Scale // n)) // 100 FROM nn)
+         |    + ($DampNum * sum((r.rank * e.w) // o.out_w)) // 100 AS rank
+         |  FROM r${k - 1} r JOIN edges e ON r.node = e.src JOIN outw o ON o.src = r.node
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString
+    head + iters +
+      s"\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r$Iters ORDER BY rank DESC, node"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "graph_textrank" -> pagerankSql,
+
+    "graph_degree_stats" ->
+      s"""WITH $graphCtes
+         |SELECT src AS node, count(*) AS degree, CAST(sum(w) AS BIGINT) AS wdegree
+         |FROM edges GROUP BY src ORDER BY wdegree DESC, node""".stripMargin
+  )
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Record linkage / fuzzy entity matching — blocked edit-distance join, the
+  * standard shape for "find records that are ALMOST the same entity".
+  * Nothing in the reference covers this (SURVEY.md §2.5); it rounds out the
+  * dedup pack with the string-identity flavor (minhash/simhash cover
+  * document content, this covers entity KEYS).
+  *
+  * Scale shape: candidate generation is an EQUI-join on a blocking key
+  * (here length + suffix) — never an all-pairs cross join. Edit distance
+  * runs only inside blocks; the block-size histogram query is the
+  * diagnostic you run FIRST at scale, because one mega-block (think empty
+  * or boilerplate keys) turns the blocked join quadratic — the same
+  * hot-bucket failure mode as the n-gram posting-list join, handled the
+  * same way (cap or split oversized blocks before matching).
+  */
+object Linkage {
+
+  /** Maximum Levenshtein distance to call two names a fuzzy match. */
+  val MaxDist = 2
+
+  /** Customers with a deterministic blocking key: name length + 2-char
+    * suffix. Both engines compute identical keys (pure string ops).
+    */
+  private def blocked(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(col("c_custkey"), col("c_name"))
+      .withColumn("blk",
+        concat(length(col("c_name")).cast("string"), lit(":"),
+          expr("right(c_name, 2)")))
+
+  // -------------------------------------------------------------- queries
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-record fuzzy-match summary: how many near-identical names exist
+    // in my block, and which is closest (total (dist, key) order makes the
+    // pick deterministic).
+    "link_fuzzy_neighbors" -> { (s, d) =>
+      val c = blocked(s, d)
+      val pairs = c.as("a")
+        .join(c.as("b"),
+          col("a.blk") === col("b.blk") && col("a.c_custkey") =!= col("b.c_custkey"))
+        .select(col("a.c_custkey").as("ak"), col("b.c_custkey").as("bk"),
+          levenshtein(col("a.c_name"), col("b.c_name")).cast("int").as("dist"))
+        .where(col("dist") <= MaxDist)
+      val w = Window.partitionBy("ak").orderBy(col("dist").asc, col("bk").asc)
+      pairs.withColumn("rn", row_number().over(w))
+        .groupBy(col("ak").as("custkey"))
+        .agg(count(lit(1)).as("n_close"),
+          max(when(col("rn") === 1, col("bk"))).as("closest_key"),
+          max(when(col("rn") === 1, col("dist"))).as("closest_dist"))
+        .orderBy("custkey")
+    },
+
+    // Blocking-quality diagnostic: block sizes and the pair count each
+    // block will feed the matcher — the skew check that catches a
+    // mega-block before it goes quadratic.
+    "link_block_stats" -> { (s, d) =>
+      blocked(s, d)
+        .groupBy("blk")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("n_pairs", expr("n * (n - 1) DIV 2"))
+        .orderBy(desc("n"), asc("blk"))
+    }
+  )
+
+  // -------------------------------------------------------------- oracles
+
+  private def blkSql =
+    "CAST(length(c_name) AS VARCHAR) || ':' || right(c_name, 2)"
+
+  val oracles: Map[String, String] = Map(
+    "link_fuzzy_neighbors" ->
+      s"""WITH c AS (SELECT c_custkey, c_name, $blkSql AS blk FROM customer),
+         |p AS (SELECT a.c_custkey AS ak, b.c_custkey AS bk,
+         |    CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+         |  FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey <> b.c_custkey),
+         |f AS (SELECT *, row_number() OVER (PARTITION BY ak ORDER BY dist, bk) AS rn
+         |  FROM p WHERE dist <= $MaxDist)
+         |SELECT ak AS custkey, count(*) AS n_close,
+         |  max(CASE WHEN rn = 1 THEN bk END) AS closest_key,
+         |  max(CASE WHEN rn = 1 THEN dist END) AS closest_dist
+         |FROM f GROUP BY ak ORDER BY custkey""".stripMargin,
+
+    "link_block_stats" ->
+      s"""WITH c AS (SELECT $blkSql AS blk FROM customer),
+         |g AS (SELECT blk, count(*) AS n FROM c GROUP BY blk)
+         |SELECT blk, n, CAST(n * (n - 1) // 2 AS BIGINT) AS n_pairs
+         |FROM g ORDER BY n DESC, blk""".stripMargin
+  )
+}

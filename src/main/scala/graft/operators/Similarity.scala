@@ -226,6 +226,39 @@ object Similarity {
         .select(cellOf(centroidDots(col("e"))).as("cell"))
         .groupBy("cell").agg(count(lit(1)).as("n"))
         .orderBy("cell")
+    },
+
+    // Scalar quantization (SQ8): per-dimension [min, max] over the corpus
+    // (one map-side-combined agg, 64 rows), broadcast back as two ordered
+    // arrays, then a pure per-row map emits the uint8 codes + the L1
+    // reconstruction error of mid-bucket decoding. This is the memory-4x
+    // compression step a vector index runs before IVF/LSH at 100 TB — the
+    // corpus is scanned once, never shuffled. Exactness: quantize/decode
+    // are fixed-order IEEE double expressions (identical in the oracle),
+    // the error sum is a sequential fold (list_sum parity, like dot),
+    // rounded to 6 dp. (A constant dimension would hit 0/0 — the fixture
+    // has none; at scale you'd clamp the scale to >= ulp.)
+    "emb_quantize_sq8" -> { (s, d) =>
+      val e = embeddings(s, d).select(col("vec_id"), toDouble(col("embedding")).as("x"))
+      val stats = e.select(posexplode(col("x")).as(Seq("dim", "v")))
+        .groupBy("dim").agg(min("v").as("mn"), max("v").as("mx"))
+      val arrs = stats.agg(
+        transform(array_sort(collect_list(struct(col("dim"), col("mn")))),
+          t => t.getField("mn")).as("mns"),
+        transform(array_sort(collect_list(struct(col("dim"), col("mx")))),
+          t => t.getField("mx")).as("mxs"))
+      def mn(i: Column) = element_at(col("mns"), i)
+      def mx(i: Column) = element_at(col("mxs"), i)
+      def xi(i: Column) = element_at(col("x"), i)
+      def code(i: Column) =
+        floor(((xi(i) - mn(i)) * 255.0) / (mx(i) - mn(i)))
+      e.crossJoin(broadcast(arrs))
+        .select(col("vec_id"),
+          transform(sequence(lit(1), lit(Dim)), i => code(i).cast("int")).as("q"),
+          round(aggregate(sequence(lit(1), lit(Dim)), lit(0.0), (acc, i) =>
+            acc + abs(xi(i) - (mn(i) + (code(i).cast("double") + 0.5) *
+              ((mx(i) - mn(i)) / 255.0)))), 6).as("recon_err"))
+        .orderBy("vec_id")
     }
   )
 
@@ -294,6 +327,21 @@ object Similarity {
       s"""$baseSqlCte,
          |d AS (SELECT ${centroidDotsSql("e")} AS ds FROM base)
          |SELECT CAST(list_position(ds, list_max(ds)) AS BIGINT) AS cell, count(*) AS n
-         |FROM d GROUP BY 1 ORDER BY cell""".stripMargin
+         |FROM d GROUP BY 1 ORDER BY cell""".stripMargin,
+
+    "emb_quantize_sq8" -> {
+      val xi = "CAST(embedding[i] AS DOUBLE)"
+      val codeI = s"floor((($xi - mns[i]) * 255.0) / (mxs[i] - mns[i]))"
+      s"""WITH d AS (SELECT generate_subscripts(embedding, 1) AS dim,
+         |    CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+         |st AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM d GROUP BY dim),
+         |sa AS (SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs FROM st)
+         |SELECT vec_id,
+         |  list_transform(range(1, ${Dim + 1}), i -> CAST($codeI AS INTEGER)) AS q,
+         |  round(list_sum(list_transform(range(1, ${Dim + 1}), i ->
+         |    abs($xi - (mns[i] + (CAST($codeI AS DOUBLE) + 0.5)
+         |      * ((mxs[i] - mns[i]) / 255.0))))), 6) AS recon_err
+         |FROM embeddings CROSS JOIN sa ORDER BY vec_id""".stripMargin
+    }
   )
 }

@@ -473,6 +473,33 @@ object SqlFunctions {
           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     },
 
+    // Winsorized (clipped-tail) robust statistics — the outlier-taming
+    // step a feature pipeline runs before normalization. Two passes: exact
+    // p01/p99 bounds per group, broadcast back, then clipped aggregates.
+    // The winsorized mean keeps bit-parity by summing the (exact-2dp)
+    // interior as DECIMAL and folding the clipped tails in as
+    // count×bound — no order-dependent double summation anywhere.
+    "q_winsorize" -> { (s, d) =>
+      lineitem(s, d).createOrReplaceTempView("g_wz_lineitem")
+      s.sql(
+        """WITH b AS (SELECT l_returnflag AS rf,
+          |    percentile_cont(0.01) WITHIN GROUP (ORDER BY l_extendedprice) AS p01,
+          |    percentile_cont(0.99) WITHIN GROUP (ORDER BY l_extendedprice) AS p99
+          |  FROM g_wz_lineitem GROUP BY l_returnflag),
+          |j AS (SELECT l_returnflag AS rf, l_extendedprice AS x, p01, p99
+          |  FROM g_wz_lineitem JOIN b ON l_returnflag = b.rf)
+          |SELECT rf, count(*) AS n,
+          |  CAST(sum(CASE WHEN x < p01 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+          |  CAST(sum(CASE WHEN x > p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+          |  round(max(p01), 6) AS p01_r, round(max(p99), 6) AS p99_r,
+          |  round((CAST(sum(CASE WHEN x >= p01 AND x <= p99
+          |        THEN CAST(x AS DECIMAL(12,2)) END) AS DOUBLE)
+          |      + sum(CASE WHEN x < p01 THEN 1 ELSE 0 END) * max(p01)
+          |      + sum(CASE WHEN x > p99 THEN 1 ELSE 0 END) * max(p99))
+          |    / count(*), 6) AS wmean
+          |FROM j GROUP BY rf ORDER BY rf""".stripMargin)
+    },
+
     // Table-generating explode / unnest: corpus-wide token frequencies.
     "q_explode_tokens" -> { (s, d) =>
       documents(s, d)
@@ -734,6 +761,24 @@ object SqlFunctions {
         | quantile_cont(o_totalprice, 0.5) AS median_price,
         | quantile_cont(o_totalprice, 0.9) AS p90_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH b AS (SELECT l_returnflag AS rf,
+        |    quantile_cont(l_extendedprice, 0.01) AS p01,
+        |    quantile_cont(l_extendedprice, 0.99) AS p99
+        |  FROM lineitem GROUP BY l_returnflag),
+        |j AS (SELECT l_returnflag AS rf, l_extendedprice AS x, p01, p99
+        |  FROM lineitem JOIN b ON l_returnflag = b.rf)
+        |SELECT rf, count(*) AS n,
+        |  CAST(sum(CASE WHEN x < p01 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(sum(CASE WHEN x > p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |  round(max(p01), 6) AS p01_r, round(max(p99), 6) AS p99_r,
+        |  round((CAST(sum(CASE WHEN x >= p01 AND x <= p99
+        |        THEN CAST(x AS DECIMAL(12,2)) END) AS DOUBLE)
+        |      + sum(CASE WHEN x < p01 THEN 1 ELSE 0 END) * max(p01)
+        |      + sum(CASE WHEN x > p99 THEN 1 ELSE 0 END) * max(p99))
+        |    / count(*), 6) AS wmean
+        |FROM j GROUP BY rf ORDER BY rf""".stripMargin,
 
     "q_try_funcs" ->
       """SELECT l_orderkey, l_linenumber,

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Time-series reshaping over the event stream — the gap-filling /
+  * resampling steps a feature pipeline runs before any rolling analytics.
+  * Nothing in the reference's category list covers these (SURVEY.md §2.5);
+  * they complement the as-of join (Joins.asofJoin) and the range window
+  * (q_range_window).
+  *
+  * Scale shape: everything is keyed per user_id —
+  *   - the daily rollup is one map-side-combined groupBy,
+  *   - the calendar grid is generated per user from that user's own
+  *     [min, max] span (sequence + explode) — NEVER a global calendar
+  *     cross join, which at 100 TB would materialize |users|×|days| rows
+  *     before the join instead of only each user's active span,
+  *   - LOCF is a per-user window (last over ignoreNulls) — one shuffle on
+  *     user_id that the grid join already established.
+  *
+  * Cross-engine exactness: counts and dates are exact; the carried value
+  * is max(floor(value*1000)) — a deterministic IEEE multiply+floor into
+  * BIGINT (sums of raw doubles are order-dependent across engines and are
+  * deliberately avoided; max/min are order-independent). OHLC picks raw
+  * column values by a total (ts, event_id) order — no arithmetic at all.
+  */
+object TimeSeries {
+
+  /** Per-user daily rollup: count + scaled-integer value max. */
+  private def daily(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+      .groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n_ev"),
+        max(floor(col("value") * 1000).cast("long")).as("vmax1k"))
+
+  // -------------------------------------------------------------- queries
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Calendar gap-fill with last-observation-carried-forward: every user
+    // gets one row per day of their own active span; days with no events
+    // are flagged and carry the last seen daily max forward.
+    "ts_gapfill" -> { (s, d) =>
+      val dly = daily(s, d)
+      val grid = dly.groupBy("user_id")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+      grid.join(dly, Seq("user_id", "day"), "left")
+        .withColumn("is_gap", col("n_ev").isNull)
+        .withColumn("n_events", coalesce(col("n_ev"), lit(0L)))
+        .withColumn("locf_vmax1k", last("vmax1k", ignoreNulls = true).over(w))
+        .orderBy("user_id", "day")
+        // ISO string for the hash compare: DATE surfaces as differently-
+        // typed objects in the two engines' parquet/pandas paths
+        .select(col("user_id"), col("day").cast("string").as("day"),
+          col("n_events"), col("is_gap"), col("locf_vmax1k"))
+    },
+
+    // Downsample to per-user daily OHLC bars: open/close by total
+    // (ts, event_id) order, high/low as order-independent extremes. The
+    // classic resample — two window passes over one user_id shuffle.
+    "ts_resample_ohlc" -> { (s, d) =>
+      val ev = events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          col("ts"), col("event_id"), col("value"))
+      val asc = Window.partitionBy("user_id", "day")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val desc = Window.partitionBy("user_id", "day")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      ev.withColumn("rn_a", row_number().over(asc))
+        .withColumn("rn_d", row_number().over(desc))
+        .groupBy("user_id", "day")
+        .agg(count(lit(1)).as("n_events"),
+          max(when(col("rn_a") === 1, col("value"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max(when(col("rn_d") === 1, col("value"))).as("close"))
+        .orderBy("user_id", "day")
+        .select(col("user_id"), col("day").cast("string").as("day"),
+          col("n_events"), col("open"), col("high"), col("low"), col("close"))
+    }
+  )
+
+  // -------------------------------------------------------------- oracles
+
+  private def dailyCte =
+    """daily AS (SELECT user_id, ts::DATE AS day, count(*) AS n_ev,
+      |    max(CAST(floor(value * 1000) AS BIGINT)) AS vmax1k
+      |  FROM events GROUP BY 1, 2)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "ts_gapfill" ->
+      s"""WITH $dailyCte,
+         |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+         |grid AS (SELECT user_id,
+         |    unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM span)
+         |SELECT g.user_id, CAST(g.day AS VARCHAR) AS day,
+         |  CAST(COALESCE(d.n_ev, 0) AS BIGINT) AS n_events,
+         |  d.n_ev IS NULL AS is_gap,
+         |  last_value(d.vmax1k IGNORE NULLS)
+         |    OVER (PARTITION BY g.user_id ORDER BY g.day) AS locf_vmax1k
+         |FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+         |ORDER BY g.user_id, g.day""".stripMargin,
+
+    "ts_resample_ohlc" ->
+      """WITH e AS (SELECT user_id, ts::DATE AS day, ts, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id, ts::DATE
+        |      ORDER BY ts ASC, event_id ASC) AS rn_a,
+        |    row_number() OVER (PARTITION BY user_id, ts::DATE
+        |      ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events)
+        |SELECT user_id, CAST(day AS VARCHAR) AS day, count(*) AS n_events,
+        |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rn_d = 1 THEN value END) AS close
+        |FROM e GROUP BY user_id, day ORDER BY user_id, day""".stripMargin
+  )
+}

@@ -118,6 +118,20 @@ class CorpusSpec extends SparkSpecBase {
     }
   }
 
+  test("corpus_split: partition of the corpus, ~80/10/10, disjoint from the sample key") {
+    val rows = Corpus.queries("corpus_split")(spark, sfDir).collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.length == nDocs)
+    val bySplit = rows.groupBy(_.getString(3)).view.mapValues(_.length).toMap
+    assert(bySplit.keySet == Set("train", "validation", "test"))
+    // md5 keys are uniform: train fraction within [0.7, 0.9] even at 500 docs
+    val trainFrac = bySplit("train").toDouble / nDocs
+    assert(trainFrac > 0.7 && trainFrac < 0.9, s"train fraction $trainFrac")
+    // split key is salted independently of the sampling key: identical key
+    // values would correlate the draws
+    rows.foreach(r => assert(r.getLong(2) >= 0 && r.getLong(2) < 1000))
+  }
+
   test("plans: contamination benchmark side broadcast; pii stays map-only") {
     val contamPlan = Corpus.queries("contamination_check")(spark, sfDir)
       .queryExecution.executedPlan.toString

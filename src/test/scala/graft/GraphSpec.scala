@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+/** TextRank / integer PageRank: agreement with a plain-loop reference on a
+  * known graph (the strongest signal — the distributed DAG and a local
+  * sequential loop must produce identical scaled-integer ranks), plus
+  * fixture-level invariants.
+  */
+class GraphSpec extends SparkSpecBase {
+
+  /** Local reference: identical scaled-integer PageRank, plain loops. */
+  private def localPagerank(edges: Seq[(String, String, Long)], iters: Int)
+    : Map[String, Long] = {
+    val outW = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val nodes = outW.keySet
+    val n = nodes.size
+    val base = Graph.Scale / n
+    val teleport = (Graph.TeleNum * base) / 100L
+    var rank: Map[String, Long] = nodes.map(_ -> base).toMap
+    for (_ <- 1 to iters) {
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _, w) => (rank(src) * w) / outW(src) }.sum
+      }
+      rank = in.map { case (node, s) => node -> (teleport + (Graph.DampNum * s) / 100L) }
+    }
+    rank
+  }
+
+  test("pagerank matches the sequential reference on a known weighted graph") {
+    // triangle with a pendant: a-b heavy, b-c, c-a, c-d light
+    val raw = Seq(("a", "b", 3L), ("b", "c", 1L), ("c", "a", 1L), ("c", "d", 1L))
+    val und = raw ++ raw.map { case (s, d, w) => (d, s, w) }
+    val df = spark.createDataFrame(und).toDF("src", "dst", "w")
+    val got = Graph.pagerank(df, iters = Graph.Iters)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = localPagerank(und, Graph.Iters)
+    assert(got === want)
+  }
+
+  test("fixture textrank: mass conservation and positivity") {
+    val res = Graph.queries("graph_textrank")(spark, sfDir).collect()
+    assert(res.nonEmpty)
+    val total = res.map(_.getLong(1)).sum
+    // floor losses only: total <= Scale, and within n*(iters+2) ulps of it
+    assert(total <= Graph.Scale)
+    assert(total > Graph.Scale - res.length.toLong * (Graph.Iters + 2) * 100)
+    assert(res.forall(_.getLong(1) > 0))
+  }
+
+  test("degree stats: undirected graph has symmetric degrees and even weight total") {
+    val deg = Graph.queries("graph_degree_stats")(spark, sfDir)
+    // every edge was inserted in both directions -> total weighted degree even
+    val tot = deg.agg(sum("wdegree")).head.getLong(0)
+    assert(tot % 2 == 0)
+    // in-degree must equal out-degree per node
+    val edges = Graph.cooccurEdges(
+      Tables.documents(spark, sfDir).select("doc_id", "text"))
+    val outd = edges.groupBy("src").count().withColumnRenamed("src", "node")
+    val ind = edges.groupBy("dst").count().withColumnRenamed("dst", "node")
+      .withColumnRenamed("count", "icount")
+    assert(outd.join(ind, "node").where(col("count") =!= col("icount")).count() == 0)
+  }
+}

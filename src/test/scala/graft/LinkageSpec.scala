@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Linkage
+
+class LinkageSpec extends SparkSpecBase {
+
+  test("link_fuzzy_neighbors: symmetric relation, bounded distances, closest is sane") {
+    val res = Linkage.queries("link_fuzzy_neighbors")(spark, sfDir)
+    res.persist()
+    assert(res.count() > 0)
+    // levenshtein and blocking are symmetric -> total directed pair count is even
+    val tot = res.agg(sum("n_close")).head.getLong(0)
+    assert(tot % 2 == 0)
+    assert(res.where(col("closest_dist") > Linkage.MaxDist ||
+      col("closest_dist") < 1).count() == 0)
+    assert(res.where(col("closest_key") === col("custkey")).count() == 0)
+    res.unpersist()
+  }
+
+  test("link_block_stats: blocks partition the table, pair math is exact") {
+    val res = Linkage.queries("link_block_stats")(spark, sfDir)
+    res.persist()
+    val nCust = Tables.customer(spark, sfDir).count()
+    assert(res.agg(sum("n")).head.getLong(0) == nCust)
+    assert(res.where(col("n_pairs") =!= col("n") * (col("n") - 1) / 2).count() == 0)
+    res.unpersist()
+  }
+}

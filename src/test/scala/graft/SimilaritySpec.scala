@@ -84,4 +84,20 @@ class SimilaritySpec extends SparkSpecBase {
     }.sum / Similarity.QuerySet
     assert(recall >= 0.3, s"IVF recall@${Similarity.K} collapsed: $recall")
   }
+
+  test("emb_quantize_sq8: codes in [0,255], full width used, error bounded by half-bucket sum") {
+    val rows = Similarity.queries("emb_quantize_sq8")(spark, sfDir).collect()
+    assert(rows.length == vecs.size)
+    val codes = rows.map(_.getSeq[Int](1))
+    assert(codes.forall(q => q.length == Similarity.Dim))
+    assert(codes.forall(_.forall(c => c >= 0 && c <= 255)))
+    // per-dim min maps to code 0 and max to 254/255 (ulp-dependent top) —
+    // the quantizer must use the full range, not collapse it
+    val mins = (0 until Similarity.Dim).map(j => codes.map(_(j)).min)
+    val maxs = (0 until Similarity.Dim).map(j => codes.map(_(j)).max)
+    assert(mins.forall(_ == 0), "some dimension never hits code 0")
+    assert(maxs.forall(_ >= 254), "some dimension never reaches the top codes")
+    // mid-bucket decoding: |x - decode(q)| <= bucket/2 per dim (+ulp slack)
+    rows.foreach(r => assert(r.getDouble(2) >= 0.0 && r.getDouble(2) < 1.0))
+  }
 }
