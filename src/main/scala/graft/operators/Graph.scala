@@ -71,6 +71,9 @@ object Graph {
     * Returns (node, rank) with rank at [[Scale]] fixed point.
     */
   def pagerank(edges: DataFrame, iters: Int = Iters): DataFrame = {
+    // persisted for the 10 iterations; the returned plan is lazy, so the
+    // caller contract is the library-wide one — Graft.releaseCaches after
+    // the consuming action (see Dedup.minhashPairsFor's note).
     val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w")).persist()
     val outw = e.groupBy("src").agg(sum("w").as("out_w")).persist()
     val n = outw.count() // vocab-sized scalar; the one intentional action

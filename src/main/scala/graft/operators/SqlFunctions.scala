@@ -473,6 +473,22 @@ object SqlFunctions {
           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     },
 
+    // Equal-width histogram: global [min,max] bounds (one tiny broadcast
+    // row), then a pure per-row bucket map + count — the profile query you
+    // run on any numeric column before choosing binning/clipping. The
+    // bucket formula is fixed-order IEEE arithmetic, identical in both
+    // engines; the top edge folds into the last bucket via least().
+    "q_histogram" -> { (s, d) =>
+      val bounds = events(s, d).agg(min("value").as("mn"), max("value").as("mx"))
+      events(s, d).crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          least(floor((col("value") - col("mn")) / ((col("mx") - col("mn")) / 10.0)),
+            lit(9L)).cast("int").as("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "bucket")
+    },
+
     // Winsorized (clipped-tail) robust statistics — the outlier-taming
     // step a feature pipeline runs before normalization. Two passes: exact
     // p01/p99 bounds per group, broadcast back, then clipped aggregates.
@@ -761,6 +777,14 @@ object SqlFunctions {
         | quantile_cont(o_totalprice, 0.5) AS median_price,
         | quantile_cont(o_totalprice, 0.9) AS p90_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_histogram" ->
+      """WITH b AS (SELECT min(value) AS mn, max(value) AS mx FROM events)
+        |SELECT event_type,
+        |  CAST(least(floor((value - mn) / ((mx - mn) / 10.0)), 9) AS INTEGER) AS bucket,
+        |  count(*) AS n
+        |FROM events CROSS JOIN b
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_winsorize" ->
       """WITH b AS (SELECT l_returnflag AS rf,

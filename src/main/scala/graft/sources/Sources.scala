@@ -109,13 +109,45 @@ object Sources {
       .orderBy("o_orderpriority")
   }
 
+  /** Rows/slices for the synthetic DSv2 source queries. */
+  val SynthRows = 2000L
+  val SynthSlices = 8
+
+  private def synthRead(s: SparkSession): DataFrame =
+    s.read.format("graft.sources.SynthDocsSource")
+      .option("rows", SynthRows.toString)
+      .option("slices", SynthSlices.toString)
+      .load()
+
+  /** Custom DSv2 source, aggregate face: the doc_id range filter is
+    * absorbed by the generator (pushed filter — SourcesSpec locks the scan
+    * description) and `text` is pruned at the source (never generated).
+    */
+  def synthPushdown(s: SparkSession, d: String): DataFrame =
+    synthRead(s)
+      .where(col("doc_id") >= 100L && col("doc_id") < 1100L)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("n_tokens").as("total_tokens"))
+      .orderBy("lang")
+
+  /** Custom DSv2 source, row face: full columns incl. generated text for a
+    * pushed-down id slice — the oracle regenerates every field from
+    * doc_id, so the generator itself is hash-verified.
+    */
+  def synthRows(s: SparkSession, d: String): DataFrame =
+    synthRead(s)
+      .where(col("doc_id") < 25L)
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_csv_roundtrip" -> csvRoundtrip,
     "src_json_roundtrip" -> jsonRoundtrip,
     "src_orc_roundtrip" -> orcRoundtrip,
     "src_text_roundtrip" -> textRoundtrip,
     "src_partitioned_parquet" -> partitionedParquet,
-    "src_bucketed_join" -> bucketedJoin
+    "src_bucketed_join" -> bucketedJoin,
+    "src_synth_pushdown" -> synthPushdown,
+    "src_synth_rows" -> synthRows
   )
 
   val oracles: Map[String, String] = Map(
@@ -136,6 +168,37 @@ object Sources {
       """SELECT o_orderpriority, count(*) AS n_lines,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "src_synth_pushdown" ->
+      s"""WITH $synthCtes
+         |SELECT lang, count(*) AS n, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         |FROM x WHERE doc_id >= 100 AND doc_id < 1100
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "src_synth_rows" ->
+      s"""WITH $synthCtes,
+         |t AS (SELECT doc_id, lang, n_tokens,
+         |  array_to_string(list_transform(range(0, CAST(n_tokens AS INTEGER)),
+         |    i -> 'tok' || CAST(${h60i("'t:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")} % ${SynthDocs.Vocab} AS VARCHAR)), ' ') AS text
+         |  FROM x WHERE doc_id < 25)
+         |SELECT doc_id, lang, text, n_tokens FROM t ORDER BY doc_id""".stripMargin
   )
+
+  /** h60 over an expression (same construction as TextHash.h60Sql, local
+    * copy to keep graft.sources free of the operators package).
+    */
+  private def h60i(x: String): String =
+    s"CAST(('0x' || substr(md5($x),1,15)) AS BIGINT)"
+
+  private def langListSql: String =
+    SynthDocs.Langs.map(l => s"'$l'").mkString("[", ", ", "]")
+
+  /** The synthetic table regenerated purely in SQL from range(rows). */
+  private def synthCtes: String =
+    s"""ids AS (SELECT unnest(range(0, ${SynthRows})) AS doc_id),
+       |x AS (SELECT doc_id,
+       |  ($langListSql)[CAST(${h60i("'lang:' || CAST(doc_id AS VARCHAR)")} % ${SynthDocs.Langs.length} AS INTEGER) + 1] AS lang,
+       |  ${SynthDocs.MinToks} + ${h60i("'len:' || CAST(doc_id AS VARCHAR)")} % ${SynthDocs.TokSpread} AS n_tokens
+       |  FROM ids)""".stripMargin
 }

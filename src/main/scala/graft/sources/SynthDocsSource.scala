@@ -1,0 +1,173 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom DataSourceV2: a deterministic synthetic document corpus,
+  * generated on the executors — the "infinite table" pattern used for
+  * benchmarking and load-testing data pipelines without any input bytes
+  * (compare TPC-DS dsdgen-as-a-source). SURVEY.md §7.3's custom-source
+  * path, exercised for real:
+  *
+  *   - `SupportsPushDownFilters`: doc_id range predicates (>, >=, <, <=, =)
+  *     are absorbed into the GENERATOR — a filter `doc_id < 1000` does not
+  *     scan-then-drop, it narrows the id range that is ever produced.
+  *     That is the V2 analog of parquet row-group pruning, and at 100 TB
+  *     of synthetic load it is the difference between generating a slice
+  *     and generating the world. Residual (non-id) filters are reported
+  *     back to Spark for post-scan evaluation.
+  *   - `SupportsPushDownRequiredColumns`: only requested columns are
+  *     materialized (text generation — the expensive field — is skipped
+  *     entirely when pruned away).
+  *   - Rows are split into `slices` independent id-range partitions, so
+  *     parallelism scales like any other scan.
+  *
+  * Every field is a pure md5 function of doc_id (TextHash.h60 semantics),
+  * so a DuckDB oracle reproduces the whole table from range(rows) —
+  * the source's output is hash-verified end-to-end, not just smoke-read.
+  *
+  * Options: `rows` (table size, default 1000), `slices` (partitions,
+  * default 4).
+  */
+class SynthDocsSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SynthDocs.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new SynthDocsTable(
+      properties.getOrDefault("rows", "1000").toLong,
+      properties.getOrDefault("slices", "4").toInt)
+}
+
+/** Deterministic row model shared by the reader and the tests. */
+object SynthDocs {
+  val Langs: Array[String] = Array("en", "de", "es", "fr", "zh")
+  val Vocab = 50
+  val MinToks = 4
+  val TokSpread = 8
+
+  val schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("lang", StringType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("n_tokens", LongType, nullable = false)))
+
+  private val mdLocal: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  /** First 15 md5 hex chars parsed base-16 — identical to TextHash.h60 /
+    * the oracle's CAST(('0x' || substr(md5(x),1,15)) AS BIGINT).
+    */
+  def h60(s: String): Long = {
+    val md = mdLocal.get()
+    md.reset()
+    val hex = md.digest(s.getBytes(StandardCharsets.UTF_8))
+      .take(8).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  def langOf(id: Long): String = Langs((h60(s"lang:$id") % Langs.length).toInt)
+  def nTokens(id: Long): Long = MinToks + (h60(s"len:$id") % TokSpread)
+  def textOf(id: Long): String =
+    (0L until nTokens(id)).map(i => "tok" + (h60(s"t:$id:$i") % Vocab)).mkString(" ")
+}
+
+class SynthDocsTable(rows: Long, slices: Int) extends Table with SupportsRead {
+  override def name(): String = s"synth_docs($rows)"
+  override def schema(): StructType = SynthDocs.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SynthDocsScanBuilder(rows, slices)
+}
+
+class SynthDocsScanBuilder(rows: Long, slices: Int)
+  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var lo: Long = 0L
+  private var hi: Long = rows // exclusive
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = SynthDocs.schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, residual) = filters.partition {
+      case GreaterThan("doc_id", v: Long) => lo = math.max(lo, v + 1); true
+      case GreaterThanOrEqual("doc_id", v: Long) => lo = math.max(lo, v); true
+      case LessThan("doc_id", v: Long) => hi = math.min(hi, v); true
+      case LessThanOrEqual("doc_id", v: Long) => hi = math.min(hi, v + 1); true
+      case EqualTo("doc_id", v: Long) => lo = math.max(lo, v); hi = math.min(hi, v + 1); true
+      case IsNotNull("doc_id") => true // nothing is null here
+      case _ => false
+    }
+    pushed = accepted
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new SynthDocsScan(math.max(lo, 0L), math.max(hi, math.max(lo, 0L)), slices, required)
+}
+
+class SynthDocsScan(lo: Long, hi: Long, slices: Int, required: StructType)
+  extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"SynthDocs[ids=[$lo,$hi), cols=${required.fieldNames.mkString(",")}]"
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = math.max(1, slices)
+    val total = math.max(0L, hi - lo)
+    (0 until n).flatMap { i =>
+      val a = lo + i * total / n
+      val b = lo + (i + 1) * total / n
+      if (b > a) Some(SynthDocsPartition(a, b): InputPartition) else None
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthDocsReaderFactory(required)
+}
+
+case class SynthDocsPartition(lo: Long, hi: Long) extends InputPartition
+
+class SynthDocsReaderFactory(required: StructType)
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SynthDocsPartition]
+    new SynthDocsReader(p.lo, p.hi, required)
+  }
+}
+
+class SynthDocsReader(lo: Long, hi: Long, required: StructType)
+  extends PartitionReader[InternalRow] {
+  private var id = lo - 1
+  // one getter per required column, bound once (pruned columns are never computed)
+  private val getters: Seq[Long => Any] = required.fieldNames.toSeq.map {
+    case "doc_id" => (i: Long) => i
+    case "lang" => (i: Long) => UTF8String.fromString(SynthDocs.langOf(i))
+    case "text" => (i: Long) => UTF8String.fromString(SynthDocs.textOf(i))
+    case "n_tokens" => (i: Long) => SynthDocs.nTokens(i)
+    case other => throw new IllegalArgumentException(s"unknown column $other")
+  }
+
+  override def next(): Boolean = { id += 1; id < hi }
+  override def get(): InternalRow =
+    InternalRow.fromSeq(getters.map(_(id)))
+  override def close(): Unit = ()
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Behavior
+
+class BehaviorSpec extends SparkSpecBase {
+
+  test("funnel: stage counts are monotone and consistent with user paths") {
+    val stages = Behavior.queries("funnel_stages")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stages.keySet == Set("1_view", "2_click", "3_purchase"))
+    assert(stages("1_view") >= stages("2_click"))
+    assert(stages("2_click") >= stages("3_purchase"))
+    assert(stages("1_view") > 0)
+
+    val paths = Behavior.queries("funnel_user_paths")(spark, sfDir)
+    paths.persist()
+    assert(paths.count() == stages("1_view"))
+    assert(paths.where(col("t_click_us").isNotNull).count() == stages("2_click"))
+    assert(paths.where(col("t_purchase_us").isNotNull).count() == stages("3_purchase"))
+    // strict ordering: click after view, purchase after click
+    assert(paths.where(col("t_click_us").isNotNull &&
+      col("t_click_us") <= col("t_view_us")).count() == 0)
+    assert(paths.where(col("t_purchase_us").isNotNull &&
+      col("t_purchase_us") <= col("t_click_us")).count() == 0)
+    // nobody reaches purchase without click
+    assert(paths.where(col("t_purchase_us").isNotNull &&
+      col("t_click_us").isNull).count() == 0)
+    paths.unpersist()
+  }
+
+  test("retention: offset-0 equals cohort size, activity mass conserved") {
+    val ret = Behavior.queries("retention_cohorts")(spark, sfDir)
+    ret.persist()
+    // offset 0 exists for every cohort and equals the cohort's user count
+    val cohortSizes = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy("user_id").agg(min("day").as("cohort"))
+      .groupBy(col("cohort").cast("string").as("cohort"))
+      .agg(count(lit(1)).as("size"))
+    val zero = ret.where(col("offset_days") === 0)
+      .select(col("cohort"), col("n_users"))
+    assert(zero.join(cohortSizes, "cohort")
+      .where(col("n_users") =!= col("size")).count() == 0)
+    // per-cohort counts never exceed the cohort size
+    assert(ret.join(cohortSizes, "cohort")
+      .where(col("n_users") > col("size")).count() == 0)
+    // total mass = distinct (user, day) pairs
+    val distinctActive = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct().count()
+    assert(ret.agg(sum("n_users")).head.getLong(0) == distinctActive)
+    ret.unpersist()
+  }
+}

@@ -80,6 +80,27 @@ class PlanSpec extends SparkSpecBase {
       p.contains("BroadcastHashJoin"), s"expected an equi-join:\n$p")
   }
 
+  test("link_fuzzy_neighbors: blocked matching is equi-join only (no all-pairs)") {
+    val p = plan("link_fuzzy_neighbors")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"blocking must stay an equi-join on the block key:\n$p")
+  }
+
+  test("graph_textrank: corpus collapses before the iteration (edge agg is map-side combined)") {
+    val p = plan("graph_textrank")
+    // partial aggregation of the edge groupBy: a HashAggregate below the
+    // exchange (same lock as the minhash signature agg)
+    val firstAgg = p.linesIterator.find(_.contains("HashAggregate"))
+    assert(firstAgg.isDefined, s"no hash aggregate in textrank plan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_histogram: bounds row broadcasts; no shuffle of the fact side before bucketing") {
+    val p = plan("q_histogram")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"1-row bounds must broadcast:\n$p")
+  }
+
   test("q21: EXISTS/NOT EXISTS decorrelation stays equi-join (no nested loop)") {
     // The per-order aggregate replaces two correlated self-joins; if the
     // decorrelation regressed to Spark's generic correlated-subquery

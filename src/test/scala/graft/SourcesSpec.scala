@@ -30,6 +30,36 @@ class SourcesSpec extends SparkSpecBase {
     assert(got.collect().toSeq === want.collect().toSeq)
   }
 
+  test("synth DSv2: doc_id range absorbed by the generator, text pruned at the source") {
+    val df = Sources.synthPushdown(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // pushed range shows in the Scan description — ids [100,1100) only
+    assert(plan.contains("ids=[100,1100)"), s"range not pushed:\n$plan")
+    // text is never generated (pruned columns listed in the description)
+    val colsPart = plan.split("cols=")(1).split("]")(0)
+    assert(!colsPart.contains("text"), s"text not pruned: $colsPart")
+    // generator correctness: exactly 1000 ids survive, langs partition them
+    assert(df.agg(sum("n")).head.getLong(0) == 1000L)
+    // row face agrees with the local row model
+    val rows = Sources.synthRows(spark, sfDir).collect()
+    assert(rows.length == 25)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(1) == graft.sources.SynthDocs.langOf(id))
+      assert(r.getString(2) == graft.sources.SynthDocs.textOf(id))
+      assert(r.getLong(3) == graft.sources.SynthDocs.nTokens(id))
+      assert(r.getString(2).split(" ").length.toLong == r.getLong(3))
+    }
+  }
+
+  test("synth DSv2: slices partition the id space without overlap") {
+    val df = spark.read.format("graft.sources.SynthDocsSource")
+      .option("rows", "101").option("slices", "7").load()
+    val ids = df.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (0L until 101L))
+    assert(df.rdd.getNumPartitions == 7)
+  }
+
   test("partitioned parquet read prunes to the filtered partition") {
     val df = Sources.partitionedParquet(spark, sfDir)
     // via Tables.events — a raw parquet read would hit Spark's
