@@ -25,14 +25,22 @@ object Linkage {
   /** Maximum Levenshtein distance to call two names a fuzzy match. */
   val MaxDist = 2
 
-  /** Customers with a deterministic blocking key: name length + 2-char
+  /** Customers with a deterministic blocking key: name length + 3-char
     * suffix. Both engines compute identical keys (pure string ops).
+    *
+    * Block granularity is the scale lever: block count grows with key
+    * cardinality while PAIRS grow with block size squared, so the suffix
+    * must be long enough that block size stays bounded as the table grows
+    * (a 2-char suffix at 10x the rows → 10x block size → 100x the
+    * Levenshtein calls — measured 11.7s at sf0.1; 3 chars brings it back
+    * to ~1s). Like any blocking scheme this trades recall: matches
+    * differing inside the suffix are not candidates.
     */
   private def blocked(s: SparkSession, d: String): DataFrame =
     customer(s, d).select(col("c_custkey"), col("c_name"))
       .withColumn("blk",
         concat(length(col("c_name")).cast("string"), lit(":"),
-          expr("right(c_name, 2)")))
+          expr("right(c_name, 3)")))
 
   // -------------------------------------------------------------- queries
 
@@ -72,7 +80,7 @@ object Linkage {
   // -------------------------------------------------------------- oracles
 
   private def blkSql =
-    "CAST(length(c_name) AS VARCHAR) || ':' || right(c_name, 2)"
+    "CAST(length(c_name) AS VARCHAR) || ':' || right(c_name, 3)"
 
   val oracles: Map[String, String] = Map(
     "link_fuzzy_neighbors" ->

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables._
 import graft.functions.CountMinSketchAgg
-import TextHash.{h60, toksSql, toks}
+import TextHash.{toksSql, toks}
 
 /** Mergeable frequency sketching — Count-Min Sketch over the corpus token
   * stream, built by the typed Aggregator [[CountMinSketchAgg]].
@@ -55,8 +55,8 @@ object Sketches {
       val sk = tok.agg(cms(col("tok")).as("sketch"))
       val est = least((0 until Depth).map { j =>
         element_at(col("sketch"),
-          ((h60(concat(lit(s"cms$j:"), col("tok"))) % Width).cast("int")
-            + lit(j * Width) + lit(1)))
+          ((conv(substring(md5(col("tok")), 1 + 4 * j, 4), 16, 10).cast("long")
+            % Width).cast("int") + lit(j * Width) + lit(1)))
       }: _*)
       exact.crossJoin(broadcast(sk))
         .select(col("tok").as("term"), col("exact"), est.as("est"),
@@ -72,7 +72,7 @@ object Sketches {
     s"""tok AS (SELECT unnest(${toksSql("text")}) AS t FROM documents),
        |g AS (SELECT unnest(range(0, $Depth)) AS j),
        |h AS (SELECT t, j,
-       |  ${TextHash.h60Sql("'cms' || CAST(j AS VARCHAR) || ':' || t")} % $Width AS b
+       |  CAST(('0x' || substr(md5(t), CAST(1 + 4 * j AS INTEGER), 4)) AS BIGINT) % $Width AS b
        |  FROM tok CROSS JOIN g),
        |cells AS (SELECT j, b, count(*) AS c FROM h GROUP BY 1, 2)""".stripMargin
 

@@ -212,4 +212,24 @@ object StreamingOps {
       .partitionBy("win_start").orderBy(desc("cnt"), asc("term"))
     batch.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
   }
+
+  /** Streaming Count-Min Sketch: one constant-size sketch per micro-batch
+    * (the CMS Aggregator's map-side combine does the heavy lifting inside
+    * the batch), merged into a running sketch in foreachBatch. Because CMS
+    * merge is associative AND commutative, the accumulated sketch is
+    * bit-identical to a single batch pass over the same rows — regardless
+    * of how the stream was micro-batched (StreamingSpec proves it against
+    * the batch Aggregator). This is the streaming shape for any mergeable
+    * sketch (HLL, quantile digests) at 100 TB: per-batch state is O(1),
+    * nothing is replayed, and the merge point is a single tiny array.
+    */
+  def runningCmsSketch(tokenBatch: DataFrame): Array[Long] = {
+    val cms = org.apache.spark.sql.functions.udaf(
+      graft.functions.CountMinSketchAgg, org.apache.spark.sql.Encoders.STRING)
+    val rows = tokenBatch.agg(cms(col("tok"))).collect()
+    if (rows.isEmpty || rows.head.isNullAt(0))
+      new Array[Long](graft.functions.CountMinSketchAgg.Depth *
+        graft.functions.CountMinSketchAgg.Width)
+    else rows.head.getSeq[Long](0).toArray
+  }
 }

@@ -6,8 +6,13 @@ import graft.operators.Linkage
 
 class LinkageSpec extends SparkSpecBase {
 
+  // sf0.001 has 150 customers — the (length, 3-char-suffix) blocking key
+  // makes every block a singleton there (no candidate pairs at all), so
+  // the linkage invariants need the 1500-customer fixture
+  private val linkDir = "/root/testdata/sf0.01"
+
   test("link_fuzzy_neighbors: symmetric relation, bounded distances, closest is sane") {
-    val res = Linkage.queries("link_fuzzy_neighbors")(spark, sfDir)
+    val res = Linkage.queries("link_fuzzy_neighbors")(spark, linkDir)
     res.persist()
     assert(res.count() > 0)
     // levenshtein and blocking are symmetric -> total directed pair count is even
@@ -20,9 +25,9 @@ class LinkageSpec extends SparkSpecBase {
   }
 
   test("link_block_stats: blocks partition the table, pair math is exact") {
-    val res = Linkage.queries("link_block_stats")(spark, sfDir)
+    val res = Linkage.queries("link_block_stats")(spark, linkDir)
     res.persist()
-    val nCust = Tables.customer(spark, sfDir).count()
+    val nCust = Tables.customer(spark, linkDir).count()
     assert(res.agg(sum("n")).head.getLong(0) == nCust)
     assert(res.where(col("n_pairs") =!= col("n") * (col("n") - 1) / 2).count() == 0)
     res.unpersist()

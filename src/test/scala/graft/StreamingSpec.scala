@@ -378,6 +378,38 @@ class StreamingSpec extends SparkSpecBase {
     assert(StreamingOps.incrementalIngest(s, src, schema, ckpt, out) === 3L)
   }
 
+  test("streaming CMS: foreachBatch-merged sketch is bit-identical to one batch pass") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.functions.CountMinSketchAgg
+    val texts = Tables.documents(s, sfDir).select("text")
+      .limit(60).as[String].collect()
+    val in = MemoryStream[String]
+    val acc = new Array[Long](CountMinSketchAgg.Depth * CountMinSketchAgg.Width)
+    val q = in.toDF.toDF("text")
+      .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val sk = StreamingOps.runningCmsSketch(batch)
+        var i = 0
+        while (i < acc.length) { acc(i) += sk(i); i += 1 }
+      }
+      .start()
+    try {
+      // three uneven micro-batches — merge order/batching must not matter
+      in.addData(texts.take(7): _*); q.processAllAvailable()
+      in.addData(texts.slice(7, 40): _*); q.processAllAvailable()
+      in.addData(texts.drop(40): _*); q.processAllAvailable()
+    } finally q.stop()
+    val cms = org.apache.spark.sql.functions.udaf(
+      CountMinSketchAgg, org.apache.spark.sql.Encoders.STRING)
+    val batchSketch = texts.toSeq.toDF("text")
+      .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .agg(cms($"tok")).head.getSeq[Long](0)
+    assert(acc.toSeq == batchSketch)
+  }
+
   test("textStatsStream applies the batch stats transform to a stream") {
     val s = spark
     import s.implicits._
