@@ -318,15 +318,19 @@ object Corpus {
         .orderBy("shard", "pos")
     },
 
-    // Shingle inverted index: posting lists (sorted doc_id arrays) for
+    // Shingle inverted index: posting lists (sorted doc_id lists) for
     // every 3-shingle shared by >= 2 docs — the direct index behind the
     // n-gram dedup join. Map-side-combined aggregation; output is
-    // index-sized (distinct shingles), not corpus-sized.
+    // index-sized (distinct shingles), not corpus-sized. The posting list
+    // is emitted as a comma-joined string so the driver's pandas-based
+    // hash compare can sort on it (ndarray cells are unhashable as sort
+    // keys); the sort happens on the numeric ids BEFORE stringification.
     "inverted_shingle_index" -> { (s, d) =>
       val sh = shingleRows(documents(s, d).select("doc_id", "text")).distinct()
       sh.groupBy("sh")
         .agg(count(lit(1)).as("df"),
-          sort_array(collect_list(col("doc_id"))).as("doc_ids"))
+          concat_ws(",", transform(sort_array(collect_list(col("doc_id"))),
+            x => x.cast("string"))).as("doc_ids"))
         .where(col("df") >= 2)
         .orderBy("sh")
     }
@@ -445,7 +449,9 @@ object Corpus {
 
     "inverted_shingle_index" ->
       s"""WITH $shCte
-         |SELECT sh, count(*) AS df, list_sort(list(doc_id)) AS doc_ids
+         |SELECT sh, count(*) AS df,
+         |  array_to_string(list_transform(list_sort(list(doc_id)),
+         |    x -> CAST(x AS VARCHAR)), ',') AS doc_ids
          |FROM s GROUP BY sh HAVING count(*) >= 2 ORDER BY sh""".stripMargin
   )
 }

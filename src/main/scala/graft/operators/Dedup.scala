@@ -281,12 +281,14 @@ object Dedup {
 
   /** LSH-bucketed cosine near-dup pairs (cos >= `CosThreshold`, 6-dp
     * rounded). The base scan+map subtree is consumed three times (band
-    * explode + both verify sides) but is a cheap map-only projection — at
-    * real scale, persist or checkpoint the banded relation instead.
+    * explode + both verify sides), so it is persisted like
+    * `minhashPairsFor`'s signature relation — the caller releases it via
+    * Graft.releaseCaches after the consuming action (the result is lazy;
+    * unpersisting here would drop the cache before first use).
     */
   private val CosThreshold = 0.4
   private def embeddingCosineLsh(s: SparkSession, d: String): DataFrame = {
-    val base = Similarity.base(s, d)
+    val base = Similarity.base(s, d).persist()
     val banded = base.select(col("vec_id"),
       posexplode(array((0 until Similarity.PairBands)
         .map(b => Similarity.pairBandKey(col("e"), b)): _*)).as(Seq("band", "key")))

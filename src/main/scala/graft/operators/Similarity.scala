@@ -236,8 +236,12 @@ object Similarity {
     // corpus is scanned once, never shuffled. Exactness: quantize/decode
     // are fixed-order IEEE double expressions (identical in the oracle),
     // the error sum is a sequential fold (list_sum parity, like dot),
-    // rounded to 6 dp. (A constant dimension would hit 0/0 — the fixture
-    // has none; at scale you'd clamp the scale to >= ulp.)
+    // rounded to 6 dp. The per-dim scale is clamped to >= 1e-300 so a
+    // constant dimension quantizes to code 0 with ~zero error instead of
+    // 0/0 = NaN (1e-300 parses to the identical IEEE double in both
+    // engines, keeping the oracle bit-exact). The codes array is emitted
+    // as a comma-joined string so the driver's pandas-based hash compare
+    // can sort on it (ndarray cells are unhashable as sort keys).
     "emb_quantize_sq8" -> { (s, d) =>
       val e = embeddings(s, d).select(col("vec_id"), toDouble(col("embedding")).as("x"))
       val stats = e.select(posexplode(col("x")).as(Seq("dim", "v")))
@@ -250,14 +254,16 @@ object Similarity {
       def mn(i: Column) = element_at(col("mns"), i)
       def mx(i: Column) = element_at(col("mxs"), i)
       def xi(i: Column) = element_at(col("x"), i)
+      def scale(i: Column) = greatest(mx(i) - mn(i), lit(1e-300))
       def code(i: Column) =
-        floor(((xi(i) - mn(i)) * 255.0) / (mx(i) - mn(i)))
+        floor(((xi(i) - mn(i)) * 255.0) / scale(i))
       e.crossJoin(broadcast(arrs))
         .select(col("vec_id"),
-          transform(sequence(lit(1), lit(Dim)), i => code(i).cast("int")).as("q"),
+          concat_ws(",", transform(sequence(lit(1), lit(Dim)),
+            i => code(i).cast("int").cast("string"))).as("q"),
           round(aggregate(sequence(lit(1), lit(Dim)), lit(0.0), (acc, i) =>
             acc + abs(xi(i) - (mn(i) + (code(i).cast("double") + 0.5) *
-              ((mx(i) - mn(i)) / 255.0)))), 6).as("recon_err"))
+              (scale(i) / 255.0)))), 6).as("recon_err"))
         .orderBy("vec_id")
     }
   )
@@ -331,16 +337,18 @@ object Similarity {
 
     "emb_quantize_sq8" -> {
       val xi = "CAST(embedding[i] AS DOUBLE)"
-      val codeI = s"floor((($xi - mns[i]) * 255.0) / (mxs[i] - mns[i]))"
+      val scaleI = "greatest(mxs[i] - mns[i], 1e-300)"
+      val codeI = s"floor((($xi - mns[i]) * 255.0) / $scaleI)"
       s"""WITH d AS (SELECT generate_subscripts(embedding, 1) AS dim,
          |    CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
          |st AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM d GROUP BY dim),
          |sa AS (SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs FROM st)
          |SELECT vec_id,
-         |  list_transform(range(1, ${Dim + 1}), i -> CAST($codeI AS INTEGER)) AS q,
+         |  array_to_string(list_transform(range(1, ${Dim + 1}),
+         |    i -> CAST(CAST($codeI AS INTEGER) AS VARCHAR)), ',') AS q,
          |  round(list_sum(list_transform(range(1, ${Dim + 1}), i ->
          |    abs($xi - (mns[i] + (CAST($codeI AS DOUBLE) + 0.5)
-         |      * ((mxs[i] - mns[i]) / 255.0))))), 6) AS recon_err
+         |      * ($scaleI / 255.0))))), 6) AS recon_err
          |FROM embeddings CROSS JOIN sa ORDER BY vec_id""".stripMargin
     }
   )

@@ -477,12 +477,15 @@ object SqlFunctions {
     // row), then a pure per-row bucket map + count — the profile query you
     // run on any numeric column before choosing binning/clipping. The
     // bucket formula is fixed-order IEEE arithmetic, identical in both
-    // engines; the top edge folds into the last bucket via least().
+    // engines; the top edge folds into the last bucket via least(). The
+    // range is clamped to >= 1e-300 so an all-equal column lands in bucket
+    // 0 instead of dividing by zero (same clamp in the oracle).
     "q_histogram" -> { (s, d) =>
       val bounds = events(s, d).agg(min("value").as("mn"), max("value").as("mx"))
       events(s, d).crossJoin(broadcast(bounds))
         .select(col("event_type"),
-          least(floor((col("value") - col("mn")) / ((col("mx") - col("mn")) / 10.0)),
+          least(floor((col("value") - col("mn")) /
+            (greatest(col("mx") - col("mn"), lit(1e-300)) / 10.0)),
             lit(9L)).cast("int").as("bucket"))
         .groupBy("event_type", "bucket")
         .agg(count(lit(1)).as("n"))
@@ -781,7 +784,7 @@ object SqlFunctions {
     "q_histogram" ->
       """WITH b AS (SELECT min(value) AS mn, max(value) AS mx FROM events)
         |SELECT event_type,
-        |  CAST(least(floor((value - mn) / ((mx - mn) / 10.0)), 9) AS INTEGER) AS bucket,
+        |  CAST(least(floor((value - mn) / (greatest(mx - mn, 1e-300) / 10.0)), 9) AS INTEGER) AS bucket,
         |  count(*) AS n
         |FROM events CROSS JOIN b
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

@@ -101,12 +101,24 @@ class SynthDocsScanBuilder(rows: Long, slices: Int)
   private var required: StructType = SynthDocs.schema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // Comparison values arrive as whatever boxed numeric the literal was
+    // typed as (Integer for INT comparisons, Long for BIGINT) — match any
+    // integral Number so an INT-typed predicate still prunes the id range.
+    object IdVal {
+      def unapply(v: Any): Option[Long] = v match {
+        case n: java.lang.Integer => Some(n.longValue())
+        case n: java.lang.Long => Some(n.longValue())
+        case n: java.lang.Short => Some(n.longValue())
+        case n: java.lang.Byte => Some(n.longValue())
+        case _ => None
+      }
+    }
     val (accepted, residual) = filters.partition {
-      case GreaterThan("doc_id", v: Long) => lo = math.max(lo, v + 1); true
-      case GreaterThanOrEqual("doc_id", v: Long) => lo = math.max(lo, v); true
-      case LessThan("doc_id", v: Long) => hi = math.min(hi, v); true
-      case LessThanOrEqual("doc_id", v: Long) => hi = math.min(hi, v + 1); true
-      case EqualTo("doc_id", v: Long) => lo = math.max(lo, v); hi = math.min(hi, v + 1); true
+      case GreaterThan("doc_id", IdVal(v)) => lo = math.max(lo, v + 1); true
+      case GreaterThanOrEqual("doc_id", IdVal(v)) => lo = math.max(lo, v); true
+      case LessThan("doc_id", IdVal(v)) => hi = math.min(hi, v); true
+      case LessThanOrEqual("doc_id", IdVal(v)) => hi = math.min(hi, v + 1); true
+      case EqualTo("doc_id", IdVal(v)) => lo = math.max(lo, v); hi = math.min(hi, v + 1); true
       case IsNotNull("doc_id") => true // nothing is null here
       case _ => false
     }

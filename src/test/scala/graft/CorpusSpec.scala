@@ -111,7 +111,7 @@ class CorpusSpec extends SparkSpecBase {
     val rows = q("inverted_shingle_index").collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val ids = r.getSeq[Long](2)
+      val ids = r.getString(2).split(',').map(_.toLong).toSeq
       assert(r.getLong(1) == ids.length)
       assert(ids == ids.sorted)
       assert(ids.distinct.length == ids.length)

@@ -23,4 +23,24 @@ class EntrySpec extends SparkSpecBase {
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
+
+  test("no query output carries a non-atomic column (driver-harness sortability)") {
+    // The driver's oracle compare loads each result into pandas and sorts
+    // by ALL columns before hashing; an array/map/struct cell is unhashable
+    // as a pandas sort key and crashes the gate (seen round 3:
+    // emb_quantize_sq8, inverted_shingle_index). Contract: every
+    // SparkEntry.queries output column must be an atomic type — encode
+    // lists as ordered comma-joined strings / JSON instead.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      fn(spark, sfDir).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+                  f.dataType.isInstanceOf[MapType] ||
+                  f.dataType.isInstanceOf[StructType] =>
+          s"$name.${f.name}: ${f.dataType.simpleString}"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"non-atomic output columns crash the driver's pandas sort:\n${offenders.mkString("\n")}")
+  }
 }

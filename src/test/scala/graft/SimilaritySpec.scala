@@ -88,7 +88,7 @@ class SimilaritySpec extends SparkSpecBase {
   test("emb_quantize_sq8: codes in [0,255], full width used, error bounded by half-bucket sum") {
     val rows = Similarity.queries("emb_quantize_sq8")(spark, sfDir).collect()
     assert(rows.length == vecs.size)
-    val codes = rows.map(_.getSeq[Int](1))
+    val codes = rows.map(_.getString(1).split(',').map(_.toInt).toSeq)
     assert(codes.forall(q => q.length == Similarity.Dim))
     assert(codes.forall(_.forall(c => c >= 0 && c <= 255)))
     // per-dim min maps to code 0 and max to 254/255 (ulp-dependent top) —
@@ -99,5 +99,30 @@ class SimilaritySpec extends SparkSpecBase {
     assert(maxs.forall(_ >= 254), "some dimension never reaches the top codes")
     // mid-bucket decoding: |x - decode(q)| <= bucket/2 per dim (+ulp slack)
     rows.foreach(r => assert(r.getDouble(2) >= 0.0 && r.getDouble(2) < 1.0))
+  }
+
+  test("emb_quantize_sq8: constant dimension yields code 0 and ~zero error, never NaN") {
+    // Build a tiny embeddings fixture where dim 1 is constant across all
+    // vectors (the 0/0 hazard the scale clamp guards). Other dims vary.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sq8const").toString
+    val n = 8
+    val vecsC = (0 until n).map { v =>
+      (v.toLong, (0 until Similarity.Dim).map { j =>
+        if (j == 0) 3.25f else (v * 0.1f + j * 0.01f)
+      }.toArray)
+    }
+    vecsC.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = Similarity.queries("emb_quantize_sq8")(spark, dir).collect()
+    assert(rows.length == n)
+    rows.foreach { r =>
+      val q = r.getString(1).split(',').map(_.toInt)
+      assert(q.length == Similarity.Dim)
+      assert(q(0) == 0, "constant dimension must quantize to code 0")
+      assert(q.forall(c => c >= 0 && c <= 255))
+      val err = r.getDouble(2)
+      assert(!err.isNaN && err >= 0.0, s"recon_err must be defined, got $err")
+    }
   }
 }
