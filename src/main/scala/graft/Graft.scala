@@ -21,15 +21,28 @@ object Graft {
       "graft_dot",
       exprs => DotProductD(exprs(0), exprs(1)),
       "scala_udf")
-    // optimizer rules + strategies on an already-built session (builder
-    // path: .withExtensions(new graft.plans.GraftExtensions))
-    if (!spark.experimental.extraOptimizations.contains(graft.plans.RewriteHofDotProduct))
+    // Optimizer rules + planner strategy. The supported injection point is
+    // SparkSessionExtensions (builder path: .withExtensions(new
+    // graft.plans.GraftExtensions) or config spark.sql.extensions) — there
+    // the rules run inside the operator-optimization fixed point, BEFORE
+    // InferWindowGroupLimit, so RewriteGroupTopK sees the pristine
+    // Filter-over-Window by construction. On a session built WITHOUT the
+    // extensions (the already-built-session case, where extensions can no
+    // longer be applied) fall back to the experimental hooks, whose
+    // "User Provided Optimizers" batch runs after InferWindowGroupLimit —
+    // RewriteGroupTopK carries a strip-if-present guard for exactly that
+    // ordering. Detection inspects the live optimizer/planner so the two
+    // paths are mutually exclusive and a rule never runs twice; both
+    // probes re-read experimental state, making init idempotent.
+    def optimizerHas(r: AnyRef): Boolean =
+      spark.sessionState.optimizer.batches.exists(_.rules.exists(_ eq r))
+    if (!optimizerHas(graft.plans.RewriteHofDotProduct))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.RewriteHofDotProduct
-    if (!spark.experimental.extraOptimizations.contains(graft.plans.RewriteGroupTopK))
+    if (!optimizerHas(graft.plans.RewriteGroupTopK))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.RewriteGroupTopK
-    if (!spark.experimental.extraStrategies.contains(graft.plans.GroupTopKStrategy))
+    if (!spark.sessionState.planner.strategies.contains(graft.plans.GroupTopKStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.GroupTopKStrategy
     spark

@@ -519,6 +519,22 @@ object SqlFunctions {
           |FROM j GROUP BY rf ORDER BY rf""".stripMargin)
     },
 
+    // Latest-3 events per user: the HIGH-KEY-CARDINALITY GroupTopK consumer
+    // (partition count ~ |users|, the shape that exercises
+    // PartialGroupTopKExec's flush-and-clear memory guard at scale; see
+    // plans/GroupTopK.scala). DataFrame row_number-filter form, rewritten
+    // to the bounded-heap operator by RewriteGroupTopK.
+    "q_topk_per_user" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+      events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_type"), col("rn"))
+        .orderBy("user_id", "rn")
+    },
+
     // Table-generating explode / unnest: corpus-wide token frequencies.
     "q_explode_tokens" -> { (s, d) =>
       documents(s, d)
@@ -745,6 +761,14 @@ object SqlFunctions {
       """SELECT tok, count(*) AS n FROM (
         |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok FROM documents)
         |GROUP BY tok ORDER BY n DESC, tok""".stripMargin,
+
+    "q_topk_per_user" ->
+      """WITH r AS (SELECT user_id, event_id, ts, event_type,
+        |  CAST(row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS INTEGER) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, rn
+        |FROM r WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin,
 
     "q_map_hofs" ->
       """SELECT n_nationkey,

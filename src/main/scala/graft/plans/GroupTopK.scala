@@ -134,8 +134,25 @@ object GroupTopKStrategy extends SparkStrategy {
 }
 
 /** Map-side per-key bounded heap: emits at most k rows per key per input
-  * partition, in no particular order. No distribution requirement — runs
-  * wherever the child's data already is.
+  * partition FLUSH, in no particular order. No distribution requirement —
+  * runs wherever the child's data already is.
+  *
+  * Memory guard (skew / high key cardinality): the heap map holds up to
+  * (#distinct keys in the partition) x (k rows + one key) — with millions
+  * of near-unique keys per partition that approximates the entire input
+  * resident in memory, where the window execution would have spilled its
+  * sort instead. When the map exceeds
+  * `spark.graft.groupTopK.maxKeysPerPartition` keys (default 1,048,576 —
+  * at k<=3 and ~100-byte rows that caps the map near ~0.5 GB), the
+  * operator FLUSHES: emits every buffered heap downstream and starts an
+  * empty map. A flush weakens the prune (a key may send up to k rows per
+  * flush instead of k per partition) but can never change the answer —
+  * the partial output only has to be a superset of each key's true
+  * per-partition top-k, and [[FinalGroupTopKExec]] re-selects after the
+  * shuffle. Memory is thus bounded regardless of key distribution, and
+  * the degradation is gradual: pruning stays perfect until the threshold,
+  * then decays toward a pass-through (still never worse than what the
+  * window form shuffles).
   */
 case class PartialGroupTopKExec(
     groupExprs: Seq[Expression],
@@ -153,29 +170,53 @@ case class PartialGroupTopKExec(
     val o = order
     val kk = k
     val childOutput = child.output
+    val maxKeys = conf.getConfString(
+      "spark.graft.groupTopK.maxKeysPerPartition", "1048576").toInt
+    require(maxKeys > 0, "spark.graft.groupTopK.maxKeysPerPartition must be positive")
     child.execute().mapPartitions({ iter =>
+      import scala.jdk.CollectionConverters._
       val groupProj = GenerateUnsafeProjection.generate(
         BindReferences.bindReferences(g, childOutput))
       val ord = RowOrdering.create(o, childOutput)
-      // max-heap per key under the sort order: head is the WORST kept row,
-      // evicted when a better one arrives — classic bounded top-k
-      val heaps = new java.util.HashMap[UnsafeRow, mutable.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = groupProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = mutable.PriorityQueue.empty[InternalRow](ord)
-          heaps.put(key.copy(), heap)
+      new Iterator[InternalRow] {
+        // max-heap per key under the sort order: head is the WORST kept
+        // row, evicted when a better one arrives — classic bounded top-k
+        private var heaps = new java.util.HashMap[UnsafeRow, mutable.PriorityQueue[InternalRow]]()
+        private var cur: Iterator[InternalRow] = Iterator.empty
+        private var done = false
+
+        private def drain(): Iterator[InternalRow] = {
+          val old = heaps
+          heaps = new java.util.HashMap()
+          old.values().iterator().asScala.flatMap(_.iterator)
         }
-        if (heap.size < kk) heap.enqueue(row.copy())
-        else if (ord.compare(row, heap.head) < 0) {
-          heap.dequeue()
-          heap.enqueue(row.copy())
+
+        private def refill(): Unit = {
+          while (!cur.hasNext && !done) {
+            if (!iter.hasNext) { cur = drain(); done = true }
+            else {
+              while (iter.hasNext && heaps.size < maxKeys) {
+                val row = iter.next()
+                val key = groupProj(row)
+                var heap = heaps.get(key)
+                if (heap == null) {
+                  heap = mutable.PriorityQueue.empty[InternalRow](ord)
+                  heaps.put(key.copy(), heap)
+                }
+                if (heap.size < kk) heap.enqueue(row.copy())
+                else if (ord.compare(row, heap.head) < 0) {
+                  heap.dequeue()
+                  heap.enqueue(row.copy())
+                }
+              }
+              if (heaps.size >= maxKeys) cur = drain()
+            }
+          }
         }
+
+        override def hasNext: Boolean = { refill(); cur.hasNext }
+        override def next(): InternalRow = { refill(); cur.next() }
       }
-      import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap(_.iterator)
     }, preservesPartitioning = true)
   }
 }

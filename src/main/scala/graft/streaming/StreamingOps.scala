@@ -147,6 +147,77 @@ object StreamingOps {
       }
   }
 
+  case class FunnelEvent(user: String, ts: Timestamp, etype: String)
+  case class FunnelPath(user: String, tViewUs: Option[Long],
+                        tClickUs: Option[Long], tPurchaseUs: Option[Long])
+  // public: Spark's state-store encoder generates code that constructs it
+  case class FunnelState(views: List[Long], clicks: List[Long],
+                         purchases: List[Long], lastSeenMs: Long)
+
+  /** Streaming strictly-ordered funnel (the streaming face of
+    * Behavior.funnel / `funnel_user_paths`): per user, first view, first
+    * click strictly after that view, first purchase strictly after that
+    * click. A user's funnel row is emitted once the watermark passes
+    * `closeAfterMs` beyond their last seen event (event-time timeout), so
+    * late events within the watermark still revise the path.
+    *
+    * State: the per-stage event-time lists for the user. Nothing smaller
+    * is exactly correct under out-of-order arrival — an earlier view
+    * arriving late lowers t_view, which can re-qualify a click that was
+    * previously before the funnel start, so stage minima alone are not
+    * recomputable. State is bounded by one user's events inside the
+    * watermark horizon (tiny), keyed and evicted per user like sessionize.
+    * Timestamps are tracked as epoch MICROSECONDS to match the batch
+    * query's unix_micros output exactly.
+    */
+  def funnelStream(events: Dataset[FunnelEvent], watermark: String,
+                   closeAfterMs: Long): Dataset[FunnelPath] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user)
+      .flatMapGroupsWithState[FunnelState, FunnelPath](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: String, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            if (st.views.isEmpty) Iterator.empty
+            else {
+              val tv = st.views.min
+              val tc = st.clicks.filter(_ > tv).minOption
+              val tp = tc.flatMap(c => st.purchases.filter(_ > c).minOption)
+              Iterator(FunnelPath(user, Some(tv), tc, tp))
+            }
+          } else {
+            // drop late rows at/below the watermark ourselves (see
+            // sessionize for why flatMapGroupsWithState requires this)
+            val wm = state.getCurrentWatermarkMs()
+            val fresh = rows.filter(_.ts.getTime > wm).toSeq
+            val st0 = state.getOption.getOrElse(FunnelState(Nil, Nil, Nil, 0L))
+            val st = fresh.foldLeft(st0) { (acc, e) =>
+              val us = micros(e.ts)
+              e.etype match {
+                case "view" => acc.copy(views = us :: acc.views,
+                  lastSeenMs = math.max(acc.lastSeenMs, e.ts.getTime))
+                case "click" => acc.copy(clicks = us :: acc.clicks,
+                  lastSeenMs = math.max(acc.lastSeenMs, e.ts.getTime))
+                case "purchase" => acc.copy(purchases = us :: acc.purchases,
+                  lastSeenMs = math.max(acc.lastSeenMs, e.ts.getTime))
+                case _ => acc.copy(lastSeenMs = math.max(acc.lastSeenMs, e.ts.getTime))
+              }
+            }
+            if (st.views.nonEmpty || st.clicks.nonEmpty || st.purchases.nonEmpty) {
+              state.update(st)
+              state.setTimeoutTimestamp(math.max(st.lastSeenMs + closeAfterMs, wm + 1))
+            }
+            Iterator.empty
+          }
+      }
+  }
+
   /** Streaming quality filter + token stats over a text stream — the
     * streaming face of TextAnalysis.stats (stateless, pure projection; at
     * scale this is the map stage of a continuous ingest pipeline).

@@ -132,6 +132,94 @@ class GroupTopKSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("memory guard: high key cardinality flushes instead of growing; results exact") {
+    // 500k rows over 100k distinct keys with maxKeysPerPartition forced to
+    // 1000: every partition flushes its heap map ~25x. A flush emits a
+    // superset of the per-partition top-k, which the final operator
+    // re-selects — results must stay identical to the window execution.
+    def q = {
+      val w = Window.partitionBy("key").orderBy(asc("v"), asc("id"))
+      spark.range(500000).toDF("id")
+        .withColumn("key", col("id") % 100000)
+        .withColumn("v", (col("id") * 2654435761L) % 999983)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+    }
+    def normalized(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(1), r.getInt(3), r.getLong(0), r.getLong(2))).sorted.toSeq
+    val want = withRewrite(on = false)(normalized(q.collect()))
+    spark.conf.set("spark.graft.groupTopK.maxKeysPerPartition", "1000")
+    try {
+      val (got, plan) = withRewrite(on = true) { val df = q; (normalized(df.collect()), finalPlan(df)) }
+      assert(plan.toString.contains("FinalGroupTopK"), s"not rewritten:\n$plan")
+      assert(got.size == want.size && got == want,
+        s"flush path diverged: got ${got.size} rows want ${want.size}")
+    } finally spark.conf.unset("spark.graft.groupTopK.maxKeysPerPartition")
+
+    // and at the DEFAULT threshold, ~1e6 near-unique keys complete with
+    // bounded memory and exact parity (each key's heap holds its 1 row)
+    def q1m = {
+      val w = Window.partitionBy("key").orderBy(asc("id"))
+      spark.range(1000000).toDF("id")
+        .withColumn("key", col("id"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 1)
+    }
+    val wantN = withRewrite(on = false)(q1m.count())
+    val gotN = withRewrite(on = true)(q1m.count())
+    assert(gotN == wantN && gotN == 1000000L)
+  }
+
+  test("extensions-injected session: init prefers GraftExtensions, adds no experimental wiring") {
+    // Build a second session over the SAME SparkContext but with
+    // GraftExtensions applied at build time (the supported injection
+    // point). Graft.init must detect the injected rules and leave the
+    // experimental hooks untouched — each rule registered exactly once —
+    // and the rewrite must fire there without the experimental fallback.
+    val base = spark
+    SparkSpecBase.sessionLock.synchronized {
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val ext = org.apache.spark.sql.SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.plans.GraftExtensions)
+        .getOrCreate()
+      Graft.init(ext)
+      assert(ext.experimental.extraOptimizations.isEmpty,
+        "init added experimental rules despite extensions injection")
+      assert(ext.experimental.extraStrategies.isEmpty,
+        "init added an experimental strategy despite extensions injection")
+      // Catalyst appends extended operator-optimization rules to BOTH the
+      // pre- and post-"Inferring Filters" fixed-point batches — presence
+      // (not count) is the signal that the extensions path is live.
+      val nInjected = ext.sessionState.optimizer.batches
+        .flatMap(_.rules).count(_ eq graft.plans.RewriteGroupTopK)
+      assert(nInjected >= 1, "RewriteGroupTopK not injected via extensions")
+
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(desc("l_extendedprice"), asc("l_orderkey"), asc("l_linenumber"))
+      def q(s: org.apache.spark.sql.SparkSession) = Tables.lineitem(s, sfDir)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .orderBy("l_returnflag", "rn")
+      val df = q(ext)
+      val got = df.collect().toSeq
+      assert(finalPlan(df).toString.contains("FinalGroupTopK"),
+        s"rewrite did not fire on the extensions session:\n${finalPlan(df)}")
+      val want = withRewrite(on = false)(q(base).collect().toSeq)
+      assert(got.map(_.toString) == want.map(_.toString))
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(base)
+      org.apache.spark.sql.SparkSession.setActiveSession(base)
+    }
+    }
+  }
+
   test("oracled row_number consumers adopt the operator; rank() ones do not") {
     withRewrite(on = true) {
       // row_number + filter: rewritten

@@ -12,6 +12,12 @@ import org.apache.spark.sql.execution.ExplainMode
 class PlanSpec extends SparkSpecBase {
 
   private def plan(name: String): String = {
+    // mirror the driver mains' cache discipline (Verify/Bench call
+    // releaseCaches after every query): a persisted subtree left over from
+    // a previously-built query (e.g. dedup_embedding_cosine's base
+    // relation) would otherwise substitute InMemoryTableScan into THIS
+    // query's plan and hide the scan-level properties asserted here
+    Graft.releaseCaches(spark)
     val df: DataFrame = SparkEntry.queries(name)(spark, sfDir)
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
   }

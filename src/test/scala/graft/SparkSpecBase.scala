@@ -7,7 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * getOrCreate reuses the single JVM-wide session across suites).
   */
 trait SparkSpecBase extends AnyFunSuite {
-  lazy val spark: SparkSession = {
+  lazy val spark: SparkSession = SparkSpecBase.sessionLock.synchronized {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
@@ -19,4 +19,14 @@ trait SparkSpecBase extends AnyFunSuite {
     Graft.init(s)
   }
   val sfDir = "/root/testdata/sf0.001"
+}
+
+object SparkSpecBase {
+  /** Suites run in parallel threads inside one forked JVM; any test that
+    * clears/replaces the JVM-wide default session (e.g. to build one with
+    * different SparkSessionExtensions) must hold this lock so a concurrent
+    * suite's lazy `getOrCreate` cannot observe the cleared state and mint
+    * an unexpected second session.
+    */
+  val sessionLock = new Object
 }

@@ -140,6 +140,67 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("funnelStream equals the oracled funnel_user_paths/funnel_stages on the full fixture") {
+    // Oracle-grade signal for streaming behavioral analytics: the SAME
+    // events through the stateful streaming funnel and the DuckDB-oracled
+    // batch queries must produce identical per-user paths (and hence
+    // identical stage totals).
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.streaming.StreamingOps.FunnelEvent
+
+    // columns: user_id, t_view_us, t_click_us, t_purchase_us
+    val batch = SparkEntry.queries("funnel_user_paths")(spark, sfDir).collect()
+      .map { r =>
+        (r.getLong(0).toString, Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Long]))
+      }.toSet
+    val stageTotals = SparkEntry.queries("funnel_stages")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id").cast("string"), col("ts"), col("event_type"))
+      .collect().map(r => FunnelEvent(r.getString(0), r.getTimestamp(1), r.getString(2)))
+    val maxTs = evs.map(_.ts.getTime).max
+    val closeMs = 3600L * 1000L
+
+    val in = MemoryStream[FunnelEvent]
+    val out = StreamingOps.funnelStream(in.toDS(), "0 seconds", closeMs)
+    val q = out.writeStream.format("memory").queryName("funnel_eq")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(evs.toSeq)
+      q.processAllAvailable()
+      // two sentinel batches: first advances the watermark past every
+      // user's (lastSeen + close), second fires their event-time timeouts
+      in.addData(FunnelEvent("sentinel", new Timestamp(maxTs + closeMs + 3600 * 1000L), "view"))
+      q.processAllAvailable()
+      in.addData(FunnelEvent("sentinel", new Timestamp(maxTs + 10 * closeMs), "view"))
+      q.processAllAvailable()
+      val streamed = s.sql(
+        "SELECT user, tViewUs, tClickUs, tPurchaseUs FROM funnel_eq WHERE user <> 'sentinel'")
+        .collect()
+        .map { r =>
+          (r.getString(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
+            Option(r.get(2)).map(_.asInstanceOf[Long]),
+            Option(r.get(3)).map(_.asInstanceOf[Long]))
+        }.toSet
+      assert(streamed.size === batch.size,
+        s"funnel row count mismatch: streaming ${streamed.size} vs batch ${batch.size}")
+      assert(streamed === batch,
+        s"only-in-streaming: ${(streamed -- batch).take(3)}; only-in-batch: ${(batch -- streamed).take(3)}")
+      // stage totals follow from identical paths — assert anyway as the
+      // direct streaming counterpart of the oracled funnel_stages
+      val st = Map(
+        "1_view" -> streamed.count(_._2.isDefined).toLong,
+        "2_click" -> streamed.count(_._3.isDefined).toLong,
+        "3_purchase" -> streamed.count(_._4.isDefined).toLong)
+      assert(st === stageTotals)
+    } finally q.stop()
+  }
+
   test("native session_window(stream) equals its batch result on the events fixture") {
     val s = spark
     import s.implicits._
