@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables._
 import TextHash._
@@ -144,6 +145,47 @@ object Corpus {
       s"CASE WHEN lang = '$l' THEN $t ELSE $els END"
     }
 
+  /** Target fraction of the corpus the alpha-mixture sample keeps. */
+  val MixTargetFrac = 0.5
+
+  /** Per-source (source, n_src, rate, thresh) for `sample_mixture`:
+    * w_s = sqrt(n_s/N) rounded to 9 dp (alpha = 0.5 temperature), W =
+    * exact DECIMAL sum of the w's, rate_s = min(1, (w_s/W)·(frac·N)/n_s),
+    * thresh = floor(rate·1e6) — the integer the md5 draw compares against.
+    * |sources| rows; built from two tiny aggregates, broadcast by callers.
+    */
+  private def mixtureRates(s: SparkSession, d: String): DataFrame = {
+    val bySrc = documents(s, d).groupBy("source").agg(count(lit(1)).as("n_src"))
+    val tot = bySrc.agg(sum("n_src").as("n_total"))
+    val ws = bySrc.crossJoin(broadcast(tot))
+      .withColumn("w",
+        round(sqrt(col("n_src").cast("double") / col("n_total").cast("double")), 9))
+    val wsum = ws.agg(sum(col("w").cast(DecimalType(20, 9))).cast("double").as("w_sum"))
+    ws.crossJoin(broadcast(wsum))
+      .withColumn("rate", least(lit(1.0),
+        (col("w") / col("w_sum")) * (lit(MixTargetFrac) * col("n_total").cast("double"))
+          / col("n_src").cast("double")))
+      .withColumn("thresh", floor(col("rate") * lit(1000000.0)).cast("long"))
+      .select("source", "n_src", "rate", "thresh")
+  }
+
+  /** CTE block mirroring [[mixtureRates]] (defines `rt(source, n_src,
+    * rate, thresh)`), shared by both mixture oracles.
+    */
+  private def mixtureRatesCtes: String =
+    s"""s AS (SELECT source, count(*) AS n_src FROM documents GROUP BY 1),
+       |t AS (SELECT sum(n_src) AS n_total FROM s),
+       |w AS (SELECT source, n_src, n_total,
+       |  round(sqrt(CAST(n_src AS DOUBLE) / CAST(n_total AS DOUBLE)), 9) AS w
+       |  FROM s CROSS JOIN t),
+       |ww AS (SELECT CAST(sum(CAST(w AS DECIMAL(20,9))) AS DOUBLE) AS w_sum FROM w),
+       |rt AS (SELECT source, n_src,
+       |  least(1.0, ((w / w_sum) * ($MixTargetFrac * CAST(n_total AS DOUBLE)))
+       |    / CAST(n_src AS DOUBLE)) AS rate,
+       |  CAST(floor(least(1.0, ((w / w_sum) * ($MixTargetFrac * CAST(n_total AS DOUBLE)))
+       |    / CAST(n_src AS DOUBLE)) * 1000000.0) AS BIGINT) AS thresh
+       |  FROM w CROSS JOIN ww)""".stripMargin
+
   // -------------------------------------------------------------- queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -268,6 +310,42 @@ object Corpus {
           sum(when(col("_k") < strataThreshold, 1L).otherwise(0L)).as("n_kept"))
         .withColumn("kept_ratio", round(col("n_kept").cast("double") / col("n_total"), 6))
         .orderBy("lang")
+    },
+
+    // Temperature-based source mixture sampling (alpha = 0.5): the
+    // multi-source rebalancing step of pretraining data curation —
+    // per-source weights w_s = sqrt(n_s / N) (up-weights small sources,
+    // down-weights dominant ones), normalized and converted to per-source
+    // keep rates targeting MixTargetFrac of the corpus, then an md5-keyed
+    // deterministic per-doc draw against the source's integer threshold.
+    // Model state is a |sources|-row broadcast; the corpus is touched once
+    // with a pure per-row filter. Every arithmetic step is either exact
+    // (integer counts, DECIMAL-summed 9-dp weights) or an identical IEEE
+    // double expression in both engines (sqrt/div are correctly rounded),
+    // so the oracle selects the exact same rows.
+    "sample_mixture" -> { (s, d) =>
+      documents(s, d).select("doc_id", "source")
+        .join(broadcast(mixtureRates(s, d)), "source")
+        .where(h60(concat(lit("mix:"), col("doc_id").cast("string"))) % 1000000L
+          < col("thresh"))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    },
+
+    // The mixture audit: per-source original count, kept count, and keep
+    // rate — how far the alpha-rebalanced mix moved from the raw mix.
+    "sample_mixture_stats" -> { (s, d) =>
+      val kept = documents(s, d).select("doc_id", "source")
+        .join(broadcast(mixtureRates(s, d)), "source")
+        .where(h60(concat(lit("mix:"), col("doc_id").cast("string"))) % 1000000L
+          < col("thresh"))
+        .groupBy("source").agg(count(lit(1)).as("n_kept"))
+      mixtureRates(s, d)
+        .join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_src"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          round(col("rate"), 6).as("rate"))
+        .orderBy("source")
     },
 
     // Deterministic 80/10/10 train/validation/test split: md5-keyed per-doc
@@ -421,6 +499,22 @@ object Corpus {
          |  round(CAST(sum(CASE WHEN kk < $strataThresholdSql THEN 1 ELSE 0 END) AS DOUBLE)
          |    / count(*), 6) AS kept_ratio
          |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "sample_mixture" ->
+      s"""WITH $mixtureRatesCtes
+         |SELECT doc_id, source FROM documents JOIN rt USING (source)
+         |WHERE ${h60Sql("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000000 < thresh
+         |ORDER BY doc_id""".stripMargin,
+
+    "sample_mixture_stats" ->
+      s"""WITH $mixtureRatesCtes,
+         |kept AS (SELECT source, count(*) AS n_kept
+         |  FROM documents JOIN rt USING (source)
+         |  WHERE ${h60Sql("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000000 < thresh
+         |  GROUP BY 1)
+         |SELECT rt.source, rt.n_src, COALESCE(kept.n_kept, 0) AS n_kept,
+         |  round(rt.rate, 6) AS rate
+         |FROM rt LEFT JOIN kept USING (source) ORDER BY source""".stripMargin,
 
     "corpus_split" ->
       s"""WITH k AS (SELECT doc_id, lang,

@@ -136,6 +136,32 @@ object Similarity {
     transform(sequence(lit(1), lit(IvfCells)), i =>
       when(i === c, lit(-1e308)).otherwise(element_at(ds, i)))
 
+  // ------------------------------------------------------------------
+  // Product quantization (PQ): the 64-dim vector is split into PqBlocks
+  // sub-vectors of PqSub dims; each sub-vector is quantized to its nearest
+  // of PqK per-block codebook centroids — 8 bytes per vector instead of
+  // 256, the memory step an IVF-PQ index runs at 100 TB. Like the IVF
+  // cells above, the codebooks are SEEDED deterministic literals so the
+  // PLUMBING (blockwise argmin assignment, reconstruction error) is
+  // oracle-able verbatim; swap in per-block trained codebooks (a
+  // Clustering.lloyd run over each slice) without touching the path.
+  // ------------------------------------------------------------------
+  val PqBlocks = 8
+  val PqSub: Int = Dim / PqBlocks
+  val PqK = 16
+
+  /** [block][centroid][subdim], seed 31, 6-dp-rounded like [[planes]]. */
+  lazy val pqCodebooks: Array[Array[Array[Double]]] = {
+    val r = new scala.util.Random(31)
+    Array.fill(PqBlocks, PqK, PqSub)(math.rint(r.nextGaussian() * 1e6) / 1e6)
+  }
+
+  /** Per-centroid self-dot c·c, computed ONCE here in Scala and embedded
+    * as the same literal in both engines — no cross-engine arithmetic.
+    */
+  lazy val pqCC: Array[Array[Double]] =
+    pqCodebooks.map(_.map(c => c.foldLeft(0.0)((a, x) => a + x * x)))
+
   /** (vec_id, e: array<double>, nrm) — the shared normalized-embedding
     * projection every cosine path builds on (Dedup's LSH/brute pair paths
     * included; one definition so the cosines stay bit-identical).
@@ -242,6 +268,33 @@ object Similarity {
     // engines, keeping the oracle bit-exact). The codes array is emitted
     // as a comma-joined string so the driver's pandas-based hash compare
     // can sort on it (ndarray cells are unhashable as sort keys).
+    // Product quantization: per block, the 16 squared distances
+    // ||xs - c_j||² = xs·xs − 2·xs·c_j + c_j·c_j (xs·xs shared across the
+    // block's centroids via codegen CSE; c_j·c_j a precomputed literal),
+    // argmin via first-position-of-min (ties break identically to DuckDB's
+    // list_position), reconstruction error = sum of the 8 block minima in
+    // fixed block order. Pure per-row map over one corpus scan — never a
+    // shuffle; codes emitted as a comma-joined string (atomic-column
+    // contract). 0-based codes.
+    "emb_quantize_pq" -> { (s, d) =>
+      graft.Graft.init(s)
+      val e = embeddings(s, d).select(col("vec_id"), toDouble(col("embedding")).as("x"))
+      def xs(b: Int) = slice(col("x"), b * PqSub + 1, PqSub)
+      def dists(b: Int): Column = array((0 until PqK).map { j =>
+        val c = array(pqCodebooks(b)(j).map(lit): _*)
+        dot(xs(b), xs(b)) - lit(2.0) * dot(xs(b), c) + lit(pqCC(b)(j))
+      }: _*)
+      val withDs = e.select(col("vec_id") +:
+        (0 until PqBlocks).map(b => dists(b).as(s"ds$b")): _*)
+      withDs.select(col("vec_id"),
+        concat_ws(",", (0 until PqBlocks).map(b =>
+          (array_position(col(s"ds$b"), array_min(col(s"ds$b"))) - 1)
+            .cast("string")): _*).as("codes"),
+        round((0 until PqBlocks).map(b => array_min(col(s"ds$b"))).reduce(_ + _), 6)
+          .as("recon_err2"))
+        .orderBy("vec_id")
+    },
+
     "emb_quantize_sq8" -> { (s, d) =>
       val e = embeddings(s, d).select(col("vec_id"), toDouble(col("embedding")).as("x"))
       val stats = e.select(posexplode(col("x")).as(Seq("dim", "v")))
@@ -334,6 +387,34 @@ object Similarity {
          |d AS (SELECT ${centroidDotsSql("e")} AS ds FROM base)
          |SELECT CAST(list_position(ds, list_max(ds)) AS BIGINT) AS cell, count(*) AS n
          |FROM d GROUP BY 1 ORDER BY cell""".stripMargin,
+
+    "emb_quantize_pq" -> {
+      def xsb(b: Int) = s"b$b"
+      val slices = (0 until PqBlocks).map { b =>
+        s"x[${b * PqSub + 1}:${(b + 1) * PqSub}] AS ${xsb(b)}"
+      }.mkString(", ")
+      val dsCols = (0 until PqBlocks).map { b =>
+        val ds = (0 until PqK).map { j =>
+          val c = pqCodebooks(b)(j).mkString("[", ", ", "]")
+          s"(${dotSql(xsb(b), xsb(b), PqSub)} - 2.0 * ${dotSql(xsb(b), c, PqSub)} + ${pqCC(b)(j)})"
+        }.mkString("[", ",\n    ", "]")
+        s"$ds AS ds$b"
+      }.mkString(",\n  ")
+      val codes = (0 until PqBlocks)
+        .map(b => s"CAST(list_position(ds$b, list_min(ds$b)) - 1 AS VARCHAR)")
+        .mkString("[", ", ", "]")
+      val err = (0 until PqBlocks).map(b => s"list_min(ds$b)").mkString(" + ")
+      s"""WITH x AS (SELECT vec_id,
+         |    list_transform(range(1, ${Dim + 1}), i -> CAST(embedding[i] AS DOUBLE)) AS x
+         |  FROM embeddings),
+         |s AS (SELECT vec_id, $slices FROM x),
+         |d AS (SELECT vec_id,
+         |  $dsCols
+         |  FROM s)
+         |SELECT vec_id, array_to_string($codes, ',') AS codes,
+         |  round($err, 6) AS recon_err2
+         |FROM d ORDER BY vec_id""".stripMargin
+    },
 
     "emb_quantize_sq8" -> {
       val xi = "CAST(embedding[i] AS DOUBLE)"

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -153,6 +154,67 @@ object TextAnalysis {
         .orderBy("lang_pred")
     },
 
+    // Repetition quality filters (the Gopher/C4 family): fraction of
+    // duplicate tokens, fraction of occurrences claimed by the most
+    // frequent bigram, fraction of repeated trigrams. High values flag
+    // boilerplate / degenerate machine text a pretraining pipeline drops.
+    // Shape: three explode -> per-(doc, gram) count -> per-doc aggregate
+    // chains, all shuffled on doc_id (one partitioning reused end-to-end);
+    // never a per-row HOF over the gram multiset (interpreted trap, see
+    // TextHash.shingleRows). All fractions are exact-int divisions.
+    "text_repetition" -> { (s, d) =>
+      val docs = documents(s, d).select("doc_id", "text")
+      val tokAgg = docs
+        .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), countDistinct("tok").as("n_tok_d"))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val biAgg = docs
+        .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "tok")))
+        .withColumn("t1", lead("tok", 1).over(w))
+        .where(col("t1").isNotNull)
+        .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1")).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(sum("c").as("n_bi"), max("c").as("top_bi"))
+      val triAgg = shingleRows(docs)
+        .groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(sum("c").as("n_tri"), count(lit(1)).as("n_tri_d"))
+      tokAgg
+        .join(biAgg, Seq("doc_id"), "left")
+        .join(triAgg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok"),
+          round((col("n_tok") - col("n_tok_d")).cast("double") /
+            col("n_tok").cast("double"), 6).as("dup_token_frac"),
+          round(coalesce(col("top_bi").cast("double") / col("n_bi").cast("double"),
+            lit(0.0)), 6).as("top_bigram_frac"),
+          round(coalesce((col("n_tri") - col("n_tri_d")).cast("double") /
+            col("n_tri").cast("double"), lit(0.0)), 6).as("dup_trigram_frac"))
+        .orderBy("doc_id")
+    },
+
+    // Unigram-LM negative log likelihood per document (the CCNet-style
+    // perplexity-proxy quality signal, with the corpus itself as the LM):
+    // vocab counts once (map-side combined, vocabulary-sized output),
+    // BROADCAST back onto the token stream (the tfidf_top_terms join
+    // shape), one ln per token rounded to 6 dp, then an exact DECIMAL
+    // per-doc mean (double summation is partition-order-dependent). Low
+    // mean-NLL = high-probability boilerplate; high = rare-token noise.
+    "text_unigram_nll" -> { (s, d) =>
+      val tok = documents(s, d)
+        .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      val vocab = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val total = vocab.agg(sum("cnt").as("n_total"))
+      tok.join(broadcast(vocab), "tok").crossJoin(broadcast(total))
+        .select(col("doc_id"),
+          round(-log(col("cnt").cast("double") / col("n_total").cast("double")), 6)
+            .as("nll"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          round(sum(col("nll").cast(DecimalType(18, 6))).cast("double") /
+            count(lit(1)).cast("double"), 6).as("mean_nll"))
+        .orderBy("doc_id")
+    },
+
     // Rolling polynomial hash over token hashes — an order-sensitive
     // document fingerprint (reordered tokens change it; dedup_simhash is the
     // order-insensitive counterpart).
@@ -212,6 +274,41 @@ object TextAnalysis {
          |  CAST(len(${toksSql("text")}) AS INTEGER) AS n_ws_tokens,
          |  CAST(len(regexp_extract_all(lower(text), '$bpePattern')) AS INTEGER) AS n_bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS tt FROM documents),
+         |tok AS (SELECT doc_id, unnest(tt) AS tok FROM t),
+         |ta AS (SELECT doc_id, count(*) AS n_tok, count(DISTINCT tok) AS n_tok_d
+         |  FROM tok GROUP BY 1),
+         |bg AS (SELECT doc_id, unnest(CASE WHEN len(tt) >= 2
+         |  THEN list_transform(range(1, len(tt)), i -> tt[i] || ' ' || tt[i+1])
+         |  ELSE [] END) AS bg FROM t),
+         |bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+         |ba AS (SELECT doc_id, sum(c) AS n_bi, max(c) AS top_bi FROM bc GROUP BY 1),
+         |tg AS (SELECT doc_id, unnest(${shingles3Sql("tt")}) AS sh FROM t),
+         |tc AS (SELECT doc_id, sh, count(*) AS c FROM tg GROUP BY 1, 2),
+         |tga AS (SELECT doc_id, sum(c) AS n_tri, count(*) AS n_tri_d FROM tc GROUP BY 1)
+         |SELECT doc_id, n_tok,
+         |  round(CAST(n_tok - n_tok_d AS DOUBLE) / CAST(n_tok AS DOUBLE), 6)
+         |    AS dup_token_frac,
+         |  round(COALESCE(CAST(top_bi AS DOUBLE) / CAST(n_bi AS DOUBLE), 0.0), 6)
+         |    AS top_bigram_frac,
+         |  round(COALESCE(CAST(n_tri - n_tri_d AS DOUBLE) / CAST(n_tri AS DOUBLE), 0.0), 6)
+         |    AS dup_trigram_frac
+         |FROM ta LEFT JOIN ba USING (doc_id) LEFT JOIN tga USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "text_unigram_nll" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(${toksSql("text")}) AS tok FROM documents),
+         |v AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
+         |n AS (SELECT sum(cnt) AS n_total FROM v),
+         |t2 AS (SELECT doc_id,
+         |  round(-ln(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE)), 6) AS nll
+         |  FROM tok JOIN v USING (tok) CROSS JOIN n)
+         |SELECT doc_id, count(*) AS n_tok,
+         |  round(CAST(sum(CAST(nll AS DECIMAL(18,6))) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE), 6) AS mean_nll
+         |FROM t2 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_fingerprint" ->
       s"""SELECT doc_id,

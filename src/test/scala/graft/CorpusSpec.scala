@@ -118,6 +118,27 @@ class CorpusSpec extends SparkSpecBase {
     }
   }
 
+  test("mixture sampling: deterministic, near target fraction, small sources up-weighted") {
+    val kept = q("sample_mixture").collect().map(_.getLong(0)).toSet
+    val again = q("sample_mixture").collect().map(_.getLong(0)).toSet
+    assert(kept == again, "md5-keyed draw must be reproducible")
+    val stats = q("sample_mixture_stats").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val nTotal = stats.map(_._2).sum
+    val nKept = stats.map(_._3).sum
+    assert(kept.size.toLong == nKept, "stats kept counts must sum to the sample size")
+    // md5 draw is uniform: realized fraction within ±10pp of the target
+    val frac = nKept.toDouble / nTotal
+    assert(math.abs(frac - Corpus.MixTargetFrac) < 0.1, s"fraction $frac")
+    // temperature rebalancing: the smallest source's keep RATE must be at
+    // least the largest source's (sqrt up-weights the tail)
+    val bySize = stats.sortBy(_._2)
+    assert(bySize.head._4 >= bySize.last._4,
+      s"smallest source rate ${bySize.head._4} < largest ${bySize.last._4}")
+    // every rate is a valid probability
+    assert(stats.forall(s => s._4 >= 0.0 && s._4 <= 1.0))
+  }
+
   test("corpus_split: partition of the corpus, ~80/10/10, disjoint from the sample key") {
     val rows = Corpus.queries("corpus_split")(spark, sfDir).collect()
     val nDocs = Tables.documents(spark, sfDir).count()

@@ -101,6 +101,34 @@ class SimilaritySpec extends SparkSpecBase {
     rows.foreach(r => assert(r.getDouble(2) >= 0.0 && r.getDouble(2) < 1.0))
   }
 
+  test("emb_quantize_pq: codes match an independent Scala argmin; error is the sum of block minima") {
+    val rows = Similarity.queries("emb_quantize_pq")(spark, sfDir).collect()
+    assert(rows.length == vecs.size)
+    def rnd(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { r =>
+      val x = vecs(r.getLong(0))
+      val codes = r.getString(1).split(',').map(_.toInt)
+      assert(codes.length == Similarity.PqBlocks)
+      assert(codes.forall(c => c >= 0 && c < Similarity.PqK))
+      var errSum = 0.0
+      (0 until Similarity.PqBlocks).foreach { b =>
+        val xs = x.slice(b * Similarity.PqSub, (b + 1) * Similarity.PqSub)
+        // plain L2² per centroid — algebraically equal to the query's
+        // xx − 2xc + cc form, so argmin and near-equal minima must agree
+        val d2 = (0 until Similarity.PqK).map { j =>
+          val c = Similarity.pqCodebooks(b)(j)
+          xs.zip(c).map { case (a, v) => (a - v) * (a - v) }.sum
+        }
+        val best = d2.indexOf(d2.min)
+        assert(codes(b) == best, s"vec ${r.getLong(0)} block $b: ${codes(b)} vs $best")
+        errSum += d2.min
+      }
+      assert(math.abs(r.getDouble(2) - rnd(errSum)) < 1e-5,
+        s"vec ${r.getLong(0)}: recon_err2 ${r.getDouble(2)} vs $errSum")
+      assert(r.getDouble(2) >= 0.0)
+    }
+  }
+
   test("emb_quantize_sq8: constant dimension yields code 0 and ~zero error, never NaN") {
     // Build a tiny embeddings fixture where dim 1 is constant across all
     // vectors (the 0/0 hazard the scale clamp guards). Other dims vary.

@@ -57,4 +57,63 @@ class TextAnalysisSpec extends SparkSpecBase {
     val both = TextAnalysis.queries("text_token_counts")(spark, sfDir).collect()
     assert(both.forall(r => r.getInt(2) >= r.getInt(1)))
   }
+
+  test("text_repetition matches an independent Scala recompute on the full fixture") {
+    val got = TextAnalysis.queries("text_repetition")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.keySet == docs.keySet)
+    def rnd(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    docs.foreach { case (id, text) =>
+      val t = text.toLowerCase.split("\\s+", -1).toSeq
+      val bi = t.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val tri = t.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq
+      val (nTok, dupTok, topBi, dupTri) = got(id)
+      assert(nTok == t.size, s"doc $id token count")
+      assert(rnd((t.size - t.distinct.size).toDouble / t.size) == dupTok, s"doc $id dup_token")
+      val wantTopBi = if (bi.isEmpty) 0.0
+        else rnd(bi.groupBy(identity).values.map(_.size).max.toDouble / bi.size)
+      assert(wantTopBi == topBi, s"doc $id top_bigram")
+      val wantDupTri = if (tri.isEmpty) 0.0
+        else rnd((tri.size - tri.distinct.size).toDouble / tri.size)
+      assert(wantDupTri == dupTri, s"doc $id dup_trigram")
+    }
+  }
+
+  test("text_repetition flags a degenerate repeated document") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("repet").toString
+    Seq(
+      (1L, "spam spam spam spam spam spam spam spam", "en", "a", 40L),
+      (2L, "eight distinct words appear exactly once here friend", "en", "a", 50L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.queries("text_repetition")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(1L) == ((0.875, 1.0, 0.833333)), s"got ${out(1L)}")
+    assert(out(2L) == ((0.0, 0.142857, 0.0)), s"got ${out(2L)}")
+  }
+
+  test("text_unigram_nll matches an independent Scala recompute on the full fixture") {
+    val got = TextAnalysis.queries("text_unigram_nll")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split("\\s+", -1).toSeq).toMap
+    val cnt = docs.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = cnt.values.sum.toDouble
+    def rnd(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    docs.foreach { case (id, t) =>
+      // mirror the engine exactly: 6-dp terms, exact decimal sum, ONE
+      // double division, round 6
+      val terms = t.map(tok => BigDecimal(rnd(-math.log(cnt(tok) / n))))
+      val want = rnd(terms.sum.toDouble / t.size.toDouble)
+      val (nTok, meanNll) = got(id)
+      assert(nTok == t.size)
+      assert(math.abs(want - meanNll) < 1e-9, s"doc $id: want $want got $meanNll")
+      assert(meanNll > 0.0)
+    }
+  }
 }
