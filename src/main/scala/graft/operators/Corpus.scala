@@ -148,6 +148,9 @@ object Corpus {
   /** Target fraction of the corpus the alpha-mixture sample keeps. */
   val MixTargetFrac = 0.5
 
+  /** Shingles in more than this many docs count as boilerplate. */
+  val BoilerplateDfCap = 4L
+
   /** Per-source (source, n_src, rate, thresh) for `sample_mixture`:
     * w_s = sqrt(n_s/N) rounded to 9 dp (alpha = 0.5 temperature), W =
     * exact DECIMAL sum of the w's, rate_s = min(1, (w_s/W)·(frac·N)/n_s),
@@ -310,6 +313,29 @@ object Corpus {
           sum(when(col("_k") < strataThreshold, 1L).otherwise(0L)).as("n_kept"))
         .withColumn("kept_ratio", round(col("n_kept").cast("double") / col("n_total"), 6))
         .orderBy("lang")
+    },
+
+    // Per-document boilerplate ratio: the fraction of a doc's 3-shingle
+    // OCCURRENCES whose corpus document-frequency exceeds BoilerplateDfCap
+    // — corpus-frequent shingles are navigation chrome / templates / legal
+    // footers, and a doc dominated by them is boilerplate even when it is
+    // not an exact dup of anything. Same inverted-index machinery as the
+    // n-gram dedup (one shingle-hash shuffle, reused by the join); docs
+    // with fewer than 3 tokens have no shingles and no row.
+    "boilerplate_ratio" -> { (s, d) =>
+      val sh = shingleRows(documents(s, d).select("doc_id", "text"))
+      val hot = sh.distinct()
+        .groupBy("sh").agg(count(lit(1)).as("df"))
+        .where(col("df") > BoilerplateDfCap)
+        .select(col("sh"), lit(1).as("is_hot"))
+      sh.join(hot, Seq("sh"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sh"),
+          sum(coalesce(col("is_hot"), lit(0))).as("n_hot"))
+        .select(col("doc_id"), col("n_sh"), col("n_hot"),
+          round(col("n_hot").cast("double") / col("n_sh").cast("double"), 6)
+            .as("boilerplate_ratio"))
+        .orderBy("doc_id")
     },
 
     // Temperature-based source mixture sampling (alpha = 0.5): the
@@ -499,6 +525,20 @@ object Corpus {
          |  round(CAST(sum(CASE WHEN kk < $strataThresholdSql THEN 1 ELSE 0 END) AS DOUBLE)
          |    / count(*), 6) AS kept_ratio
          |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "boilerplate_ratio" ->
+      s"""WITH $shCte,
+         |hot AS (SELECT sh, 1 AS is_hot FROM (
+         |    SELECT sh, count(*) AS df FROM s GROUP BY 1) WHERE df > $BoilerplateDfCap),
+         |occ AS (SELECT doc_id, sh FROM (
+         |  SELECT doc_id, unnest(${shingles3Sql("tt")}) AS sh
+         |  FROM (SELECT doc_id, ${toksSql("text")} AS tt FROM documents)))
+         |SELECT doc_id, count(*) AS n_sh,
+         |  CAST(sum(COALESCE(is_hot, 0)) AS BIGINT) AS n_hot,
+         |  round(CAST(sum(COALESCE(is_hot, 0)) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         |    AS boilerplate_ratio
+         |FROM occ LEFT JOIN hot USING (sh)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "sample_mixture" ->
       s"""WITH $mixtureRatesCtes

@@ -207,6 +207,40 @@ object Dedup {
       .where(col("est_jaccard") >= 0.5)
   }
 
+  /** Signature relation for an arbitrary (doc_id, text) corpus — the
+    * precomputable reference-side index for [[minhashMatchesAgainst]]. At
+    * real scale this is written out bucketed by band key once and reused
+    * by every ingest run.
+    */
+  def signatureIndex(docs: DataFrame): DataFrame = signaturesFor(docs)
+
+  /** Incoming doc_ids having at least one est-Jaccard >= 0.5 near-dup in
+    * a STATIC reference signature relation ([[signatureIndex]] output) —
+    * the cross-set face of [[minhashPairsFor]], and the core of the
+    * streaming ingestion dedup gate (StreamingOps.nearDupIngest).
+    * Candidate generation is the same band equi-join (never all-pairs);
+    * with a micro-batch-sized incoming side the banded join broadcasts
+    * the batch, not the reference corpus.
+    */
+  def minhashMatchesAgainst(incoming: DataFrame, refSigs: DataFrame): DataFrame = {
+    val inSig = signaturesFor(incoming).persist()
+    def bandsOf(sig: DataFrame) = sig.select(col("doc_id"),
+      posexplode(array((0 until Bands).map(b => col(s"k$b")): _*)).as(Seq("band", "key")))
+    val cand = bandsOf(inSig).as("x")
+      .join(bandsOf(refSigs).as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key"))
+      .select(col("x.doc_id").as("doc_in"), col("y.doc_id").as("doc_ref"))
+      .distinct()
+    val matches = (0 until NumHashes)
+      .map(j => when(col(s"sa.s$j") === col(s"sb.s$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(inSig.as("sa"), col("doc_in") === col("sa.doc_id"))
+      .join(refSigs.as("sb"), col("doc_ref") === col("sb.doc_id"))
+      .where((matches.cast("double") / NumHashes) >= 0.5)
+      .select(col("doc_in").as("doc_id")).distinct()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: one row per distinct text, keeping the smallest doc_id.
     // The groupBy key is md5(text) — at scale you shuffle 16-byte digests,

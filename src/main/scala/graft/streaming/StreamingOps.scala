@@ -147,6 +147,47 @@ object StreamingOps {
       }
   }
 
+  /** Streaming near-dup ingestion gate: drain `srcDir` with
+    * `Trigger.AvailableNow`, check each micro-batch against a STATIC
+    * reference MinHash signature index (Dedup.signatureIndex output), and
+    * write only the survivors — documents with NO est-Jaccard >= 0.5
+    * near-dup in the reference — to `outDir`.
+    *
+    * foreachBatch is the right pattern here, not stream transforms: the
+    * signature computation is an explode + 32-column aggregation (the
+    * measured-fast batch shape); a pure streaming formulation would force
+    * the per-row interpreted-HOF fold that Dedup's scaladoc documents as
+    * ~30x slower. Idempotence on retry: each micro-batch OVERWRITES its
+    * own `batch=<id>` subdirectory, so a replayed batch rewrites the same
+    * files instead of appending duplicates.
+    *
+    * At 100 TB the reference index is precomputed and bucketed by band
+    * key; the micro-batch side is small, so the band join broadcasts the
+    * batch against it. Returns the survivor row count in `outDir`.
+    */
+  def nearDupIngest(spark: SparkSession, srcDir: String,
+                    schema: org.apache.spark.sql.types.StructType,
+                    refSigs: DataFrame, checkpointDir: String,
+                    outDir: String): Long = {
+    val q = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val dup = graft.operators.Dedup.minhashMatchesAgainst(
+          batch.select("doc_id", "text"), refSigs)
+        batch.join(dup, Seq("doc_id"), "left_anti")
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        graft.Graft.releaseCaches(spark)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$outDir/batch=*").count()
+  }
+
   case class FunnelEvent(user: String, ts: Timestamp, etype: String)
   case class FunnelPath(user: String, tViewUs: Option[Long],
                         tClickUs: Option[Long], tPurchaseUs: Option[Long])

@@ -140,6 +140,32 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("nearDupIngest: streamed survivors equal the batch cross-set minhash answer") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val allIds = docs.collect().map(_.getLong(0)).toSet
+    val ref = docs.where(col("doc_id") % 5 === 0)
+    val refSigs = Dedup.signatureIndex(ref)
+    // batch ground truth: signatures depend only on each doc's own text,
+    // so micro-batch boundaries cannot change the match set
+    val dropped = Dedup.minhashMatchesAgainst(docs, refSigs)
+      .collect().map(_.getLong(0)).toSet
+    Graft.releaseCaches(spark)
+    assert(dropped.nonEmpty, "fixture must produce at least the self-matches")
+    assert((allIds & dropped) == dropped)
+
+    val tmp = java.nio.file.Files.createTempDirectory("neardup").toString
+    docs.repartition(3).write.parquet(s"$tmp/src")
+    val n = StreamingOps.nearDupIngest(spark, s"$tmp/src", docs.schema,
+      refSigs, s"$tmp/ck", s"$tmp/out")
+    val survivors = spark.read.parquet(s"$tmp/out/batch=*")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == (allIds -- dropped),
+      s"extra: ${(survivors -- (allIds -- dropped)).take(3)}; " +
+        s"missing: ${((allIds -- dropped) -- survivors).take(3)}")
+    assert(n == survivors.size.toLong)
+  }
+
   test("funnelStream equals the oracled funnel_user_paths/funnel_stages on the full fixture") {
     // Oracle-grade signal for streaming behavioral analytics: the SAME
     // events through the stateful streaming funnel and the DuckDB-oracled
