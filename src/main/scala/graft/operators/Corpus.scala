@@ -158,13 +158,19 @@ object Corpus {
     * |sources| rows; built from two tiny aggregates, broadcast by callers.
     */
   private def mixtureRates(s: SparkSession, d: String): DataFrame = {
-    val bySrc = documents(s, d).groupBy("source").agg(count(lit(1)).as("n_src"))
-    val tot = bySrc.agg(sum("n_src").as("n_total"))
-    val ws = bySrc.crossJoin(broadcast(tot))
+    // totals via unbounded windows over the |sources|-row aggregate (NOT
+    // scalar-subquery cross joins, which re-derive the per-source
+    // aggregate once per scalar — 4 corpus scans instead of this 1). The
+    // single-partition window is fine: it sees |sources| rows, and the
+    // DECIMAL window sum is exact regardless of row order.
+    val wAll = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    documents(s, d).groupBy("source").agg(count(lit(1)).as("n_src"))
+      .withColumn("n_total", sum("n_src").over(wAll))
       .withColumn("w",
         round(sqrt(col("n_src").cast("double") / col("n_total").cast("double")), 9))
-    val wsum = ws.agg(sum(col("w").cast(DecimalType(20, 9))).cast("double").as("w_sum"))
-    ws.crossJoin(broadcast(wsum))
+      .withColumn("w_sum",
+        sum(col("w").cast(DecimalType(20, 9))).over(wAll).cast("double"))
       .withColumn("rate", least(lit(1.0),
         (col("w") / col("w_sum")) * (lit(MixTargetFrac) * col("n_total").cast("double"))
           / col("n_src").cast("double")))

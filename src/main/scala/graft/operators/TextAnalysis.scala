@@ -168,15 +168,23 @@ object TextAnalysis {
         .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tok"), countDistinct("tok").as("n_tok_d"))
+      // ONE posexplode + window computes both lead tokens; the bigram and
+      // trigram chains both read this relation (vs. a scan + window sort
+      // per n-gram size — at 100 TB that is one corpus pass, not two)
       val w = Window.partitionBy("doc_id").orderBy("pos")
-      val biAgg = docs
+      val grams = docs
         .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "tok")))
         .withColumn("t1", lead("tok", 1).over(w))
+        .withColumn("t2", lead("tok", 2).over(w))
+      val biAgg = grams
         .where(col("t1").isNotNull)
         .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1")).as("bg"))
         .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
         .groupBy("doc_id").agg(sum("c").as("n_bi"), max("c").as("top_bi"))
-      val triAgg = shingleRows(docs)
+      val triAgg = grams
+        .where(col("t2").isNotNull)
+        .select(col("doc_id"),
+          concat_ws(" ", col("tok"), col("t1"), col("t2")).as("sh"))
         .groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
         .groupBy("doc_id").agg(sum("c").as("n_tri"), count(lit(1)).as("n_tri_d"))
       tokAgg
