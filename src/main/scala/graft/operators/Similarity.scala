@@ -162,6 +162,31 @@ object Similarity {
   lazy val pqCC: Array[Array[Double]] =
     pqCodebooks.map(_.map(c => c.foldLeft(0.0)((a, x) => a + x * x)))
 
+  /** CTE block shared by the PQ oracles: defines `d(vec_id, ds0..ds7)`
+    * where dsb = the 16 squared centroid distances of block b, mirroring
+    * the Spark `dists(b)` expression term-for-term.
+    */
+  private def pqDistCtes: String = {
+    def xsb(b: Int) = s"b$b"
+    val slices = (0 until PqBlocks).map { b =>
+      s"x[${b * PqSub + 1}:${(b + 1) * PqSub}] AS ${xsb(b)}"
+    }.mkString(", ")
+    val dsCols = (0 until PqBlocks).map { b =>
+      val ds = (0 until PqK).map { j =>
+        val c = pqCodebooks(b)(j).mkString("[", ", ", "]")
+        s"(${dotSql(xsb(b), xsb(b), PqSub)} - 2.0 * ${dotSql(xsb(b), c, PqSub)} + ${pqCC(b)(j)})"
+      }.mkString("[", ",\n    ", "]")
+      s"$ds AS ds$b"
+    }.mkString(",\n  ")
+    s"""x AS (SELECT vec_id,
+       |    list_transform(range(1, ${Dim + 1}), i -> CAST(embedding[i] AS DOUBLE)) AS x
+       |  FROM embeddings),
+       |s AS (SELECT vec_id, $slices FROM x),
+       |d AS (SELECT vec_id,
+       |  $dsCols
+       |  FROM s)""".stripMargin
+  }
+
   /** (vec_id, e: array<double>, nrm) — the shared normalized-embedding
     * projection every cosine path builds on (Dedup's LSH/brute pair paths
     * included; one definition so the cosines stay bit-identical).
@@ -268,6 +293,40 @@ object Similarity {
     // engines, keeping the oracle bit-exact). The codes array is emitted
     // as a comma-joined string so the driver's pandas-based hash compare
     // can sort on it (ndarray cells are unhashable as sort keys).
+    // ADC top-k over the PQ codes — the search half of IVF-PQ, closing the
+    // loop with emb_quantize_pq: the corpus is reduced to 8 small codes
+    // per vector ONCE; each query builds its per-block lookup table (the
+    // 16 exact centroid distances = the classic ADC LUT) in full
+    // precision, the 10-row query side is broadcast, and every corpus row
+    // costs 8 array lookups + 7 adds — no full-precision corpus math, no
+    // shuffle of the big side. Approximation error comes only from the
+    // codebook (same ranking contract as the other ann_* queries:
+    // round-6 distance asc, cand_id tie-break).
+    "ann_pq_adc_topk" -> { (s, d) =>
+      graft.Graft.init(s)
+      val e = embeddings(s, d).select(col("vec_id"), toDouble(col("embedding")).as("x"))
+      def xs(b: Int) = slice(col("x"), b * PqSub + 1, PqSub)
+      def dists(b: Int): Column = array((0 until PqK).map { j =>
+        val c = array(pqCodebooks(b)(j).map(lit): _*)
+        dot(xs(b), xs(b)) - lit(2.0) * dot(xs(b), c) + lit(pqCC(b)(j))
+      }: _*)
+      val codes = e.select(col("vec_id").as("cand_id") +:
+        (0 until PqBlocks).map(b =>
+          array_position(dists(b), array_min(dists(b))).as(s"c$b")): _*)
+      val luts = e.where(col("vec_id") < QuerySet)
+        .select(col("vec_id").as("q_id") +:
+          (0 until PqBlocks).map(b => dists(b).as(s"lut$b")): _*)
+      val adc = (0 until PqBlocks)
+        .map(b => element_at(col(s"lut$b"), col(s"c$b").cast("int")))
+        .reduce(_ + _)
+      val w = Window.partitionBy("q_id").orderBy(col("adc").asc, col("cand_id").asc)
+      codes.join(broadcast(luts), col("q_id") =!= col("cand_id"))
+        .select(col("q_id"), col("cand_id"), round(adc, 6).as("adc"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= K)
+        .orderBy("q_id", "rnk")
+    },
+
     // Product quantization: per block, the 16 squared distances
     // ||xs - c_j||² = xs·xs − 2·xs·c_j + c_j·c_j (xs·xs shared across the
     // block's centroids via codegen CSE; c_j·c_j a precomputed literal),
@@ -388,29 +447,29 @@ object Similarity {
          |SELECT CAST(list_position(ds, list_max(ds)) AS BIGINT) AS cell, count(*) AS n
          |FROM d GROUP BY 1 ORDER BY cell""".stripMargin,
 
+    "ann_pq_adc_topk" -> {
+      val luts = (0 until PqBlocks).map(b => s"ds$b AS lut$b").mkString(", ")
+      val cs = (0 until PqBlocks)
+        .map(b => s"list_position(ds$b, list_min(ds$b)) AS c$b").mkString(", ")
+      val adcSum = (0 until PqBlocks).map(b => s"lut$b[c$b]").mkString(" + ")
+      s"""WITH $pqDistCtes,
+         |c AS (SELECT vec_id AS cand_id, $cs FROM d),
+         |q AS (SELECT vec_id AS q_id, $luts FROM d WHERE vec_id < $QuerySet),
+         |p AS (SELECT q_id, cand_id, round($adcSum, 6) AS adc
+         |  FROM c JOIN q ON q_id <> cand_id),
+         |r AS (SELECT q_id, cand_id, adc,
+         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc, cand_id) AS INTEGER) AS rnk
+         |  FROM p)
+         |SELECT q_id, cand_id, adc, rnk FROM r WHERE rnk <= $K
+         |ORDER BY q_id, rnk""".stripMargin
+    },
+
     "emb_quantize_pq" -> {
-      def xsb(b: Int) = s"b$b"
-      val slices = (0 until PqBlocks).map { b =>
-        s"x[${b * PqSub + 1}:${(b + 1) * PqSub}] AS ${xsb(b)}"
-      }.mkString(", ")
-      val dsCols = (0 until PqBlocks).map { b =>
-        val ds = (0 until PqK).map { j =>
-          val c = pqCodebooks(b)(j).mkString("[", ", ", "]")
-          s"(${dotSql(xsb(b), xsb(b), PqSub)} - 2.0 * ${dotSql(xsb(b), c, PqSub)} + ${pqCC(b)(j)})"
-        }.mkString("[", ",\n    ", "]")
-        s"$ds AS ds$b"
-      }.mkString(",\n  ")
       val codes = (0 until PqBlocks)
         .map(b => s"CAST(list_position(ds$b, list_min(ds$b)) - 1 AS VARCHAR)")
         .mkString("[", ", ", "]")
       val err = (0 until PqBlocks).map(b => s"list_min(ds$b)").mkString(" + ")
-      s"""WITH x AS (SELECT vec_id,
-         |    list_transform(range(1, ${Dim + 1}), i -> CAST(embedding[i] AS DOUBLE)) AS x
-         |  FROM embeddings),
-         |s AS (SELECT vec_id, $slices FROM x),
-         |d AS (SELECT vec_id,
-         |  $dsCols
-         |  FROM s)
+      s"""WITH $pqDistCtes
          |SELECT vec_id, array_to_string($codes, ',') AS codes,
          |  round($err, 6) AS recon_err2
          |FROM d ORDER BY vec_id""".stripMargin

@@ -129,6 +129,36 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("ann_pq_adc_topk: ADC distances equal full-precision query-to-reconstruction math") {
+    val rows = Similarity.queries("ann_pq_adc_topk")(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until Similarity.QuerySet).toSet)
+    def rnd(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // independent Scala ADC: assign each candidate its PQ codes by brute
+    // argmin, then dist(q, cand) = sum_b ||q_b − c_{b,code_b}||²
+    def codesOf(x: Array[Double]): Array[Int] =
+      (0 until Similarity.PqBlocks).map { b =>
+        val xs = x.slice(b * Similarity.PqSub, (b + 1) * Similarity.PqSub)
+        val d2 = (0 until Similarity.PqK).map { j =>
+          xs.zip(Similarity.pqCodebooks(b)(j)).map { case (a, v) => (a - v) * (a - v) }.sum
+        }
+        d2.indexOf(d2.min)
+      }.toArray
+    byQ.foreach { case (qid, rs) =>
+      assert(rs.map(_.getInt(3)).toSeq.sorted == (1 to Similarity.K))
+      val q = vecs(qid)
+      rs.foreach { r =>
+        val cand = vecs(r.getLong(1))
+        val want = codesOf(cand).zipWithIndex.map { case (code, b) =>
+          val qs = q.slice(b * Similarity.PqSub, (b + 1) * Similarity.PqSub)
+          qs.zip(Similarity.pqCodebooks(b)(code)).map { case (a, v) => (a - v) * (a - v) }.sum
+        }.sum
+        assert(math.abs(r.getDouble(2) - rnd(want)) < 1e-5,
+          s"q=$qid cand=${r.getLong(1)}: adc ${r.getDouble(2)} vs $want")
+      }
+    }
+  }
+
   test("emb_quantize_sq8: constant dimension yields code 0 and ~zero error, never NaN") {
     // Build a tiny embeddings fixture where dim 1 is constant across all
     // vectors (the 0/0 hazard the scale clamp guards). Other dims vary.
