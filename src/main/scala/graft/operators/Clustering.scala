@@ -44,6 +44,8 @@ object Clustering {
   val Dim = 64
   val K = 8
   val Rounds = 2
+  /** Cells a query probes in `ann_ivf_trained_topk`. */
+  val TrainedProbes = 2
   private val Fix = 1e9 // centroid fixed-point scale
   private val DistFix = 1e6 // mean-dist2 fixed-point scale
 
@@ -90,6 +92,37 @@ object Clustering {
       assign.select(col("vec_id"), col("cid").as("cluster"),
         round(greatest(col("dist2"), lit(0.0)), 6).as("dist2"))
         .orderBy("vec_id")
+    },
+
+    // Trained-centroid IVF top-k — the composition the seeded ann_ivf_*
+    // queries are the plumbing for: cells come from assigning every vector
+    // to its nearest TRAINED (Lloyd) centroid, queries probe their
+    // TrainedProbes nearest cells, candidates re-rank by exact cosine
+    // under the shared ranking contract (Similarity.ranked). Model state
+    // (k trained centroids) is broadcast twice; the corpus is scanned for
+    // assignment and joined once on the cell id — never all-pairs.
+    "ann_ivf_trained_topk" -> { (s, d) =>
+      val (_, cents) = lloyd(s, d)
+      val cc = cents.select(col("cid"), col("c"), dot(col("c"), col("c")).as("cc"))
+      val e = embeddings(s, d).select(col("vec_id"), toDouble(col("embedding")).as("x"))
+        .withColumn("xx", dot(col("x"), col("x")))
+        .withColumn("nrm", sqrt(col("xx")))
+      val dists = e.crossJoin(broadcast(cc))
+        .withColumn("dist2", col("xx") - lit(2.0) * dot(col("x"), col("c")) + col("cc"))
+      val cells = dists.groupBy("vec_id")
+        .agg(min(struct(col("dist2"), col("cid"))).as("m"),
+          first(col("x")).as("x"), first(col("nrm")).as("nrm"))
+        .select(col("vec_id").as("cand_id"), col("m.cid").as("cell"),
+          col("x").as("ce"), col("nrm").as("cn"))
+      val wp = Window.partitionBy("q_id").orderBy(col("dist2").asc, col("cid").asc)
+      val probes = dists.where(col("vec_id") < Similarity.QuerySet)
+        .select(col("vec_id").as("q_id"), col("cid"), col("dist2"),
+          col("x").as("qe"), col("nrm").as("qn"))
+        .withColumn("rn", row_number().over(wp))
+        .where(col("rn") <= TrainedProbes)
+        .select(col("q_id"), col("cid").as("probe"), col("qe"), col("qn"))
+      Similarity.ranked(broadcast(probes).join(cells,
+        col("probe") === col("cell") && col("q_id") =!= col("cand_id")))
     },
 
     // Cluster audit: sizes, trained-centroid norms, mean within-cluster
@@ -148,6 +181,30 @@ object Clustering {
       s"""WITH ${lloydCtes(Rounds)}
          |SELECT vec_id, cid AS cluster, round(greatest(dist2, 0.0), 6) AS dist2
          |FROM a$Rounds ORDER BY vec_id""".stripMargin,
+
+    "ann_ivf_trained_topk" -> {
+      val Q = Similarity.QuerySet
+      s"""WITH ${lloydCtes(Rounds)},
+         |b AS (SELECT vec_id, x, ${dotSql("x", "x", Dim)} AS xx,
+         |    sqrt(${dotSql("x", "x", Dim)}) AS nrm FROM e),
+         |dd AS (SELECT v.vec_id, v.x, v.nrm, c.cid,
+         |    v.xx - 2 * ${dotSql("v.x", "c.c", Dim)} + ${dotSql("c.c", "c.c", Dim)} AS dist2
+         |  FROM b v CROSS JOIN c$Rounds c),
+         |cells AS (SELECT vec_id AS cand_id, x AS ce, nrm AS cn, cid AS cell FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+         |   FROM dd) WHERE rn = 1),
+         |probes AS (SELECT vec_id AS q_id, x AS qe, nrm AS qn, cid AS probe FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+         |   FROM dd WHERE vec_id < $Q) t WHERE rn <= $TrainedProbes),
+         |p AS (SELECT q.q_id, c.cand_id,
+         |    round(${dotSql("q.qe", "c.ce", Dim)} / (q.qn * c.cn), 6) AS cos
+         |  FROM probes q JOIN cells c ON q.probe = c.cell AND q.q_id <> c.cand_id),
+         |r AS (SELECT q_id, cand_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS INTEGER) AS rnk
+         |  FROM p)
+         |SELECT q_id, cand_id, cos, rnk FROM r WHERE rnk <= ${Similarity.K}
+         |ORDER BY q_id, rnk""".stripMargin
+    },
 
     "kmeans_sizes" ->
       s"""WITH ${lloydCtes(Rounds)},

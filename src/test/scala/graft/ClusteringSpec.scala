@@ -69,6 +69,37 @@ class ClusteringSpec extends SparkSpecBase {
     assert(a == b)
   }
 
+  test("ann_ivf_trained_topk: valid ranks, exact cosines, useful recall vs brute force") {
+    import graft.operators.Similarity
+    val rows = Clustering.queries("ann_ivf_trained_topk")(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until Similarity.QuerySet).toSet)
+    byQ.values.foreach(rs => assert(rs.map(_.getInt(3)).toSeq.sorted == (1 to rs.length)))
+    // exact cosine for every returned pair
+    val vecs = Tables.embeddings(spark, sfDir).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    rows.foreach { r =>
+      val want = cos(vecs(r.getLong(0)), vecs(r.getLong(1)))
+      assert(math.abs(r.getDouble(2) - want) < 1e-5)
+    }
+    // recall@K vs brute force: 2 of 8 trained cells probed must catch a
+    // useful share of each query's true neighbors
+    val trueTop = (0L until Similarity.QuerySet).map { q =>
+      q -> vecs.keys.filter(_ != q).toSeq
+        .sortBy(c => (-cos(vecs(q), vecs(c)), c)).take(Similarity.K).toSet
+    }.toMap
+    val recall = (0L until Similarity.QuerySet).map { q =>
+      (byQ.getOrElse(q, Array.empty).map(_.getLong(1)).toSet & trueTop(q)).size.toDouble /
+        Similarity.K
+    }.sum / Similarity.QuerySet
+    assert(recall >= 0.3, s"trained-IVF recall collapsed: $recall")
+  }
+
   test("plan: centroids broadcast — the corpus side never shuffles to assign") {
     val (assign, _) = Clustering.lloyd(spark, sfDir)
     val plan = assign.queryExecution.executedPlan.toString
