@@ -46,6 +46,10 @@ object Clustering {
   val Rounds = 2
   /** Cells a query probes in `ann_ivf_trained_topk`. */
   val TrainedProbes = 2
+  /** SemDeDup cosine cut — matches Dedup.CosThreshold so the semantic path
+    * is comparable with the banded-LSH path on the same fixture.
+    */
+  val SemThreshold = 0.4
   private val Fix = 1e9 // centroid fixed-point scale
   private val DistFix = 1e6 // mean-dist2 fixed-point scale
 
@@ -83,6 +87,25 @@ object Clustering {
         .localCheckpoint()
     }
     (assign, cents)
+  }
+
+  /** Within-cluster exact cosine pairs (cos ≥ [[SemThreshold]], 6-dp
+    * rounded, vec_a < vec_b) from a Lloyd assignment — the SemDeDup
+    * candidate structure: the cluster id is the blocking key, so the
+    * quadratic term is (n/k)² per cluster, never n² — at 100 TB k grows
+    * with the corpus to keep cluster blocks bounded, and the pair join is
+    * a plain shuffle equi-join on cid (never a cartesian product).
+    */
+  private def semPairs(assign: DataFrame): DataFrame = {
+    val v = assign
+      .select(col("cid"), col("vec_id"), col("x"),
+        sqrt(dot(col("x"), col("x"))).as("nrm"))
+    v.as("a").join(v.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.cid").as("cluster"),
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(dot(col("a.x"), col("b.x")) / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+      .where(col("cos") >= SemThreshold)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -123,6 +146,32 @@ object Clustering {
         .select(col("q_id"), col("cid").as("probe"), col("qe"), col("qn"))
       Similarity.ranked(broadcast(probes).join(cells,
         col("probe") === col("cell") && col("q_id") =!= col("cand_id")))
+    },
+
+    // SemDeDup pairs: exact cosine ONLY within each trained cluster. The
+    // recall/cost dial vs the banded-LSH path (dedup_embedding_cosine):
+    // LSH bounds work by banding probability, SemDeDup by the cluster
+    // blocking — pairs split across clusters are unseen by construction.
+    "semdedup_pairs" -> { (s, d) =>
+      val (assign, _) = lloyd(s, d)
+      semPairs(assign).orderBy("vec_a", "vec_b")
+    },
+
+    // SemDeDup keep/drop audit per cluster under the greedy keep-min-id
+    // rule: a vector is dropped iff it is the LARGER id of some
+    // above-threshold pair. Cluster sizes come from the assignment; drops
+    // from the pair relation — both shuffles key on the cluster id.
+    "semdedup_stats" -> { (s, d) =>
+      val (assign, _) = lloyd(s, d)
+      val sz = assign.groupBy(col("cid").as("cluster"))
+        .agg(count(lit(1)).as("n_vecs"))
+      val dr = semPairs(assign).groupBy("cluster")
+        .agg(countDistinct(col("vec_b")).as("nd"))
+      sz.join(dr, Seq("cluster"), "left")
+        .select(col("cluster"), col("n_vecs"),
+          coalesce(col("nd"), lit(0L)).as("n_dropped"),
+          (col("n_vecs") - coalesce(col("nd"), lit(0L))).as("n_kept"))
+        .orderBy("cluster")
     },
 
     // Cluster audit: sizes, trained-centroid norms, mean within-cluster
@@ -205,6 +254,31 @@ object Clustering {
          |SELECT q_id, cand_id, cos, rnk FROM r WHERE rnk <= ${Similarity.K}
          |ORDER BY q_id, rnk""".stripMargin
     },
+
+    "semdedup_pairs" ->
+      s"""WITH ${lloydCtes(Rounds)},
+         |v AS (SELECT vec_id, cid, x, sqrt(${dotSql("x", "x", Dim)}) AS nrm
+         |  FROM a$Rounds),
+         |p AS (SELECT a.cid AS cluster, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    round(${dotSql("a.x", "b.x", Dim)} / (a.nrm * b.nrm), 6) AS cos
+         |  FROM v a JOIN v b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+         |SELECT cluster, vec_a, vec_b, cos FROM p WHERE cos >= $SemThreshold
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "semdedup_stats" ->
+      s"""WITH ${lloydCtes(Rounds)},
+         |v AS (SELECT vec_id, cid, x, sqrt(${dotSql("x", "x", Dim)}) AS nrm
+         |  FROM a$Rounds),
+         |p AS (SELECT a.cid AS cluster, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    round(${dotSql("a.x", "b.x", Dim)} / (a.nrm * b.nrm), 6) AS cos
+         |  FROM v a JOIN v b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+         |f AS (SELECT * FROM p WHERE cos >= $SemThreshold),
+         |sz AS (SELECT cid AS cluster, count(*) AS n_vecs FROM a$Rounds GROUP BY cid),
+         |dr AS (SELECT cluster, count(DISTINCT vec_b) AS nd FROM f GROUP BY cluster)
+         |SELECT sz.cluster, n_vecs,
+         |  CAST(coalesce(nd, 0) AS BIGINT) AS n_dropped,
+         |  CAST(n_vecs - coalesce(nd, 0) AS BIGINT) AS n_kept
+         |FROM sz LEFT JOIN dr USING (cluster) ORDER BY cluster""".stripMargin,
 
     "kmeans_sizes" ->
       s"""WITH ${lloydCtes(Rounds)},

@@ -1,0 +1,214 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import TextHash._
+
+/** Retrieval primitives a training-data pipeline needs around its corpus:
+  * Okapi BM25 term scoring / top-k ranking (the classic lexical retriever —
+  * the usual first-stage filter in front of embedding re-rankers, and the
+  * standard tool for "find training docs matching this eval prompt" leakage
+  * hunts), and fixed-width overlapping character chunking (RAG-style
+  * windowing that turns long documents into model-sized pieces).
+  *
+  * The reference has nothing in this category (SURVEY.md §2.5 extensions).
+  *
+  * 100 TB shape:
+  *   - BM25: tf aggregates on (doc_id, term) with map-side combine after an
+  *     early `isin(queryTerms)` filter — the corpus token stream is pruned
+  *     to the query vocabulary BEFORE the shuffle, so the exchanged
+  *     relation is (docs containing a query term) × (query terms), not the
+  *     token stream. df/N/avgdl are vocabulary/corpus-constant-sized and
+  *     broadcast back. No all-pairs anything; one shuffle.
+  *   - top-k per term goes through row_number ≤ k — the exact Filter-over-
+  *     Window shape `RewriteGroupTopK` turns into the bounded-heap
+  *     partial/final operator, so ≤ k rows per term per partition cross
+  *     the shuffle.
+  *   - chunking is a pure per-row explode (no shuffle at all): each doc
+  *     emits its window starts from `sequence`, then substring — stays
+  *     inside whole-stage codegen.
+  *
+  * Cross-engine determinism: BM25 is double arithmetic on identical
+  * operands in an identical expression shape (the SQL is written
+  * literal-for-literal like the Column expression, left-associative in
+  * both), rounded to 6 dp at the end; multi-term totals go through the
+  * fixed-point sum discipline (scaled-long sums are associative; double
+  * sums are partial-agg-order dependent).
+  */
+object Retrieval {
+
+  /** Okapi parameters, pre-folded: K1 = 1.2, B = 0.75 -> k1+1 = 2.2,
+    * 1-b = 0.25. Kept as literals so Spark and DuckDB parse the identical
+    * expression tree.
+    */
+  private val QueryTerms = Seq("join", "vector", "scan", "filter")
+  private val TopK = 10
+  /** Chunk window / stride in characters (stride < width -> overlap). */
+  val ChunkWidth = 120
+  val ChunkStride = 90
+
+  /** Per-(term, doc) BM25 over the query vocabulary.
+    * idf = ln(1 + (N - df + 0.5)/(df + 0.5));
+    * score = idf * tf*(k1+1) / (tf + k1*((1-b) + b*dl/avgdl)).
+    */
+  private def bm25(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("dl"))
+    // Prune to the query vocabulary BEFORE the (doc_id, term) shuffle.
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("t")).as("term"))
+      .where(col("term").isin(QueryTerms: _*))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val corpus = docs.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(corpus))
+      .withColumn("avgdl",
+        col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("score", round(
+        col("idf") * (col("tf") * lit(2.2))
+          / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))),
+        6))
+  }
+
+  /** Doc chunk windows: one row per (doc, window start). Pure map-side. */
+  private def chunks(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"),
+        explode(sequence(lit(0), col("n_chars") - 1, lit(ChunkStride))).as("s"))
+      .select(col("doc_id"), col("source"),
+        (col("s") / ChunkStride).cast("long").as("chunk_id"),
+        col("s").as("chunk_start"),
+        col("text").substr(col("s") + 1, lit(ChunkWidth)).as("chunk"))
+      .withColumn("chunk_len", length(col("chunk")).cast("long"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Full BM25 score table for the query vocabulary.
+    "bm25_scores" -> { (s, d) =>
+      bm25(s, d)
+        .select("term", "doc_id", "tf", "dl", "score")
+        .orderBy("term", "doc_id")
+    },
+
+    // Top-10 docs per query term — the Filter-over-Window shape the
+    // GroupTopK whole-operator rewrite picks up.
+    "bm25_topk" -> { (s, d) =>
+      val w = Window.partitionBy("term").orderBy(col("score").desc, col("doc_id"))
+      bm25(s, d)
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= TopK)
+        .select("term", "doc_id", "score", "rnk")
+        .orderBy("term", "rnk")
+    },
+
+    // Multi-term query: additive BM25 over all query terms per doc, top-10
+    // docs. Per-term 6-dp scores go through the fixed-point sum (scaled
+    // longs) so the total is partial-agg-order independent.
+    "bm25_query_topk" -> { (s, d) =>
+      bm25(s, d)
+        .groupBy("doc_id")
+        .agg(sum(round(col("score") * lit(1e6)).cast("long")).as("s6"),
+          count(lit(1)).as("n_terms"))
+        .select(col("doc_id"), col("n_terms"),
+          (col("s6").cast("double") / lit(1e6)).as("qscore"))
+        .orderBy(col("qscore").desc, col("doc_id"))
+        .limit(TopK)
+    },
+
+    // Overlapping character windows (RAG chunking): width 120, stride 90.
+    "chunk_overlap" -> { (s, d) =>
+      chunks(s, d)
+        .select("doc_id", "chunk_id", "chunk_start", "chunk_len", "chunk")
+        .orderBy("doc_id", "chunk_id")
+    },
+
+    // Shard-level chunk audit: how many windows a source yields and their
+    // mean width (fixed-point mean: exact long sum, two double divides).
+    "chunk_stats" -> { (s, d) =>
+      chunks(s, d)
+        .groupBy("source")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          sum("chunk_len").as("sum_len"))
+        .select(col("source"), col("n_docs"), col("n_chunks"),
+          round(col("sum_len").cast("double") / col("n_chunks").cast("double"), 6)
+            .as("mean_chunk_len"))
+        .orderBy("source")
+    }
+  )
+
+  // -------------------------------------------------------------- oracles
+
+  private val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
+
+  /** CTEs mirroring [[bm25]] literal-for-literal. */
+  private val bm25Cte =
+    s"""docs AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, t FROM docs),
+       |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(t) AS term FROM dl)
+       |  WHERE term IN ($termList) GROUP BY doc_id, dl, term),
+       |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |corpus AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+       |scored AS (SELECT term, doc_id, tf, dl,
+       |    round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+       |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl
+       |        / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))), 6) AS score
+       |  FROM tf JOIN dfq USING (term) CROSS JOIN corpus)""".stripMargin
+
+  /** CTE mirroring [[chunks]]: DuckDB range() is end-exclusive where Spark
+    * sequence() is end-inclusive -> range(0, n_chars, stride) ==
+    * sequence(0, n_chars-1, stride) for n_chars >= 1 (fixture min is 48).
+    */
+  private val chunkCte =
+    s"""c AS (SELECT doc_id, source,
+       |    CAST(s / $ChunkStride AS BIGINT) AS chunk_id,
+       |    s AS chunk_start,
+       |    substr(text, CAST(s + 1 AS INTEGER), $ChunkWidth) AS chunk
+       |  FROM (SELECT doc_id, source, text,
+       |          unnest(range(0, n_chars, $ChunkStride)) AS s FROM documents)),
+       |cl AS (SELECT *, CAST(length(chunk) AS BIGINT) AS chunk_len FROM c)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "bm25_scores" ->
+      s"""WITH $bm25Cte
+         |SELECT term, doc_id, tf, dl, score FROM scored
+         |ORDER BY term, doc_id""".stripMargin,
+
+    "bm25_topk" ->
+      s"""WITH $bm25Cte,
+         |r AS (SELECT term, doc_id, score,
+         |    CAST(row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id)
+         |      AS INTEGER) AS rnk
+         |  FROM scored)
+         |SELECT term, doc_id, score, rnk FROM r WHERE rnk <= $TopK
+         |ORDER BY term, rnk""".stripMargin,
+
+    "bm25_query_topk" ->
+      s"""WITH $bm25Cte,
+         |q AS (SELECT doc_id, count(*) AS n_terms,
+         |    CAST(sum(CAST(round(score * 1000000.0) AS BIGINT)) AS BIGINT) AS s6
+         |  FROM scored GROUP BY doc_id)
+         |SELECT doc_id, n_terms, CAST(s6 AS DOUBLE) / 1000000.0 AS qscore
+         |FROM q ORDER BY qscore DESC, doc_id LIMIT $TopK""".stripMargin,
+
+    "chunk_overlap" ->
+      s"""WITH $chunkCte
+         |SELECT doc_id, chunk_id, chunk_start, chunk_len, chunk FROM cl
+         |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "chunk_stats" ->
+      s"""WITH $chunkCte
+         |SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
+         |  round(CAST(sum(chunk_len) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         |    AS mean_chunk_len
+         |FROM cl GROUP BY source ORDER BY source""".stripMargin
+  )
+}

@@ -100,6 +100,23 @@ class ClusteringSpec extends SparkSpecBase {
     assert(recall >= 0.3, s"trained-IVF recall collapsed: $recall")
   }
 
+  test("semdedup: pairs are co-clustered above-threshold, stats conserve") {
+    val (assign, _) = Clustering.lloyd(spark, sfDir)
+    val cid = assign.select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Clustering.queries("semdedup_pairs")(spark, sfDir).collect()
+    pairs.foreach { r =>
+      val (cl, a, b, c) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(a < b && c >= Clustering.SemThreshold)
+      assert(cid(a) == cl && cid(b) == cl)
+    }
+    val stats = Clustering.queries("semdedup_stats")(spark, sfDir).collect()
+    assert(stats.map(_.getLong(1)).sum == cid.size) // all vectors accounted
+    stats.foreach(r => assert(r.getLong(1) == r.getLong(2) + r.getLong(3)))
+    val dropped = pairs.map(_.getLong(2)).toSet
+    assert(stats.map(_.getLong(2)).sum == dropped.size)
+  }
+
   test("plan: centroids broadcast — the corpus side never shuffles to assign") {
     val (assign, _) = Clustering.lloyd(spark, sfDir)
     val plan = assign.queryExecution.executedPlan.toString
