@@ -4,8 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.{Encoders, functions => F}
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.Column
+
 import graft.Tables._
-import graft.functions.CountMinSketchAgg
+import graft.functions.{BloomFilterAgg, CountMinSketchAgg}
 import TextHash.{toksSql, toks}
 
 /** Mergeable frequency sketching — Count-Min Sketch over the corpus token
@@ -28,6 +30,64 @@ object Sketches {
 
   private def tokens(s: SparkSession, d: String): DataFrame =
     documents(s, d).select(explode(toks(col("text"))).as("tok"))
+
+  // ------------------------------------------------------ bloom machinery
+
+  private val bloom = F.udaf(BloomFilterAgg, Encoders.STRING)
+  private val BloomM = BloomFilterAgg.M
+  private val BloomK = BloomFilterAgg.K
+
+  /** Column mirrors of BloomFilterAgg.positions: h1/h2 are 15-hex-char
+    * slices of md5(key), pos_i = (h1 + i·h2) mod M.
+    */
+  private def bloomPos(key: Column, i: Int): Column = {
+    val h1 = conv(substring(md5(key), 1, 15), 16, 10).cast("long")
+    val h2 = conv(substring(md5(key), 16, 15), 16, 10).cast("long")
+    (h1 + lit(i.toLong) * h2) % BloomM
+  }
+
+  /** Is bit p set in the filter's word array? (p < M = 2048, so the
+    * double division below is exact.) Arithmetic shiftright then &1
+    * isolates the addressed bit regardless of the word's sign.
+    */
+  private def bitSet(bits: Column, p: Column): Column =
+    call_function("shiftright",
+      element_at(bits, (p / lit(64)).cast("int") + lit(1)),
+      (p % 64).cast("int")).bitwiseAND(lit(1L)) === lit(1L)
+
+  /** Ingestion-gate probe set: docs ≡ 0 (mod 5) replay their exact corpus
+    * text (must ALWAYS test positive); docs ≡ 1 (mod 5) probe a perturbed
+    * text absent from the corpus (positives here are the false-positive
+    * rate under audit). Probe ids are disjoint by the +1e6 offset.
+    */
+  private def probes(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    docs.where(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("probe_id"), col("text").as("key"))
+      .unionByName(docs.where(col("doc_id") % 5 === 1)
+        .select((col("doc_id") + 1000000L).as("probe_id"),
+          concat(col("text"), lit(" ~novel~")).as("key")))
+  }
+
+  /** (probe_id, exact_member, bloom_positive) — the filter row (32 longs)
+    * is broadcast; the exact-membership join is the audit path (at scale
+    * the whole point of the filter is to SKIP this join for the ~negative
+    * majority).
+    */
+  private def bloomGate(s: SparkSession, d: String): DataFrame = {
+    val corpus = documents(s, d).select(col("text").as("key"))
+    val sk = corpus.agg(bloom(col("key")).as("bits"))
+    val ck = corpus.distinct().withColumn("in_corpus", lit(true))
+    val positive = (0 until BloomK)
+      .map(i => bitSet(col("bits"), bloomPos(col("key"), i)))
+      .reduce(_ && _)
+    probes(s, d)
+      .join(ck, Seq("key"), "left")
+      .crossJoin(broadcast(sk))
+      .select(col("probe_id"),
+        coalesce(col("in_corpus"), lit(false)).as("exact_member"),
+        positive.as("bloom_positive"))
+  }
 
   // -------------------------------------------------------------- queries
 
@@ -63,6 +123,42 @@ object Sketches {
           (est >= col("exact")).as("no_underestimate"))
         .orderBy(desc("exact"), asc("term"))
         .limit(10)
+    },
+
+    // The built filter, flattened to its set BIT POSITIONS (engine-portable
+    // encoding of the word array) — oracle-checks zero/reduce/merge
+    // bit-for-bit (32 shuffle partitions guarantee merges happened).
+    "bloom_bits" -> { (s, d) =>
+      documents(s, d).select(col("text").as("key"))
+        .agg(bloom(col("key")).as("bits"))
+        .select(posexplode(col("bits")).as(Seq("widx", "w")))
+        .select(col("widx"), col("w"),
+          explode(sequence(lit(0), lit(63))).as("b"))
+        .where(call_function("shiftright", col("w"), col("b"))
+          .bitwiseAND(lit(1L)) === lit(1L))
+        .select((col("widx").cast("long") * 64 + col("b")).as("pos"))
+        .orderBy("pos")
+    },
+
+    // Per-probe gate decisions: replayed corpus docs + perturbed novel
+    // docs against the corpus filter. Every false positive is reproduced
+    // by the oracle (deterministic hash family), making the FP behavior
+    // itself part of the hash-checked contract.
+    "bloom_gate" -> { (s, d) =>
+      bloomGate(s, d).orderBy("probe_id")
+    },
+
+    // One-sided-error audit: n_false_neg MUST be 0 (the Bloom contract);
+    // the FP count is the measured rate at the fixture's fill factor.
+    "bloom_gate_stats" -> { (s, d) =>
+      bloomGate(s, d).agg(
+        count(lit(1)).as("n_probes"),
+        sum(when(col("exact_member"), 1L).otherwise(0L)).as("n_members"),
+        sum(when(col("bloom_positive"), 1L).otherwise(0L)).as("n_bloom_pos"),
+        sum(when(col("bloom_positive") && !col("exact_member"), 1L)
+          .otherwise(0L)).as("n_false_pos"),
+        sum(when(col("exact_member") && !col("bloom_positive"), 1L)
+          .otherwise(0L)).as("n_false_neg"))
     }
   )
 
@@ -76,6 +172,22 @@ object Sketches {
        |  FROM tok CROSS JOIN g),
        |cells AS (SELECT j, b, count(*) AS c FROM h GROUP BY 1, 2)""".stripMargin
 
+  /** DuckDB mirror of [[bloomPos]]. `i` ranges over CTE g. */
+  private def bloomPosSql(k: String, i: String): String =
+    s"(CAST(('0x' || substr(md5($k),1,15)) AS BIGINT) + $i * " +
+      s"CAST(('0x' || substr(md5($k),16,15)) AS BIGINT)) % $BloomM"
+
+  private def bloomProbeCtes =
+    s"""ck AS (SELECT DISTINCT text AS key FROM documents),
+       |g AS (SELECT unnest(range(0, $BloomK)) AS i),
+       |cpos AS (SELECT ${bloomPosSql("text", "i")} AS pos
+       |  FROM documents CROSS JOIN g),
+       |probes AS (
+       |  SELECT doc_id AS probe_id, text AS key FROM documents WHERE doc_id % 5 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS probe_id, text || ' ~novel~' AS key
+       |  FROM documents WHERE doc_id % 5 = 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "cms_matrix" ->
       s"""WITH $cmsCtes
@@ -88,6 +200,41 @@ object Sketches {
          |est AS (SELECT t, min(c) AS est FROM th JOIN cells USING (j, b) GROUP BY t),
          |ex AS (SELECT t, count(*) AS exact FROM tok GROUP BY t)
          |SELECT t AS term, exact, est, est >= exact AS no_underestimate
-         |FROM ex JOIN est USING (t) ORDER BY exact DESC, term LIMIT 10""".stripMargin
+         |FROM ex JOIN est USING (t) ORDER BY exact DESC, term LIMIT 10""".stripMargin,
+
+    "bloom_bits" ->
+      s"""WITH $bloomProbeCtes
+         |SELECT DISTINCT pos FROM cpos ORDER BY pos""".stripMargin,
+
+    "bloom_gate" ->
+      s"""WITH $bloomProbeCtes,
+         |cset AS (SELECT DISTINCT pos FROM cpos),
+         |ppos AS (SELECT probe_id, ${bloomPosSql("key", "i")} AS pos
+         |  FROM probes CROSS JOIN g),
+         |hit AS (SELECT probe_id, count(cset.pos) AS nhit
+         |  FROM ppos LEFT JOIN cset USING (pos) GROUP BY probe_id)
+         |SELECT p.probe_id, (ck.key IS NOT NULL) AS exact_member,
+         |  nhit = $BloomK AS bloom_positive
+         |FROM probes p LEFT JOIN ck ON p.key = ck.key JOIN hit USING (probe_id)
+         |ORDER BY p.probe_id""".stripMargin,
+
+    "bloom_gate_stats" ->
+      s"""WITH $bloomProbeCtes,
+         |cset AS (SELECT DISTINCT pos FROM cpos),
+         |ppos AS (SELECT probe_id, ${bloomPosSql("key", "i")} AS pos
+         |  FROM probes CROSS JOIN g),
+         |hit AS (SELECT probe_id, count(cset.pos) AS nhit
+         |  FROM ppos LEFT JOIN cset USING (pos) GROUP BY probe_id),
+         |gate AS (SELECT p.probe_id, (ck.key IS NOT NULL) AS exact_member,
+         |    nhit = $BloomK AS bloom_positive
+         |  FROM probes p LEFT JOIN ck ON p.key = ck.key JOIN hit USING (probe_id))
+         |SELECT count(*) AS n_probes,
+         |  CAST(sum(CASE WHEN exact_member THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+         |  CAST(sum(CASE WHEN bloom_positive THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pos,
+         |  CAST(sum(CASE WHEN bloom_positive AND NOT exact_member THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_false_pos,
+         |  CAST(sum(CASE WHEN exact_member AND NOT bloom_positive THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_false_neg
+         |FROM gate""".stripMargin
   )
 }

@@ -66,6 +66,21 @@ object Sources {
     s.read.text(out).orderBy("value")
   }
 
+  /** Custom V2 sink round trip: documents.text through [[GraftLinesSource]]
+    * (distributed write, two-phase staged commit, `_SUCCESS` stamp) and
+    * back through its file-per-shard reader. Same multiset assertion as
+    * the built-in text source — the oracle never sees the sink, only that
+    * the data survived it exactly.
+    */
+  def linesRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = tmpDir("documents_graftlines")
+    documents(s, d).select(col("text").as("value"))
+      .write.format("graft.sources.GraftLinesSource")
+      .mode(SaveMode.Overwrite).option("path", out).save()
+    s.read.format("graft.sources.GraftLinesSource").option("path", out).load()
+      .orderBy("value")
+  }
+
   /** Parquet partitioned by a low-cardinality column; the read-back filter
     * prunes to a single partition directory (no full scan).
     */
@@ -144,6 +159,7 @@ object Sources {
     "src_json_roundtrip" -> jsonRoundtrip,
     "src_orc_roundtrip" -> orcRoundtrip,
     "src_text_roundtrip" -> textRoundtrip,
+    "src_lines_roundtrip" -> linesRoundtrip,
     "src_partitioned_parquet" -> partitionedParquet,
     "src_bucketed_join" -> bucketedJoin,
     "src_synth_pushdown" -> synthPushdown,
@@ -160,6 +176,8 @@ object Sources {
     "src_orc_roundtrip" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
     "src_text_roundtrip" ->
+      "SELECT text AS value FROM documents ORDER BY text",
+    "src_lines_roundtrip" ->
       "SELECT text AS value FROM documents ORDER BY text",
     "src_partitioned_parquet" ->
       """SELECT event_type, count(*) AS n FROM events

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Encoders, functions => F}
 
-import graft.functions.CountMinSketchAgg
+import graft.functions.{BloomFilterAgg, CountMinSketchAgg}
 import graft.operators.Sketches
 
 class SketchesSpec extends SparkSpecBase {
@@ -40,5 +40,37 @@ class SketchesSpec extends SparkSpecBase {
     // local reference for the bucket function on a known token
     val j0 = CountMinSketchAgg.bucket(0, "the")
     assert(j0 >= 0 && j0 < CountMinSketchAgg.Width)
+  }
+
+  test("bloom: set bits match the local position function exactly") {
+    val bits = Sketches.queries("bloom_bits")(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    val want = Tables.documents(spark, sfDir).select("text").collect()
+      .flatMap(r => BloomFilterAgg.positions(r.getString(0)))
+      .map(_.toLong).toSet
+    assert(bits == want)
+    assert(bits.forall(p => p >= 0 && p < BloomFilterAgg.M))
+  }
+
+  test("bloom merge is partition-order independent (1 vs many partitions)") {
+    import spark.implicits._
+    val bloom = F.udaf(BloomFilterAgg, Encoders.STRING)
+    val keys = Tables.documents(spark, sfDir).select(col("text").as("k"))
+    val one = keys.coalesce(1).agg(bloom($"k")).head.getSeq[Long](0)
+    val many = keys.repartition(16).agg(bloom($"k")).head.getSeq[Long](0)
+    assert(one == many)
+  }
+
+  test("bloom gate: no false negatives; stats row reconciles with gate rows") {
+    val gate = Sketches.queries("bloom_gate")(spark, sfDir).collect()
+    assert(gate.nonEmpty)
+    // one-sided contract: every exact member tests positive
+    gate.filter(_.getBoolean(1)).foreach(r => assert(r.getBoolean(2)))
+    val stats = Sketches.queries("bloom_gate_stats")(spark, sfDir).head()
+    assert(stats.getLong(0) == gate.length)
+    assert(stats.getLong(1) == gate.count(_.getBoolean(1)))
+    assert(stats.getLong(2) == gate.count(_.getBoolean(2)))
+    assert(stats.getLong(3) == gate.count(r => r.getBoolean(2) && !r.getBoolean(1)))
+    assert(stats.getLong(4) == 0L)
   }
 }

@@ -60,6 +60,49 @@ class SourcesSpec extends SparkSpecBase {
     assert(df.rdd.getNumPartitions == 7)
   }
 
+  test("graftlines sink: staged commit promotes shards, stamps _SUCCESS, cleans staging") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val out = Files.createTempDirectory("graft_lines_spec_").toString
+    val src = Tables.documents(spark, sfDir).select(col("text").as("value"))
+    src.write.format("graft.sources.GraftLinesSource")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).option("path", out).save()
+    val names = Files.list(Paths.get(out)).iterator.asScala
+      .map(_.getFileName.toString).toSet
+    assert(names.contains("_SUCCESS"))
+    assert(!names.contains("_staging"), s"staging dir survived commit: $names")
+    assert(names.exists(n => n.startsWith("part-") && n.endsWith(".txt")))
+    val back = spark.read.format("graft.sources.GraftLinesSource")
+      .option("path", out).load()
+    assert(back.collect().map(_.getString(0)).sorted.toSeq
+      == src.collect().map(_.getString(0)).sorted.toSeq)
+    // overwrite truncates: second (smaller) write fully replaces the first
+    val small = Tables.documents(spark, sfDir).limit(3).select(col("text").as("value"))
+    small.write.format("graft.sources.GraftLinesSource")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).option("path", out).save()
+    assert(spark.read.format("graft.sources.GraftLinesSource")
+      .option("path", out).load().count() == 3L)
+  }
+
+  test("graftlines sink: failed job aborts all-or-nothing (no visible shards)") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val out = Files.createTempDirectory("graft_lines_abort_").toString
+    val boom = udf((s: String) =>
+      if (s.contains("customer")) throw new RuntimeException("poison row") else s)
+    val poisoned = Tables.documents(spark, sfDir)
+      .select(boom(col("text")).as("value"))
+    intercept[Exception] {
+      poisoned.write.format("graft.sources.GraftLinesSource")
+        .mode(org.apache.spark.sql.SaveMode.Append).option("path", out).save()
+    }
+    val names = Files.list(Paths.get(out)).iterator.asScala
+      .map(_.getFileName.toString).toSet
+    assert(!names.exists(n => n.startsWith("part-") && n.endsWith(".txt")),
+      s"torn write visible after abort: $names")
+    assert(!names.contains("_SUCCESS"))
+  }
+
   test("partitioned parquet read prunes to the filtered partition") {
     val df = Sources.partitionedParquet(spark, sfDir)
     // via Tables.events — a raw parquet read would hit Spark's
