@@ -261,6 +261,40 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("bm25_topk: per-term top-k goes through the GroupTopK rewrite") {
+    val p = plan("bm25_topk")
+    assert(p.contains("GroupTopK"), s"row_number<=k not rewritten:\n$p")
+  }
+
+  test("bm25: vocabulary filter survives to the token stream; aggs map-side combine") {
+    val p = plan("bm25_scores")
+    // the isin(queryTerms) filter exists on the exploded term column (Catalyst
+    // keeps filters below exchanges; Generate feeding a Filter feeding a
+    // partial HashAggregate is the pruned-before-shuffle shape)
+    assert(p.contains("term#") && p.contains(" IN (join,vector,scan,filter)"),
+      s"query-vocabulary filter missing:\n$p")
+    assert(p.contains("partial_count"), s"no map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"), s"all-pairs leak:\n$p")
+  }
+
+  test("chunk_overlap: pure map-side — no Exchange anywhere (sort excepted)") {
+    val p = plan("chunk_overlap")
+    // the only exchange allowed is the final presentation orderBy's range
+    // partitioning; no hash-partitioned (aggregate/join) exchange exists
+    assert(!p.contains("hashpartitioning"), s"unexpected shuffle:\n$p")
+  }
+
+  test("bloom_gate: the filter row broadcasts; probes never shuffle to meet it") {
+    val p = plan("bloom_gate")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"sketch row not broadcast:\n$p")
+  }
+
+  test("semdedup_pairs: candidate generation is the cluster-blocked equi-join") {
+    val p = plan("semdedup_pairs")
+    assert(!p.contains("CartesianProduct"), s"all-pairs leak:\n$p")
+  }
+
   test("src_partitioned_parquet: partition pruning leaves a single partition") {
     val df = SparkEntry.queries("src_partitioned_parquet")(spark, sfDir)
     df.collect() // materialize so FileSourceScan has chosen partitions
