@@ -145,6 +145,9 @@ object Corpus {
       s"CASE WHEN lang = '$l' THEN $t ELSE $els END"
     }
 
+  /** Max docs any single source may contribute (`source_cap_sample`). */
+  val SourceCap = 20
+
   /** Target fraction of the corpus the alpha-mixture sample keeps. */
   val MixTargetFrac = 0.5
 
@@ -298,6 +301,24 @@ object Corpus {
           size(regexp_extract_all(col("_pii"), lit(PhoneRe), lit(0))).as("n_phones"),
           redactPii(col("_pii")).as("redacted"))
         .orderBy("doc_id")
+    },
+
+    // Per-source document cap (the RefinedWeb/CCNet domain-cap move: no
+    // single source may dominate the training mix): keep at most SourceCap
+    // docs per source, chosen by the deterministic md5 sample key (a
+    // reproducible "random" cap, not a quality-ordered one) with doc_id
+    // tie-break. row_number ≤ k over the source partition — the
+    // Filter-over-Window shape the GroupTopK rewrite bounds to ≤ k rows
+    // per source per partition crossing the shuffle.
+    "source_cap_sample" -> { (s, d) =>
+      val w = Window.partitionBy("source")
+        .orderBy(col("_k").asc, col("doc_id").asc)
+      documents(s, d)
+        .withColumn("_k", sampleKey(col("doc_id"), col("text")))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= SourceCap)
+        .select("source", "doc_id", "rk")
+        .orderBy("source", "rk")
     },
 
     // Deterministic 10% sample: md5-keyed row filter — reproducible across
@@ -519,6 +540,13 @@ object Corpus {
          |  CAST(len(regexp_extract_all(pii, '$PhoneRe')) AS INTEGER) AS n_phones,
          |  ${redactPiiSql("pii")} AS redacted
          |FROM p ORDER BY doc_id""".stripMargin,
+
+    "source_cap_sample" ->
+      s"""WITH k AS (SELECT source, doc_id, $sampleKeySql AS kk FROM documents),
+         |r AS (SELECT source, doc_id, CAST(row_number() OVER
+         |    (PARTITION BY source ORDER BY kk, doc_id) AS INTEGER) AS rk FROM k)
+         |SELECT source, doc_id, rk FROM r WHERE rk <= $SourceCap
+         |ORDER BY source, rk""".stripMargin,
 
     "sample_hash_10pct" ->
       s"""SELECT doc_id, lang, source FROM documents

@@ -55,12 +55,34 @@ object Sketches {
       element_at(bits, (p / lit(64)).cast("int") + lit(1)),
       (p % 64).cast("int")).bitwiseAND(lit(1L)) === lit(1L)
 
+  /** The corpus filter as a 1-row (bits: array<bigint>) relation — the
+    * broadcastable model state for batch AND streaming gates.
+    */
+  private[graft] def bloomBits(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("text").as("key"))
+      .agg(bloom(col("key")).as("bits"))
+
+  /** Membership decisions for a (probe_id, key) relation against a filter
+    * row: a pure broadcast projection — no shuffle, no state — which is
+    * why the identical call works on a STREAMING probe relation
+    * (stream-static broadcast join; see StreamingSpec).
+    */
+  /** The membership predicate over (key, bits) columns. */
+  private def bloomPositive: Column =
+    (0 until BloomK)
+      .map(i => bitSet(col("bits"), bloomPos(col("key"), i)))
+      .reduce(_ && _)
+
+  private[graft] def gateDecisions(probeRel: DataFrame, bits: DataFrame): DataFrame =
+    probeRel.crossJoin(broadcast(bits))
+      .select(col("probe_id"), bloomPositive.as("bloom_positive"))
+
   /** Ingestion-gate probe set: docs ≡ 0 (mod 5) replay their exact corpus
     * text (must ALWAYS test positive); docs ≡ 1 (mod 5) probe a perturbed
     * text absent from the corpus (positives here are the false-positive
     * rate under audit). Probe ids are disjoint by the +1e6 offset.
     */
-  private def probes(s: SparkSession, d: String): DataFrame = {
+  private[graft] def probes(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     docs.where(col("doc_id") % 5 === 0)
       .select(col("doc_id").as("probe_id"), col("text").as("key"))
@@ -76,17 +98,13 @@ object Sketches {
     */
   private def bloomGate(s: SparkSession, d: String): DataFrame = {
     val corpus = documents(s, d).select(col("text").as("key"))
-    val sk = corpus.agg(bloom(col("key")).as("bits"))
     val ck = corpus.distinct().withColumn("in_corpus", lit(true))
-    val positive = (0 until BloomK)
-      .map(i => bitSet(col("bits"), bloomPos(col("key"), i)))
-      .reduce(_ && _)
     probes(s, d)
       .join(ck, Seq("key"), "left")
-      .crossJoin(broadcast(sk))
+      .crossJoin(broadcast(bloomBits(s, d)))
       .select(col("probe_id"),
         coalesce(col("in_corpus"), lit(false)).as("exact_member"),
-        positive.as("bloom_positive"))
+        bloomPositive.as("bloom_positive"))
   }
 
   // -------------------------------------------------------------- queries

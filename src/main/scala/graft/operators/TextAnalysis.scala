@@ -223,6 +223,39 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // DSIR-style importance log-weight per document (Xie et al. 2023
+    // "Data Selection for Language Models via Importance Resampling",
+    // reduced to unigram features): log p_target(doc) − log p_corpus(doc)
+    // under add-one-smoothed unigram LMs, target = the `lang='en'` slice.
+    // High weight = doc looks like the target domain; the weights feed
+    // sample_mixture-style resampling. Same scale shape as unigram NLL:
+    // both vocabularies are vocab-sized and BROADCAST onto the token
+    // stream; per-token log-ratios round to 6 dp then sum exactly as
+    // DECIMAL per doc (double sums are partition-order-dependent).
+    "dsir_weights" -> { (s, d) =>
+      val tok = documents(s, d)
+        .select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("tok"))
+      val cvoc = tok.groupBy("tok").agg(count(lit(1)).as("cnt_c"))
+      val tvoc = tok.where(col("lang") === "en")
+        .groupBy("tok").agg(count(lit(1)).as("cnt_t0"))
+      val voc = cvoc.join(tvoc, Seq("tok"), "left")
+        .select(col("tok"), col("cnt_c"),
+          coalesce(col("cnt_t0"), lit(0L)).as("cnt_t"))
+      val k = tok.agg(count(lit(1)).as("n_c"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_t"),
+        countDistinct("tok").as("v"))
+      tok.join(broadcast(voc), "tok").crossJoin(broadcast(k))
+        .select(col("doc_id"), round(log(
+          ((col("cnt_t") + 1).cast("double") / (col("n_t") + col("v")).cast("double"))
+            / ((col("cnt_c") + 1).cast("double") / (col("n_c") + col("v")).cast("double"))),
+          6).as("lr"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          round(sum(col("lr").cast(DecimalType(18, 6))).cast("double"), 6)
+            .as("dsir_logw"))
+        .orderBy("doc_id")
+    },
+
     // Rolling polynomial hash over token hashes — an order-sensitive
     // document fingerprint (reordered tokens change it; dedup_simhash is the
     // order-insensitive counterpart).
@@ -317,6 +350,25 @@ object TextAnalysis {
          |  round(CAST(sum(CAST(nll AS DECIMAL(18,6))) AS DOUBLE)
          |    / CAST(count(*) AS DOUBLE), 6) AS mean_nll
          |FROM t2 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dsir_weights" ->
+      s"""WITH tok AS (SELECT doc_id, lang, unnest(${toksSql("text")}) AS tok
+         |  FROM documents),
+         |cv AS (SELECT tok, count(*) AS cnt_c FROM tok GROUP BY 1),
+         |tv AS (SELECT tok, count(*) AS cnt_t0 FROM tok WHERE lang = 'en' GROUP BY 1),
+         |voc AS (SELECT cv.tok, cnt_c, CAST(coalesce(cnt_t0, 0) AS BIGINT) AS cnt_t
+         |  FROM cv LEFT JOIN tv ON cv.tok = tv.tok),
+         |k AS (SELECT count(*) AS n_c,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         |    count(DISTINCT tok) AS v
+         |  FROM tok),
+         |lr AS (SELECT doc_id,
+         |    round(ln((CAST(cnt_t + 1 AS DOUBLE) / CAST(n_t + v AS DOUBLE))
+         |      / (CAST(cnt_c + 1 AS DOUBLE) / CAST(n_c + v AS DOUBLE))), 6) AS lr
+         |  FROM tok JOIN voc USING (tok) CROSS JOIN k)
+         |SELECT doc_id, count(*) AS n_tok,
+         |  round(CAST(sum(CAST(lr AS DECIMAL(18,6))) AS DOUBLE), 6) AS dsir_logw
+         |FROM lr GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_fingerprint" ->
       s"""SELECT doc_id,

@@ -153,6 +153,22 @@ class CorpusSpec extends SparkSpecBase {
     rows.foreach(r => assert(r.getLong(2) >= 0 && r.getLong(2) < 1000))
   }
 
+  test("source_cap_sample: per-source cap honored, ranks contiguous, deterministic") {
+    val rows = q("source_cap_sample").collect()
+    val bySrc = rows.groupBy(_.getString(0))
+    val srcSizes = Tables.documents(spark, sfDir).groupBy("source")
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySrc.foreach { case (src, rs) =>
+      assert(rs.length <= Corpus.SourceCap)
+      assert(rs.length == math.min(Corpus.SourceCap, srcSizes(src)))
+      assert(rs.map(_.getInt(2)).sorted.toSeq == (1 to rs.length))
+    }
+    // every fixture source is represented
+    assert(bySrc.keySet == srcSizes.keySet)
+    val again = q("source_cap_sample").collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("plans: contamination benchmark side broadcast; pii stays map-only") {
     val contamPlan = Corpus.queries("contamination_check")(spark, sfDir)
       .queryExecution.executedPlan.toString

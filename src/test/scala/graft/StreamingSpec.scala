@@ -97,6 +97,32 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("bloom gate on a stream equals the batch gate decisions (stream-static broadcast)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val batchGate = graft.operators.Sketches.queries("bloom_gate")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    val probeRows = graft.operators.Sketches.probes(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val bits = graft.operators.Sketches.bloomBits(spark, sfDir)
+
+    val in = MemoryStream[(Long, String)]
+    val out = graft.operators.Sketches.gateDecisions(
+      in.toDF.toDF("probe_id", "key"), bits)
+    val q = out.writeStream.format("memory").queryName("bloom_eq")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // two batches so the static filter is joined by >1 micro-batch
+      val (a, b) = probeRows.splitAt(probeRows.length / 2)
+      in.addData(a.toSeq); q.processAllAvailable()
+      in.addData(b.toSeq); q.processAllAvailable()
+      val streamed = s.sql("SELECT probe_id, bloom_positive FROM bloom_eq")
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+      assert(streamed === batchGate)
+    } finally q.stop()
+  }
+
   test("sessionize(stream) equals q_sessionize_batch on the full events fixture") {
     // Oracle-grade signal for streaming: the SAME corpus through the
     // stateful streaming operator and the oracled batch query must produce

@@ -116,4 +116,20 @@ class TextAnalysisSpec extends SparkSpecBase {
       assert(meanNll > 0.0)
     }
   }
+
+  test("dsir_weights: target-domain docs score higher on average; run-stable") {
+    val rows = TextAnalysis.queries("dsir_weights")(spark, sfDir).collect()
+    val langs = Tables.documents(spark, sfDir).select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == langs.size)
+    val (en, rest) = rows.partition(r => langs(r.getLong(0)) == "en")
+    def meanPerTok(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => r.getDouble(2) / r.getLong(1)).sum / rs.length
+    // the importance weight must actually separate the target domain
+    assert(meanPerTok(en) > meanPerTok(rest),
+      s"en ${meanPerTok(en)} !> rest ${meanPerTok(rest)}")
+    // deterministic: second run is bit-identical
+    val again = TextAnalysis.queries("dsir_weights")(spark, sfDir).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }
