@@ -259,6 +259,63 @@ object StreamingOps {
       }
   }
 
+  case class RetEvent(user: Long, ts: Timestamp)
+  // public: the state-store encoder's generated code constructs it
+  case class RetState(days: List[Long], lastSeenMs: Long)
+  case class RetRow(user: Long, cohortDay: Long, offsetDays: Int)
+
+  /** Streaming retention cohorts (the streaming face of
+    * `retention_cohorts`): per user, the distinct active DAYS are held in
+    * state; once the watermark passes `closeAfterMs` beyond the user's
+    * last event, one (cohort = first day, offset) row per active day is
+    * emitted. The cohort itself can be revised by a late-but-in-watermark
+    * earlier event — which is why the day SET is the state, not a running
+    * (cohort, offsets) pair: stream-append semantics would otherwise emit
+    * offsets against a cohort that later moves.
+    *
+    * State is bounded: distinct days inside the watermark horizon per
+    * user (≤ horizon/day). The test aggregates the emitted rows to
+    * (cohort, offset) counts and matches the DuckDB-oracled batch query.
+    */
+  def retentionStream(events: Dataset[RetEvent], watermark: String,
+                      closeAfterMs: Long): Dataset[RetRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val MsPerDay = 86400000L
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user)
+      .flatMapGroupsWithState[RetState, RetRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[RetEvent], state: GroupState[RetState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            if (st.days.isEmpty) Iterator.empty
+            else {
+              val cohort = st.days.min
+              st.days.distinct.sorted.iterator
+                .map(d => RetRow(user, cohort, (d - cohort).toInt))
+            }
+          } else {
+            val wm = state.getCurrentWatermarkMs()
+            val fresh = rows.filter(_.ts.getTime > wm).toSeq
+            val st0 = state.getOption.getOrElse(RetState(Nil, 0L))
+            val st = fresh.foldLeft(st0) { (acc, e) =>
+              // ts is UTC; epoch-day via floor division matches to_date
+              val day = math.floorDiv(e.ts.getTime, MsPerDay)
+              RetState(day :: acc.days,
+                math.max(acc.lastSeenMs, e.ts.getTime))
+            }
+            if (st.days.nonEmpty) {
+              state.update(st)
+              state.setTimeoutTimestamp(math.max(st.lastSeenMs + closeAfterMs, wm + 1))
+            }
+            Iterator.empty
+          }
+      }
+  }
+
   /** Streaming quality filter + token stats over a text stream — the
     * streaming face of TextAnalysis.stats (stateless, pure projection; at
     * scale this is the map stage of a continuous ingest pipeline).

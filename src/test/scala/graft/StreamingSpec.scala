@@ -253,6 +253,42 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("retentionStream equals the oracled retention_cohorts on the full fixture") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.streaming.StreamingOps.RetEvent
+
+    val batch = SparkEntry.queries("retention_cohorts")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"))
+      .collect().map(r => RetEvent(r.getLong(0), r.getTimestamp(1)))
+    val maxTs = evs.map(_.ts.getTime).max
+    val closeMs = 3600L * 1000L
+
+    val in = MemoryStream[RetEvent]
+    val out = graft.streaming.StreamingOps.retentionStream(in.toDS(), "0 seconds", closeMs)
+    val q = out.writeStream.format("memory").queryName("ret_eq")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(evs.toSeq)
+      q.processAllAvailable()
+      in.addData(RetEvent(-1L, new Timestamp(maxTs + closeMs + 3600 * 1000L)))
+      q.processAllAvailable()
+      in.addData(RetEvent(-2L, new Timestamp(maxTs + 3 * closeMs + 2 * 3600 * 1000L)))
+      q.processAllAvailable()
+      val streamed = s.sql("SELECT cohortDay, offsetDays, user FROM ret_eq WHERE user >= 0")
+        .collect()
+        .map(r => (java.time.LocalDate.ofEpochDay(r.getLong(0)).toString, r.getInt(1)))
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      assert(streamed === batch,
+        s"only-in-streaming: ${(streamed.keySet -- batch.keySet).take(3)}; " +
+          s"only-in-batch: ${(batch.keySet -- streamed.keySet).take(3)}")
+    } finally q.stop()
+  }
+
   test("native session_window(stream) equals its batch result on the events fixture") {
     val s = spark
     import s.implicits._
