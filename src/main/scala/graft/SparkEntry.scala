@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Behavior, Clustering, Components, Corpus, Dedup, Graph, Layout, Linkage, Multimodal, Pipeline, RegexpQueries, Relational, Retrieval, Similarity, Sketches, SqlFunctions, Substring, TextAnalysis, TimeSeries, TpchSuite}
+import graft.operators.{Behavior, Clustering, Components, Corpus, Dedup, Graph, Layout, Linkage, Multimodal, Pipeline, Profile, RegexpQueries, Relational, Retrieval, Similarity, Sketches, SqlFunctions, Substring, TextAnalysis, TimeSeries, TpchSuite}
 import graft.sources.Sources
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -39,7 +39,8 @@ object SparkEntry {
       Multimodal.queries ++ Sources.queries ++ SqlFunctions.queries ++
       Pipeline.queries ++ Components.queries ++ Corpus.queries ++ Clustering.queries ++
       Layout.queries ++ Graph.queries ++ TimeSeries.queries ++ Linkage.queries ++
-      Behavior.queries ++ Sketches.queries ++ Retrieval.queries ++ Substring.queries
+      Behavior.queries ++ Sketches.queries ++ Retrieval.queries ++ Substring.queries ++
+      Profile.queries
 
   def oracleSql: Map[String, String] =
     RegexpQueries.oracles ++ Relational.oracles ++ TpchSuite.oracles ++
@@ -47,5 +48,6 @@ object SparkEntry {
       Multimodal.oracles ++ Sources.oracles ++ SqlFunctions.oracles ++
       Pipeline.oracles ++ Components.oracles ++ Corpus.oracles ++ Clustering.oracles ++
       Layout.oracles ++ Graph.oracles ++ TimeSeries.oracles ++ Linkage.oracles ++
-      Behavior.oracles ++ Sketches.oracles ++ Retrieval.oracles ++ Substring.oracles
+      Behavior.oracles ++ Sketches.oracles ++ Retrieval.oracles ++ Substring.oracles ++
+      Profile.oracles
 }

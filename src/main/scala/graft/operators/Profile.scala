@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables._
+
+/** Column-level data profiling — the schema-audit pass every ingestion
+  * pipeline runs before trusting a new drop: per column, row/null/distinct
+  * counts and min/max rendered to engine-portable strings.
+  *
+  * 100 TB shape: ONE scan of the table computes every column's aggregates
+  * in a single map-side-combined reduction to a 1-row frame (no per-column
+  * rescans, no shuffle of data rows — only partial-agg states move), then
+  * the 1×(6·k) row pivots to k rows ON THE DRIVER-SIDE-SIZED result, not
+  * on the data. countDistinct over several columns in one aggregate is
+  * planned by Spark as expand+distinct — still a single scan.
+  *
+  * Portability: doubles render through DECIMAL(18,2) (raw double→string
+  * formatting differs across engines), timestamps through DATE.
+  */
+object Profile {
+
+  /** (name, min/max string renderer). */
+  private def ordersCols: Seq[(String, Column => Column)] = {
+    val str = (c: Column) => c.cast("string")
+    Seq(
+      ("o_orderkey", str),
+      ("o_custkey", str),
+      ("o_orderstatus", str),
+      ("o_totalprice", (c: Column) => c.cast(DecimalType(18, 2)).cast("string")),
+      ("o_orderdate", (c: Column) => c.cast("date").cast("string")),
+      ("o_orderpriority", str))
+  }
+
+  private def profile(df: DataFrame, cols: Seq[(String, Column => Column)]): DataFrame = {
+    val aggs = count(lit(1)).as("__rows") +: cols.flatMap { case (n, render) =>
+      Seq(
+        sum(when(col(n).isNull, 1L).otherwise(0L)).as(s"${n}__nulls"),
+        countDistinct(col(n)).as(s"${n}__nd"),
+        render(min(col(n))).as(s"${n}__mn"),
+        render(max(col(n))).as(s"${n}__mx"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = array(cols.map { case (n, _) =>
+      struct(lit(n).as("col_name"), col(s"${n}__nulls").as("n_nulls"),
+        col(s"${n}__nd").as("n_distinct"), col(s"${n}__mn").as("min_val"),
+        col(s"${n}__mx").as("max_val"))
+    }: _*)
+    one.select(col("__rows").as("n_rows"), explode(rows).as("p"))
+      .select(col("p.col_name"), col("n_rows"), col("p.n_nulls"),
+        col("p.n_distinct"), col("p.min_val"), col("p.max_val"))
+      .orderBy("col_name")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "profile_orders" -> { (s, d) => profile(orders(s, d), ordersCols) }
+  )
+
+  // -------------------------------------------------------------- oracles
+
+  private def colSql(n: String, mn: String, mx: String): String =
+    s"""SELECT '$n' AS col_name, count(*) AS n_rows,
+       |  CAST(sum(CASE WHEN $n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       |  count(DISTINCT $n) AS n_distinct, $mn AS min_val, $mx AS max_val
+       |FROM orders""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "profile_orders" -> (Seq(
+      colSql("o_orderkey",
+        "CAST(min(o_orderkey) AS VARCHAR)", "CAST(max(o_orderkey) AS VARCHAR)"),
+      colSql("o_custkey",
+        "CAST(min(o_custkey) AS VARCHAR)", "CAST(max(o_custkey) AS VARCHAR)"),
+      colSql("o_orderstatus", "min(o_orderstatus)", "max(o_orderstatus)"),
+      colSql("o_totalprice",
+        "CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)",
+        "CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)"),
+      colSql("o_orderdate",
+        "CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR)",
+        "CAST(CAST(max(o_orderdate) AS DATE) AS VARCHAR)"),
+      colSql("o_orderpriority", "min(o_orderpriority)", "max(o_orderpriority)"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"))
+  )
+}
