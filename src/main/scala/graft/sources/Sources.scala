@@ -145,6 +145,18 @@ object Sources {
       .agg(count(lit(1)).as("n"), sum("n_tokens").as("total_tokens"))
       .orderBy("lang")
 
+  /** Custom DSv2 source, aggregate-PUSHDOWN face: ungrouped
+    * count/min/max(doc_id) over a filter-narrowed id range are answered by
+    * the scan in closed form — zero rows generated, one row returned
+    * (SourcesSpec locks the `agg=pushed` scan plus the absence of any
+    * aggregate operator in the plan).
+    */
+  def synthAggPushdown(s: SparkSession, d: String): DataFrame =
+    synthRead(s)
+      .where(col("doc_id") >= 100L && col("doc_id") < 1500L)
+      .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"),
+        max("doc_id").as("max_id"))
+
   /** Custom DSv2 source, row face: full columns incl. generated text for a
     * pushed-down id slice — the oracle regenerates every field from
     * doc_id, so the generator itself is hash-verified.
@@ -163,6 +175,7 @@ object Sources {
     "src_partitioned_parquet" -> partitionedParquet,
     "src_bucketed_join" -> bucketedJoin,
     "src_synth_pushdown" -> synthPushdown,
+    "src_synth_agg_pushdown" -> synthAggPushdown,
     "src_synth_rows" -> synthRows
   )
 
@@ -193,6 +206,10 @@ object Sources {
          |SELECT lang, count(*) AS n, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
          |FROM x WHERE doc_id >= 100 AND doc_id < 1100
          |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "src_synth_agg_pushdown" ->
+      s"""SELECT count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM (SELECT unnest(range(100, 1500)) AS doc_id)""".stripMargin,
 
     "src_synth_rows" ->
       s"""WITH $synthCtes,

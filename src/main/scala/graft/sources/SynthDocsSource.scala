@@ -6,7 +6,8 @@ import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -93,12 +94,15 @@ class SynthDocsTable(rows: Long, slices: Int) extends Table with SupportsRead {
 }
 
 class SynthDocsScanBuilder(rows: Long, slices: Int)
-  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var lo: Long = 0L
   private var hi: Long = rows // exclusive
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = SynthDocs.schema
+  private var residualLeft = false
+  private var aggPushed: Option[Seq[AggregateFunc]] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // Comparison values arrive as whatever boxed numeric the literal was
@@ -123,6 +127,7 @@ class SynthDocsScanBuilder(rows: Long, slices: Int)
       case _ => false
     }
     pushed = accepted
+    residualLeft = residual.nonEmpty
     residual
   }
 
@@ -131,8 +136,91 @@ class SynthDocsScanBuilder(rows: Long, slices: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new SynthDocsScan(math.max(lo, 0L), math.max(hi, math.max(lo, 0L)), slices, required)
+  /** Aggregate pushdown (the V2 analog of parquet footer-stat aggregates):
+    * ungrouped COUNT(*) / MIN(doc_id) / MAX(doc_id) over the (already
+    * filter-narrowed) id range are CLOSED-FORM — hi−lo, lo, hi−1 — so the
+    * scan answers them without generating a single row. Anything else
+    * (grouping, other columns) declines and computes normally; complete
+    * pushdown is only claimed when every filter was absorbed, otherwise
+    * the post-scan residual would see pre-aggregated rows.
+    */
+  private def docIdRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case nr: NamedReference => nr.fieldNames.sameElements(Array("doc_id"))
+      case _ => false
+    }
+
+  private def canPush(agg: Aggregation): Boolean =
+    !residualLeft && agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case m: Min => docIdRef(m.column)
+        case m: Max => docIdRef(m.column)
+        case _ => false
+      }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean = canPush(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    canPush(agg) && {
+      aggPushed = Some(agg.aggregateExpressions.toSeq)
+      true
+    }
+
+  override def build(): Scan = {
+    val (a, b) = (math.max(lo, 0L), math.max(hi, math.max(lo, 0L)))
+    aggPushed match {
+      case Some(aggs) => new SynthDocsAggScan(a, b, aggs)
+      case None => new SynthDocsScan(a, b, slices, required)
+    }
+  }
+}
+
+/** One-row scan answering a completely-pushed aggregation in closed form. */
+class SynthDocsAggScan(lo: Long, hi: Long, aggs: Seq[AggregateFunc])
+  extends Scan with Batch {
+
+  override def readSchema(): StructType =
+    StructType(aggs.zipWithIndex.map { case (a, i) =>
+      StructField(s"agg_$i" + (a match {
+        case _: CountStar => "_count"
+        case _: Min => "_min"
+        case _ => "_max"
+      }), LongType, nullable = !a.isInstanceOf[CountStar])
+    })
+
+  override def description(): String =
+    s"SynthDocs[ids=[$lo,$hi), agg=pushed(${aggs.mkString(",")})]"
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SynthDocsPartition(lo, hi))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    // ship only primitives: the factory must serialize to executors
+    new SynthDocsAggReaderFactory(lo, hi, aggs.map {
+      case _: CountStar => 0
+      case _: Min => 1
+      case _ => 2
+    }.toArray)
+}
+
+class SynthDocsAggReaderFactory(lo: Long, hi: Long, tags: Array[Int])
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var done = false
+      private val empty = hi <= lo
+      override def next(): Boolean = { val h = !done; done = true; h }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(tags.toSeq.map {
+          case 0 => math.max(0L, hi - lo)
+          case 1 => if (empty) null else lo
+          case _ => if (empty) null else hi - 1
+        })
+      override def close(): Unit = ()
+    }
 }
 
 class SynthDocsScan(lo: Long, hi: Long, slices: Int, required: StructType)

@@ -52,6 +52,27 @@ class SourcesSpec extends SparkSpecBase {
     }
   }
 
+  test("synth DSv2: ungrouped count/min/max absorbed by the scan (agg pushdown)") {
+    val df = Sources.synthAggPushdown(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("agg=pushed"), s"aggregation not pushed:\n$plan")
+    assert(!plan.contains("HashAggregate"),
+      s"complete pushdown should leave no aggregate operator:\n$plan")
+    assert(df.collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      == Seq((1400L, 100L, 1499L)))
+    // declined shapes still compute correctly through the row path
+    val grouped = spark.read.format("graft.sources.SynthDocsSource")
+      .option("rows", "500").load()
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+    assert(!grouped.queryExecution.executedPlan.toString.contains("agg=pushed"))
+    assert(grouped.agg(sum("n")).head.getLong(0) == 500L)
+    // min over a non-derivable column declines too
+    val mnTok = spark.read.format("graft.sources.SynthDocsSource")
+      .option("rows", "200").load().agg(min("n_tokens"))
+    assert(!mnTok.queryExecution.executedPlan.toString.contains("agg=pushed"))
+    assert(mnTok.head.getLong(0) >= graft.sources.SynthDocs.MinToks)
+  }
+
   test("synth DSv2: slices partition the id space without overlap") {
     val df = spark.read.format("graft.sources.SynthDocsSource")
       .option("rows", "101").option("slices", "7").load()
