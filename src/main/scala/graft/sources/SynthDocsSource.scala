@@ -6,8 +6,9 @@ import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -224,34 +225,95 @@ class SynthDocsAggReaderFactory(lo: Long, hi: Long, tags: Array[Int])
 }
 
 class SynthDocsScan(lo: Long, hi: Long, slices: Int, required: StructType)
-  extends Scan with Batch {
+  extends Scan with Batch with SupportsRuntimeV2Filtering with SupportsReportStatistics {
+
+  /** Runtime-narrowed id set (the V2 dynamic-partition-pruning analog):
+    * when this scan sits on the probe side of a join whose build side is
+    * selective, Spark evaluates the build side FIRST and hands the join
+    * keys here as an IN predicate — the generator then produces only the
+    * matching ids instead of the whole range. None = no runtime filter
+    * arrived (scan the range as planned).
+    */
+  private var runtimeIds: Option[Array[Long]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("doc_id"))
+
+  override def filter(predicates: Array[Predicate]): Unit =
+    predicates.foreach { p =>
+      if (p.name() == "IN" && p.children().nonEmpty) {
+        val onDocId = p.children().head match {
+          case nr: NamedReference => nr.fieldNames.sameElements(Array("doc_id"))
+          case _ => false
+        }
+        val vals = p.children().tail.collect {
+          case l: Literal[_] => l.value match {
+            case n: java.lang.Number => n.longValue()
+          }
+        }
+        if (onDocId && vals.length == p.children().length - 1) {
+          val inRange = vals.filter(v => v >= lo && v < hi).distinct.sorted
+          runtimeIds = Some(runtimeIds
+            .map(_.toSet.intersect(inRange.toSet).toArray.sorted)
+            .getOrElse(inRange))
+        }
+      }
+    }
+
   override def readSchema(): StructType = required
   override def description(): String =
     s"SynthDocs[ids=[$lo,$hi), cols=${required.fieldNames.mkString(",")}]"
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val n = math.max(1, slices)
-    val total = math.max(0L, hi - lo)
-    (0 until n).flatMap { i =>
-      val a = lo + i * total / n
-      val b = lo + (i + 1) * total / n
-      if (b > a) Some(SynthDocsPartition(a, b): InputPartition) else None
-    }.toArray
+  /** Row-count/size stats for the (compile-time-narrowed) range — feeds
+    * join-side selection and the DPP benefit heuristic.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val n = math.max(0L, hi - lo)
+    override def sizeInBytes() = java.util.OptionalLong.of(n * 64L)
+    override def numRows() = java.util.OptionalLong.of(n)
   }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    runtimeIds match {
+      case Some(ids) =>
+        val n = math.max(1, slices)
+        ids.grouped(math.max(1, (ids.length + n - 1) / n))
+          .map(g => SynthDocsIdsPartition(g): InputPartition).toArray
+      case None =>
+        val n = math.max(1, slices)
+        val total = math.max(0L, hi - lo)
+        (0 until n).flatMap { i =>
+          val a = lo + i * total / n
+          val b = lo + (i + 1) * total / n
+          if (b > a) Some(SynthDocsPartition(a, b): InputPartition) else None
+        }.toArray
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SynthDocsReaderFactory(required)
 }
 
 case class SynthDocsPartition(lo: Long, hi: Long) extends InputPartition
+case class SynthDocsIdsPartition(ids: Array[Long]) extends InputPartition
 
 class SynthDocsReaderFactory(required: StructType)
   extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[SynthDocsPartition]
-    new SynthDocsReader(p.lo, p.hi, required)
-  }
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case SynthDocsPartition(lo, hi) => new SynthDocsReader(lo, hi, required)
+      case SynthDocsIdsPartition(ids) => new SynthDocsIdsReader(ids, required)
+    }
+}
+
+/** Reader over an explicit (runtime-pruned) id list. */
+class SynthDocsIdsReader(ids: Array[Long], required: StructType)
+  extends PartitionReader[InternalRow] {
+  private val delegate = new SynthDocsReader(0, 0, required) // getter reuse
+  private var i = -1
+  override def next(): Boolean = { i += 1; i < ids.length }
+  override def get(): InternalRow = delegate.rowFor(ids(i))
+  override def close(): Unit = ()
 }
 
 class SynthDocsReader(lo: Long, hi: Long, required: StructType)
@@ -267,7 +329,8 @@ class SynthDocsReader(lo: Long, hi: Long, required: StructType)
   }
 
   override def next(): Boolean = { id += 1; id < hi }
-  override def get(): InternalRow =
-    InternalRow.fromSeq(getters.map(_(id)))
+  override def get(): InternalRow = rowFor(id)
+  private[sources] def rowFor(i: Long): InternalRow =
+    InternalRow.fromSeq(getters.map(_(i)))
   override def close(): Unit = ()
 }

@@ -73,6 +73,48 @@ class SourcesSpec extends SparkSpecBase {
     assert(mnTok.head.getLong(0) >= graft.sources.SynthDocs.MinToks)
   }
 
+  test("synth DSv2: runtime filtering narrows the generator to the join keys") {
+    val confs = Seq(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio" -> "100.0")
+    val prior = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.read.format("graft.sources.SynthDocsSource")
+        .option("rows", "2000").option("slices", "4").load()
+      // selective build side: 5 of 2000 ids survive its filter
+      val dim = spark.range(0, 2000).where(col("id") % 400 === 0)
+        .select(col("id").as("doc_id"))
+      val joined = fact.join(dim, "doc_id").select("doc_id", "n_tokens")
+      val rows = joined.collect()
+      assert(rows.map(_.getLong(0)).sorted.toSeq
+        == Seq(0L, 400L, 800L, 1200L, 1600L))
+      val plan = joined.queryExecution.executedPlan
+      val planStr = plan.toString
+      // a dynamic-pruning runtime filter must be attached to the V2 scan
+      assert(planStr.contains("RuntimeFilters: [dynamicpruning"),
+        s"no runtime filter injected:\n$planStr")
+      // and the generator must have produced ONLY the surviving ids —
+      // read the scan's output-rows metric after execution
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def allNodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+        case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+        case q: QueryStageExec => allNodes(q.plan)
+        case other => other.children.flatMap(allNodes)
+      })
+      val scanRows = allNodes(plan)
+        .filter(l => l.nodeName.contains("BatchScan")
+          && l.toString.contains("SynthDocs")
+          && l.metrics.contains("numOutputRows"))
+        .map(_.metrics("numOutputRows").value).sum
+      assert(scanRows == 5L, s"generator produced $scanRows rows, expected 5")
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("synth DSv2: slices partition the id space without overlap") {
     val df = spark.read.format("graft.sources.SynthDocsSource")
       .option("rows", "101").option("slices", "7").load()
