@@ -49,7 +49,8 @@ class SynthDocsSource extends TableProvider {
                         properties: util.Map[String, String]): Table =
     new SynthDocsTable(
       properties.getOrDefault("rows", "1000").toLong,
-      properties.getOrDefault("slices", "4").toInt)
+      properties.getOrDefault("slices", "4").toInt,
+      properties.getOrDefault("maxPerTrigger", "1000").toLong)
 }
 
 /** Deterministic row model shared by the reader and the tests. */
@@ -85,16 +86,17 @@ object SynthDocs {
     (0L until nTokens(id)).map(i => "tok" + (h60(s"t:$id:$i") % Vocab)).mkString(" ")
 }
 
-class SynthDocsTable(rows: Long, slices: Int) extends Table with SupportsRead {
+class SynthDocsTable(rows: Long, slices: Int, maxPerTrigger: Long)
+  extends Table with SupportsRead {
   override def name(): String = s"synth_docs($rows)"
   override def schema(): StructType = SynthDocs.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SynthDocsScanBuilder(rows, slices)
+    new SynthDocsScanBuilder(rows, slices, maxPerTrigger)
 }
 
-class SynthDocsScanBuilder(rows: Long, slices: Int)
+class SynthDocsScanBuilder(rows: Long, slices: Int, maxPerTrigger: Long = 1000L)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
 
@@ -173,7 +175,7 @@ class SynthDocsScanBuilder(rows: Long, slices: Int)
     val (a, b) = (math.max(lo, 0L), math.max(hi, math.max(lo, 0L)))
     aggPushed match {
       case Some(aggs) => new SynthDocsAggScan(a, b, aggs)
-      case None => new SynthDocsScan(a, b, slices, required)
+      case None => new SynthDocsScan(a, b, slices, required, maxPerTrigger)
     }
   }
 }
@@ -224,7 +226,8 @@ class SynthDocsAggReaderFactory(lo: Long, hi: Long, tags: Array[Int])
     }
 }
 
-class SynthDocsScan(lo: Long, hi: Long, slices: Int, required: StructType)
+class SynthDocsScan(lo: Long, hi: Long, slices: Int, required: StructType,
+                    maxPerTrigger: Long = 1000L)
   extends Scan with Batch with SupportsRuntimeV2Filtering with SupportsReportStatistics {
 
   /** Runtime-narrowed id set (the V2 dynamic-partition-pruning analog):
@@ -292,6 +295,73 @@ class SynthDocsScan(lo: Long, hi: Long, slices: Int, required: StructType)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SynthDocsReaderFactory(required)
+
+  /** Streaming face (MICRO_BATCH_READ): the id range becomes an ordered,
+    * replayable log — the offset IS the next unread id, so checkpoint
+    * restart/replay is exact by construction (the generator is pure).
+    * Each micro-batch advances by at most `maxPerTrigger` ids;
+    * `Trigger.AvailableNow` drains to `hi` and stops. Filter/column
+    * pushdown compose: the same builder narrowed [lo,hi) and pruned the
+    * schema before this stream was built.
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+    : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SynthDocsMicroBatchStream(lo, hi, maxPerTrigger, required)
+}
+
+class SynthOffset(val pos: Long)
+  extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = pos.toString
+}
+
+class SynthDocsMicroBatchStream(lo: Long, hi: Long, maxPerTrigger: Long,
+                                required: StructType)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  // Trigger.AvailableNow target: fixed at prepare time so the drain has a
+  // stable end even if the table option were to grow mid-run.
+  private var availableTarget: Option[Long] = None
+
+  override def initialOffset(): Offset = new SynthOffset(lo)
+  override def deserializeOffset(json: String): Offset =
+    new SynthOffset(json.toLong)
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableTarget = Some(hi)
+
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxRows(math.max(1L, maxPerTrigger))
+
+  /** Admission control: each micro-batch admits at most maxPerTrigger ids
+    * past the engine-supplied start — the cursor lives in the CHECKPOINT,
+    * not in this object, so restart/replay is exact with no driver state.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = math.max(lo, start.asInstanceOf[SynthOffset].pos)
+    val target = availableTarget.getOrElse(hi)
+    new SynthOffset(math.min(target, from + math.max(1L, maxPerTrigger)))
+  }
+
+  override def reportLatestOffset(): Offset = new SynthOffset(hi)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: latestOffset(start, limit) is the entry point")
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val a = start.asInstanceOf[SynthOffset].pos
+    val b = end.asInstanceOf[SynthOffset].pos
+    if (b > a) Array(SynthDocsPartition(a, b)) else Array.empty
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthDocsReaderFactory(required)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
 }
 
 case class SynthDocsPartition(lo: Long, hi: Long) extends InputPartition

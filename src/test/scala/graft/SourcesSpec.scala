@@ -166,6 +166,35 @@ class SourcesSpec extends SparkSpecBase {
     assert(!names.contains("_SUCCESS"))
   }
 
+  test("synth DSv2 streaming: micro-batched drain equals the batch table; restart resumes exactly") {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("synth_stream_").toString
+    def drain(rows: Long): Unit = {
+      val q = spark.readStream.format("graft.sources.SynthDocsSource")
+        .option("rows", rows.toString).option("maxPerTrigger", "37").load()
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ck")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain(100L)
+    val got1 = spark.read.parquet(s"$tmp/out")
+    assert(got1.count() == 100L)
+    // content identical to the batch face of the same table
+    val batch = spark.read.format("graft.sources.SynthDocsSource")
+      .option("rows", "100").load().collect()
+      .map(_.toString).sorted.toSeq
+    assert(got1.collect().map(_.toString).sorted.toSeq == batch)
+    // ceil(100/37) = 3 micro-batches committed
+    assert(new java.io.File(s"$tmp/ck/commits").list().count(!_.startsWith(".")) == 3)
+    // restart against a GROWN table: only ids 100..149 are new — exactly once
+    drain(150L)
+    val got2 = spark.read.parquet(s"$tmp/out")
+    assert(got2.count() == 150L)
+    assert(got2.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == (0L until 150L))
+  }
+
   test("partitioned parquet read prunes to the filtered partition") {
     val df = Sources.partitionedParquet(spark, sfDir)
     // via Tables.events — a raw parquet read would hit Spark's
