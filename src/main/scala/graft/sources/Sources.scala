@@ -157,6 +157,19 @@ object Sources {
       .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"),
         max("doc_id").as("max_id"))
 
+  /** Custom DSv2 source, CATALOG face: the same table addressed from pure
+    * SQL through the GraftCatalog plugin — filter + column pushdown ride
+    * along (same ScanBuilder). The catalog conf is registered lazily on
+    * first use, so setting it here is enough.
+    */
+  def synthCatalogSql(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_cat", classOf[GraftCatalog].getName)
+    s.sql(s"""SELECT lang, count(*) AS n, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+             |FROM graft_cat.synth.docs_$SynthRows
+             |WHERE doc_id >= 100 AND doc_id < 1100
+             |GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
   /** Custom DSv2 source, row face: full columns incl. generated text for a
     * pushed-down id slice — the oracle regenerates every field from
     * doc_id, so the generator itself is hash-verified.
@@ -176,6 +189,7 @@ object Sources {
     "src_bucketed_join" -> bucketedJoin,
     "src_synth_pushdown" -> synthPushdown,
     "src_synth_agg_pushdown" -> synthAggPushdown,
+    "src_synth_catalog_sql" -> synthCatalogSql,
     "src_synth_rows" -> synthRows
   )
 
@@ -210,6 +224,13 @@ object Sources {
     "src_synth_agg_pushdown" ->
       s"""SELECT count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
          |FROM (SELECT unnest(range(100, 1500)) AS doc_id)""".stripMargin,
+
+    // identical semantics to src_synth_pushdown, reached via the catalog
+    "src_synth_catalog_sql" ->
+      s"""WITH $synthCtes
+         |SELECT lang, count(*) AS n, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         |FROM x WHERE doc_id >= 100 AND doc_id < 1100
+         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "src_synth_rows" ->
       s"""WITH $synthCtes,

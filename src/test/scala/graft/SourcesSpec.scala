@@ -166,6 +166,24 @@ class SourcesSpec extends SparkSpecBase {
     assert(!names.contains("_SUCCESS"))
   }
 
+  test("synth DSv2 catalog: SQL addressing with pushdown intact; unknown tables rejected") {
+    val df = Sources.synthCatalogSql(spark, sfDir)
+    // pushdown survives the catalog path: range absorbed, text pruned
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ids=[100,1100)"), s"range not pushed via catalog:\n$plan")
+    assert(df.agg(sum("n")).head.getLong(0) == 1000L)
+    // catalog DDL surface behaves: list works, missing table raises cleanly
+    assert(spark.sql("SHOW TABLES IN graft_cat.synth").collect()
+      .map(_.getString(1)).contains("docs_1000"))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM graft_cat.synth.nope").collect()
+    }
+    val e = intercept[Throwable] {
+      spark.sql("ALTER TABLE graft_cat.synth.docs_1000 SET TBLPROPERTIES ('a'='b')")
+    }
+    assert(e.getMessage.contains("read-only"), s"unexpected: $e")
+  }
+
   test("synth DSv2 streaming: micro-batched drain equals the batch table; restart resumes exactly") {
     import org.apache.spark.sql.streaming.Trigger
     val tmp = java.nio.file.Files.createTempDirectory("synth_stream_").toString
