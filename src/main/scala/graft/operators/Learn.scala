@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import TextHash._
+
+/** In-engine supervised training: a logistic-regression document classifier
+  * (label: is this a long document, n_chars ≥ 300 — a deterministic target
+  * the token-level features genuinely predict, standing in for human
+  * quality labels) trained by full-batch gradient descent INSIDE the
+  * engine — the supervised counterpart of the
+  * Lloyd k-means trainer (Clustering.scala), sharing its design rules:
+  *
+  *   - model state (4 weights) is a 1-row DataFrame, BROADCAST onto the
+  *     corpus each iteration; the corpus never shuffles — only the 4-value
+  *     gradient aggregate stream does (map-side combined);
+  *   - gradients accumulate in FIXED POINT: each doc's per-feature
+  *     contribution is rounded to 1e-6 and summed as exact scaled longs
+  *     (double sums are partition-order-dependent; integer sums are
+  *     associative), then one double division per weight;
+  *   - zero collect(): weights stay a DataFrame across iterations,
+  *     localCheckpoint truncates per-round lineage;
+  *   - features are exact int/int divisions of count statistics, so both
+  *     engines compute bit-identical feature vectors.
+  *
+  * At 100 TB this is the standard "train a small quality model on the
+  * cluster, broadcast it back as a filter" loop (fastText-style quality
+  * classifiers in C4/CCNet pipelines) with the feature extraction, the
+  * trainer, and the scorer all in one declarative engine.
+  */
+object Learn {
+
+  val Iters = 10
+  val Lr = 4.0
+  private val Fix = 1e6
+
+  /** (doc_id, y, x1, x2, x3): label + exact-rational features (never the
+    * label's own column): x1 = tokens/50, x2 = distinct-token ratio,
+    * x3 = stopword-ish signature ratio. All int/int double divisions —
+    * bit-identical across engines.
+    */
+  private def features(s: SparkSession, d: String): DataFrame = {
+    val sig = Seq("the", "a", "is", "of", "and")
+    val t = toks(col("text"))
+    documents(s, d).select(
+      col("doc_id"),
+      when(col("n_chars") >= 300, 1.0).otherwise(0.0).as("y"),
+      (size(t).cast("double") / 50.0).as("x1"),
+      (size(array_distinct(t)).cast("double") / size(t).cast("double")).as("x2"),
+      (size(filter(t, c => c.isin(sig: _*)))
+        .cast("double") / size(t).cast("double")).as("x3"))
+  }
+
+  private def sigmoid(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
+
+  /** `iters` full-batch GD steps from w = 0. Returns the 1-row weights
+    * frame (w0..w3) and the feature frame (for scoring).
+    */
+  def train(s: SparkSession, d: String, iters: Int = Iters): (DataFrame, DataFrame) = {
+    val x = features(s, d)
+    var w = s.range(1).select(lit(0.0).as("w0"), lit(0.0).as("w1"),
+      lit(0.0).as("w2"), lit(0.0).as("w3"))
+    for (_ <- 1 to iters) {
+      val z = col("w0") + col("w1") * col("x1") + col("w2") * col("x2") +
+        col("w3") * col("x3")
+      val resid = col("y") - sigmoid(z)
+      def g(xj: Column) = sum(round(resid * xj * lit(Fix)).cast("long"))
+      val grads = x.crossJoin(broadcast(w))
+        .agg(g(lit(1.0)).as("g0"), g(col("x1")).as("g1"),
+          g(col("x2")).as("g2"), g(col("x3")).as("g3"),
+          count(lit(1)).as("n"),
+          first(col("w0")).as("w0"), first(col("w1")).as("w1"),
+          first(col("w2")).as("w2"), first(col("w3")).as("w3"))
+      def upd(wj: String, gj: String) =
+        (col(wj) + lit(Lr) * (col(gj).cast("double") / lit(Fix))
+          / col("n").cast("double")).as(wj)
+      w = grads.select(upd("w0", "g0"), upd("w1", "g1"),
+        upd("w2", "g2"), upd("w3", "g3")).localCheckpoint()
+    }
+    (w, x)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The trained weights (rounded for the oracle compare; training keeps
+    // full precision internally).
+    "logreg_weights" -> { (s, d) =>
+      val (w, _) = train(s, d)
+      w.select(round(col("w0"), 6).as("w0"), round(col("w1"), 6).as("w1"),
+        round(col("w2"), 6).as("w2"), round(col("w3"), 6).as("w3"))
+    },
+
+    // Per-doc score + decision from the trained model — the broadcast-
+    // scorer shape (one projection per doc, model state broadcast).
+    "logreg_scores" -> { (s, d) =>
+      val (w, x) = train(s, d)
+      val z = col("w0") + col("w1") * col("x1") + col("w2") * col("x2") +
+        col("w3") * col("x3")
+      x.crossJoin(broadcast(w))
+        .select(col("doc_id"), col("y").cast("int").as("label"),
+          round(sigmoid(z), 6).as("p"),
+          (sigmoid(z) >= 0.5).as("predicted"))
+        .orderBy("doc_id")
+    },
+
+    // Training-set confusion counts — did the in-engine trainer learn
+    // anything (accuracy is part of the oracled contract).
+    "logreg_metrics" -> { (s, d) =>
+      val (w, x) = train(s, d)
+      val z = col("w0") + col("w1") * col("x1") + col("w2") * col("x2") +
+        col("w3") * col("x3")
+      x.crossJoin(broadcast(w))
+        .select(col("y"), (sigmoid(z) >= 0.5).as("pred"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("y") === 1.0 && col("pred"), 1L).otherwise(0L)).as("tp"),
+          sum(when(col("y") === 0.0 && col("pred"), 1L).otherwise(0L)).as("fp"),
+          sum(when(col("y") === 1.0 && !col("pred"), 1L).otherwise(0L)).as("fn"),
+          sum(when(col("y") === 0.0 && !col("pred"), 1L).otherwise(0L)).as("tn"))
+    }
+  )
+
+  // -------------------------------------------------------------- oracles
+
+  /** Feature CTE + unrolled GD rounds as DuckDB CTEs (w_0 = zeros; round r
+    * computes fixed-point gradient sums against w_{r-1}).
+    */
+  private def trainCtes(iters: Int): String = {
+    val sigList = Seq("the", "a", "is", "of", "and").map(t => s"'$t'").mkString(", ")
+    val sb = new StringBuilder(
+      s"""f AS (SELECT doc_id,
+         |    CASE WHEN n_chars >= 300 THEN 1.0 ELSE 0.0 END AS y,
+         |    CAST(len(${toksSql("text")}) AS DOUBLE) / 50.0 AS x1,
+         |    CAST(len(list_distinct(${toksSql("text")})) AS DOUBLE)
+         |      / CAST(len(${toksSql("text")}) AS DOUBLE) AS x2,
+         |    CAST(len(list_filter(${toksSql("text")}, t -> t IN ($sigList))) AS DOUBLE)
+         |      / CAST(len(${toksSql("text")}) AS DOUBLE) AS x3
+         |  FROM documents),
+         |w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)""".stripMargin)
+    for (r <- 1 to iters) {
+      val p = r - 1
+      sb.append(
+        s""",
+           |r$r AS (SELECT f.*, y - 1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2 + w3*x3))) AS resid,
+           |    w0, w1, w2, w3
+           |  FROM f CROSS JOIN w$p),
+           |g$r AS (SELECT
+           |    CAST(sum(CAST(round(resid * 1.0 * 1000000.0) AS BIGINT)) AS BIGINT) AS g0,
+           |    CAST(sum(CAST(round(resid * x1 * 1000000.0) AS BIGINT)) AS BIGINT) AS g1,
+           |    CAST(sum(CAST(round(resid * x2 * 1000000.0) AS BIGINT)) AS BIGINT) AS g2,
+           |    CAST(sum(CAST(round(resid * x3 * 1000000.0) AS BIGINT)) AS BIGINT) AS g3,
+           |    count(*) AS n, any_value(w0) AS w0, any_value(w1) AS w1,
+           |    any_value(w2) AS w2, any_value(w3) AS w3
+           |  FROM r$r),
+           |w$r AS (SELECT
+           |    w0 + ${Lr} * (CAST(g0 AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE) AS w0,
+           |    w1 + ${Lr} * (CAST(g1 AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE) AS w1,
+           |    w2 + ${Lr} * (CAST(g2 AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE) AS w2,
+           |    w3 + ${Lr} * (CAST(g3 AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE) AS w3
+           |  FROM g$r)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  val oracles: Map[String, String] = Map(
+    "logreg_weights" ->
+      s"""WITH ${trainCtes(Iters)}
+         |SELECT round(w0, 6) AS w0, round(w1, 6) AS w1,
+         |  round(w2, 6) AS w2, round(w3, 6) AS w3 FROM w$Iters""".stripMargin,
+
+    "logreg_scores" ->
+      s"""WITH ${trainCtes(Iters)}
+         |SELECT doc_id, CAST(y AS INTEGER) AS label,
+         |  round(1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2 + w3*x3))), 6) AS p,
+         |  1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2 + w3*x3))) >= 0.5 AS predicted
+         |FROM f CROSS JOIN w$Iters ORDER BY doc_id""".stripMargin,
+
+    "logreg_metrics" ->
+      s"""WITH ${trainCtes(Iters)},
+         |sc AS (SELECT y,
+         |    1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2 + w3*x3))) >= 0.5 AS pred
+         |  FROM f CROSS JOIN w$Iters)
+         |SELECT count(*) AS n,
+         |  CAST(sum(CASE WHEN y = 1.0 AND pred THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(sum(CASE WHEN y = 0.0 AND pred THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(sum(CASE WHEN y = 1.0 AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |  CAST(sum(CASE WHEN y = 0.0 AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |FROM sc""".stripMargin
+  )
+}
