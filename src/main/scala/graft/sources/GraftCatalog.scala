@@ -2,11 +2,14 @@ package graft.sources
 
 import java.util
 
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Catalog plugin (`spark.sql.catalog.<name> = graft.sources.GraftCatalog`)
   * exposing the synthetic corpus as SQL-addressable tables:
@@ -23,7 +26,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * catalog-of-generators, the pattern benchmark catalogs (TPC-DS dsdgen
   * connectors) use.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with FunctionCatalog {
 
   private var catName = "graft"
   private val DocsTable = "docs_(\\d+)".r
@@ -57,4 +60,52 @@ class GraftCatalog extends TableCatalog {
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("graft catalog is read-only")
+
+  // ------------------------------------------------ FunctionCatalog face
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("fns")))
+      Array(Identifier.of(namespace, "h60"))
+    else throw new NoSuchNamespaceException(catName +: namespace.toSeq)
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.namespace().sameElements(Array("fns")) && ident.name() == "h60")
+      H60Function
+    else throw new NoSuchFunctionException(ident)
+}
+
+/** V2 catalog function: the library's portable 60-bit text hash
+  * (TextHash.h60 / SynthDocs.h60 — first 15 md5 hex chars as a signed
+  * long), callable from pure SQL as `<catalog>.fns.h60(str)`. Implements
+  * both the `produceResult` row path and the MAGIC `invoke` method Spark's
+  * analyzer binds statically (Invoke expression — no reflection per row,
+  * inlines into codegen).
+  */
+object H60Function extends UnboundFunction {
+  override def name(): String = "h60"
+  override def description(): String =
+    "h60(str) - first 15 hex chars of md5(str) as BIGINT (TextHash.h60)"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    if (inputType.fields.length != 1 ||
+      inputType.fields(0).dataType != StringType)
+      throw new UnsupportedOperationException("h60 expects a single STRING argument")
+    H60Bound
+  }
+}
+
+object H60Bound extends ScalarFunction[java.lang.Long] {
+  override def inputTypes(): Array[DataType] = Array(StringType)
+  override def resultType(): DataType = LongType
+  override def name(): String = "h60"
+  override def canonicalName(): String = "graft.fns.h60"
+  override def isResultNullable: Boolean = true
+
+  /** Magic method — bound statically by the analyzer. */
+  def invoke(s: UTF8String): java.lang.Long =
+    if (s == null) null else java.lang.Long.valueOf(SynthDocs.h60(s.toString))
+
+  override def produceResult(input: InternalRow): java.lang.Long =
+    if (input.isNullAt(0)) null
+    else java.lang.Long.valueOf(SynthDocs.h60(input.getUTF8String(0).toString))
 }

@@ -170,6 +170,18 @@ object Sources {
              |GROUP BY lang ORDER BY lang""".stripMargin)
   }
 
+  /** Custom DSv2 catalog FUNCTION face: the library's portable 60-bit hash
+    * invoked from pure SQL through the V2 FunctionCatalog (magic-method
+    * bound — codegen, no per-row reflection), oracled against the same
+    * md5 expression DuckDB computes.
+    */
+  def catalogFunctionHash(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_cat", classOf[GraftCatalog].getName)
+    documents(s, d).createOrReplaceTempView("graft_docs_v")
+    s.sql("""SELECT doc_id, graft_cat.fns.h60(text) AS h
+            |FROM graft_docs_v ORDER BY doc_id""".stripMargin)
+  }
+
   /** Custom DSv2 source, row face: full columns incl. generated text for a
     * pushed-down id slice — the oracle regenerates every field from
     * doc_id, so the generator itself is hash-verified.
@@ -190,6 +202,7 @@ object Sources {
     "src_synth_pushdown" -> synthPushdown,
     "src_synth_agg_pushdown" -> synthAggPushdown,
     "src_synth_catalog_sql" -> synthCatalogSql,
+    "src_catalog_function" -> catalogFunctionHash,
     "src_synth_rows" -> synthRows
   )
 
@@ -224,6 +237,10 @@ object Sources {
     "src_synth_agg_pushdown" ->
       s"""SELECT count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
          |FROM (SELECT unnest(range(100, 1500)) AS doc_id)""".stripMargin,
+
+    "src_catalog_function" ->
+      s"""SELECT doc_id, ${graft.operators.TextHash.h60Sql("text")} AS h
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // identical semantics to src_synth_pushdown, reached via the catalog
     "src_synth_catalog_sql" ->

@@ -184,6 +184,21 @@ class SourcesSpec extends SparkSpecBase {
     assert(e.getMessage.contains("read-only"), s"unexpected: $e")
   }
 
+  test("catalog function: h60 callable from SQL via magic-method binding") {
+    val df = Sources.catalogFunctionHash(spark, sfDir)
+    // magic `invoke` bound statically — no ApplyFunctionExpression row path
+    assert(!df.queryExecution.optimizedPlan.toString.contains("ApplyFunctionExpression"),
+      "magic method not bound; fell back to the reflective row path")
+    // values equal the local reference hash
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Tables.documents(spark, sfDir).select("doc_id", "text").collect().foreach { r =>
+      assert(got(r.getLong(0)) == graft.sources.SynthDocs.h60(r.getString(1)))
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_cat.fns.nope('x')").collect()
+    }
+  }
+
   test("synth DSv2 streaming: micro-batched drain equals the batch table; restart resumes exactly") {
     import org.apache.spark.sql.streaming.Trigger
     val tmp = java.nio.file.Files.createTempDirectory("synth_stream_").toString
