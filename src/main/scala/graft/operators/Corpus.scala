@@ -148,6 +148,17 @@ object Corpus {
   /** Max docs any single source may contribute (`source_cap_sample`). */
   val SourceCap = 20
 
+  /** Frequency-ranked vocabulary: (tok, cnt, id) with id 1..V by
+    * (count desc, token asc).
+    */
+  private def vocabTable(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(desc("cnt"), asc("tok"))
+    documents(s, d)
+      .select(explode(toks(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("id", row_number().over(w))
+  }
+
   /** Target fraction of the corpus the alpha-mixture sample keeps. */
   val MixTargetFrac = 0.5
 
@@ -300,6 +311,31 @@ object Corpus {
           size(regexp_extract_all(col("_pii"), lit(SsnRe), lit(0))).as("n_ssns"),
           size(regexp_extract_all(col("_pii"), lit(PhoneRe), lit(0))).as("n_phones"),
           redactPii(col("_pii")).as("redacted"))
+        .orderBy("doc_id")
+    },
+
+    // Frequency-ranked vocabulary (token -> dense id), the tokenizer's
+    // vocab-build step. The ranking window is UNPARTITIONED but runs over
+    // the vocabulary relation (token counts), which is vocab-sized by
+    // definition — never the corpus.
+    "vocab_table" -> { (s, d) =>
+      vocabTable(s, d).select("id", "tok", "cnt").orderBy("id")
+    },
+
+    // Token-id encoding: each document rendered as its ordered token-id
+    // sequence (the text -> ids step before sequence packing). Vocab is
+    // broadcast onto the posexploded token stream; per-doc assembly sorts
+    // the (pos, id) pairs inside one aggregation — corpus shuffles once,
+    // on doc_id. Ids join to a scalar string (driver-harness sortable).
+    "vocab_encode" -> { (s, d) =>
+      val tok = documents(s, d)
+        .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "tok")))
+      tok.join(broadcast(vocabTable(s, d)), "tok")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          concat_ws(",",
+            transform(array_sort(collect_list(struct(col("pos"), col("id")))),
+              t => t.getField("id"))).as("ids"))
         .orderBy("doc_id")
     },
 
@@ -540,6 +576,24 @@ object Corpus {
          |  CAST(len(regexp_extract_all(pii, '$PhoneRe')) AS INTEGER) AS n_phones,
          |  ${redactPiiSql("pii")} AS redacted
          |FROM p ORDER BY doc_id""".stripMargin,
+
+    "vocab_table" ->
+      s"""WITH c AS (SELECT tok, count(*) AS cnt
+         |  FROM (SELECT unnest(${toksSql("text")}) AS tok FROM documents) GROUP BY 1)
+         |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS INTEGER) AS id,
+         |  tok, cnt
+         |FROM c ORDER BY id""".stripMargin,
+
+    "vocab_encode" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(${toksSql("text")}) AS tok,
+         |    generate_subscripts(${toksSql("text")}, 1) AS pos
+         |  FROM documents),
+         |c AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
+         |v AS (SELECT tok, CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS INTEGER) AS id
+         |  FROM c)
+         |SELECT doc_id, count(*) AS n_tok,
+         |  string_agg(id, ',' ORDER BY pos) AS ids
+         |FROM tok JOIN v USING (tok) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "source_cap_sample" ->
       s"""WITH k AS (SELECT source, doc_id, $sampleKeySql AS kk FROM documents),

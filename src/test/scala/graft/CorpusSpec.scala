@@ -169,6 +169,24 @@ class CorpusSpec extends SparkSpecBase {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("vocab: dense frequency-ranked ids; encoding decodes back to the text") {
+    val vocab = q("vocab_table").collect()
+    assert(vocab.map(_.getInt(0)).sorted.toSeq == (1 to vocab.length))
+    // rank order agrees with (cnt desc, tok asc)
+    val keys = vocab.sortBy(_.getInt(0)).map(r => (-r.getLong(2), r.getString(1)))
+    assert(keys.toSeq == keys.sortBy(identity).toSeq)
+    val id2tok = vocab.map(r => r.getInt(0) -> r.getString(1)).toMap
+    val enc = q("vocab_encode").collect()
+    val texts = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split("\\s+").toSeq).toMap
+    assert(enc.length == texts.size)
+    enc.foreach { r =>
+      val ids = r.getString(2).split(",").map(_.toInt).toSeq
+      assert(ids.length == r.getLong(1))
+      assert(ids.map(id2tok) == texts(r.getLong(0)), s"doc ${r.getLong(0)} mismatch")
+    }
+  }
+
   test("plans: contamination benchmark side broadcast; pii stays map-only") {
     val contamPlan = Corpus.queries("contamination_check")(spark, sfDir)
       .queryExecution.executedPlan.toString
