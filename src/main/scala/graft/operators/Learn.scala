@@ -41,10 +41,10 @@ object Learn {
     * x3 = stopword-ish signature ratio. All int/int double divisions —
     * bit-identical across engines.
     */
-  private def features(s: SparkSession, d: String): DataFrame = {
+  private[graft] def features(docs: DataFrame): DataFrame = {
     val sig = Seq("the", "a", "is", "of", "and")
     val t = toks(col("text"))
-    documents(s, d).select(
+    docs.select(
       col("doc_id"),
       when(col("n_chars") >= 300, 1.0).otherwise(0.0).as("y"),
       (size(t).cast("double") / 50.0).as("x1"),
@@ -53,7 +53,24 @@ object Learn {
         .cast("double") / size(t).cast("double")).as("x3"))
   }
 
+  private def features(s: SparkSession, d: String): DataFrame =
+    features(documents(s, d))
+
   private def sigmoid(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
+
+  /** Score a raw (doc_id, text, n_chars) relation against trained weights —
+    * a pure broadcast projection, so the SAME call scores a STREAMING doc
+    * relation (the train-on-batch / deploy-on-stream loop; StreamingSpec
+    * proves stream == batch scores).
+    */
+  private[graft] def scoreDocs(docs: DataFrame, w: DataFrame): DataFrame = {
+    val z = col("w0") + col("w1") * col("x1") + col("w2") * col("x2") +
+      col("w3") * col("x3")
+    features(docs).crossJoin(broadcast(w))
+      .select(col("doc_id"), col("y").cast("int").as("label"),
+        round(sigmoid(z), 6).as("p"),
+        (sigmoid(z) >= 0.5).as("predicted"))
+  }
 
   /** `iters` full-batch GD steps from w = 0. Returns the 1-row weights
     * frame (w0..w3) and the feature frame (for scoring).
@@ -94,14 +111,8 @@ object Learn {
     // Per-doc score + decision from the trained model — the broadcast-
     // scorer shape (one projection per doc, model state broadcast).
     "logreg_scores" -> { (s, d) =>
-      val (w, x) = train(s, d)
-      val z = col("w0") + col("w1") * col("x1") + col("w2") * col("x2") +
-        col("w3") * col("x3")
-      x.crossJoin(broadcast(w))
-        .select(col("doc_id"), col("y").cast("int").as("label"),
-          round(sigmoid(z), 6).as("p"),
-          (sigmoid(z) >= 0.5).as("predicted"))
-        .orderBy("doc_id")
+      val (w, _) = train(s, d)
+      scoreDocs(documents(s, d), w).orderBy("doc_id")
     },
 
     // Training-set confusion counts — did the in-engine trainer learn

@@ -253,6 +253,34 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("trained model scores a stream identically to batch (train-batch/deploy-stream)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.operators.Learn
+    val (w, _) = Learn.train(spark, sfDir)
+    val wRow = w.localCheckpoint() // freeze the trained state for reuse
+    val batch = Learn.queries("logreg_scores")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getBoolean(3))).toSet
+
+    val docRows = Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val in = MemoryStream[(Long, String, Long)]
+    val out = Learn.scoreDocs(
+      in.toDF.toDF("doc_id", "text", "n_chars"), wRow)
+    val q = out.writeStream.format("memory").queryName("logreg_eq")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (a, b) = docRows.splitAt(docRows.length / 2)
+      in.addData(a.toSeq); q.processAllAvailable()
+      in.addData(b.toSeq); q.processAllAvailable()
+      val streamed = s.sql("SELECT * FROM logreg_eq").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getBoolean(3))).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("retentionStream equals the oracled retention_cohorts on the full fixture") {
     val s = spark
     import s.implicits._
