@@ -129,6 +129,28 @@ object Retrieval {
         .orderBy("doc_id", "chunk_id")
     },
 
+    // Chunk-level exact dedup (chunking composed with the dedup pack):
+    // a chunk is KEPT iff it is the first occurrence of its text in
+    // (doc_id, chunk_id) order — repeated boilerplate windows drop even
+    // when their parent documents differ elsewhere. Only 60-bit chunk
+    // hashes + positions shuffle; per-doc audit reuses the doc_id key.
+    "chunk_dedup_stats" -> { (s, d) =>
+      val h = chunks(s, d).select(col("doc_id"), col("chunk_id"),
+        TextHash.h60(col("chunk")).as("h"))
+      val keep = h.groupBy("h")
+        .agg(min(struct(col("doc_id"), col("chunk_id"))).as("first"))
+        .select(col("h"), col("first.doc_id").as("kdoc"),
+          col("first.chunk_id").as("kchunk"))
+      h.join(keep, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("doc_id") === col("kdoc") &&
+            col("chunk_id") === col("kchunk"), 1L).otherwise(0L)).as("n_kept"))
+        .withColumn("kept_ratio",
+          round(col("n_kept").cast("double") / col("n_chunks").cast("double"), 6))
+        .orderBy("doc_id")
+    },
+
     // Shard-level chunk audit: how many windows a source yields and their
     // mean width (fixed-point mean: exact long sum, two double divides).
     "chunk_stats" -> { (s, d) =>
@@ -203,6 +225,19 @@ object Retrieval {
       s"""WITH $chunkCte
          |SELECT doc_id, chunk_id, chunk_start, chunk_len, chunk FROM cl
          |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "chunk_dedup_stats" ->
+      s"""WITH $chunkCte,
+         |hh AS (SELECT doc_id, chunk_id, ${TextHash.h60Sql("chunk")} AS h FROM cl),
+         |keep AS (SELECT h, min(struct_pack(doc_id := doc_id, chunk_id := chunk_id)) AS f
+         |  FROM hh GROUP BY h),
+         |k2 AS (SELECT h, f.doc_id AS kdoc, f.chunk_id AS kchunk FROM keep)
+         |SELECT hh.doc_id, count(*) AS n_chunks,
+         |  CAST(sum(CASE WHEN hh.doc_id = kdoc AND hh.chunk_id = kchunk
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  round(CAST(sum(CASE WHEN hh.doc_id = kdoc AND hh.chunk_id = kchunk
+         |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS kept_ratio
+         |FROM hh JOIN k2 USING (h) GROUP BY hh.doc_id ORDER BY hh.doc_id""".stripMargin,
 
     "chunk_stats" ->
       s"""WITH $chunkCte
