@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Column
 
 import graft.Tables._
-import graft.functions.{BloomFilterAgg, CountMinSketchAgg}
+import graft.functions.{BloomFilterAgg, CountMinSketchAgg, HyperLogLogAgg}
 import TextHash.{toksSql, toks}
 
 /** Mergeable frequency sketching — Count-Min Sketch over the corpus token
@@ -107,9 +107,54 @@ object Sketches {
         bloomPositive.as("bloom_positive"))
   }
 
+  // ------------------------------------------------------- HLL machinery
+
+  private val hll = F.udaf(HyperLogLogAgg, Encoders.STRING)
+  private val HllM = HyperLogLogAgg.M
+
+  /** The corpus-token register array as a 1-row (regs: array<int>) frame —
+    * one constant-size reduction over the token stream (32 shuffle
+    * partitions guarantee the merge path runs).
+    */
+  private def hllRegs(s: SparkSession, d: String): DataFrame =
+    tokens(s, d).agg(hll(col("tok")).as("regs"))
+
   // -------------------------------------------------------------- queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The HLL state itself, flattened to its populated (register, rank)
+    // cells — oracle-checks the md5 slot function, the max-reduce AND the
+    // element-wise-max merge bit-for-bit.
+    "hll_registers" -> { (s, d) =>
+      hllRegs(s, d)
+        .select(posexplode(col("regs")).as(Seq("idx", "reg")))
+        .where(col("reg") > 0)
+        .orderBy("idx")
+    },
+
+    // Estimator audit: the two-regime HLL estimate vs the exact distinct
+    // token count. All output columns are integers/booleans — the only
+    // float (the estimate) feeds a wide-margin accuracy predicate, so the
+    // row hash-compares across engines.
+    "hll_distinct_check" -> { (s, d) =>
+      val tok = tokens(s, d)
+      val exact = tok.agg(count_distinct(col("tok")).as("exact_distinct"))
+      val stats = hllRegs(s, d)
+        .select(posexplode(col("regs")).as(Seq("idx", "reg")))
+        .agg(count(lit(1)).cast("int").as("m"),
+          sum(when(col("reg") === 0, 1L).otherwise(0L)).as("n_zero"),
+          sum(pow(lit(2.0), -col("reg").cast("double"))).as("s"))
+      val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(HllM.toDouble))
+      val raw = alpha * lit(HllM.toDouble) * lit(HllM.toDouble) / col("s")
+      val est = when(raw <= lit(2.5 * HllM) && col("n_zero") > 0,
+        lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("n_zero").cast("double")))
+        .otherwise(raw)
+      stats.crossJoin(broadcast(exact))
+        .select(col("m"), col("n_zero"), col("exact_distinct"),
+          (est / col("exact_distinct").cast("double")).between(0.8, 1.25)
+            .as("within_20pct"))
+    },
+
     // The sketch itself, flattened to (row, bucket, count) cells — every
     // populated counter is oracle-checked, which verifies the md5 bucket
     // function, the reduce path AND the merge path (32 shuffle partitions
@@ -206,7 +251,48 @@ object Sketches {
        |  SELECT doc_id + 1000000 AS probe_id, text || ' ~novel~' AS key
        |  FROM documents WHERE doc_id % 5 = 1)""".stripMargin
 
+  /** DuckDB mirror of [[HyperLogLogAgg.slot]]: register index from
+    * hex[1..2], rank from the leading-zero hex prefix of hex[3..17] —
+    * string functions only, shared by both HLL oracles.
+    */
+  private def hllCtes =
+    s"""tok AS (SELECT unnest(${toksSql("text")}) AS t FROM documents),
+       |hslot AS (SELECT
+       |    CAST(('0x' || substr(md5(t), 1, 2)) AS BIGINT) AS idx,
+       |    substr(md5(t), 3, 15) AS sub
+       |  FROM tok),
+       |hrank AS (SELECT idx,
+       |    CASE WHEN z = 15 THEN 61 ELSE 4*z +
+       |      CASE WHEN d = '1' THEN 3 WHEN d IN ('2','3') THEN 2
+       |           WHEN d IN ('4','5','6','7') THEN 1 ELSE 0 END + 1 END AS rank
+       |  FROM (SELECT idx, CAST(length(regexp_extract(sub, '^0*')) AS INTEGER) AS z,
+       |          substr(sub, CAST(length(regexp_extract(sub, '^0*')) + 1 AS INTEGER), 1) AS d
+       |        FROM hslot)),
+       |hreg AS (SELECT idx, max(rank) AS reg FROM hrank GROUP BY idx)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "hll_registers" ->
+      s"""WITH $hllCtes
+         |SELECT CAST(idx AS INTEGER) AS idx, CAST(reg AS INTEGER) AS reg
+         |FROM hreg ORDER BY idx""".stripMargin,
+
+    "hll_distinct_check" ->
+      s"""WITH $hllCtes,
+         |allreg AS (SELECT r.i AS idx, coalesce(hreg.reg, 0) AS reg
+         |  FROM (SELECT unnest(range(0, $HllM)) AS i) r
+         |  LEFT JOIN hreg ON r.i = hreg.idx),
+         |st AS (SELECT CAST(count(*) AS INTEGER) AS m,
+         |    CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+         |    sum(power(2.0, -CAST(reg AS DOUBLE))) AS s FROM allreg),
+         |ex AS (SELECT count(DISTINCT t) AS exact_distinct FROM tok)
+         |SELECT m, n_zero, exact_distinct,
+         |  (CASE WHEN (0.7213/(1.0 + 1.079/$HllM.0))*$HllM.0*$HllM.0/s <= ${2.5 * HllM}
+         |            AND n_zero > 0
+         |        THEN $HllM.0 * ln($HllM.0 / CAST(n_zero AS DOUBLE))
+         |        ELSE (0.7213/(1.0 + 1.079/$HllM.0))*$HllM.0*$HllM.0/s END
+         |   / CAST(exact_distinct AS DOUBLE)) BETWEEN 0.8 AND 1.25 AS within_20pct
+         |FROM st CROSS JOIN ex""".stripMargin,
+
     "cms_matrix" ->
       s"""WITH $cmsCtes
          |SELECT CAST(j AS INTEGER) AS row_idx, CAST(b AS INTEGER) AS bucket, c AS cnt

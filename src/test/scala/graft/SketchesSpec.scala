@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Encoders, functions => F}
 
-import graft.functions.{BloomFilterAgg, CountMinSketchAgg}
+import graft.functions.{BloomFilterAgg, CountMinSketchAgg, HyperLogLogAgg}
 import graft.operators.Sketches
 
 class SketchesSpec extends SparkSpecBase {
@@ -59,6 +59,46 @@ class SketchesSpec extends SparkSpecBase {
     val one = keys.coalesce(1).agg(bloom($"k")).head.getSeq[Long](0)
     val many = keys.repartition(16).agg(bloom($"k")).head.getSeq[Long](0)
     assert(one == many)
+  }
+
+  test("hll_registers: populated registers match the local slot function exactly") {
+    val got = Sketches.queries("hll_registers")(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val want = Tables.documents(spark, sfDir)
+      .select(explode(split(lower(col("text")), "\\s+")).as("t"))
+      .collect().map(_.getString(0))
+      .map(HyperLogLogAgg.slot)
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    assert(got == want)
+    assert(got.keys.forall(i => i >= 0 && i < HyperLogLogAgg.M))
+    assert(got.values.forall(r => r >= 1 && r <= 61))
+  }
+
+  test("hll merge is partition-order independent (1 vs many partitions)") {
+    import spark.implicits._
+    val hll = F.udaf(HyperLogLogAgg, Encoders.STRING)
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+    val one = toks.coalesce(1).agg(hll($"tok")).head.getSeq[Int](0)
+    val many = toks.repartition(16).agg(hll($"tok")).head.getSeq[Int](0)
+    assert(one == many)
+  }
+
+  test("hll estimate lands within 20% of the exact distinct count") {
+    import spark.implicits._
+    val hll = F.udaf(HyperLogLogAgg, Encoders.STRING)
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+    val regs = toks.agg(hll($"tok")).head.getSeq[Int](0)
+    val exact = toks.distinct().count().toDouble
+    val est = HyperLogLogAgg.estimate(regs)
+    assert(est / exact > 0.8 && est / exact < 1.25,
+      s"est=$est exact=$exact")
+    // and the oracled audit query agrees
+    val check = Sketches.queries("hll_distinct_check")(spark, sfDir).head()
+    assert(check.getInt(0) == HyperLogLogAgg.M)
+    assert(check.getLong(2) == exact.toLong)
+    assert(check.getBoolean(3))
   }
 
   test("bloom gate: no false negatives; stats row reconciles with gate rows") {
