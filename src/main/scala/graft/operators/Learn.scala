@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -99,7 +100,88 @@ object Learn {
     (w, x)
   }
 
+  // ---------------------------------------------------- evaluation pack
+
+  /** (y, p) scored training frame shared by the eval queries — scores
+    * rounded to 1e-6 exactly as [[scoreDocs]] emits them.
+    */
+  private def scored(s: SparkSession, d: String): DataFrame = {
+    val (w, x) = train(s, d)
+    val z = col("w0") + col("w1") * col("x1") + col("w2") * col("x2") +
+      col("w3") * col("x3")
+    x.crossJoin(broadcast(w)).select(col("y"), round(sigmoid(z), 6).as("p"))
+  }
+
+  /** Per-distinct-score tallies (cnt, pos) — the eval pack's working set.
+    * The 1e-6 score rounding bounds its cardinality at ≤2e6 rows no matter
+    * the corpus size, so the single-partition rank window in `eval_auc`
+    * and the threshold theta-join in `eval_pr_curve` stay safe at 100 TB:
+    * the corpus is reduced by one map-side-combined groupBy first.
+    */
+  private def byScore(s: SparkSession, d: String): DataFrame =
+    scored(s, d).groupBy("p")
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("pos"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact ROC-AUC by rank-sum (Mann-Whitney U) with average ranks for
+    // ties, kept in INTEGER arithmetic until the final division: twice the
+    // rank-sum of positives is sum(pos * (2*cum_before + cnt + 1)) over
+    // distinct scores, so both engines divide the same exact longs.
+    "eval_auc" -> { (s, d) =>
+      val win = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, -1)
+      byScore(s, d)
+        .withColumn("cum_before", coalesce(sum(col("cnt")).over(win), lit(0L)))
+        .agg(
+          sum(col("pos") * (lit(2L) * col("cum_before") + col("cnt") + lit(1L)))
+            .as("rank2"),
+          sum(col("pos")).as("npos"),
+          sum(col("cnt") - col("pos")).as("nneg"))
+        .select(col("npos"), col("nneg"),
+          round((col("rank2").cast("double") / 2.0
+            - col("npos").cast("double") * (col("npos").cast("double") + 1.0) / 2.0)
+            / (col("npos").cast("double") * col("nneg").cast("double")), 6)
+            .as("auc"))
+    },
+
+    // Reliability diagram: decile bins of predicted probability vs observed
+    // positive rate. Mean p per bin goes through the 1e-6 fixed-point sum
+    // (p is already a 6-decimal multiple, so the long sum is exact).
+    "eval_calibration" -> { (s, d) =>
+      scored(s, d)
+        .select(least(floor(col("p") * 10.0), lit(9.0)).cast("int").as("bin"),
+          col("y"), col("p"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("pos"),
+          sum(round(col("p") * 1e6).cast("long")).as("sp"))
+        .select(col("bin"), col("n"), col("pos"),
+          round(col("sp").cast("double") / 1e6 / col("n").cast("double"), 6)
+            .as("mean_p"),
+          round(col("pos").cast("double") / col("n").cast("double"), 6)
+            .as("frac_pos"))
+        .orderBy("bin")
+    },
+
+    // Precision/recall at 9 fixed thresholds — a theta-join of the tiny
+    // distinct-score frame against 9 threshold rows (broadcast NLJ over
+    // bounded data), never a per-doc × per-threshold blowup.
+    "eval_pr_curve" -> { (s, d) =>
+      val bs = byScore(s, d)
+      val th = s.range(1, 10).select((col("id").cast("double") / 10.0).as("t"))
+      val tot = bs.agg(sum(col("pos")).as("npos"))
+      bs.join(broadcast(th), col("p") >= col("t"))
+        .groupBy("t")
+        .agg(sum(col("pos")).as("tp"), sum(col("cnt") - col("pos")).as("fp"))
+        .crossJoin(broadcast(tot))
+        .select(col("t"), col("tp"), col("fp"),
+          round(col("tp").cast("double") / (col("tp") + col("fp")).cast("double"), 6)
+            .as("prec"),
+          round(col("tp").cast("double") / col("npos").cast("double"), 6)
+            .as("rec"))
+        .orderBy("t")
+    },
+
     // The trained weights (rounded for the oracle compare; training keeps
     // full precision internally).
     "logreg_weights" -> { (s, d) =>
@@ -173,7 +255,61 @@ object Learn {
     sb.toString
   }
 
+  /** Scored-frame + per-distinct-score CTEs shared by the eval oracles. */
+  private def evalCtes =
+    s"""sc AS (SELECT y,
+       |    round(1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2 + w3*x3))), 6) AS p
+       |  FROM f CROSS JOIN w$Iters),
+       |bys AS (SELECT p, count(*) AS cnt,
+       |    CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+       |  FROM sc GROUP BY p)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "eval_auc" ->
+      s"""WITH ${trainCtes(Iters)},
+         |$evalCtes,
+         |cum AS (SELECT pos, cnt,
+         |    coalesce(sum(cnt) OVER (ORDER BY p
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM bys),
+         |ag AS (SELECT
+         |    CAST(sum(pos * (2*cum_before + cnt + 1)) AS BIGINT) AS rank2,
+         |    CAST(sum(pos) AS BIGINT) AS npos,
+         |    CAST(sum(cnt - pos) AS BIGINT) AS nneg
+         |  FROM cum)
+         |SELECT npos, nneg,
+         |  round((CAST(rank2 AS DOUBLE)/2.0
+         |      - CAST(npos AS DOUBLE)*(CAST(npos AS DOUBLE) + 1.0)/2.0)
+         |    / (CAST(npos AS DOUBLE)*CAST(nneg AS DOUBLE)), 6) AS auc
+         |FROM ag""".stripMargin,
+
+    "eval_calibration" ->
+      s"""WITH ${trainCtes(Iters)},
+         |$evalCtes,
+         |b AS (SELECT CAST(least(floor(p*10.0), 9.0) AS INTEGER) AS bin, y, p
+         |  FROM sc)
+         |SELECT bin, count(*) AS n,
+         |  CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+         |  round(CAST(sum(CAST(round(p*1000000.0) AS BIGINT)) AS DOUBLE)
+         |    /1000000.0/CAST(count(*) AS DOUBLE), 6) AS mean_p,
+         |  round(CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    /CAST(count(*) AS DOUBLE), 6) AS frac_pos
+         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "eval_pr_curve" ->
+      s"""WITH ${trainCtes(Iters)},
+         |$evalCtes,
+         |th AS (SELECT CAST(i AS DOUBLE)/10.0 AS t
+         |  FROM (SELECT unnest(range(1, 10)) AS i)),
+         |j AS (SELECT t, CAST(sum(pos) AS BIGINT) AS tp,
+         |    CAST(sum(cnt - pos) AS BIGINT) AS fp
+         |  FROM bys JOIN th ON p >= t GROUP BY t),
+         |tot AS (SELECT CAST(sum(pos) AS BIGINT) AS npos FROM bys)
+         |SELECT t, tp, fp,
+         |  round(CAST(tp AS DOUBLE)/CAST(tp + fp AS DOUBLE), 6) AS prec,
+         |  round(CAST(tp AS DOUBLE)/CAST(npos AS DOUBLE), 6) AS rec
+         |FROM j CROSS JOIN tot ORDER BY t""".stripMargin,
+
     "logreg_weights" ->
       s"""WITH ${trainCtes(Iters)}
          |SELECT round(w0, 6) AS w0, round(w1, 6) AS w1,
