@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import TextHash.{toks, toksSql}
+
+/** Distribution-drift diagnostics for corpus curation — "is source X
+  * statistically unlike the rest of the mix" is the question a 100 TB
+  * pipeline answers before re-weighting or dropping a crawl slice.
+  *
+  * Scale shape: ONE corpus-sized token groupBy, then everything downstream
+  * is vocabulary- or margins-sized (per-source token tallies, 20×5 lang
+  * grid). The information-theoretic sums (entropy, KL, chi²) accumulate in
+  * FIXED POINT — each cell's double contribution is computed from exact
+  * integer counts (bit-identical across engines), rounded to 1e-9, and
+  * summed as scaled longs, because double addition is partition-order-
+  * dependent but long addition is associative. One division at the end.
+  */
+object Drift {
+
+  private val Fix = 1e9
+
+  /** Per-(source, token) counts — the single corpus-wide shuffle. */
+  private def srcTok(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("source"), explode(toks(col("text"))).as("tok"))
+      .groupBy("source", "tok")
+      .agg(count(lit(1)).as("c"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-source token-distribution profile: size, Shannon entropy, and
+    // KL(source ‖ corpus). Terms with p=0 contribute exactly 0 to KL, so
+    // summing over the source's OBSERVED tokens (where q>0 always — a
+    // source's vocabulary is a subset of the corpus's) needs no smoothing.
+    "drift_source_kl" -> { (s, d) =>
+      val st = srcTok(s, d)
+      val bySrc = st.groupBy("source")
+        .agg(sum("c").as("n_src"), count(lit(1)).as("v_src"))
+      val byTok = st.groupBy("tok").agg(sum("c").as("c_tot"))
+      val tot = byTok.agg(sum("c_tot").as("n_tot"))
+      val p = col("c").cast("double") / col("n_src").cast("double")
+      val q = col("c_tot").cast("double") / col("n_tot").cast("double")
+      st.join(byTok, "tok")
+        .join(bySrc, "source")
+        .crossJoin(broadcast(tot))
+        .select(col("source"), col("n_src"), col("v_src"),
+          round(p * log(p / q) * Fix).cast("long").as("klc"),
+          round(-p * log(p) * Fix).cast("long").as("ec"))
+        .groupBy("source")
+        .agg(first(col("n_src")).as("n_tokens"),
+          first(col("v_src")).as("distinct_tokens"),
+          round(sum(col("ec")).cast("double") / Fix, 6).as("entropy"),
+          round(sum(col("klc")).cast("double") / Fix, 6).as("kl_vs_corpus"))
+        .orderBy("source")
+    },
+
+    // Pearson chi² independence test on the source×lang contingency table.
+    // The expected-count grid is margins × margins (a broadcast of two
+    // tiny frames) so absent cells (o=0) still contribute (0-e)²/e.
+    "drift_lang_chi2" -> { (s, d) =>
+      val cells = documents(s, d).groupBy("source", "lang")
+        .agg(count(lit(1)).as("o"))
+      val rowT = cells.groupBy("source").agg(sum("o").as("rt"))
+      val colT = cells.groupBy("lang").agg(sum("o").as("ct"))
+      val n = cells.agg(sum("o").as("n"))
+      val grid = rowT.crossJoin(broadcast(colT)).crossJoin(broadcast(n))
+      val joined = grid.join(cells, Seq("source", "lang"), "left")
+        .select(col("rt"), col("ct"), col("n"),
+          coalesce(col("o"), lit(0L)).as("o"))
+      val e = col("rt").cast("double") * col("ct").cast("double") /
+        col("n").cast("double")
+      val contrib = (col("o").cast("double") - e) * (col("o").cast("double") - e) / e
+      joined
+        .select(round(contrib * Fix).cast("long").as("cc"))
+        .agg(count(lit(1)).as("n_cells"),
+          round(sum(col("cc")).cast("double") / Fix, 6).as("chi2"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "drift_source_kl" ->
+      s"""WITH st AS (SELECT source, t AS tok, count(*) AS c
+         |  FROM (SELECT source, unnest(${toksSql("text")}) AS t FROM documents)
+         |  GROUP BY source, t),
+         |bys AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_src,
+         |    count(*) AS v_src FROM st GROUP BY source),
+         |byt AS (SELECT tok, CAST(sum(c) AS BIGINT) AS c_tot FROM st GROUP BY tok),
+         |tot AS (SELECT CAST(sum(c_tot) AS BIGINT) AS n_tot FROM byt),
+         |terms AS (SELECT st.source,
+         |    CAST(round((CAST(c AS DOUBLE)/CAST(n_src AS DOUBLE))
+         |      * ln((CAST(c AS DOUBLE)/CAST(n_src AS DOUBLE))
+         |          /(CAST(c_tot AS DOUBLE)/CAST(n_tot AS DOUBLE))) * 1e9)
+         |      AS BIGINT) AS klc,
+         |    CAST(round(-(CAST(c AS DOUBLE)/CAST(n_src AS DOUBLE))
+         |      * ln(CAST(c AS DOUBLE)/CAST(n_src AS DOUBLE)) * 1e9)
+         |      AS BIGINT) AS ec,
+         |    n_src, v_src
+         |  FROM st JOIN byt ON st.tok = byt.tok
+         |    JOIN bys ON st.source = bys.source CROSS JOIN tot)
+         |SELECT source, any_value(n_src) AS n_tokens,
+         |  any_value(v_src) AS distinct_tokens,
+         |  round(CAST(sum(ec) AS DOUBLE)/1e9, 6) AS entropy,
+         |  round(CAST(sum(klc) AS DOUBLE)/1e9, 6) AS kl_vs_corpus
+         |FROM terms GROUP BY source ORDER BY source""".stripMargin,
+
+    "drift_lang_chi2" ->
+      """WITH cells AS (SELECT source, lang, count(*) AS o
+        |  FROM documents GROUP BY source, lang),
+        |rt AS (SELECT source, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY source),
+        |ct AS (SELECT lang, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY lang),
+        |n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        |grid AS (SELECT rt.source, ct.lang, rt.rt, ct.ct, n.n
+        |  FROM rt CROSS JOIN ct CROSS JOIN n),
+        |j AS (SELECT g.rt, g.ct, g.n, coalesce(c.o, 0) AS o
+        |  FROM grid g LEFT JOIN cells c
+        |    ON g.source = c.source AND g.lang = c.lang),
+        |t AS (SELECT CAST(round(
+        |    (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE)*CAST(ct AS DOUBLE)/CAST(n AS DOUBLE))
+        |    * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE)*CAST(ct AS DOUBLE)/CAST(n AS DOUBLE))
+        |    / (CAST(rt AS DOUBLE)*CAST(ct AS DOUBLE)/CAST(n AS DOUBLE)) * 1e9)
+        |    AS BIGINT) AS cc FROM j)
+        |SELECT count(*) AS n_cells, round(CAST(sum(cc) AS DOUBLE)/1e9, 6) AS chi2
+        |FROM t""".stripMargin
+  )
+}

@@ -1,0 +1,34 @@
+package graft
+
+import graft.operators.Drift
+
+/** Distribution-drift diagnostics invariants at sf0.001. */
+class DriftSpec extends SparkSpecBase {
+
+  private def q(name: String) = Drift.queries(name)(spark, sfDir)
+
+  test("drift_source_kl: KL ≥ 0, entropy within [0, ln V], deterministic") {
+    val rows = q("drift_source_kl").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, v) = (r.getLong(1), r.getLong(2))
+      val (h, kl) = (r.getDouble(3), r.getDouble(4))
+      assert(v <= n, "distinct tokens cannot exceed token count")
+      // Gibbs: KL(p‖q) ≥ 0, = 0 only if the distributions coincide
+      assert(kl >= 0.0, s"KL must be non-negative, got $kl")
+      assert(h >= 0.0 && h <= math.log(v.toDouble) + 1e-6,
+        s"entropy $h outside [0, ln $v]")
+    }
+    // fixed-point sums ⇒ bit-identical across runs/partitionings
+    assert(rows.map(_.toSeq).toSeq == q("drift_source_kl").collect().map(_.toSeq).toSeq)
+  }
+
+  test("drift_lang_chi2: full margins grid; statistic is non-negative") {
+    val r = q("drift_lang_chi2").head()
+    val nSources = Tables.documents(spark, sfDir).select("source").distinct().count()
+    val nLangs = Tables.documents(spark, sfDir).select("lang").distinct().count()
+    assert(r.getLong(0) == nSources * nLangs,
+      "absent (source, lang) cells must still contribute to chi²")
+    assert(r.getDouble(1) >= 0.0)
+  }
+}
