@@ -132,6 +132,14 @@ object Corpus {
   def sampleKey(docId: Column, text: Column): Column =
     h60(concat(lit(SampleSalt), docId.cast("string"), lit(":"), text)) % 1000
 
+  /** 2^60 as an exact double — the h60 range, so u = (h60+1)/2^60 ∈ (0,1]
+    * scales by a power of two (no rounding beyond the long→double cast,
+    * which both engines perform identically).
+    */
+  private val Pow2_60 = 1152921504606846976.0
+
+  val WeightedK = 100
+
   private def sampleKeySql: String =
     s"${h60Sql(s"'$SampleSalt' || CAST(doc_id AS VARCHAR) || ':' || text")} % 1000"
 
@@ -355,6 +363,27 @@ object Corpus {
         .where(col("rk") <= SourceCap)
         .select("source", "doc_id", "rk")
         .orderBy("source", "rk")
+    },
+
+    // Weighted sampling without replacement (Efraimidis-Spirakis priority
+    // sampling): each doc draws a deterministic md5-uniform u ∈ (0,1] and
+    // competes with key ln(u)/w, w = n_chars — docs win proportionally to
+    // their weight. Top-k by key is a TakeOrderedAndProject (per-partition
+    // bounded heaps, k rows to the driver merge — the 100 TB top-k plan);
+    // the rank window afterwards only ever sees the k survivors.
+    "sample_weighted" -> { (s, d) =>
+      val u = (h60(concat(lit("wsamp:"), col("doc_id").cast("string"),
+        lit(":"), col("text"))) + 1).cast("double") / lit(Pow2_60)
+      val top = documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          (log(u) / col("n_chars").cast("double")).as("pri"))
+        .orderBy(col("pri").desc, col("doc_id"))
+        .limit(WeightedK)
+      top.withColumn("rk",
+          row_number().over(Window.orderBy(col("pri").desc, col("doc_id"))))
+        .select(col("rk"), col("doc_id"), col("n_chars"),
+          round(col("pri"), 6).as("priority"))
+        .orderBy("rk")
     },
 
     // Deterministic 10% sample: md5-keyed row filter — reproducible across
@@ -601,6 +630,18 @@ object Corpus {
          |    (PARTITION BY source ORDER BY kk, doc_id) AS INTEGER) AS rk FROM k)
          |SELECT source, doc_id, rk FROM r WHERE rk <= $SourceCap
          |ORDER BY source, rk""".stripMargin,
+
+    "sample_weighted" ->
+      s"""WITH pri AS (SELECT doc_id, n_chars,
+         |    ln(CAST(${h60Sql("'wsamp:' || CAST(doc_id AS VARCHAR) || ':' || text")} + 1
+         |        AS DOUBLE) / 1152921504606846976.0)
+         |      / CAST(n_chars AS DOUBLE) AS pri
+         |  FROM documents),
+         |r AS (SELECT CAST(row_number() OVER (ORDER BY pri DESC, doc_id)
+         |    AS INTEGER) AS rk, doc_id, n_chars, round(pri, 6) AS priority
+         |  FROM pri)
+         |SELECT rk, doc_id, n_chars, priority FROM r
+         |WHERE rk <= $WeightedK ORDER BY rk""".stripMargin,
 
     "sample_hash_10pct" ->
       s"""SELECT doc_id, lang, source FROM documents

@@ -61,6 +61,42 @@ object TimeSeries {
           col("n_events"), col("is_gap"), col("locf_vmax1k"))
     },
 
+    // Tukey-fence anomaly detection: per-type quartiles (an ordered-set
+    // aggregate over each bounded event-type group), fences at 1.5×IQR,
+    // then one broadcast join back to count outliers. Quantile
+    // interpolation is deterministic selection + one IEEE lerp (no
+    // order-dependent double sums), so both engines agree bit-for-bit.
+    "anomaly_iqr" -> { (s, d) =>
+      events(s, d).createOrReplaceTempView("g_an_events")
+      s.sql(
+        """WITH b AS (SELECT event_type,
+          |    percentile_cont(0.25) WITHIN GROUP (ORDER BY value) AS q1,
+          |    percentile_cont(0.75) WITHIN GROUP (ORDER BY value) AS q3
+          |  FROM g_an_events GROUP BY event_type)
+          |SELECT e.event_type, count(*) AS n,
+          |  sum(CASE WHEN e.value < q1 - 1.5*(q3 - q1)
+          |           OR e.value > q3 + 1.5*(q3 - q1) THEN 1 ELSE 0 END)
+          |    AS n_outliers,
+          |  round(any_value(q1), 6) AS q1, round(any_value(q3), 6) AS q3
+          |FROM g_an_events e JOIN b ON e.event_type = b.event_type
+          |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)
+    },
+
+    // The flagged rows themselves — the "quarantine feed" downstream of
+    // the fence computation above.
+    "anomaly_rows" -> { (s, d) =>
+      events(s, d).createOrReplaceTempView("g_an_events")
+      s.sql(
+        """WITH b AS (SELECT event_type,
+          |    percentile_cont(0.25) WITHIN GROUP (ORDER BY value) AS q1,
+          |    percentile_cont(0.75) WITHIN GROUP (ORDER BY value) AS q3
+          |  FROM g_an_events GROUP BY event_type)
+          |SELECT e.event_id, e.event_type, e.value
+          |FROM g_an_events e JOIN b ON e.event_type = b.event_type
+          |WHERE e.value < q1 - 1.5*(q3 - q1) OR e.value > q3 + 1.5*(q3 - q1)
+          |ORDER BY e.event_id""".stripMargin)
+    },
+
     // Downsample to per-user daily OHLC bars: open/close by total
     // (ts, event_id) order, high/low as order-independent extremes. The
     // classic resample — two window passes over one user_id shuffle.
@@ -93,7 +129,30 @@ object TimeSeries {
       |    max(CAST(floor(value * 1000) AS BIGINT)) AS vmax1k
       |  FROM events GROUP BY 1, 2)""".stripMargin
 
+  private val fenceCte =
+    """b AS (SELECT event_type,
+      |    quantile_cont(value, 0.25) AS q1,
+      |    quantile_cont(value, 0.75) AS q3
+      |  FROM events GROUP BY event_type)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "anomaly_iqr" ->
+      s"""WITH $fenceCte
+         |SELECT e.event_type, count(*) AS n,
+         |  CAST(sum(CASE WHEN e.value < q1 - 1.5*(q3 - q1)
+         |           OR e.value > q3 + 1.5*(q3 - q1) THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_outliers,
+         |  round(any_value(q1), 6) AS q1, round(any_value(q3), 6) AS q3
+         |FROM events e JOIN b ON e.event_type = b.event_type
+         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    "anomaly_rows" ->
+      s"""WITH $fenceCte
+         |SELECT e.event_id, e.event_type, e.value
+         |FROM events e JOIN b ON e.event_type = b.event_type
+         |WHERE e.value < q1 - 1.5*(q3 - q1) OR e.value > q3 + 1.5*(q3 - q1)
+         |ORDER BY e.event_id""".stripMargin,
+
     "ts_gapfill" ->
       s"""WITH $dailyCte,
          |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),

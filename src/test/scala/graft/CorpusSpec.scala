@@ -198,4 +198,22 @@ class CorpusSpec extends SparkSpecBase {
       piiPlan.indexOf("Sort"), // only the output orderBy may exchange
       "redaction must not shuffle before the final sort")
   }
+
+  test("sample_weighted: biased toward heavy docs, ranked, deterministic") {
+    val sample = q("sample_weighted").collect()
+    assert(sample.length == Corpus.WeightedK)
+    assert(sample.map(_.getInt(0)).toSeq == (1 to Corpus.WeightedK))
+    // priorities are ln(u)/w ≤ 0 and non-increasing down the ranking
+    val pris = sample.map(_.getDouble(3))
+    assert(pris.forall(_ <= 0.0))
+    assert(pris.zip(pris.tail).forall { case (a, b) => a >= b })
+    // w = n_chars ⇒ the sample must skew heavier than the corpus
+    val sampleMean = sample.map(_.getLong(2)).sum.toDouble / sample.length
+    val corpusMean = Tables.documents(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.avg("n_chars")).head().getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean ≤ corpus mean $corpusMean")
+    assert(sample.map(_.toSeq).toSeq ==
+      q("sample_weighted").collect().map(_.toSeq).toSeq)
+  }
 }

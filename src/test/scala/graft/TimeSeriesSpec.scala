@@ -37,4 +37,28 @@ class TimeSeriesSpec extends SparkSpecBase {
       (col("open") =!= col("close") || col("high") =!= col("low"))).count() == 0)
     res.unpersist()
   }
+
+  test("anomaly fences: summary counts reconcile with the flagged rows") {
+    val iqr = TimeSeries.queries("anomaly_iqr")(spark, sfDir).collect()
+    val rows = TimeSeries.queries("anomaly_rows")(spark, sfDir).collect()
+    val byType = rows.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    var total = 0L
+    iqr.foreach { r =>
+      val (t, n, out) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val (q1, q3) = (r.getDouble(3), r.getDouble(4))
+      assert(q1 <= q3 && out >= 0 && out < n, s"degenerate fences for $t")
+      assert(byType.getOrElse(t, 0) == out, s"row/summary mismatch for $t")
+      total += n
+    }
+    assert(total == Tables.events(spark, sfDir).count())
+    // every flagged value really sits outside its type's fences
+    val fences = iqr.map(r => r.getString(0) ->
+      (r.getDouble(3), r.getDouble(4))).toMap
+    rows.foreach { r =>
+      val (q1, q3) = fences(r.getString(1))
+      val v = r.getDouble(2)
+      // fences use the unrounded quartiles; allow the 1e-6 display rounding
+      assert(v < q1 - 1.5 * (q3 - q1) + 1e-5 || v > q3 + 1.5 * (q3 - q1) - 1e-5)
+    }
+  }
 }
