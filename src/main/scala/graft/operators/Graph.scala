@@ -113,6 +113,56 @@ object Graph {
         .agg(count(lit(1)).as("degree"), sum("w").cast("long").as("wdegree"))
         .select(col("src").as("node"), col("degree"), col("wdegree"))
         .orderBy(desc("wdegree"), asc("node"))
+    },
+
+    // Triangle census + global clustering coefficient. Each undirected
+    // edge is oriented src<dst, so the two equi-joins enumerate each
+    // triangle exactly once (a<b<c) — the standard distributed triangle
+    // count; at real scale the orientation function becomes (degree, id)
+    // so hub fan-out is bounded (same plan, different comparator). Wedges
+    // = Σ deg·(deg−1)/2 in exact longs; the coefficient is the only
+    // division.
+    "graph_triangles" -> { (s, d) =>
+      val und = cooccurEdges(documents(s, d).select("doc_id", "text"))
+      val e = und.where(col("src") < col("dst")).select("src", "dst").persist()
+      val tri = e.as("e1")
+        .join(e.as("e2"), col("e1.dst") === col("e2.src"))
+        .join(e.as("e3"),
+          col("e1.src") === col("e3.src") && col("e2.dst") === col("e3.dst"))
+        .select(col("e1.src").as("a"), col("e1.dst").as("b"),
+          col("e2.dst").as("c"))
+      val nTri = tri.agg(count(lit(1)).as("n_triangles"))
+      val nEdges = e.agg(count(lit(1)).as("n_edges"))
+      val nNodes = und.select(col("src").as("n")).distinct()
+        .agg(count(lit(1)).as("n_nodes"))
+      val wedges = und.groupBy("src").agg(count(lit(1)).as("deg"))
+        .agg(expr("sum(deg * (deg - 1) DIV 2)").cast("long").as("n_wedges"))
+      nNodes.crossJoin(broadcast(nEdges)).crossJoin(broadcast(nTri))
+        .crossJoin(broadcast(wedges))
+        .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+          col("n_wedges"),
+          round(lit(3.0) * col("n_triangles").cast("double")
+            / col("n_wedges").cast("double"), 6).as("clustering_coeff"))
+    },
+
+    // Per-node triangle participation — the local-density ranking used to
+    // find tightly-knit token communities. Same oriented join, then each
+    // triangle credits its three corners.
+    "graph_node_triangles" -> { (s, d) =>
+      val und = cooccurEdges(documents(s, d).select("doc_id", "text"))
+      val e = und.where(col("src") < col("dst")).select("src", "dst").persist()
+      val tri = e.as("e1")
+        .join(e.as("e2"), col("e1.dst") === col("e2.src"))
+        .join(e.as("e3"),
+          col("e1.src") === col("e3.src") && col("e2.dst") === col("e3.dst"))
+        .select(col("e1.src").as("a"), col("e1.dst").as("b"),
+          col("e2.dst").as("c"))
+      tri.select(col("a").as("node"))
+        .union(tri.select(col("b").as("node")))
+        .union(tri.select(col("c").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("n_tri"))
+        .orderBy(desc("n_tri"), asc("node"))
+        .limit(20)
     }
   )
 
@@ -150,6 +200,33 @@ object Graph {
     "graph_degree_stats" ->
       s"""WITH $graphCtes
          |SELECT src AS node, count(*) AS degree, CAST(sum(w) AS BIGINT) AS wdegree
-         |FROM edges GROUP BY src ORDER BY wdegree DESC, node""".stripMargin
+         |FROM edges GROUP BY src ORDER BY wdegree DESC, node""".stripMargin,
+
+    "graph_triangles" ->
+      s"""WITH $graphCtes,
+         |e AS (SELECT src, dst FROM edges WHERE src < dst),
+         |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+         |  FROM e e1 JOIN e e2 ON e1.dst = e2.src
+         |    JOIN e e3 ON e1.src = e3.src AND e2.dst = e3.dst),
+         |nt AS (SELECT count(*) AS n_triangles FROM tri),
+         |ne AS (SELECT count(*) AS n_edges FROM e),
+         |nn AS (SELECT count(DISTINCT src) AS n_nodes FROM edges),
+         |wg AS (SELECT CAST(sum(deg*(deg-1)//2) AS BIGINT) AS n_wedges
+         |  FROM (SELECT count(*) AS deg FROM edges GROUP BY src))
+         |SELECT n_nodes, n_edges, n_triangles, n_wedges,
+         |  round(3.0*CAST(n_triangles AS DOUBLE)/CAST(n_wedges AS DOUBLE), 6)
+         |    AS clustering_coeff
+         |FROM nn CROSS JOIN ne CROSS JOIN nt CROSS JOIN wg""".stripMargin,
+
+    "graph_node_triangles" ->
+      s"""WITH $graphCtes,
+         |e AS (SELECT src, dst FROM edges WHERE src < dst),
+         |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+         |  FROM e e1 JOIN e e2 ON e1.dst = e2.src
+         |    JOIN e e3 ON e1.src = e3.src AND e2.dst = e3.dst),
+         |corners AS (SELECT a AS node FROM tri UNION ALL
+         |  SELECT b FROM tri UNION ALL SELECT c FROM tri)
+         |SELECT node, count(*) AS n_tri FROM corners
+         |GROUP BY node ORDER BY n_tri DESC, node LIMIT 20""".stripMargin
   )
 }

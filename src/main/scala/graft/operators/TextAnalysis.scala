@@ -54,6 +54,12 @@ object TextAnalysis {
   val WLen = 0.5; val WPunct = 0.3; val WStop = 0.2
   val LenCap = 100.0; val StopBoost = 5.0
 
+  /** Min pair support / output size for `colloc_pmi` — support prunes the
+    * long tail BEFORE the unigram joins, PMI ranks what survives.
+    */
+  val CollocMinCount = 5
+  val CollocTopK = 50
+
   /** DuckDB SQL for quality_score, given a token-list column `t` and the
     * raw `text` column — must mirror [[stats]] exactly.
     */
@@ -256,6 +262,40 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // Collocation mining: adjacent-token pairs scored by pointwise mutual
+    // information, PMI = ln(p(ab) / (p(a)p(b))). Bigram rows come from the
+    // posexplode+lead window shape (the HOF-transform form re-tokenizes per
+    // index — see TextHash.shingleRows), so the corpus-sized work is one
+    // doc_id window + two map-side-combined groupBys; the PMI join runs on
+    // vocab-sized tallies. Each PMI is a per-row double from exact integer
+    // counts — no order-dependent sums anywhere.
+    "colloc_pmi" -> { (s, d) =>
+      val docs = documents(s, d)
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val uni = docs.select(explode(toks(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val n1 = uni.agg(sum("c").as("n1"))
+      val bgc = docs
+        .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "tok")))
+        .withColumn("nxt", lead("tok", 1).over(w))
+        .where(col("nxt").isNotNull)
+        .groupBy(col("tok").as("w1"), col("nxt").as("w2"))
+        .agg(count(lit(1)).as("c_pair"))
+      val n2 = bgc.agg(sum("c_pair").as("n2"))
+      val pmi =
+        log((col("c_pair").cast("double") / col("n2").cast("double")) /
+          ((col("c1").cast("double") / col("n1").cast("double")) *
+            (col("c2").cast("double") / col("n1").cast("double"))))
+      bgc.where(col("c_pair") >= CollocMinCount)
+        .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+        .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+        .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+        .select(col("w1"), col("w2"), col("c_pair"), col("c1"), col("c2"),
+          round(pmi, 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(CollocTopK)
+    },
+
     // Rolling polynomial hash over token hashes — an order-sensitive
     // document fingerprint (reordered tokens change it; dedup_simhash is the
     // order-insensitive counterpart).
@@ -315,6 +355,24 @@ object TextAnalysis {
          |  CAST(len(${toksSql("text")}) AS INTEGER) AS n_ws_tokens,
          |  CAST(len(regexp_extract_all(lower(text), '$bpePattern')) AS INTEGER) AS n_bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "colloc_pmi" ->
+      s"""WITH ta AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents),
+         |uni AS (SELECT w, count(*) AS c
+         |  FROM (SELECT unnest(t) AS w FROM ta) GROUP BY w),
+         |n1 AS (SELECT CAST(sum(c) AS BIGINT) AS n1 FROM uni),
+         |pairs AS (SELECT t[i] AS w1, t[i+1] AS w2
+         |  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM ta)),
+         |bgc AS (SELECT w1, w2, count(*) AS c_pair FROM pairs GROUP BY w1, w2),
+         |n2 AS (SELECT CAST(sum(c_pair) AS BIGINT) AS n2 FROM bgc)
+         |SELECT bgc.w1, bgc.w2, bgc.c_pair, u1.c AS c1, u2.c AS c2,
+         |  round(ln((CAST(c_pair AS DOUBLE)/CAST(n2 AS DOUBLE))
+         |    / ((CAST(u1.c AS DOUBLE)/CAST(n1 AS DOUBLE))
+         |       * (CAST(u2.c AS DOUBLE)/CAST(n1 AS DOUBLE)))), 6) AS pmi
+         |FROM bgc JOIN uni u1 ON bgc.w1 = u1.w JOIN uni u2 ON bgc.w2 = u2.w
+         |  CROSS JOIN n1 CROSS JOIN n2
+         |WHERE c_pair >= $CollocMinCount
+         |ORDER BY pmi DESC, bgc.w1, bgc.w2 LIMIT $CollocTopK""".stripMargin,
 
     "text_repetition" ->
       s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS tt FROM documents),

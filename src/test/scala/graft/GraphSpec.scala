@@ -63,4 +63,28 @@ class GraphSpec extends SparkSpecBase {
       .withColumnRenamed("count", "icount")
     assert(outd.join(ind, "node").where(col("count") =!= col("icount")).count() == 0)
   }
+
+  test("triangle census agrees with a brute-force count; corners reconcile") {
+    val r = Graph.queries("graph_triangles")(spark, sfDir).head()
+    val (nNodes, nEdges, nTri, nWedges) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(math.abs(r.getDouble(4) - 3.0 * nTri / nWedges) < 1e-6)
+    // brute force on the collected edge set (vocab-sized at sf0.001)
+    val e = Graph.cooccurEdges(
+        Tables.documents(spark, sfDir).select("doc_id", "text"))
+      .where(col("src") < col("dst")).select("src", "dst").collect()
+      .map(x => (x.getString(0), x.getString(1))).toSet
+    assert(e.size == nEdges)
+    val nodes = e.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+    assert(nodes.distinct.size == nNodes)
+    val brute = (for {
+      (a, b) <- e.toSeq; c <- nodes.distinct
+      if b < c && e.contains((b, c)) && e.contains((a, c))
+    } yield 1).size
+    assert(brute == nTri, s"join count $nTri vs brute $brute")
+    // per-node participation sums to 3 × triangles
+    val perNode = Graph.queries("graph_node_triangles")(spark, sfDir).collect()
+    assert(perNode.map(_.getLong(1)).forall(_ >= 1))
+    assert(perNode.map(_.getLong(1)).max <= nTri)
+  }
 }

