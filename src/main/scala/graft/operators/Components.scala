@@ -143,6 +143,23 @@ object Components {
         .select(col("component_id"), col("doc_id").as("keep_doc_id"),
           col("n_docs"), col("quality_score"))
         .orderBy("component_id")
+    },
+
+    // Leakage-free train/val/test split: the assignment hash is keyed on
+    // the near-dup COMPONENT id, not the document id, so every member of a
+    // duplicate cluster lands in the same split by construction — the fix
+    // that Corpus.split_leakage quantifies the need for (a doc-keyed
+    // random split always strands near-copies across the eval boundary at
+    // corpus scale). Same salt/buckets as corpus_split; the extra cost
+    // over the doc-keyed split is exactly one components run.
+    "corpus_split_component" -> { (s, d) =>
+      val k = TextHash.h60(
+        concat(lit(Corpus.SplitSalt), col("component_id").cast("string"))) % 1000
+      nearDupComponents(s, d)
+        .withColumn("split",
+          when(k < 800, "train").when(k < 900, "validation")
+            .otherwise("test"))
+        .orderBy("doc_id")
     }
   )
 
@@ -177,6 +194,14 @@ object Components {
          |    count(*) OVER (PARTITION BY cc.component_id) AS n_docs
          |  FROM cc JOIN qual q USING (doc_id))
          |SELECT component_id, doc_id AS keep_doc_id, n_docs, quality_score
-         |FROM ranked WHERE rn = 1 ORDER BY component_id""".stripMargin
+         |FROM ranked WHERE rn = 1 ORDER BY component_id""".stripMargin,
+
+    "corpus_split_component" ->
+      s"""WITH RECURSIVE $ccCtes
+         |SELECT doc_id, component_id,
+         |  CASE WHEN ${TextHash.h60Sql(s"'${Corpus.SplitSalt}' || CAST(component_id AS VARCHAR)")} % 1000 < 800 THEN 'train'
+         |       WHEN ${TextHash.h60Sql(s"'${Corpus.SplitSalt}' || CAST(component_id AS VARCHAR)")} % 1000 < 900 THEN 'validation'
+         |       ELSE 'test' END AS split
+         |FROM cc ORDER BY doc_id""".stripMargin
   )
 }

@@ -483,6 +483,29 @@ object Corpus {
         .orderBy("doc_id")
     },
 
+    // Split-leakage audit: every near-duplicate pair annotated with the
+    // train/val/test assignment of BOTH sides — a pair straddling the
+    // boundary means eval data leaks into training through a near-copy.
+    // The pair relation is the (tiny vs corpus) minhash-LSH output; split
+    // assignment is a pure per-row hash, so the two annotation joins
+    // broadcast. This is the audit a random split ALWAYS fails somewhere
+    // at corpus scale — the fix being cluster-level splitting
+    // (dedup_components as the split key), which this query quantifies
+    // the need for.
+    "split_leakage" -> { (s, d) =>
+      val k = h60(concat(lit(SplitSalt), col("doc_id").cast("string"))) % 1000
+      val sp = documents(s, d).select(col("doc_id"),
+        when(k < 800, "train").when(k < 900, "validation")
+          .otherwise("test").as("split"))
+      Dedup.minhashPairs(s, d)
+        .join(sp.as("pa"), col("doc_a") === col("pa.doc_id"))
+        .join(sp.as("pb"), col("doc_b") === col("pb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          col("pa.split").as("split_a"), col("pb.split").as("split_b"),
+          (col("pa.split") =!= col("pb.split")).cast("int").as("leaks"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     // Exact heavy hitters: top-20 tokens by corpus frequency with corpus
     // share. Token counts are vocab-sized after the map-side combine; the
     // 1-row total is broadcast back.
@@ -693,6 +716,20 @@ object Corpus {
          |  CASE WHEN k < 800 THEN 'train' WHEN k < 900 THEN 'validation'
          |       ELSE 'test' END AS split
          |FROM k ORDER BY doc_id""".stripMargin,
+
+    "split_leakage" ->
+      s"""${Dedup.sigSqlCte},
+         |pairs AS (${Dedup.minhashPairsSqlSelect}),
+         |sp AS (SELECT doc_id,
+         |  CASE WHEN ${h60Sql(s"'$SplitSalt' || CAST(doc_id AS VARCHAR)")} % 1000 < 800 THEN 'train'
+         |       WHEN ${h60Sql(s"'$SplitSalt' || CAST(doc_id AS VARCHAR)")} % 1000 < 900 THEN 'validation'
+         |       ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT doc_a, doc_b, pa.split AS split_a, pb.split AS split_b,
+         |  CAST(pa.split <> pb.split AS INTEGER) AS leaks
+         |FROM pairs JOIN sp pa ON doc_a = pa.doc_id
+         |  JOIN sp pb ON doc_b = pb.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "tokens_heavy_hitters" ->
       s"""WITH tok AS (SELECT unnest(${toksSql("text")}) AS term FROM documents),

@@ -51,6 +51,13 @@ object Graph {
     */
   val Iters = 10
 
+  /** k-core threshold and peeling rounds — both fixed so the oracle can
+    * unroll the identical computation. The spec proves 8 rounds reach the
+    * fixpoint on the fixture (every surviving degree >= k).
+    */
+  val CoreK = 3
+  val CoreRounds = 8
+
   /** Undirected token co-occurrence edges (adjacent-token pairs, both
     * directions), weight = number of adjacencies in the corpus. Self-loops
     * (repeated tokens) dropped. One corpus-sized shuffle on doc_id for the
@@ -163,6 +170,63 @@ object Graph {
         .groupBy("node").agg(count(lit(1)).as("n_tri"))
         .orderBy(desc("n_tri"), asc("node"))
         .limit(20)
+    },
+
+    // The same census through DEGREE-ORDERED orientation — the plan that
+    // survives 100 TB. src<dst orientation lets a hub keep its full
+    // fan-out on one side of the first join; orienting low-degree →
+    // high-degree (ties by name) bounds every node's out-degree by
+    // O(sqrt(edges)), which caps the e1⋈e2 wedge explosion — the standard
+    // scalable triangle count. Orientation choice cannot change the
+    // census, and the identical output row (vs graph_triangles) proves it.
+    "graph_triangles_by_degree" -> { (s, d) =>
+      val und = cooccurEdges(documents(s, d).select("doc_id", "text"))
+      val deg = und.groupBy("src").agg(count(lit(1)).as("dg"))
+        .select(col("src").as("v"), col("dg"))
+      val eo = und.join(deg.as("da"), col("src") === col("da.v"))
+        .join(deg.as("db"), col("dst") === col("db.v"))
+        .where(col("da.dg") < col("db.dg") ||
+          (col("da.dg") === col("db.dg") && col("src") < col("dst")))
+        .select("src", "dst").persist()
+      val tri = eo.as("e1")
+        .join(eo.as("e2"), col("e1.dst") === col("e2.src"))
+        .join(eo.as("e3"),
+          col("e1.src") === col("e3.src") && col("e2.dst") === col("e3.dst"))
+      val nTri = tri.agg(count(lit(1)).as("n_triangles"))
+      val nEdges = eo.agg(count(lit(1)).as("n_edges"))
+      val nNodes = und.select(col("src").as("n")).distinct()
+        .agg(count(lit(1)).as("n_nodes"))
+      val wedges = und.groupBy("src").agg(count(lit(1)).as("deg"))
+        .agg(expr("sum(deg * (deg - 1) DIV 2)").cast("long").as("n_wedges"))
+      nNodes.crossJoin(broadcast(nEdges)).crossJoin(broadcast(nTri))
+        .crossJoin(broadcast(wedges))
+        .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+          col("n_wedges"),
+          round(lit(3.0) * col("n_triangles").cast("double")
+            / col("n_wedges").cast("double"), 6).as("clustering_coeff"))
+    },
+
+    // k-core decomposition (k = CoreK) by iterative peeling: drop nodes
+    // with degree < k, recompute degrees on the induced subgraph, repeat.
+    // Every round is vocab-sized (degree agg + two semi-shaped joins that
+    // AQE broadcasts); the edge set only ever SHRINKS, and localCheckpoint
+    // per round keeps the plan linear — same discipline as the
+    // connected-components loop (Components.scala). Fixed CoreRounds so
+    // the DuckDB oracle unrolls the identical peel; output is the
+    // surviving nodes with their within-core degree.
+    "graph_kcore" -> { (s, d) =>
+      var e = cooccurEdges(documents(s, d).select("doc_id", "text"))
+        .select("src", "dst")
+      for (_ <- 1 to CoreRounds) {
+        val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
+          .where(col("deg") >= CoreK).select(col("src").as("v"))
+        e = e.join(keep.as("ka"), col("src") === col("ka.v"))
+          .join(keep.as("kb"), col("dst") === col("kb.v"))
+          .select("src", "dst").localCheckpoint()
+      }
+      e.groupBy("src").agg(count(lit(1)).as("core_degree"))
+        .select(col("src").as("node"), col("core_degree"))
+        .orderBy(desc("core_degree"), asc("node"))
     }
   )
 
@@ -227,6 +291,42 @@ object Graph {
          |corners AS (SELECT a AS node FROM tri UNION ALL
          |  SELECT b FROM tri UNION ALL SELECT c FROM tri)
          |SELECT node, count(*) AS n_tri FROM corners
-         |GROUP BY node ORDER BY n_tri DESC, node LIMIT 20""".stripMargin
+         |GROUP BY node ORDER BY n_tri DESC, node LIMIT 20""".stripMargin,
+
+    "graph_triangles_by_degree" ->
+      s"""WITH $graphCtes,
+         |deg AS (SELECT src AS v, count(*) AS dg FROM edges GROUP BY src),
+         |eo AS (SELECT e.src, e.dst FROM edges e
+         |  JOIN deg da ON e.src = da.v JOIN deg db ON e.dst = db.v
+         |  WHERE da.dg < db.dg OR (da.dg = db.dg AND e.src < e.dst)),
+         |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+         |  FROM eo e1 JOIN eo e2 ON e1.dst = e2.src
+         |    JOIN eo e3 ON e1.src = e3.src AND e2.dst = e3.dst),
+         |nt AS (SELECT count(*) AS n_triangles FROM tri),
+         |ne AS (SELECT count(*) AS n_edges FROM eo),
+         |nn AS (SELECT count(DISTINCT src) AS n_nodes FROM edges),
+         |wg AS (SELECT CAST(sum(deg*(deg-1)//2) AS BIGINT) AS n_wedges
+         |  FROM (SELECT count(*) AS deg FROM edges GROUP BY src))
+         |SELECT n_nodes, n_edges, n_triangles, n_wedges,
+         |  round(3.0*CAST(n_triangles AS DOUBLE)/CAST(n_wedges AS DOUBLE), 6)
+         |    AS clustering_coeff
+         |FROM nn CROSS JOIN ne CROSS JOIN nt CROSS JOIN wg""".stripMargin,
+
+    // MATERIALIZED is load-bearing: e_i is referenced by k_{i+1} and
+    // e_{i+1} (and k_i twice by e_i) — inlined, the expansion grows 3^R
+    // and the oracle never finishes.
+    "graph_kcore" -> {
+      val peel = (1 to CoreRounds).map { i =>
+        s""",
+           |k$i AS MATERIALIZED (SELECT src AS v FROM e${i - 1} GROUP BY src
+           |  HAVING count(*) >= $CoreK),
+           |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
+           |  JOIN k$i a ON e.src = a.v JOIN k$i b ON e.dst = b.v)""".stripMargin
+      }.mkString
+      s"""WITH $graphCtes,
+         |e0 AS MATERIALIZED (SELECT src, dst FROM edges)$peel
+         |SELECT src AS node, count(*) AS core_degree FROM e$CoreRounds
+         |GROUP BY src ORDER BY core_degree DESC, node""".stripMargin
+    }
   )
 }

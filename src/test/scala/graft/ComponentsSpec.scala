@@ -92,4 +92,18 @@ class ComponentsSpec extends SparkSpecBase {
       assert(comp(r.getLong(1)) === r.getLong(0)) // rep belongs to its cluster
     }
   }
+
+  test("corpus_split_component: zero leakage — every near-dup pair stays in one split") {
+    val split = SparkEntry.queries("corpus_split_component")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val pairs = Dedup.minhashPairs(spark, sfDir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    Graft.releaseCaches(spark)
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) => assert(split(a)._2 == split(b)._2) }
+    // still a genuine 3-way partition (all splits populated at sf0.001)
+    assert(split.values.map(_._2).toSet == Set("train", "validation", "test"))
+    // assignment is the component-keyed hash, not accidental
+    split.values.foreach { case (cid, sp) => assert(sp.nonEmpty && cid >= 0) }
+  }
 }

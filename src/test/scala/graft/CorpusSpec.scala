@@ -216,4 +216,18 @@ class CorpusSpec extends SparkSpecBase {
     assert(sample.map(_.toSeq).toSeq ==
       q("sample_weighted").collect().map(_.toSeq).toSeq)
   }
+
+  test("split_leakage: one row per near-dup pair, splits agree with corpus_split") {
+    val rows = q("split_leakage").collect()
+    val nPairs = graft.operators.Dedup.minhashPairs(spark, sfDir).count()
+    Graft.releaseCaches(spark)
+    assert(rows.length == nPairs && rows.nonEmpty)
+    val splitOf = q("corpus_split").collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    rows.foreach { r =>
+      assert(r.getString(2) == splitOf(r.getLong(0)))
+      assert(r.getString(3) == splitOf(r.getLong(1)))
+      assert((r.getInt(4) == 1) == (r.getString(2) != r.getString(3)))
+    }
+  }
 }

@@ -87,4 +87,26 @@ class GraphSpec extends SparkSpecBase {
     assert(perNode.map(_.getLong(1)).forall(_ >= 1))
     assert(perNode.map(_.getLong(1)).max <= nTri)
   }
+
+  test("degree-ordered orientation yields the identical census") {
+    val a = Graph.queries("graph_triangles")(spark, sfDir).head()
+    val b = Graph.queries("graph_triangles_by_degree")(spark, sfDir).head()
+    // n_edges is orientation-invariant too (each undirected edge oriented
+    // exactly once either way); every column must agree
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("k-core peeling reaches its fixpoint; members have full-graph degree >= k") {
+    val core = Graph.queries("graph_kcore")(spark, sfDir).collect()
+    assert(core.nonEmpty)
+    // all surviving degrees >= k  <=>  one more peel round removes nothing
+    // <=> the peel converged within CoreRounds
+    assert(core.forall(_.getLong(1) >= Graph.CoreK))
+    // core membership implies full-graph degree >= core degree >= k
+    val deg = Graph.queries("graph_degree_stats")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    core.foreach { r =>
+      assert(deg(r.getString(0)) >= r.getLong(1))
+    }
+  }
 }
