@@ -34,27 +34,7 @@ object Drift {
     // KL(source ‖ corpus). Terms with p=0 contribute exactly 0 to KL, so
     // summing over the source's OBSERVED tokens (where q>0 always — a
     // source's vocabulary is a subset of the corpus's) needs no smoothing.
-    "drift_source_kl" -> { (s, d) =>
-      val st = srcTok(s, d)
-      val bySrc = st.groupBy("source")
-        .agg(sum("c").as("n_src"), count(lit(1)).as("v_src"))
-      val byTok = st.groupBy("tok").agg(sum("c").as("c_tot"))
-      val tot = byTok.agg(sum("c_tot").as("n_tot"))
-      val p = col("c").cast("double") / col("n_src").cast("double")
-      val q = col("c_tot").cast("double") / col("n_tot").cast("double")
-      st.join(byTok, "tok")
-        .join(bySrc, "source")
-        .crossJoin(broadcast(tot))
-        .select(col("source"), col("n_src"), col("v_src"),
-          round(p * log(p / q) * Fix).cast("long").as("klc"),
-          round(-p * log(p) * Fix).cast("long").as("ec"))
-        .groupBy("source")
-        .agg(first(col("n_src")).as("n_tokens"),
-          first(col("v_src")).as("distinct_tokens"),
-          round(sum(col("ec")).cast("double") / Fix, 6).as("entropy"),
-          round(sum(col("klc")).cast("double") / Fix, 6).as("kl_vs_corpus"))
-        .orderBy("source")
-    },
+    "drift_source_kl" -> { (s, d) => sourceKl(srcTok(s, d)) },
 
     // Pearson chi² independence test on the source×lang contingency table.
     // The expected-count grid is margins × margins (a broadcast of two
@@ -78,6 +58,34 @@ object Drift {
           round(sum(col("cc")).cast("double") / Fix, 6).as("chi2"))
     }
   )
+
+  /** KL/entropy finisher over any (source, tok, c) count relation — shared
+    * verbatim by the batch query and the streaming drift monitor
+    * (StreamingOps.driftTokenCounts feeds the micro-batch-accumulated
+    * counts through this exact plan, so stream == batch is by
+    * construction, proven in StreamingSpec). Everything here is vocab- or
+    * margins-sized.
+    */
+  def sourceKl(st: DataFrame): DataFrame = {
+      val bySrc = st.groupBy("source")
+        .agg(sum("c").as("n_src"), count(lit(1)).as("v_src"))
+      val byTok = st.groupBy("tok").agg(sum("c").as("c_tot"))
+      val tot = byTok.agg(sum("c_tot").as("n_tot"))
+      val p = col("c").cast("double") / col("n_src").cast("double")
+      val q = col("c_tot").cast("double") / col("n_tot").cast("double")
+      st.join(byTok, "tok")
+        .join(bySrc, "source")
+        .crossJoin(broadcast(tot))
+        .select(col("source"), col("n_src"), col("v_src"),
+          round(p * log(p / q) * Fix).cast("long").as("klc"),
+          round(-p * log(p) * Fix).cast("long").as("ec"))
+        .groupBy("source")
+        .agg(first(col("n_src")).as("n_tokens"),
+          first(col("v_src")).as("distinct_tokens"),
+          round(sum(col("ec")).cast("double") / Fix, 6).as("entropy"),
+          round(sum(col("klc")).cast("double") / Fix, 6).as("kl_vs_corpus"))
+        .orderBy("source")
+  }
 
   val oracles: Map[String, String] = Map(
     "drift_source_kl" ->

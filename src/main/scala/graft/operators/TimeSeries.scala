@@ -119,6 +119,35 @@ object TimeSeries {
         .orderBy("user_id", "day")
         .select(col("user_id"), col("day").cast("string").as("day"),
           col("n_events"), col("open"), col("high"), col("low"), col("close"))
+    },
+
+    // Half-life-decayed activity score per user — the recency weighting a
+    // freshness-aware sampler or engagement ranker uses. One map-side-
+    // combined groupBy on user_id; the anchor date is a 1-row broadcast.
+    // Exactness trick: with a 1-day half-life the weight is 2^-age — an
+    // EXACT power of two built by integer shift (never pow(), whose libm
+    // could differ), scaled to 1e12 fixed point by one IEEE division
+    // (exact exponent shift) and summed as longs. Ages > 62 would
+    // overflow the shift and contribute < 2^-62 ≈ 0 anyway — clamped to
+    // 0 in both engines. Long-sum headroom: 1e12 × n_events(user); at
+    // real scale bump Fix down or pre-aggregate per (user, day) first
+    // (day-grain counts × one weight per day).
+    "ts_decay_scores" -> { (s, d) =>
+      val ev = events(s, d)
+      val mx = ev.agg(max(to_date(col("ts"))).as("mxd"))
+      ev.select(col("user_id"), to_date(col("ts")).as("dt"))
+        .crossJoin(broadcast(mx))
+        .withColumn("age", datediff(col("mxd"), col("dt")))
+        .withColumn("dc",
+          when(col("age") <= 62,
+            round(lit(1e12) / expr("shiftleft(CAST(1 AS BIGINT), age)"))
+              .cast("long"))
+            .otherwise(lit(0L)))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("dc")).cast("double") / 1e12, 6).as("decayed_score"),
+          min("age").cast("int").as("last_seen_days"))
+        .orderBy(desc("decayed_score"), asc("user_id"))
     }
   )
 
@@ -177,6 +206,21 @@ object TimeSeries {
         |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
         |  max(value) AS high, min(value) AS low,
         |  max(CASE WHEN rn_d = 1 THEN value END) AS close
-        |FROM e GROUP BY user_id, day ORDER BY user_id, day""".stripMargin
+        |FROM e GROUP BY user_id, day ORDER BY user_id, day""".stripMargin,
+
+    "ts_decay_scores" ->
+      """WITH mx AS (SELECT max(ts::DATE) AS mxd FROM events),
+        |a AS (SELECT user_id, date_diff('day', ts::DATE, mxd) AS age
+        |  FROM events CROSS JOIN mx),
+        |t AS (SELECT user_id, age,
+        |    CASE WHEN age <= 62
+        |      THEN CAST(round(1e12 / (CAST(1 AS BIGINT) << age)) AS BIGINT)
+        |      ELSE CAST(0 AS BIGINT) END AS dc
+        |  FROM a)
+        |SELECT user_id, count(*) AS n_events,
+        |  round(CAST(sum(dc) AS DOUBLE) / 1e12, 6) AS decayed_score,
+        |  CAST(min(age) AS INTEGER) AS last_seen_days
+        |FROM t GROUP BY user_id
+        |ORDER BY decayed_score DESC, user_id""".stripMargin
   )
 }

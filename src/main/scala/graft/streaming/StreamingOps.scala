@@ -369,6 +369,23 @@ object StreamingOps {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("win_start"), col("term"), col("cnt"))
 
+  /** Streaming drift monitor, phase 1: running per-(source, token) counts
+    * as an unwindowed streaming aggregation in Complete output mode — the
+    * state is the (sources × vocabulary) tally, already aggregated,
+    * bounded by vocabulary size, never raw tokens. Phase 2 runs in
+    * foreachBatch: feed each emitted tally through Drift.sourceKl — the
+    * EXACT plan the batch drift_source_kl query uses — so after any
+    * micro-batch the monitor's KL/entropy table equals the batch answer
+    * over everything ingested so far, bit-for-bit (fixed-point sums; no
+    * order dependence). StreamingSpec proves it on the fixture under
+    * uneven batch splits.
+    */
+  def driftTokenCounts(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), explode(graft.operators.TextHash.toks(col("text"))).as("tok"))
+      .groupBy("source", "tok")
+      .agg(count(lit(1)).as("c"))
+
   /** Phase 2, applied per micro-batch (foreachBatch): top-k terms per
     * closed window. Because append mode delivers each window atomically,
     * per-batch top-k equals global per-window top-k. The row_number filter

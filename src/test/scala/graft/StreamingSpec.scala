@@ -587,6 +587,37 @@ class StreamingSpec extends SparkSpecBase {
     assert(acc.toSeq == batchSketch)
   }
 
+  test("streaming drift monitor equals the oracled drift_source_kl after the final batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val docs = Tables.documents(s, sfDir).select("source", "text")
+      .as[(String, String)].collect()
+    val batchAnswer = graft.operators.Drift.queries("drift_source_kl")(s, sfDir)
+      .collect().map(_.toSeq).toSeq
+
+    val in = MemoryStream[(String, String)]
+    var last: Seq[Seq[Any]] = Nil
+    val q = StreamingOps.driftTokenCounts(in.toDF.toDF("source", "text"))
+      .writeStream
+      .outputMode(OutputMode.Complete)
+      .foreachBatch { (counts: org.apache.spark.sql.DataFrame, _: Long) =>
+        last = graft.operators.Drift.sourceKl(counts).collect().map(_.toSeq).toSeq
+      }
+      .start()
+    try {
+      // three uneven micro-batches — the tally in Complete mode must make
+      // the final KL independent of how the stream was chopped
+      in.addData(docs.take(13).toSeq); q.processAllAvailable()
+      val mid = last
+      in.addData(docs.slice(13, 200).toSeq); q.processAllAvailable()
+      in.addData(docs.drop(200).toSeq); q.processAllAvailable()
+      assert(last == batchAnswer)
+      // and the mid-stream snapshot was a genuine prefix answer, not empty
+      assert(mid.nonEmpty && mid != batchAnswer)
+    } finally q.stop()
+  }
+
   test("textStatsStream applies the batch stats transform to a stream") {
     val s = spark
     import s.implicits._

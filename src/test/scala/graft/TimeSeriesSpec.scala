@@ -61,4 +61,22 @@ class TimeSeriesSpec extends SparkSpecBase {
       assert(v < q1 - 1.5 * (q3 - q1) + 1e-5 || v > q3 + 1.5 * (q3 - q1) - 1e-5)
     }
   }
+
+  test("ts_decay_scores: bounded by event count and newest-event weight, deterministic") {
+    val rows = TimeSeries.queries("ts_decay_scores")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, score, lastSeen) = (r.getLong(1), r.getDouble(2), r.getInt(3))
+      // each weight ≤ 1 ⇒ score ≤ n; newest event alone contributes 2^-lastSeen
+      assert(score <= n.toDouble + 1e-9)
+      assert(score >= math.pow(2.0, -lastSeen.toDouble.min(62)) - 1e-6,
+        s"score $score below newest-event weight for last_seen=$lastSeen")
+      assert(lastSeen >= 0)
+    }
+    // ranking is by score descending
+    val ss = rows.map(_.getDouble(2))
+    assert(ss.zip(ss.tail).forall { case (a, b) => a >= b })
+    assert(rows.map(_.toSeq).toSeq ==
+      TimeSeries.queries("ts_decay_scores")(spark, sfDir).collect().map(_.toSeq).toSeq)
+  }
 }
