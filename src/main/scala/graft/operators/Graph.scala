@@ -130,7 +130,10 @@ object Graph {
     // = Σ deg·(deg−1)/2 in exact longs; the coefficient is the only
     // division.
     "graph_triangles" -> { (s, d) =>
-      val und = cooccurEdges(documents(s, d).select("doc_id", "text"))
+      // persist: und feeds the oriented edges AND the node/wedge censuses —
+      // unpersisted, the corpus-sized edge construction runs 3x (caller
+      // releases via Graft.releaseCaches, library-wide contract)
+      val und = cooccurEdges(documents(s, d).select("doc_id", "text")).persist()
       val e = und.where(col("src") < col("dst")).select("src", "dst").persist()
       val tri = e.as("e1")
         .join(e.as("e2"), col("e1.dst") === col("e2.src"))
@@ -180,7 +183,9 @@ object Graph {
     // scalable triangle count. Orientation choice cannot change the
     // census, and the identical output row (vs graph_triangles) proves it.
     "graph_triangles_by_degree" -> { (s, d) =>
-      val und = cooccurEdges(documents(s, d).select("doc_id", "text"))
+      // persist: und feeds the degree table, the oriented edges, and the
+      // node/wedge censuses — 4 consumers (see graph_triangles note)
+      val und = cooccurEdges(documents(s, d).select("doc_id", "text")).persist()
       val deg = und.groupBy("src").agg(count(lit(1)).as("dg"))
         .select(col("src").as("v"), col("dg"))
       val eo = und.join(deg.as("da"), col("src") === col("da.v"))
