@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -80,6 +81,51 @@ object Behavior {
         .select(col("cohort").cast("string").as("cohort"),
           col("offset_days").cast("int").as("offset_days"), col("n_users"))
         .orderBy("cohort", "offset_days")
+    },
+
+    // Rolling engagement: per-day DAU, trailing-7-day WAU, and the
+    // DAU/WAU stickiness ratio. The rolling distinct is NOT a sliding
+    // window over raw events (count distinct doesn't slide): each active
+    // (day, user) is exploded into the 7 days it keeps the user "weekly
+    // active" for, then deduped — two (day,user)-sized shuffles, corpus
+    // touched once. Trailing days past the observation end are clipped by
+    // the dau join (only observed days report).
+    "rolling_dau_wau" -> { (s, d) =>
+      val act = events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val dau = act.groupBy("day").agg(count(lit(1)).as("dau"))
+      val wau = act
+        .select(explode(sequence(col("day"), date_add(col("day"), 6)))
+          .as("day"), col("user_id"))
+        .distinct()
+        .groupBy("day").agg(count(lit(1)).as("wau"))
+      dau.join(wau, "day")
+        .select(col("day").cast("string").as("day"), col("dau"), col("wau"),
+          round(col("dau").cast("double") / col("wau").cast("double"), 6)
+            .as("stickiness"))
+        .orderBy("day")
+    },
+
+    // Inter-arrival gap distribution per event type: consecutive same-user
+    // same-type gaps via one lag window (shuffle on user_id), quantiles
+    // over exact epoch-micros longs (interpolation is then a deterministic
+    // double op — same contract as q_percentile_cont).
+    "ts_interarrival" -> { (s, d) =>
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("us"), col("event_id"))
+      events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("gap_us", col("us") - lag("us", 1).over(w))
+        .where(col("gap_us").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          round(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY gap_us)") / 1e6, 6)
+            .as("median_gap_s"),
+          round(expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY gap_us)") / 1e6, 6)
+            .as("p90_gap_s"),
+          round(max(col("gap_us")).cast("double") / 1e6, 6).as("max_gap_s"))
+        .orderBy("event_type")
     }
   )
 
@@ -117,6 +163,28 @@ object Behavior {
         |  CAST(date_diff('day', cohort, day) AS INTEGER) AS offset_days,
         |  count(*) AS n_users
         |FROM act JOIN f USING (user_id)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "rolling_dau_wau" ->
+      """WITH act AS (SELECT DISTINCT ts::DATE AS day, user_id FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM act GROUP BY day),
+        |ex AS (SELECT DISTINCT day + CAST(i AS INTEGER) AS day, user_id
+        |  FROM act CROSS JOIN (SELECT unnest(range(0, 7)) AS i)),
+        |wau AS (SELECT day, count(*) AS wau FROM ex GROUP BY day)
+        |SELECT CAST(d.day AS VARCHAR) AS day, d.dau, w.wau,
+        |  round(CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE), 6) AS stickiness
+        |FROM dau d JOIN wau w ON d.day = w.day ORDER BY day""".stripMargin,
+
+    "ts_interarrival" ->
+      """WITH g AS (SELECT user_id, event_type, epoch_us(ts)
+        |    - lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+        |        ORDER BY ts, event_id) AS gap_us
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_gaps,
+        |  round(quantile_cont(gap_us, 0.5) / 1e6, 6) AS median_gap_s,
+        |  round(quantile_cont(gap_us, 0.9) / 1e6, 6) AS p90_gap_s,
+        |  round(CAST(max(gap_us) AS DOUBLE) / 1e6, 6) AS max_gap_s
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -431,6 +431,22 @@ object SqlFunctions {
         .orderBy("l_returnflag")
     },
 
+    // Bitwise/boolean aggregate battery — bit_and/or/xor fold exactly on
+    // integers (associative, order-free); bool_and/bool_or on exact
+    // integer/decimal predicates.
+    "q_bitwise_aggs" -> { (s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          expr("bit_and(l_linenumber)").as("ba"),
+          expr("bit_or(l_linenumber)").as("bo"),
+          expr("bit_xor(l_linenumber)").as("bx"),
+          expr("bit_xor(l_orderkey)").as("bxk"),
+          expr("bool_and(l_quantity >= 1)").as("all_qty_pos"),
+          expr("bool_or(l_discount > 0.09)").as("any_deep_discount"))
+        .orderBy("l_returnflag")
+    },
+
     // WITH RECURSIVE: a 12-month spine left-joined to per-month order
     // counts (zero-filled) — iteration expressed declaratively, no driver
     // loop.
@@ -872,6 +888,16 @@ object SqlFunctions {
         |  (syd - (cov_n / varx_n) * sxd) / nd AS intercept,
         |  cov_n * cov_n / (varx_n * vary_n) AS r2
         |FROM terms ORDER BY l_returnflag""".stripMargin,
+
+    "q_bitwise_aggs" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(bit_and(l_linenumber) AS INTEGER) AS ba,
+        |  CAST(bit_or(l_linenumber) AS INTEGER) AS bo,
+        |  CAST(bit_xor(l_linenumber) AS INTEGER) AS bx,
+        |  CAST(bit_xor(l_orderkey) AS BIGINT) AS bxk,
+        |  bool_and(l_quantity >= 1) AS all_qty_pos,
+        |  bool_or(l_discount > 0.09) AS any_deep_discount
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_recursive_cte" ->
       """WITH RECURSIVE m(mo) AS (

@@ -52,4 +52,43 @@ class BehaviorSpec extends SparkSpecBase {
     assert(ret.agg(sum("n_users")).head.getLong(0) == distinctActive)
     ret.unpersist()
   }
+
+  test("rolling_dau_wau: wau bounds dau, stickiness in (0,1], day-1 wau equals dau") {
+    val rows = graft.operators.Behavior.queries("rolling_dau_wau")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val byDay = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    rows.foreach { r =>
+      val (dau, wau, st) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(dau >= 1 && wau >= dau, s"wau $wau < dau $dau on ${r.getString(0)}")
+      assert(st > 0.0 && st <= 1.0)
+    }
+    // the first observed day's trailing week contains only itself
+    val firstDay = rows.map(_.getString(0)).min
+    assert(byDay(firstDay)._2 == byDay(firstDay)._1,
+      "first day's WAU must equal its DAU")
+  }
+
+  test("ts_interarrival: ordered quantiles, gap counts reconcile with event counts") {
+    val rows = graft.operators.Behavior.queries("ts_interarrival")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, med, p90, mx) =
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(n > 0 && med > 0 && med <= p90 && p90 <= mx)
+    }
+    // n_gaps per type = n_events(type) - n_(user,type) groups
+    val ev = Tables.events(spark, sfDir)
+    val perType = ev.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val groups = ev.select("user_id", "event_type").distinct()
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val t = r.getString(0)
+      assert(r.getLong(1) == perType(t) - groups(t))
+    }
+  }
 }
