@@ -301,4 +301,29 @@ class PlanSpec extends SparkSpecBase {
     val scan = df.queryExecution.executedPlan.toString
     assert(scan.contains("PartitionFilters"), scan)
   }
+
+  test("split_leakage: LSH-banded candidates only — never an all-pairs join") {
+    val p = plan("split_leakage")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs leak:\n$p")
+  }
+
+  test("graph_triangles: oriented-edge equi-joins, no cartesian") {
+    // the 1-row census columns legitimately assemble via broadcast
+    // nested-loop crossJoins (same shape as q_histogram's bounds row);
+    // the property under test is that the TRIANGLE joins hash — the plan
+    // must contain equi-joins and no CartesianProduct
+    val p = plan("graph_triangles_by_degree")
+    assert(!p.contains("CartesianProduct"), s"all-pairs leak:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi-join in triangle plan:\n$p")
+  }
+
+  test("ts_decay_scores: anchor-date row broadcasts; events never shuffle to meet it") {
+    val p = plan("ts_decay_scores")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"anchor not broadcast:\n$p")
+    // the per-user rollup is map-side combined
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
 }
