@@ -211,6 +211,35 @@ object Graph {
             / col("n_wedges").cast("double"), 6).as("clustering_coeff"))
     },
 
+    // Per-node (local) clustering coefficient: triangles at the node over
+    // its wedge count deg·(deg−1)/2 — the density ranking that separates
+    // clique-embedded tokens from hub tokens. Same oriented triangle join;
+    // exact integer numerator/denominator, one rounded division per row.
+    "graph_local_clustering" -> { (s, d) =>
+      val und = cooccurEdges(documents(s, d).select("doc_id", "text")).persist()
+      val e = und.where(col("src") < col("dst")).select("src", "dst").persist()
+      val tri = e.as("e1")
+        .join(e.as("e2"), col("e1.dst") === col("e2.src"))
+        .join(e.as("e3"),
+          col("e1.src") === col("e3.src") && col("e2.dst") === col("e3.dst"))
+        .select(col("e1.src").as("a"), col("e1.dst").as("b"),
+          col("e2.dst").as("c"))
+      val perNode = tri.select(col("a").as("node"))
+        .union(tri.select(col("b").as("node")))
+        .union(tri.select(col("c").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("n_tri"))
+      und.groupBy("src").agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= 2)
+        .join(perNode, col("src") === col("node"), "left")
+        .select(col("src").as("node"), col("deg"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+          round(coalesce(col("n_tri"), lit(0L)).cast("double") /
+            (col("deg") * (col("deg") - 1) / 2).cast("double"), 6)
+            .as("local_cc"))
+        .orderBy(desc("local_cc"), asc("node"))
+        .limit(20)
+    },
+
     // k-core decomposition (k = CoreK) by iterative peeling: drop nodes
     // with degree < k, recompute degrees on the induced subgraph, repeat.
     // Every round is vocab-sized (degree agg + two semi-shaped joins that
@@ -316,6 +345,24 @@ object Graph {
          |  round(3.0*CAST(n_triangles AS DOUBLE)/CAST(n_wedges AS DOUBLE), 6)
          |    AS clustering_coeff
          |FROM nn CROSS JOIN ne CROSS JOIN nt CROSS JOIN wg""".stripMargin,
+
+    "graph_local_clustering" ->
+      s"""WITH $graphCtes,
+         |e AS (SELECT src, dst FROM edges WHERE src < dst),
+         |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+         |  FROM e e1 JOIN e e2 ON e1.dst = e2.src
+         |    JOIN e e3 ON e1.src = e3.src AND e2.dst = e3.dst),
+         |corners AS (SELECT a AS node FROM tri UNION ALL
+         |  SELECT b FROM tri UNION ALL SELECT c FROM tri),
+         |pn AS (SELECT node, count(*) AS n_tri FROM corners GROUP BY node),
+         |dg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)
+         |SELECT dg.src AS node, dg.deg,
+         |  COALESCE(pn.n_tri, 0) AS n_tri,
+         |  round(CAST(COALESCE(pn.n_tri, 0) AS DOUBLE)
+         |    / (dg.deg * (dg.deg - 1) / 2), 6) AS local_cc
+         |FROM dg LEFT JOIN pn ON dg.src = pn.node
+         |WHERE dg.deg >= 2
+         |ORDER BY local_cc DESC, node LIMIT 20""".stripMargin,
 
     // MATERIALIZED is load-bearing: e_i is referenced by k_{i+1} and
     // e_{i+1} (and k_i twice by e_i) — inlined, the expansion grows 3^R

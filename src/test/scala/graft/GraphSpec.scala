@@ -96,6 +96,23 @@ class GraphSpec extends SparkSpecBase {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("local clustering: coefficient in [0,1], identity against its own columns") {
+    val rows = Graph.queries("graph_local_clustering")(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val (deg, nTri, cc) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(deg >= 2)
+      val wedges = deg * (deg - 1) / 2.0
+      assert(nTri <= wedges, "triangles at a node cannot exceed its wedges")
+      val expect = BigDecimal(nTri / wedges)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(cc - expect) < 1e-9)
+      assert(cc >= 0.0 && cc <= 1.0)
+    }
+    val cs = rows.map(_.getDouble(3))
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+  }
+
   test("k-core peeling reaches its fixpoint; members have full-graph degree >= k") {
     val core = Graph.queries("graph_kcore")(spark, sfDir).collect()
     assert(core.nonEmpty)
