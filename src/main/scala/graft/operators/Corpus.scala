@@ -483,6 +483,29 @@ object Corpus {
         .orderBy("doc_id")
     },
 
+    // Eval-contamination firewall, batch face: train-split documents with
+    // at least one near-dup in the validation/test split — the docs an
+    // ingest pipeline must HOLD BACK to keep eval honest under a
+    // doc-keyed split. Composes the cross-set signature index
+    // (Dedup.minhashMatchesAgainst — band equi-join, incoming side
+    // broadcast) with the split assignment; the STREAMING face is the
+    // same index behind StreamingOps.nearDupIngest (equivalence proven in
+    // StreamingSpec). At 100 TB the eval index is tiny (eval is ~20% of
+    // docs but the INDEX is 32 longs/doc) and precomputed once.
+    "split_firewall" -> { (s, d) =>
+      val k = h60(concat(lit(SplitSalt), col("doc_id").cast("string"))) % 1000
+      val docs = documents(s, d)
+      val sp = docs.select(col("doc_id"),
+        when(k < 800, "train").when(k < 900, "validation")
+          .otherwise("test").as("split"))
+      val evalDocs = docs.join(sp.where(col("split") =!= "train"), "doc_id")
+        .select("doc_id", "text")
+      val trainDocs = docs.join(sp.where(col("split") === "train"), "doc_id")
+        .select("doc_id", "text")
+      Dedup.minhashMatchesAgainst(trainDocs, Dedup.signatureIndex(evalDocs))
+        .orderBy("doc_id")
+    },
+
     // Split-leakage audit: every near-duplicate pair annotated with the
     // train/val/test assignment of BOTH sides — a pair straddling the
     // boundary means eval data leaks into training through a near-copy.
@@ -716,6 +739,22 @@ object Corpus {
          |  CASE WHEN k < 800 THEN 'train' WHEN k < 900 THEN 'validation'
          |       ELSE 'test' END AS split
          |FROM k ORDER BY doc_id""".stripMargin,
+
+    "split_firewall" ->
+      s"""${Dedup.sigSqlCte},
+         |pairs AS (${Dedup.minhashPairsSqlSelect}),
+         |sp AS (SELECT doc_id,
+         |  CASE WHEN ${h60Sql(s"'$SplitSalt' || CAST(doc_id AS VARCHAR)")} % 1000 < 800 THEN 'train'
+         |       WHEN ${h60Sql(s"'$SplitSalt' || CAST(doc_id AS VARCHAR)")} % 1000 < 900 THEN 'validation'
+         |       ELSE 'test' END AS split
+         |  FROM documents),
+         |und AS (SELECT doc_a AS did, doc_b AS other FROM pairs
+         |        UNION ALL SELECT doc_b, doc_a FROM pairs)
+         |SELECT DISTINCT did AS doc_id
+         |FROM und JOIN sp a ON und.did = a.doc_id
+         |  JOIN sp b ON und.other = b.doc_id
+         |WHERE a.split = 'train' AND b.split <> 'train'
+         |ORDER BY doc_id""".stripMargin,
 
     "split_leakage" ->
       s"""${Dedup.sigSqlCte},

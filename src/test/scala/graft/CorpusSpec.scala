@@ -217,6 +217,19 @@ class CorpusSpec extends SparkSpecBase {
       q("sample_weighted").collect().map(_.toSeq).toSeq)
   }
 
+  test("split_firewall: exactly the train side of every cross-split near-dup pair") {
+    val fw = q("split_firewall").collect().map(_.getLong(0)).toSet
+    val expect = q("split_leakage").collect().flatMap { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val (sa, sb) = (r.getString(2), r.getString(3))
+      (if (sa == "train" && sb != "train") Seq(a) else Nil) ++
+        (if (sb == "train" && sa != "train") Seq(b) else Nil)
+    }.toSet
+    Graft.releaseCaches(spark)
+    assert(fw == expect,
+      s"extra: ${(fw -- expect).take(3)}; missing: ${(expect -- fw).take(3)}")
+  }
+
   test("split_leakage: one row per near-dup pair, splits agree with corpus_split") {
     val rows = q("split_leakage").collect()
     val nPairs = graft.operators.Dedup.minhashPairs(spark, sfDir).count()

@@ -192,6 +192,37 @@ class StreamingSpec extends SparkSpecBase {
     assert(n == survivors.size.toLong)
   }
 
+  test("split firewall at ingest: streamed train survivors exclude exactly the eval near-dups") {
+    import graft.operators.{Corpus, Dedup, TextHash}
+    val docs = Tables.documents(spark, sfDir)
+    val k = TextHash.h60(concat(lit(Corpus.SplitSalt),
+      col("doc_id").cast("string"))) % 1000
+    val sp = docs.select(col("doc_id"),
+      when(k < 800, "train").when(k < 900, "validation")
+        .otherwise("test").as("split"))
+    val trainDocs = docs.join(sp.where(col("split") === "train"), "doc_id")
+      .select("doc_id", "text")
+    val evalSigs = Dedup.signatureIndex(
+      docs.join(sp.where(col("split") =!= "train"), "doc_id")
+        .select("doc_id", "text"))
+    val trainIds = trainDocs.collect().map(_.getLong(0)).toSet
+    val flagged = SparkEntry.queries("split_firewall")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    Graft.releaseCaches(spark)
+    assert(flagged.subsetOf(trainIds))
+
+    val tmp = java.nio.file.Files.createTempDirectory("firewall").toString
+    trainDocs.repartition(3).write.parquet(s"$tmp/src")
+    val n = StreamingOps.nearDupIngest(spark, s"$tmp/src", trainDocs.schema,
+      evalSigs, s"$tmp/ck", s"$tmp/out")
+    val survivors = spark.read.parquet(s"$tmp/out/batch=*")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == (trainIds -- flagged),
+      s"extra: ${(survivors -- (trainIds -- flagged)).take(3)}; " +
+        s"missing: ${((trainIds -- flagged) -- survivors).take(3)}")
+    assert(n == survivors.size.toLong)
+  }
+
   test("funnelStream equals the oracled funnel_user_paths/funnel_stages on the full fixture") {
     // Oracle-grade signal for streaming behavioral analytics: the SAME
     // events through the stateful streaming funnel and the DuckDB-oracled
