@@ -100,6 +100,35 @@ object Graph {
     ranks
   }
 
+  /** Triangles of an oriented (each undirected edge exactly once, acyclic
+    * orientation) edge list via the two-equi-join wedge closure — each
+    * triangle appears exactly once. Property-tested against brute force
+    * on random graphs (GraphPropertySpec).
+    */
+  def orientedTriangles(e: DataFrame): DataFrame =
+    e.as("e1")
+      .join(e.as("e2"), col("e1.dst") === col("e2.src"))
+      .join(e.as("e3"),
+        col("e1.src") === col("e3.src") && col("e2.dst") === col("e3.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"),
+        col("e2.dst").as("c"))
+
+  /** The k-core edge subgraph after `rounds` peeling iterations over a
+    * BOTH-DIRECTIONS edge list (so groupBy(src) counts full degree).
+    * localCheckpoint per round keeps the plan linear.
+    */
+  def kcoreEdges(und: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = und.select("src", "dst")
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select(col("src").as("v"))
+      e = e.join(keep.as("ka"), col("src") === col("ka.v"))
+        .join(keep.as("kb"), col("dst") === col("kb.v"))
+        .select("src", "dst").localCheckpoint()
+    }
+    e
+  }
+
   // -------------------------------------------------------------- queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -135,12 +164,7 @@ object Graph {
       // releases via Graft.releaseCaches, library-wide contract)
       val und = cooccurEdges(documents(s, d).select("doc_id", "text")).persist()
       val e = und.where(col("src") < col("dst")).select("src", "dst").persist()
-      val tri = e.as("e1")
-        .join(e.as("e2"), col("e1.dst") === col("e2.src"))
-        .join(e.as("e3"),
-          col("e1.src") === col("e3.src") && col("e2.dst") === col("e3.dst"))
-        .select(col("e1.src").as("a"), col("e1.dst").as("b"),
-          col("e2.dst").as("c"))
+      val tri = orientedTriangles(e)
       val nTri = tri.agg(count(lit(1)).as("n_triangles"))
       val nEdges = e.agg(count(lit(1)).as("n_edges"))
       val nNodes = und.select(col("src").as("n")).distinct()
@@ -161,12 +185,7 @@ object Graph {
     "graph_node_triangles" -> { (s, d) =>
       val und = cooccurEdges(documents(s, d).select("doc_id", "text"))
       val e = und.where(col("src") < col("dst")).select("src", "dst").persist()
-      val tri = e.as("e1")
-        .join(e.as("e2"), col("e1.dst") === col("e2.src"))
-        .join(e.as("e3"),
-          col("e1.src") === col("e3.src") && col("e2.dst") === col("e3.dst"))
-        .select(col("e1.src").as("a"), col("e1.dst").as("b"),
-          col("e2.dst").as("c"))
+      val tri = orientedTriangles(e)
       tri.select(col("a").as("node"))
         .union(tri.select(col("b").as("node")))
         .union(tri.select(col("c").as("node")))
@@ -193,10 +212,7 @@ object Graph {
         .where(col("da.dg") < col("db.dg") ||
           (col("da.dg") === col("db.dg") && col("src") < col("dst")))
         .select("src", "dst").persist()
-      val tri = eo.as("e1")
-        .join(eo.as("e2"), col("e1.dst") === col("e2.src"))
-        .join(eo.as("e3"),
-          col("e1.src") === col("e3.src") && col("e2.dst") === col("e3.dst"))
+      val tri = orientedTriangles(eo)
       val nTri = tri.agg(count(lit(1)).as("n_triangles"))
       val nEdges = eo.agg(count(lit(1)).as("n_edges"))
       val nNodes = und.select(col("src").as("n")).distinct()
@@ -218,12 +234,7 @@ object Graph {
     "graph_local_clustering" -> { (s, d) =>
       val und = cooccurEdges(documents(s, d).select("doc_id", "text")).persist()
       val e = und.where(col("src") < col("dst")).select("src", "dst").persist()
-      val tri = e.as("e1")
-        .join(e.as("e2"), col("e1.dst") === col("e2.src"))
-        .join(e.as("e3"),
-          col("e1.src") === col("e3.src") && col("e2.dst") === col("e3.dst"))
-        .select(col("e1.src").as("a"), col("e1.dst").as("b"),
-          col("e2.dst").as("c"))
+      val tri = orientedTriangles(e)
       val perNode = tri.select(col("a").as("node"))
         .union(tri.select(col("b").as("node")))
         .union(tri.select(col("c").as("node")))
@@ -249,16 +260,9 @@ object Graph {
     // the DuckDB oracle unrolls the identical peel; output is the
     // surviving nodes with their within-core degree.
     "graph_kcore" -> { (s, d) =>
-      var e = cooccurEdges(documents(s, d).select("doc_id", "text"))
-        .select("src", "dst")
-      for (_ <- 1 to CoreRounds) {
-        val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
-          .where(col("deg") >= CoreK).select(col("src").as("v"))
-        e = e.join(keep.as("ka"), col("src") === col("ka.v"))
-          .join(keep.as("kb"), col("dst") === col("kb.v"))
-          .select("src", "dst").localCheckpoint()
-      }
-      e.groupBy("src").agg(count(lit(1)).as("core_degree"))
+      kcoreEdges(cooccurEdges(documents(s, d).select("doc_id", "text")),
+        CoreK, CoreRounds)
+        .groupBy("src").agg(count(lit(1)).as("core_degree"))
         .select(col("src").as("node"), col("core_degree"))
         .orderBy(desc("core_degree"), asc("node"))
     }
