@@ -42,6 +42,9 @@ object Graft {
     if (!optimizerHas(graft.plans.RewriteGroupTopK))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.RewriteGroupTopK
+    if (!optimizerHas(graft.plans.RewriteBandJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RewriteBandJoin
     if (!spark.sessionState.planner.strategies.contains(graft.plans.GroupTopKStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.GroupTopKStrategy

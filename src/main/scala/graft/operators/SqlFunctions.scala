@@ -299,6 +299,25 @@ object SqlFunctions {
         .orderBy("event_id")
     },
 
+    // The band join written the NAIVE way — `abs(a.us - b.us) <= 1s` with
+    // no equi key — which stock Spark can only nested-loop. The
+    // RewriteBandJoin optimizer rule (plans/GraftRules.scala) turns this
+    // exact shape into the binned equi-join automatically, so the user
+    // writes the obvious predicate and still gets the 100 TB plan
+    // (PlanSpec-locked). Near-coincident cross-user event pairs, top
+    // users by count.
+    "q_band_join_auto" -> { (s, d) =>
+      val ev = events(s, d)
+        .select(unix_micros(col("ts")).as("us"), col("user_id"))
+      ev.as("a").join(ev.as("b"),
+          abs(col("a.us") - col("b.us")) <= lit(1000000L) &&
+            col("a.user_id") < col("b.user_id"))
+        .groupBy(col("a.user_id").as("user_id"))
+        .agg(count(lit(1)).as("n_coincident"))
+        .orderBy(desc("n_coincident"), asc("user_id"))
+        .limit(20)
+    },
+
     // Higher-order-function battery: transform/filter/exists/forall/
     // zip_with/aggregate-with-finish as SURFACE coverage. Lambdas run
     // interpreted in Spark — fine on ~10^2-element token arrays; hot paths
@@ -740,6 +759,12 @@ object SqlFunctions {
         |  AND p.pts >= c.ts - INTERVAL 10 MINUTE
         |  AND p.pts <= c.ts + INTERVAL 10 MINUTE
         |GROUP BY c.event_id ORDER BY event_id""".stripMargin,
+
+    "q_band_join_auto" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us, user_id FROM events)
+        |SELECT a.user_id AS user_id, count(*) AS n_coincident
+        |FROM e a JOIN e b ON abs(a.us - b.us) <= 1000000 AND a.user_id < b.user_id
+        |GROUP BY 1 ORDER BY n_coincident DESC, user_id LIMIT 20""".stripMargin,
 
     "q_stack" ->
       """SELECT r_regionkey, attr, val FROM (

@@ -1,10 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, Cast, Expression, LambdaFunction, Literal, Multiply, NamedLambdaVariable, ZipWith}
+import org.apache.spark.sql.catalyst.expressions.{Abs, Add, Alias, ArrayAggregate, Attribute, AttributeReference, Cast, CreateArray, EqualTo, Explode, Expression, GreaterThan, GreaterThanOrEqual, IntegralDivide, LambdaFunction, LessThan, LessThanOrEqual, Literal, Multiply, NamedLambdaVariable, PredicateHelper, Subtract, ZipWith}
+import org.apache.spark.sql.catalyst.plans.logical
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 import graft.functions.DotProductD
 
@@ -78,6 +80,131 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
   }
 }
 
+/** Catalyst optimizer rule: rewrite a pure band join
+  *
+  *   L JOIN R ON abs(L.c - R.c) <= w        (or < w)
+  *
+  * — which Catalyst can only execute as a nested loop (BNLJ/cartesian:
+  * nothing to hash on; the per-pair predicate is the classic 100 TB scale
+  * killer) — into the binned equi-join [[graft.operators.Joins.rangeJoin]]
+  * builds by hand: bin both sides into width-w buckets of the band column
+  * (truncating `div`), explode the SMALLER side into {bin-1, bin, bin+1},
+  * equi-join on the bin, and re-apply the exact original predicate as a
+  * residual filter.
+  *
+  * Completeness: every bin spans >= w consecutive integers (the
+  * zero-straddling truncation bin spans 2w-1), so two values within w of
+  * each other sit at most one bin apart — for ANY longs, negative
+  * included. Each candidate pair meets exactly once (the non-exploded
+  * side keeps a single bin). The residual filter makes the rewrite
+  * value-preserving; NULL band values produce a NULL bin, which an
+  * equi-join never matches — identical to the original predicate
+  * evaluating to NULL. BandJoinSpec locks plan shape + result parity
+  * (including duplicates) against the kill-switched plan.
+  *
+  * Guards: INNER join only; the band conjunct's two sides must each
+  * reference exactly one input and be deterministic; integral types only
+  * (timestamp/double bands don't `div` exactly); fires only when the
+  * condition has NO equi conjunct (with one, Catalyst already hash-joins
+  * and the band is a cheap post-filter); literal w > 0. One documented
+  * divergence: a pair whose difference OVERFLOWS Long and wraps into
+  * [-w, w] "matches" the naive non-ANSI plan but is not generated as a
+  * candidate here (under ANSI the original query throws instead) — at
+  * band widths vs 2^63 magnitudes this needs adversarial inputs, and the
+  * kill switch `spark.graft.bandJoin.enabled` restores the naive plan.
+  */
+object RewriteBandJoin extends Rule[LogicalPlan] with PredicateHelper {
+
+  private def enabled: Boolean =
+    SQLConf.get.getConfString("spark.graft.bandJoin.enabled", "true") == "true"
+
+  /** (leftSideExpr, rightSideExpr, w) for a band conjunct between the two
+    * given plans, normalized so the first expr references `l`.
+    */
+  private def bandOf(e: Expression, l: LogicalPlan, r: LogicalPlan)
+      : Option[(Expression, Expression, Long)] = {
+    def sides(a: Expression, b: Expression): Option[(Expression, Expression)] =
+      if (a.references.subsetOf(l.outputSet) && b.references.subsetOf(r.outputSet))
+        Some((a, b))
+      else if (b.references.subsetOf(l.outputSet) && a.references.subsetOf(r.outputSet))
+        Some((b, a))
+      else None
+    def integral(x: Expression): Boolean = x.dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           IntegerType | LongType => true
+      case _ => false
+    }
+    val widthAndDiff: Option[(Long, Expression, Expression)] = e match {
+      case LessThanOrEqual(Abs(Subtract(a, b, _), _), Literal(w: Long, LongType)) =>
+        Some((w, a, b))
+      case LessThanOrEqual(Abs(Subtract(a, b, _), _), Literal(w: Int, IntegerType)) =>
+        Some((w.toLong, a, b))
+      case LessThan(Abs(Subtract(a, b, _), _), Literal(w: Long, LongType)) =>
+        Some((w, a, b))
+      case LessThan(Abs(Subtract(a, b, _), _), Literal(w: Int, IntegerType)) =>
+        Some((w.toLong, a, b))
+      case GreaterThanOrEqual(Literal(w: Long, LongType), Abs(Subtract(a, b, _), _)) =>
+        Some((w, a, b))
+      case GreaterThan(Literal(w: Long, LongType), Abs(Subtract(a, b, _), _)) =>
+        Some((w, a, b))
+      case _ => None
+    }
+    widthAndDiff.flatMap { case (w, a, b) =>
+      if (w > 0 && integral(a) && integral(b) && a.deterministic && b.deterministic)
+        sides(a, b).map { case (ls, rs) => (ls, rs, w) }
+      else None
+    }
+  }
+
+  private def hasEquiConjunct(conjuncts: Seq[Expression],
+                              l: LogicalPlan, r: LogicalPlan): Boolean =
+    conjuncts.exists {
+      case EqualTo(a, b) =>
+        (a.references.subsetOf(l.outputSet) && b.references.subsetOf(r.outputSet)) ||
+          (b.references.subsetOf(l.outputSet) && a.references.subsetOf(r.outputSet))
+      case _ => false
+    }
+
+  private def binExpr(c: Expression, w: Long): Expression =
+    IntegralDivide(Cast(c, LongType), Literal(w))
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled) return plan
+    plan.transformUp {
+      case j @ logical.Join(left, right, org.apache.spark.sql.catalyst.plans.Inner,
+          Some(cond), hint) if {
+        val cs = splitConjunctivePredicates(cond)
+        !hasEquiConjunct(cs, left, right) &&
+          cs.exists(bandOf(_, left, right).isDefined)
+      } =>
+        val conjuncts = splitConjunctivePredicates(cond)
+        val (lExpr, rExpr, w) =
+          conjuncts.flatMap(bandOf(_, left, right)).head
+        // explode the smaller side: 3 bin rows per input row there, one on
+        // the big side (sizeInBytes is the same signal AQE's broadcast
+        // decisions start from)
+        val explodeLeft = left.stats.sizeInBytes <= right.stats.sizeInBytes
+        val (expSide, expExpr, oneSide, oneExpr) =
+          if (explodeLeft) (left, lExpr, right, rExpr)
+          else (right, rExpr, left, lExpr)
+        val base = binExpr(expExpr, w)
+        val gen = Explode(CreateArray(Seq(
+          Subtract(base, Literal(1L)), base, Add(base, Literal(1L)))))
+        val binAttr = AttributeReference("_graft_band_bin", LongType)()
+        val exploded = logical.Generate(gen, unrequiredChildIndex = Nil,
+          outer = false, qualifier = None,
+          generatorOutput = Seq(binAttr), child = expSide)
+        val oneBin = Alias(binExpr(oneExpr, w), "_graft_band_bin_o")()
+        val projected = logical.Project(oneSide.output :+ oneBin, oneSide)
+        val (newL, newR) =
+          if (explodeLeft) (exploded, projected) else (projected, exploded)
+        val joined = logical.Join(newL, newR, org.apache.spark.sql.catalyst.plans.Inner,
+          Some(EqualTo(binAttr, oneBin.toAttribute)), hint)
+        logical.Project(j.output, logical.Filter(cond, joined))
+    }
+  }
+}
+
 /** SparkSessionExtensions entry point:
   *
   *   SparkSession.builder()
@@ -91,6 +218,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
     ext.injectOptimizerRule(_ => RewriteGroupTopK)
+    ext.injectOptimizerRule(_ => RewriteBandJoin)
     ext.injectPlannerStrategy(_ => GroupTopKStrategy)
   }
 }

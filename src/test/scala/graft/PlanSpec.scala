@@ -319,6 +319,13 @@ class PlanSpec extends SparkSpecBase {
       p.contains("BroadcastHashJoin"), s"no equi-join in triangle plan:\n$p")
   }
 
+  test("q_band_join_auto: the naive abs-diff join rides RewriteBandJoin into an equi-join") {
+    val p = plan("q_band_join_auto")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"band rewrite did not fire:\n$p")
+    assert(p.contains("Generate"), s"no bin explode:\n$p")
+  }
+
   test("ts_decay_scores: anchor-date row broadcasts; events never shuffle to meet it") {
     val p = plan("ts_decay_scores")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
