@@ -82,7 +82,10 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
 
 /** Catalyst optimizer rule: rewrite a pure band join
   *
-  *   L JOIN R ON abs(L.c - R.c) <= w        (or < w)
+  *   L JOIN R ON abs(L.c - R.c) <= w                 (or < w)
+  *   L JOIN R ON R.c BETWEEN L.c - w1 AND L.c + w2   (incl. asymmetric /
+  *   L JOIN R ON L.c - R.c <= w2 AND L.c - R.c >= w1  shifted windows —
+  *                                any two-sided difference constraint)
   *
   * — which Catalyst can only execute as a nested loop (BNLJ/cartesian:
   * nothing to hash on; the per-pair predicate is the classic 100 TB scale
@@ -102,11 +105,16 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
   * evaluating to NULL. BandJoinSpec locks plan shape + result parity
   * (including duplicates) against the kill-switched plan.
   *
-  * Guards: INNER join only; the band conjunct's two sides must each
-  * reference exactly one input and be deterministic; integral types only
+  * Guards: INNER join only; the band expressions must each reference
+  * exactly one input and be deterministic; integral types only
   * (timestamp/double bands don't `div` exactly); fires only when the
   * condition has NO equi conjunct (with one, Catalyst already hash-joins
-  * and the band is a cheap post-filter); literal w > 0. One documented
+  * and the band is a cheap post-filter); merged width >= 1 (two-sided
+  * bounds from separate conjuncts are intersected per column pair, strict
+  * bounds tightened by one — exact on integers; for a shifted band
+  * lo..hi the bin width is max(|lo|, |hi|), which still satisfies the
+  * one-bin-apart invariant since every matching pair has
+  * |difference| <= that width). One documented
   * divergence: a pair whose difference OVERFLOWS Long and wraps into
   * [-w, w] "matches" the naive non-ANSI plan but is not generated as a
   * candidate here (under ANSI the original query throws instead) — at
@@ -118,41 +126,98 @@ object RewriteBandJoin extends Rule[LogicalPlan] with PredicateHelper {
   private def enabled: Boolean =
     SQLConf.get.getConfString("spark.graft.bandJoin.enabled", "true") == "true"
 
-  /** (leftSideExpr, rightSideExpr, w) for a band conjunct between the two
-    * given plans, normalized so the first expr references `l`.
-    */
-  private def bandOf(e: Expression, l: LogicalPlan, r: LogicalPlan)
-      : Option[(Expression, Expression, Long)] = {
-    def sides(a: Expression, b: Expression): Option[(Expression, Expression)] =
-      if (a.references.subsetOf(l.outputSet) && b.references.subsetOf(r.outputSet))
-        Some((a, b))
-      else if (b.references.subsetOf(l.outputSet) && a.references.subsetOf(r.outputSet))
-        Some((b, a))
-      else None
-    def integral(x: Expression): Boolean = x.dataType match {
-      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
-           IntegerType | LongType => true
-      case _ => false
-    }
-    val widthAndDiff: Option[(Long, Expression, Expression)] = e match {
-      case LessThanOrEqual(Abs(Subtract(a, b, _), _), Literal(w: Long, LongType)) =>
-        Some((w, a, b))
-      case LessThanOrEqual(Abs(Subtract(a, b, _), _), Literal(w: Int, IntegerType)) =>
-        Some((w.toLong, a, b))
-      case LessThan(Abs(Subtract(a, b, _), _), Literal(w: Long, LongType)) =>
-        Some((w, a, b))
-      case LessThan(Abs(Subtract(a, b, _), _), Literal(w: Int, IntegerType)) =>
-        Some((w.toLong, a, b))
-      case GreaterThanOrEqual(Literal(w: Long, LongType), Abs(Subtract(a, b, _), _)) =>
-        Some((w, a, b))
-      case GreaterThan(Literal(w: Long, LongType), Abs(Subtract(a, b, _), _)) =>
-        Some((w, a, b))
+  private object IntLit {
+    def unapply(e: Expression): Option[Long] = e match {
+      case Literal(v: Long, LongType) => Some(v)
+      case Literal(v: Int, IntegerType) => Some(v.toLong)
+      case Literal(v: Short, org.apache.spark.sql.types.ShortType) => Some(v.toLong)
+      case Literal(v: Byte, org.apache.spark.sql.types.ByteType) => Some(v.toLong)
       case _ => None
     }
-    widthAndDiff.flatMap { case (w, a, b) =>
-      if (w > 0 && integral(a) && integral(b) && a.deterministic && b.deterministic)
-        sides(a, b).map { case (ls, rs) => (ls, rs, w) }
+  }
+
+  private def integral(x: Expression): Boolean = x.dataType match {
+    case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+         IntegerType | LongType => true
+    case _ => false
+  }
+
+  /** One conjunct as difference bounds: Some((x, y, lo, hi)) meaning the
+    * conjunct implies lo <= x - y <= hi (None = that end unconstrained).
+    * Matches the abs form, the explicit-difference form
+    * `(x - y) <=/< w`, the offset forms `x <=/< y + w`, `x >=/> y - w`
+    * (what BETWEEN expands to), and the bare `x <= y`. Strict bounds
+    * tighten by 1 — exact on integral domains.
+    */
+  private def boundsOf(e: Expression)
+      : Option[(Expression, Expression, Option[Long], Option[Long])] = {
+    // e = core + offset, with offset a literal
+    def split(x: Expression): (Expression, Long) = x match {
+      case Add(c, IntLit(w), _) => (c, w)
+      case Add(IntLit(w), c, _) => (c, w)
+      case Subtract(c, IntLit(w), _) => (c, -w)
+      case _ => (x, 0L)
+    }
+    // canonical a <= b (+ strictness)
+    val le: Option[(Expression, Expression, Boolean)] = e match {
+      case LessThanOrEqual(a, b) => Some((a, b, false))
+      case LessThan(a, b) => Some((a, b, true))
+      case GreaterThanOrEqual(a, b) => Some((b, a, false))
+      case GreaterThan(a, b) => Some((b, a, true))
+      case _ => None
+    }
+    le.flatMap { case (a, b, strict) =>
+      def adj(w: Long) = if (strict) w - 1 else w
+      (a, b) match {
+        // |x - y| <= w
+        case (Abs(Subtract(x, y, _), _), IntLit(w)) =>
+          Some((x, y, Some(-adj(w)), Some(adj(w))))
+        // (x - y) <= w
+        case (Subtract(x, y, _), IntLit(w)) => Some((x, y, None, Some(adj(w))))
+        // w <= (x - y)
+        case (IntLit(w), Subtract(x, y, _)) =>
+          Some((x, y, Some(if (strict) w + 1 else w), None))
+        // (x + oa) <= (y + ob)  ⟺  x - y <= ob - oa   (covers bare x <= y)
+        case _ =>
+          val (ca, oa) = split(a)
+          val (cb, ob) = split(b)
+          if (ca.foldable || cb.foldable) None
+          else Some((ca, cb, None, Some(adj(ob - oa))))
+      }
+    }
+  }
+
+  /** All complete bands in the condition between plans `l` and `r`:
+    * (lExpr, rExpr, W) with every matching pair satisfying
+    * |lExpr - rExpr| <= W. Bounds from separate conjuncts on the same
+    * (x, y) pair are intersected, so BETWEEN-style two-conjunct windows
+    * (including asymmetric and shifted ones) qualify.
+    */
+  private def bandsOf(conjuncts: Seq[Expression], l: LogicalPlan, r: LogicalPlan)
+      : Seq[(Expression, Expression, Long)] = {
+    // orient so x is from l: flipping the pair negates and swaps bounds
+    val oriented = conjuncts.flatMap(boundsOf).flatMap { case (x, y, lo, hi) =>
+      if (!integral(x) || !integral(y) || !x.deterministic || !y.deterministic) None
+      else if (x.references.subsetOf(l.outputSet) && x.references.nonEmpty &&
+        y.references.subsetOf(r.outputSet) && y.references.nonEmpty)
+        Some(((x.canonicalized, y.canonicalized), (x, y, lo, hi)))
+      else if (x.references.subsetOf(r.outputSet) && x.references.nonEmpty &&
+        y.references.subsetOf(l.outputSet) && y.references.nonEmpty)
+        Some(((y.canonicalized, x.canonicalized), (y, x, hi.map(-_), lo.map(-_))))
       else None
+    }
+    oriented.groupBy(_._1).values.toSeq.flatMap { grp =>
+      val (x, y, _, _) = grp.head._2
+      val los = grp.flatMap(_._2._3)
+      val his = grp.flatMap(_._2._4)
+      if (los.isEmpty || his.isEmpty) None
+      else {
+        val (lo, hi) = (los.max, his.min)
+        val w = math.max(math.abs(lo), math.abs(hi))
+        // lo > hi = always-false predicate (leave the naive plan to emit
+        // its empty result); w == 0 = an equality in disguise
+        if (lo > hi || w < 1) None else Some((x, y, w))
+      }
     }
   }
 
@@ -174,12 +239,11 @@ object RewriteBandJoin extends Rule[LogicalPlan] with PredicateHelper {
       case j @ logical.Join(left, right, org.apache.spark.sql.catalyst.plans.Inner,
           Some(cond), hint) if {
         val cs = splitConjunctivePredicates(cond)
-        !hasEquiConjunct(cs, left, right) &&
-          cs.exists(bandOf(_, left, right).isDefined)
+        !hasEquiConjunct(cs, left, right) && bandsOf(cs, left, right).nonEmpty
       } =>
         val conjuncts = splitConjunctivePredicates(cond)
-        val (lExpr, rExpr, w) =
-          conjuncts.flatMap(bandOf(_, left, right)).head
+        // tightest band if several column pairs qualify
+        val (lExpr, rExpr, w) = bandsOf(conjuncts, left, right).minBy(_._3)
         // explode the smaller side: 3 bin rows per input row there, one on
         // the big side (sizeInBytes is the same signal AQE's broadcast
         // decisions start from)

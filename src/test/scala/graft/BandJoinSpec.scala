@@ -88,6 +88,53 @@ class BandJoinSpec extends SparkSpecBase {
     }
   }
 
+  test("BETWEEN form, asymmetric and shifted windows: plan + parity") {
+    val s = spark
+    import s.implicits._
+    var x = 777L
+    def next(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x }
+    val as = Seq.fill(250)(math.floorMod(next(), 1000L) - 500L)
+    val bs = Seq.fill(250)(math.floorMod(next(), 1000L) - 500L)
+    val a = as.toDF("va"); val b = bs.toDF("vb")
+    val conds = Seq(
+      // BETWEEN expands to the two offset conjuncts
+      col("vb") >= col("va") - 10L && col("vb") <= col("va") + 25L, // asymmetric
+      col("va") - col("vb") >= 30L && col("va") - col("vb") <= 80L, // shifted band
+      col("vb") > col("va") - 7L && col("vb") < col("va") + 7L)     // strict both ends
+    for ((cond, i) <- conds.zipWithIndex) {
+      val q = a.join(b, cond)
+      withRule(true) {
+        val p = planOf(a.join(b, cond))
+        assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+          s"case $i did not rewrite:\n$p")
+      }
+      val got = withRule(true)(sortedRows(q))
+      val want = withRule(false)(sortedRows(a.join(b, cond)))
+      assert(got == want, s"case $i: ${got.size} vs ${want.size}")
+      assert(want.nonEmpty, s"case $i vacuous")
+    }
+    // SQL BETWEEN spelling end-to-end
+    a.createOrReplaceTempView("bj_a"); b.createOrReplaceTempView("bj_b")
+    val sql = "SELECT * FROM bj_a JOIN bj_b ON vb BETWEEN va - 3 AND va + 3"
+    val got = withRule(true) {
+      assert(!planOf(s.sql(sql)).contains("BroadcastNestedLoopJoin"))
+      sortedRows(s.sql(sql))
+    }
+    assert(got == withRule(false)(sortedRows(s.sql(sql))) && got.nonEmpty)
+  }
+
+  test("one-sided inequality alone does not fire (no band to bin)") {
+    val s = spark
+    import s.implicits._
+    val a = Seq(1L, 5L).toDF("va"); val b = Seq(2L, 9L).toDF("vb")
+    val q = a.join(b, col("va") < col("vb"))
+    withRule(true) {
+      val p = planOf(q)
+      assert(!p.contains("Generate"), s"rule fired on a half-open range:\n$p")
+    }
+    assert(sortedRows(q).size == 3)
+  }
+
   test("does not fire when an equi conjunct exists (hash join already available)") {
     val s = spark
     import s.implicits._
