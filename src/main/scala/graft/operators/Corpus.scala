@@ -48,6 +48,11 @@ object Corpus {
     */
   val ChunkTokens = 256L
 
+  /** Inference batch size for the padding-efficiency planner (small enough
+    * that every fixture source spans several batches).
+    */
+  val BatchSize = 8L
+
   /** doc_id % BenchMod == 0 selects the fixture's "benchmark" subset. */
   val BenchMod = 50
 
@@ -483,6 +488,40 @@ object Corpus {
         .orderBy("doc_id")
     },
 
+    // Inference batching planner: padded-token waste of fixed-size
+    // batches under arrival (doc_id) order vs length-bucketed order —
+    // batching similar-length docs together is the standard trick that
+    // cuts padding FLOPs in bulk inference/scoring. Both orderings are
+    // windows PARTITIONED BY source (shard-parallel, never a global
+    // sort); padding is exact integer accounting: a batch costs
+    // batch_rows × max(n_tok) and wastes that minus Σ n_tok.
+    "batch_padding_efficiency" -> { (s, d) =>
+      val base = documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(toks(col("text"))).cast("long").as("n_tok"))
+      val naive = Window.partitionBy("source").orderBy("doc_id")
+      val bucketed = Window.partitionBy("source").orderBy("n_tok", "doc_id")
+      def perSource(w: org.apache.spark.sql.expressions.WindowSpec,
+                    name: String) =
+        base
+          .withColumn("bat", floor((row_number().over(w) - 1) / BatchSize.toDouble))
+          .groupBy("source", "bat")
+          .agg((max("n_tok") * count(lit(1)) - sum("n_tok")).as("waste"),
+            count(lit(1)).as("n"))
+          .groupBy("source")
+          .agg(sum("waste").as(name), sum("n").as(s"n_$name"))
+      perSource(naive, "naive_waste")
+        .join(perSource(bucketed, "bucketed_waste").drop("n_bucketed_waste"),
+          "source")
+        .join(base.groupBy("source").agg(sum("n_tok").as("total_tok")), "source")
+        .select(col("source"), col("n_naive_waste").as("n_docs"),
+          col("total_tok"), col("naive_waste"), col("bucketed_waste"),
+          when(col("naive_waste") === 0, lit(0.0))
+            .otherwise(round(lit(1.0) - col("bucketed_waste").cast("double") /
+              col("naive_waste").cast("double"), 6)).as("waste_cut"))
+        .orderBy("source")
+    },
+
     // Eval-contamination firewall, batch face: train-split documents with
     // at least one near-dup in the validation/test split — the docs an
     // ingest pipeline must HOLD BACK to keep eval honest under a
@@ -739,6 +778,33 @@ object Corpus {
          |  CASE WHEN k < 800 THEN 'train' WHEN k < 900 THEN 'validation'
          |       ELSE 'test' END AS split
          |FROM k ORDER BY doc_id""".stripMargin,
+
+    "batch_padding_efficiency" ->
+      s"""WITH base AS (SELECT doc_id, source,
+         |    CAST(len(${toksSql("text")}) AS BIGINT) AS n_tok FROM documents),
+         |nv AS (SELECT source, n_tok,
+         |    (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1) // $BatchSize AS bat
+         |  FROM base),
+         |bk AS (SELECT source, n_tok,
+         |    (row_number() OVER (PARTITION BY source ORDER BY n_tok, doc_id) - 1) // $BatchSize AS bat
+         |  FROM base),
+         |nw AS (SELECT source, CAST(sum(w) AS BIGINT) AS naive_waste,
+         |    CAST(sum(n) AS BIGINT) AS n_docs
+         |  FROM (SELECT source, bat, max(n_tok)*count(*) - sum(n_tok) AS w,
+         |      count(*) AS n FROM nv GROUP BY source, bat)
+         |  GROUP BY source),
+         |bw AS (SELECT source, CAST(sum(w) AS BIGINT) AS bucketed_waste
+         |  FROM (SELECT source, bat, max(n_tok)*count(*) - sum(n_tok) AS w
+         |      FROM bk GROUP BY source, bat)
+         |  GROUP BY source),
+         |tt AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS total_tok
+         |  FROM base GROUP BY source)
+         |SELECT nw.source, n_docs, total_tok, naive_waste, bucketed_waste,
+         |  CASE WHEN naive_waste = 0 THEN 0.0
+         |       ELSE round(1.0 - CAST(bucketed_waste AS DOUBLE)
+         |         / CAST(naive_waste AS DOUBLE), 6) END AS waste_cut
+         |FROM nw JOIN bw ON nw.source = bw.source JOIN tt ON nw.source = tt.source
+         |ORDER BY nw.source""".stripMargin,
 
     "split_firewall" ->
       s"""${Dedup.sigSqlCte},

@@ -217,6 +217,23 @@ class CorpusSpec extends SparkSpecBase {
       q("sample_weighted").collect().map(_.toSeq).toSeq)
   }
 
+  test("batch_padding_efficiency: bucketing never increases waste; accounting reconciles") {
+    val rows = q("batch_padding_efficiency").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, tot, nw, bw, cut) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))
+      assert(n > 0 && tot > 0 && nw >= 0 && bw >= 0)
+      // sorting by length within a shard can only tighten batches
+      assert(bw <= nw, s"bucketed $bw > naive $nw")
+      assert(cut >= 0.0 && cut <= 1.0)
+      // padded total = useful + waste >= useful
+      assert(tot + nw >= tot && tot + bw >= tot)
+    }
+    // the fixture's length spread must make bucketing actually win somewhere
+    assert(rows.exists(_.getDouble(5) > 0.0))
+  }
+
   test("split_firewall: exactly the train side of every cross-split near-dup pair") {
     val fw = q("split_firewall").collect().map(_.getLong(0)).toSet
     val expect = q("split_leakage").collect().flatMap { r =>
