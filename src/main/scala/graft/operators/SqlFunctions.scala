@@ -299,6 +299,27 @@ object SqlFunctions {
         .orderBy("event_id")
     },
 
+    // NOT IN vs NOT EXISTS under NULLs — the classic three-valued-logic
+    // trap, proven in one non-vacuous row: a single NULL in the NOT IN
+    // list makes every membership test UNKNOWN (count drops to 0), while
+    // NOT EXISTS is unaffected. Spark plans the NULL-aware anti join for
+    // the first form; both engines must agree on all three counts.
+    "q_not_in_null_aware" -> { (s, d) =>
+      orders(s, d).createOrReplaceTempView("g_nin_orders")
+      customer(s, d).createOrReplaceTempView("g_nin_customer")
+      s.sql(
+        """SELECT
+          |  (SELECT count(*) FROM g_nin_orders WHERE o_custkey NOT IN
+          |     (SELECT c_custkey FROM g_nin_customer WHERE c_acctbal > 5000)) AS n_not_in,
+          |  (SELECT count(*) FROM g_nin_orders WHERE o_custkey NOT IN
+          |     (SELECT c_custkey FROM g_nin_customer WHERE c_acctbal > 5000
+          |      UNION ALL SELECT CAST(NULL AS BIGINT))) AS n_not_in_nulled,
+          |  (SELECT count(*) FROM g_nin_orders o WHERE NOT EXISTS
+          |     (SELECT 1 FROM g_nin_customer c
+          |      WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 5000)) AS n_not_exists
+          |""".stripMargin)
+    },
+
     // The band join written the NAIVE way — `abs(a.us - b.us) <= 1s` with
     // no equi key — which stock Spark can only nested-loop. The
     // RewriteBandJoin optimizer rule (plans/GraftRules.scala) turns this
@@ -759,6 +780,18 @@ object SqlFunctions {
         |  AND p.pts >= c.ts - INTERVAL 10 MINUTE
         |  AND p.pts <= c.ts + INTERVAL 10 MINUTE
         |GROUP BY c.event_id ORDER BY event_id""".stripMargin,
+
+    "q_not_in_null_aware" ->
+      """SELECT
+        |  (SELECT count(*) FROM orders WHERE o_custkey NOT IN
+        |     (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)) AS n_not_in,
+        |  (SELECT count(*) FROM orders WHERE o_custkey NOT IN
+        |     (SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |      UNION ALL SELECT CAST(NULL AS BIGINT))) AS n_not_in_nulled,
+        |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |     (SELECT 1 FROM customer c
+        |      WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 5000)) AS n_not_exists
+        |""".stripMargin,
 
     "q_band_join_auto" ->
       """WITH e AS (SELECT epoch_us(ts) AS us, user_id FROM events)
