@@ -299,6 +299,31 @@ object SqlFunctions {
         .orderBy("event_id")
     },
 
+    // SQL-body scalar functions (CREATE TEMPORARY FUNCTION ... RETURN
+    // expr) — the engine-surface analog of the reference's
+    // register-UDF-by-name contract, but defined IN SQL and resolved from
+    // the same function registry as regexp_extract_ref. Two functions,
+    // one calling pattern the optimizer inlines into codegen. Oracle
+    // inlines the bodies (DuckDB macros can't ride the driver's
+    // one-statement harness).
+    "q_sql_udf" -> { (s, d) =>
+      documents(s, d).createOrReplaceTempView("g_sqludf_docs")
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION g_char_density(
+              |  n_tok BIGINT, n_chars BIGINT) RETURNS DOUBLE
+              |RETURN CAST(n_tok AS DOUBLE) / greatest(n_chars, 1)""".stripMargin)
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION g_len_band(n BIGINT)
+              |RETURNS STRING
+              |RETURN CASE WHEN n < 200 THEN 'short'
+              |            WHEN n < 400 THEN 'medium' ELSE 'long' END""".stripMargin)
+      s.sql(
+        """SELECT g_len_band(n_chars) AS band, count(*) AS n_docs,
+          |  round(min(g_char_density(length(text) - length(replace(text, ' ', '')) + 1,
+          |    n_chars)), 6) AS min_density,
+          |  round(max(g_char_density(length(text) - length(replace(text, ' ', '')) + 1,
+          |    n_chars)), 6) AS max_density
+          |FROM g_sqludf_docs GROUP BY 1 ORDER BY band""".stripMargin)
+    },
+
     // NOT IN vs NOT EXISTS under NULLs — the classic three-valued-logic
     // trap, proven in one non-vacuous row: a single NULL in the NOT IN
     // list makes every membership test UNKNOWN (count drops to 0), while
@@ -780,6 +805,18 @@ object SqlFunctions {
         |  AND p.pts >= c.ts - INTERVAL 10 MINUTE
         |  AND p.pts <= c.ts + INTERVAL 10 MINUTE
         |GROUP BY c.event_id ORDER BY event_id""".stripMargin,
+
+    "q_sql_udf" ->
+      """WITH b AS (SELECT
+        |    CASE WHEN n_chars < 200 THEN 'short'
+        |         WHEN n_chars < 400 THEN 'medium' ELSE 'long' END AS band,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE)
+        |      / greatest(n_chars, 1) AS density
+        |  FROM documents)
+        |SELECT band, count(*) AS n_docs,
+        |  round(min(density), 6) AS min_density,
+        |  round(max(density), 6) AS max_density
+        |FROM b GROUP BY band ORDER BY band""".stripMargin,
 
     "q_not_in_null_aware" ->
       """SELECT
