@@ -236,8 +236,12 @@ object RewriteBandJoin extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transformUp {
+      // streaming joins excluded: Spark's stream-stream interval-join
+      // machinery consumes the raw range condition for watermark state
+      // cleanup — rewriting it away would trade a supported plan for an
+      // unsupported one
       case j @ logical.Join(left, right, org.apache.spark.sql.catalyst.plans.Inner,
-          Some(cond), hint) if {
+          Some(cond), hint) if !j.isStreaming && {
         val cs = splitConjunctivePredicates(cond)
         !hasEquiConjunct(cs, left, right) && bandsOf(cs, left, right).nonEmpty
       } =>
