@@ -160,6 +160,25 @@ object Components {
           when(k < 800, "train").when(k < 900, "validation")
             .otherwise("test"))
         .orderBy("doc_id")
+    },
+
+    // Contamination blast radius: every doc within BfsRounds hops of
+    // benchmark material in the near-dup graph, with its exact hop
+    // distance. This is the transitive form of contamination_check —
+    // paraphrase chains (bench ↔ near-copy ↔ near-copy-of-the-copy) leak
+    // eval data even when the far end no longer shares shingles with the
+    // benchmark, so a decontamination pass drops the whole radius, not
+    // just direct overlaps. Seeds are a corpus-filter projection; each BFS
+    // round is a frontier-sized equi-join against the (persisted) pair
+    // edges — never corpus-sized.
+    "contamination_blast_radius" -> { (s, d) =>
+      val pairs = Dedup.minhashPairs(s, d).select("doc_a", "doc_b")
+      val und = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      val seeds = documents(s, d)
+        .where(col("doc_id") % Corpus.BenchMod === 0).select("doc_id")
+      Graph.bfsLevels(seeds, und, Graph.BfsRounds)
+        .select(col("id").as("doc_id"), col("level"))
+        .orderBy("doc_id")
     }
   )
 
@@ -202,6 +221,19 @@ object Components {
          |  CASE WHEN ${TextHash.h60Sql(s"'${Corpus.SplitSalt}' || CAST(component_id AS VARCHAR)")} % 1000 < 800 THEN 'train'
          |       WHEN ${TextHash.h60Sql(s"'${Corpus.SplitSalt}' || CAST(component_id AS VARCHAR)")} % 1000 < 900 THEN 'validation'
          |       ELSE 'test' END AS split
-         |FROM cc ORDER BY doc_id""".stripMargin
+         |FROM cc ORDER BY doc_id""".stripMargin,
+
+    "contamination_blast_radius" ->
+      s"""WITH RECURSIVE ${Dedup.sigCtes("documents")},
+         |pairs AS (${Dedup.minhashPairsSqlSelect}),
+         |und AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |seeds AS (SELECT doc_id AS id FROM documents
+         |          WHERE doc_id % ${Corpus.BenchMod} = 0),
+         |bfs AS (SELECT id, 0 AS level FROM seeds
+         |  UNION SELECT u.dst, b.level + 1 FROM bfs b
+         |    JOIN und u ON u.src = b.id WHERE b.level < ${Graph.BfsRounds})
+         |SELECT id AS doc_id, CAST(min(level) AS INTEGER) AS level FROM bfs
+         |GROUP BY id ORDER BY doc_id""".stripMargin
   )
 }

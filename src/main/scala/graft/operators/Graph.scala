@@ -58,6 +58,11 @@ object Graph {
   val CoreK = 3
   val CoreRounds = 8
 
+  /** BFS depth bound — fixed so the oracle can unroll/bound the identical
+    * expansion.
+    */
+  val BfsRounds = 3
+
   /** Undirected token co-occurrence edges (adjacent-token pairs, both
     * directions), weight = number of adjacencies in the corpus. Self-loops
     * (repeated tokens) dropped. One corpus-sized shuffle on doc_id for the
@@ -127,6 +132,35 @@ object Graph {
         .select("src", "dst").localCheckpoint()
     }
     e
+  }
+
+  /** Min-hop BFS levels from a seed set over a both-directions edge list,
+    * depth-bounded at `rounds`. Returns (id, level) for every node within
+    * `rounds` hops of a seed; level = exact minimum hop count.
+    *
+    * Scale shape: round r joins ONLY the level-(r−1) frontier against the
+    * edge list (the filter keeps the join input frontier-sized, not
+    * visited-set-sized), then one map-side-combined min() folds new
+    * reachings into the visited table — the standard distributed BFS.
+    * State is (id, level) pairs — bounded by the reachable set, orders of
+    * magnitude smaller than a corpus at 100 TB. localCheckpoint per round
+    * keeps the plan linear in rounds (same discipline as
+    * [[Components.connectedComponents]]); depth-bounding makes the round
+    * count a constant, so there is no convergence loop to detect.
+    */
+  def bfsLevels(seeds: DataFrame, und: DataFrame, rounds: Int): DataFrame = {
+    val e = und.toDF("src", "dst").persist()
+    var levels = seeds.toDF("id").distinct()
+      .select(col("id"), lit(0).as("level")).localCheckpoint()
+    for (r <- 1 to rounds) {
+      val prop = levels.where(col("level") === r - 1).as("f")
+        .join(e.as("e"), col("f.id") === col("e.src"))
+        .select(col("e.dst").as("id"), lit(r).as("level"))
+      levels = levels.union(prop).groupBy("id")
+        .agg(min("level").as("level")).localCheckpoint()
+    }
+    e.unpersist()
+    levels
   }
 
   // -------------------------------------------------------------- queries
@@ -265,6 +299,20 @@ object Graph {
         .groupBy("src").agg(count(lit(1)).as("core_degree"))
         .select(col("src").as("node"), col("core_degree"))
         .orderBy(desc("core_degree"), asc("node"))
+    },
+
+    // Depth-bounded BFS levels from the lexicographically-smallest token —
+    // the hop-distance profile of the co-occurrence graph (the other
+    // classic iterative-graph primitive next to PageRank and CC). The seed
+    // is a 1-row aggregate joined in by broadcast; every round is a
+    // frontier-sized equi-join. Exact integer levels, so the unrolled
+    // recursive-CTE oracle is bit-identical.
+    "graph_bfs_levels" -> { (s, d) =>
+      val e = cooccurEdges(documents(s, d).select("doc_id", "text")).persist()
+      val seed = e.agg(min("src").as("id"))
+      bfsLevels(seed, e.select("src", "dst"), BfsRounds)
+        .select(col("id").as("node"), col("level"))
+        .orderBy("level", "node")
     }
   )
 
@@ -383,6 +431,15 @@ object Graph {
          |e0 AS MATERIALIZED (SELECT src, dst FROM edges)$peel
          |SELECT src AS node, count(*) AS core_degree FROM e$CoreRounds
          |GROUP BY src ORDER BY core_degree DESC, node""".stripMargin
-    }
+    },
+
+    "graph_bfs_levels" ->
+      s"""WITH RECURSIVE $graphCtes,
+         |seed AS (SELECT min(src) AS id FROM edges),
+         |bfs AS (SELECT id, 0 AS level FROM seed
+         |  UNION SELECT e.dst, b.level + 1 FROM bfs b
+         |    JOIN edges e ON e.src = b.id WHERE b.level < $BfsRounds)
+         |SELECT id AS node, CAST(min(level) AS INTEGER) AS level FROM bfs
+         |GROUP BY id ORDER BY level, node""".stripMargin
   )
 }

@@ -68,4 +68,48 @@ class GraphPropertySpec extends SparkSpecBase {
       assert(deg.values.forall(_ >= 3))
     }
   }
+
+  /** Brute-force min-hop levels via in-memory frontier expansion. */
+  private def bruteBfs(seeds: Set[String], und: Set[(String, String)],
+                       rounds: Int): Map[String, Int] = {
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var levels = seeds.map(_ -> 0).toMap
+    var frontier = seeds
+    for (r <- 1 to rounds) {
+      val next = frontier.flatMap(adj.getOrElse(_, Set.empty[String]))
+        .diff(levels.keySet)
+      levels ++= next.map(_ -> r)
+      frontier = next
+    }
+    levels
+  }
+
+  private def gotBfs(seeds: Seq[String], und: Set[(String, String)],
+                     rounds: Int): Map[String, Int] = {
+    val s = spark
+    import s.implicits._
+    Graph.bfsLevels(seeds.toDF("id"), toDf(und), rounds).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+  }
+
+  test("bfsLevels == brute-force min-hop on random graphs (3 seeds, multi-source)") {
+    for (seed <- Seq(5L, 77L, 321L)) {
+      val e = randomEdges(24, 12, seed) // sparse → multi-hop distances
+      val und = e ++ e.map(p => (p._2, p._1))
+      val seeds = Seq("n00", "n13")
+      val got = gotBfs(seeds, und, rounds = 4)
+      val brute = bruteBfs(seeds.toSet, und, rounds = 4)
+      assert(got == brute, s"seed $seed: got $got\nbrute $brute")
+    }
+  }
+
+  test("bfsLevels walks a deep path exactly: level r at hop r, cut at the bound") {
+    // path n00-n01-...-n19; fixture graphs are shallow (diameter ~2), so
+    // the depth behavior — exact levels AND the depth cut — is proven here
+    val path = (0 until 19).map(i => (f"n$i%02d", f"n${i + 1}%02d")).toSet
+    val und = path ++ path.map(p => (p._2, p._1))
+    val got = gotBfs(Seq("n00"), und, rounds = 6)
+    val expect = (0 to 6).map(i => f"n$i%02d" -> i).toMap
+    assert(got == expect)
+  }
 }
