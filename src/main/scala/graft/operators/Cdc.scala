@@ -100,6 +100,32 @@ object Cdc {
           .otherwise("unchanged").as("change_class"))
         .groupBy("change_class").agg(count(lit(1)).as("n_keys"))
         .orderBy("change_class")
+    },
+
+    // Incremental aggregate-view maintenance: the per-priority order
+    // rollup is kept as MERGEABLE partial states (count / DECIMAL sum /
+    // min / max), and a delta batch folds in WITHOUT touching base rows —
+    // partial states for base (o_orderkey ≢ 0 mod 10) and delta (≡ 0) are
+    // computed independently, then one merge agg combines them. The merge
+    // is exact because every state is associative (DECIMAL sum, not
+    // float); CdcSpec proves merged == full recompute. At 100 TB this is
+    // the difference between re-scanning the fact table per refresh and
+    // scanning only the delta.
+    "incr_agg_merge" -> { (s, d) =>
+      val o = orders(s, d).select(col("o_orderpriority"),
+        (col("o_orderkey") % 10 === 0).as("is_delta"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("price"),
+        to_date(col("o_orderdate")).as("day"))
+      val partials = o.groupBy("o_orderpriority", "is_delta")
+        .agg(count(lit(1)).as("pn"), sum("price").as("psum"),
+          min("day").as("pmin"), max("day").as("pmax"))
+      partials.groupBy("o_orderpriority")
+        .agg(sum("pn").as("n"),
+          sum("psum").cast("double").as("total"),
+          min("pmin").cast("string").as("first_day"),
+          max("pmax").cast("string").as("last_day"),
+          count(lit(1)).as("n_partials"))
+        .orderBy("o_orderpriority")
     }
   )
 
@@ -146,6 +172,21 @@ object Cdc {
          |            WHEN updated = 1 THEN 'updated'
          |            ELSE 'unchanged' END AS change_class,
          |  count(*) AS n_keys
-         |FROM pk GROUP BY 1 ORDER BY change_class""".stripMargin
+         |FROM pk GROUP BY 1 ORDER BY change_class""".stripMargin,
+
+    "incr_agg_merge" ->
+      s"""WITH o AS (SELECT o_orderpriority, o_orderkey % 10 = 0 AS is_delta,
+         |    CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+         |    o_orderdate::DATE AS day
+         |  FROM orders),
+         |p AS (SELECT o_orderpriority, is_delta, count(*) AS pn,
+         |    sum(price) AS psum, min(day) AS pmin, max(day) AS pmax
+         |  FROM o GROUP BY 1, 2)
+         |SELECT o_orderpriority, CAST(sum(pn) AS BIGINT) AS n,
+         |  CAST(sum(psum) AS DOUBLE) AS total,
+         |  CAST(min(pmin) AS VARCHAR) AS first_day,
+         |  CAST(max(pmax) AS VARCHAR) AS last_day,
+         |  count(*) AS n_partials
+         |FROM p GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
   )
 }

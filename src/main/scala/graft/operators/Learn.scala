@@ -210,8 +210,58 @@ object Learn {
           sum(when(col("y") === 0.0 && col("pred"), 1L).otherwise(0L)).as("fp"),
           sum(when(col("y") === 1.0 && !col("pred"), 1L).otherwise(0L)).as("fn"),
           sum(when(col("y") === 0.0 && !col("pred"), 1L).otherwise(0L)).as("tn"))
+    },
+
+    // Weight-of-evidence / information-value feature scoring: value-grouped
+    // deciles of events.value scored against the purchase label — the
+    // classic credit-scoring feature audit. Scale shape mirrors eval_auc:
+    // the corpus collapses to the ≤2e6-row distinct-rounded-value grain by
+    // one map-side-combined groupBy BEFORE the ranking window; bins are
+    // assigned by exact integer arithmetic on the cumulative count
+    // (cum_before·10 DIV N), so every row of a tied value lands in one bin
+    // and both engines agree bit-for-bit. Laplace 0.5 smoothing keeps WOE
+    // finite on empty cells; ln(...) rounded at 6 dp (tfidf precedent).
+    "woe_bins" -> { (s, d) => woeBins(s, d) },
+
+    // Total IV of the feature, folded in fixed point (round(iv·1e6) longs
+    // summed — associative, order-independent) exactly like Drift's KL.
+    "woe_iv_total" -> { (s, d) =>
+      woeBins(s, d)
+        .agg(count(lit(1)).as("n_bins"),
+          round(sum(col("iv_c")).cast("double") / 1e6, 6).as("iv"))
     }
   )
+
+  /** Shared WOE working frame — see woe_bins docstring. `iv_c` is the
+    * fixed-point (1e-6) IV contribution used by woe_iv_total.
+    */
+  private def woeBins(s: SparkSession, d: String): DataFrame = {
+    val byV = events(s, d)
+      .select(round(col("value"), 6).as("v"),
+        (col("event_type") === "purchase").as("good"))
+      .groupBy("v")
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("good"), 1L).otherwise(0L)).as("ng"))
+    val wCum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    val binned = byV
+      .withColumn("cum_before", coalesce(sum("cnt").over(wCum), lit(0L)))
+      .crossJoin(broadcast(byV.agg(sum("cnt").as("n"), sum("ng").as("g"))))
+      .withColumn("bin", expr("cum_before * 10 DIV n").cast("int"))
+    val woe = log((col("n_good") + 0.5) / (col("gt") + 5.0) *
+      ((col("bt") + 5.0) / (col("n_bad") + 0.5)))
+    binned
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_values"), sum("cnt").as("n_rows"),
+        sum("ng").as("n_good"), sum(col("cnt") - col("ng")).as("n_bad"),
+        max("g").as("gt"), max(col("n") - col("g")).as("bt"))
+      .withColumn("woe", round(woe, 6))
+      .withColumn("iv_c", round(
+        ((col("n_good") + 0.5) / (col("gt") + 5.0) -
+          (col("n_bad") + 0.5) / (col("bt") + 5.0)) * woe * 1e6).cast("long"))
+      .select(col("bin"), col("n_rows"), col("n_good"), col("n_bad"),
+        col("woe"), col("iv_c"))
+      .orderBy("bin")
+  }
 
   // -------------------------------------------------------------- oracles
 
@@ -332,6 +382,42 @@ object Learn {
          |  CAST(sum(CASE WHEN y = 0.0 AND pred THEN 1 ELSE 0 END) AS BIGINT) AS fp,
          |  CAST(sum(CASE WHEN y = 1.0 AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS fn,
          |  CAST(sum(CASE WHEN y = 0.0 AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS tn
-         |FROM sc""".stripMargin
+         |FROM sc""".stripMargin,
+
+    "woe_bins" ->
+      s"""WITH $woeCtes
+         |SELECT bin, n_rows, n_good, n_bad, woe, iv_c FROM wb ORDER BY bin""".stripMargin,
+
+    "woe_iv_total" ->
+      s"""WITH $woeCtes
+         |SELECT count(*) AS n_bins,
+         |  round(CAST(sum(iv_c) AS DOUBLE) / 1e6, 6) AS iv FROM wb""".stripMargin
   )
+
+  /** WOE working-frame CTEs (value-grouped deciles → per-bin WOE + 1e-6
+    * fixed-point IV contribution) — the exact mirror of [[woeBins]].
+    */
+  private def woeCtes: String =
+    """byv AS (SELECT round(value, 6) AS v, count(*) AS cnt,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ng
+      |  FROM events GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+      |    CAST(sum(ng) AS BIGINT) AS g FROM byv),
+      |binned AS (SELECT cnt, ng, n, g,
+      |    CAST((coalesce(sum(cnt) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 10) // n
+      |      AS INTEGER) AS bin
+      |  FROM byv CROSS JOIN tot),
+      |b AS (SELECT bin, CAST(sum(cnt) AS BIGINT) AS n_rows,
+      |    CAST(sum(ng) AS BIGINT) AS n_good,
+      |    CAST(sum(cnt - ng) AS BIGINT) AS n_bad,
+      |    max(g) AS gt, max(n - g) AS bt
+      |  FROM binned GROUP BY bin),
+      |wb AS (SELECT bin, n_rows, n_good, n_bad,
+      |    round(ln((n_good + 0.5)/(gt + 5.0) * ((bt + 5.0)/(n_bad + 0.5))), 6) AS woe,
+      |    CAST(round(((n_good + 0.5)/(gt + 5.0) - (n_bad + 0.5)/(bt + 5.0))
+      |      * ln((n_good + 0.5)/(gt + 5.0) * ((bt + 5.0)/(n_bad + 0.5)))
+      |      * 1e6) AS BIGINT) AS iv_c
+      |  FROM b)""".stripMargin
 }

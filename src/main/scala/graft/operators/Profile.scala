@@ -55,8 +55,52 @@ object Profile {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "profile_orders" -> { (s, d) => profile(orders(s, d), ordersCols) }
+    "profile_orders" -> { (s, d) => profile(orders(s, d), ordersCols) },
+
+    // Referential-integrity audit across the star schema: per foreign key,
+    // total child rows and orphans (children whose parent key is absent).
+    // Each check is one LEFT ANTI join — the dimension side broadcasts
+    // (customer/part/nation are the small side by construction), and the
+    // fact side streams through map-side; only the per-fk counts move.
+    // All-zero orphan counts are the PASSING audit, not a vacuous result —
+    // the spec plants an orphan to prove the probe detects one.
+    "fk_orphans" -> { (s, d) => fkOrphans(s, d) }
   )
+
+  /** One (fk, n_child, n_orphans) audit row — child keys absent from the
+    * parent key set, counted via a broadcast LEFT ANTI join.
+    */
+  def fkAudit(fk: String, child: DataFrame, key: String,
+              parent: DataFrame, pkey: String): DataFrame = {
+    val orphans = child.select(col(key))
+      .join(broadcast(parent.select(col(pkey)).distinct()),
+        col(key) === col(pkey), "left_anti")
+    child.agg(count(lit(1)).as("n_child"))
+      .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+      .select(lit(fk).as("fk"), col("n_child"), col("n_orphans"))
+  }
+
+  /** One row per foreign-key edge: (fk, n_child, n_orphans). */
+  def fkOrphans(s: SparkSession, d: String): DataFrame = {
+    def audit(fk: String, child: DataFrame, key: String,
+              parent: DataFrame, pkey: String): DataFrame =
+      fkAudit(fk, child, key, parent, pkey)
+    Seq(
+      audit("lineitem.l_orderkey->orders", lineitem(s, d), "l_orderkey",
+        orders(s, d), "o_orderkey"),
+      audit("lineitem.l_partkey->part", lineitem(s, d), "l_partkey",
+        part(s, d), "p_partkey"),
+      audit("lineitem.l_suppkey->supplier", lineitem(s, d), "l_suppkey",
+        supplier(s, d), "s_suppkey"),
+      audit("orders.o_custkey->customer", orders(s, d), "o_custkey",
+        customer(s, d), "c_custkey"),
+      audit("customer.c_nationkey->nation", customer(s, d), "c_nationkey",
+        nation(s, d), "n_nationkey"),
+      audit("supplier.s_nationkey->nation", supplier(s, d), "s_nationkey",
+        nation(s, d), "n_nationkey"))
+      .reduce(_ unionByName _)
+      .orderBy("fk")
+  }
 
   // -------------------------------------------------------------- oracles
 
@@ -80,6 +124,21 @@ object Profile {
         "CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR)",
         "CAST(CAST(max(o_orderdate) AS DATE) AS VARCHAR)"),
       colSql("o_orderpriority", "min(o_orderpriority)", "max(o_orderpriority)"))
-      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
+
+    "fk_orphans" -> (Seq(
+      ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+      .map { case (fk, child, key, parent, pkey) =>
+        s"""SELECT '$fk' AS fk, count(*) AS n_child,
+           |  CAST(sum(CASE WHEN NOT EXISTS
+           |    (SELECT 1 FROM $parent p WHERE p.$pkey = c.$key)
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+           |FROM $child c""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY fk"))
   )
 }

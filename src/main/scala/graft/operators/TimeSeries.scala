@@ -148,6 +148,40 @@ object TimeSeries {
           round(sum(col("dc")).cast("double") / 1e12, 6).as("decayed_score"),
           min("age").cast("int").as("last_seen_days"))
         .orderBy(desc("decayed_score"), asc("user_id"))
+    },
+
+    // CUSUM change-point detection on the global daily event count — the
+    // level-shift monitor a pipeline runs on ingest volume. The textbook
+    // recursion S_t = max(0, S_{t-1} + d_t) is not window-expressible, but
+    // its closed form IS: S_t = C_t − min(0, min_{j≤t} C_j) with C the
+    // plain cumulative sum of deviations (the 0 is the virtual C of the
+    // empty prefix; the downward side mirrors off the running max). Deviations are scaled by N (d*_t = n_t·N − total) so
+    // everything stays in exact BIGINT arithmetic — no float drift between
+    // engines. The day grain bounds the windowed relation at |days| rows
+    // regardless of corpus size; the single-partition window is safe for
+    // the same reason as eval_auc's (Learn.scala byScore note).
+    "ts_cusum" -> { (s, d) =>
+      val dly = events(s, d)
+        .select(to_date(col("ts")).as("day"))
+        .groupBy("day").agg(count(lit(1)).as("n_ev"))
+      val tot = dly.agg(sum("n_ev").as("total"), count(lit(1)).as("n_days"))
+      val wRun = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(lit(0)) // whole-relation frame
+      dly.crossJoin(broadcast(tot))
+        .withColumn("c",
+          sum(col("n_ev") * col("n_days") - col("total")).over(wRun))
+        // the running extremum must include the virtual C_{-1} = 0 of the
+        // empty prefix — that is what makes the closed form match the
+        // textbook recursion at the first rows (AuditSpec proves equality)
+        .withColumn("cusum_up", col("c") - least(lit(0L), min("c").over(wRun)))
+        .withColumn("cusum_down",
+          greatest(lit(0L), max("c").over(wRun)) - col("c"))
+        .withColumn("is_peak_shift",
+          col("cusum_up") === max("cusum_up").over(wAll))
+        .select(col("day").cast("string").as("day"), col("n_ev"),
+          col("cusum_up"), col("cusum_down"), col("is_peak_shift"))
+        .orderBy("day")
     }
   )
 
@@ -221,6 +255,23 @@ object TimeSeries {
         |  round(CAST(sum(dc) AS DOUBLE) / 1e12, 6) AS decayed_score,
         |  CAST(min(age) AS INTEGER) AS last_seen_days
         |FROM t GROUP BY user_id
-        |ORDER BY decayed_score DESC, user_id""".stripMargin
+        |ORDER BY decayed_score DESC, user_id""".stripMargin,
+
+    "ts_cusum" ->
+      """WITH dly AS (SELECT ts::DATE AS day, count(*) AS n_ev
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_ev) AS BIGINT) AS total,
+        |    count(*) AS n_days FROM dly),
+        |c AS (SELECT day, n_ev,
+        |    CAST(sum(n_ev * n_days - total)
+        |      OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+        |  FROM dly CROSS JOIN tot),
+        |s AS (SELECT day, n_ev,
+        |    c - least(0, min(c) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)) AS cusum_up,
+        |    greatest(0, max(c) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)) - c AS cusum_down
+        |  FROM c)
+        |SELECT CAST(day AS VARCHAR) AS day, n_ev, cusum_up, cusum_down,
+        |  cusum_up = max(cusum_up) OVER () AS is_peak_shift
+        |FROM s ORDER BY day""".stripMargin
   )
 }

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Cdc, Learn, Profile, TimeSeries}
+
+/** Structural contracts for the audit/monitoring pack: referential
+  * integrity, CUSUM change points, WOE/IV, incremental agg maintenance.
+  */
+class AuditSpec extends SparkSpecBase {
+
+  test("fk_orphans: fixture audit is all-clean AND the probe detects a planted orphan") {
+    val rows = Profile.fkOrphans(spark, sfDir).collect()
+    assert(rows.length == 6)
+    assert(rows.forall(_.getLong(2) == 0L), "fixture should be referentially clean")
+    assert(rows.forall(_.getLong(1) > 0L))
+    // non-vacuity: plant two orphans and prove the same probe counts them
+    val s = spark
+    import s.implicits._
+    val child = Seq(1L, 2L, 3L, 99L, 98L).toDF("k")
+    val parent = Seq(1L, 2L, 3L).toDF("p")
+    val planted = Profile.fkAudit("t", child, "k", parent, "p").head()
+    assert(planted.getLong(1) == 5L && planted.getLong(2) == 2L)
+  }
+
+  test("ts_cusum: windowed closed form equals the textbook recursion, peak at the shift") {
+    // brute-force S_t = max(0, S_{t-1} + d_t) on the fixture's own series
+    val got = TimeSeries.queries("ts_cusum")(spark, sfDir).collect()
+    val n = got.map(_.getLong(1))
+    val days = n.length.toLong
+    val total = n.sum
+    var sUp = 0L; var sDn = 0L
+    got.zipWithIndex.foreach { case (r, i) =>
+      val d = n(i) * days - total
+      sUp = math.max(0L, sUp + d)
+      sDn = math.min(0L, sDn + d)
+      assert(r.getLong(2) == sUp, s"row $i cusum_up")
+      assert(r.getLong(3) == -sDn, s"row $i cusum_down")
+    }
+    // exactly the argmax rows are flagged
+    val mx = got.map(_.getLong(2)).max
+    assert(got.forall(r => r.getBoolean(4) == (r.getLong(2) == mx)))
+  }
+
+  test("woe_bins: bins partition the events, IV is the fixed-point fold, non-negative") {
+    val bins = Learn.queries("woe_bins")(spark, sfDir).collect()
+    assert(bins.map(_.getInt(0)).toSeq == bins.map(_.getInt(0)).toSeq.sorted)
+    val nRows = bins.map(_.getLong(1)).sum
+    assert(nRows == graft.Tables.events(spark, sfDir).count())
+    // every IV contribution (g-b)·ln(g/b) is >= 0 by construction
+    assert(bins.forall(_.getLong(5) >= 0L))
+    val total = Learn.queries("woe_iv_total")(spark, sfDir).head()
+    assert(total.getLong(0) == bins.length)
+    assert(math.abs(total.getDouble(1) -
+      bins.map(_.getLong(5)).sum / 1e6) < 1e-9)
+  }
+
+  test("incr_agg_merge == direct full recompute (mergeable-state contract)") {
+    val merged = Cdc.queries("incr_agg_merge")(spark, sfDir)
+      .drop("n_partials")
+    val o = graft.Tables.orders(spark, sfDir)
+    val direct = o.select(col("o_orderpriority"),
+      col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+        .as("price"),
+      to_date(col("o_orderdate")).as("day"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum("price").cast("double").as("total"),
+        min("day").cast("string").as("first_day"),
+        max("day").cast("string").as("last_day"))
+    assert(merged.exceptAll(direct).count() == 0)
+    assert(direct.exceptAll(merged).count() == 0)
+  }
+}
