@@ -160,30 +160,42 @@ object TimeSeries {
     // engines. The day grain bounds the windowed relation at |days| rows
     // regardless of corpus size; the single-partition window is safe for
     // the same reason as eval_auc's (Learn.scala byScore note).
-    "ts_cusum" -> { (s, d) =>
-      val dly = events(s, d)
-        .select(to_date(col("ts")).as("day"))
-        .groupBy("day").agg(count(lit(1)).as("n_ev"))
-      val tot = dly.agg(sum("n_ev").as("total"), count(lit(1)).as("n_days"))
-      val wRun = Window.orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.partitionBy(lit(0)) // whole-relation frame
-      dly.crossJoin(broadcast(tot))
-        .withColumn("c",
-          sum(col("n_ev") * col("n_days") - col("total")).over(wRun))
-        // the running extremum must include the virtual C_{-1} = 0 of the
-        // empty prefix — that is what makes the closed form match the
-        // textbook recursion at the first rows (AuditSpec proves equality)
-        .withColumn("cusum_up", col("c") - least(lit(0L), min("c").over(wRun)))
-        .withColumn("cusum_down",
-          greatest(lit(0L), max("c").over(wRun)) - col("c"))
-        .withColumn("is_peak_shift",
-          col("cusum_up") === max("cusum_up").over(wAll))
-        .select(col("day").cast("string").as("day"), col("n_ev"),
-          col("cusum_up"), col("cusum_down"), col("is_peak_shift"))
-        .orderBy("day")
-    }
+    "ts_cusum" -> { (s, d) => cusumOf(dailyEventCounts(events(s, d))) }
   )
+
+  /** Per-day global event counts — works verbatim on a STREAMING events
+    * frame too (unwindowed agg, Complete mode), which is how the streaming
+    * CUSUM monitor runs phase 1 with day-grain bounded state.
+    */
+  def dailyEventCounts(ev: DataFrame): DataFrame =
+    ev.select(to_date(col("ts")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_ev"))
+
+  /** CUSUM finisher over a (day, n_ev) relation — shared VERBATIM by the
+    * batch ts_cusum query and the streaming monitor's foreachBatch phase,
+    * so the monitor's table equals the batch answer after any micro-batch
+    * (exact integer arithmetic; no order dependence).
+    */
+  def cusumOf(dly: DataFrame): DataFrame = {
+    val tot = dly.agg(sum("n_ev").as("total"), count(lit(1)).as("n_days"))
+    val wRun = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(lit(0)) // whole-relation frame
+    dly.crossJoin(broadcast(tot))
+      .withColumn("c",
+        sum(col("n_ev") * col("n_days") - col("total")).over(wRun))
+      // the running extremum must include the virtual C_{-1} = 0 of the
+      // empty prefix — that is what makes the closed form match the
+      // textbook recursion at the first rows (AuditSpec proves equality)
+      .withColumn("cusum_up", col("c") - least(lit(0L), min("c").over(wRun)))
+      .withColumn("cusum_down",
+        greatest(lit(0L), max("c").over(wRun)) - col("c"))
+      .withColumn("is_peak_shift",
+        col("cusum_up") === max("cusum_up").over(wAll))
+      .select(col("day").cast("string").as("day"), col("n_ev"),
+        col("cusum_up"), col("cusum_down"), col("is_peak_shift"))
+      .orderBy("day")
+  }
 
   // -------------------------------------------------------------- oracles
 

@@ -30,6 +30,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
 
   private var catName = "graft"
   private val DocsTable = "docs_(\\d+)".r
+  private val LinesTable = "([A-Za-z0-9_]+)".r
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
     catName = name
@@ -39,12 +40,28 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
   override def listTables(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("synth")))
       Array(Identifier.of(namespace, "docs_1000"))
+    else if (namespace.sameElements(Array("lines"))) {
+      val root = java.nio.file.Paths.get(GraftCatalog.linesRoot)
+      if (!java.nio.file.Files.isDirectory(root)) Array.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(root).iterator.asScala
+          .filter(java.nio.file.Files.isDirectory(_))
+          .map(p => Identifier.of(namespace, p.getFileName.toString))
+          .toArray
+      }
+    }
     else throw new NoSuchNamespaceException(catName +: namespace.toSeq)
 
   override def loadTable(ident: Identifier): Table =
     ident.name() match {
       case DocsTable(n) if ident.namespace().sameElements(Array("synth")) =>
         new SynthDocsTable(n.toLong, 4, 1000L)
+      // lines namespace: catalog-of-paths — <name> maps to a fixed local
+      // root; the SAME GraftLinesTable object serves the format-string
+      // face, so reads/writes/DELETEs behave identically through both
+      case LinesTable(n) if ident.namespace().sameElements(Array("lines")) =>
+        new GraftLinesTable(s"${GraftCatalog.linesRoot}/$n")
       case _ => throw new NoSuchTableException(ident)
     }
 
@@ -108,4 +125,10 @@ object H60Bound extends ScalarFunction[java.lang.Long] {
   override def produceResult(input: InternalRow): java.lang.Long =
     if (input.isNullAt(0)) null
     else java.lang.Long.valueOf(SynthDocs.h60(input.getUTF8String(0).toString))
+}
+
+object GraftCatalog {
+  /** Root directory for the `lines` namespace (catalog-of-paths). */
+  val linesRoot: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_lines_cat"
 }

@@ -7,8 +7,9 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.catalog.{SupportsDeleteV2, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{Expression, Literal, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -78,7 +79,8 @@ object GraftLines {
   }
 }
 
-class GraftLinesTable(root: String) extends Table with SupportsRead with SupportsWrite {
+class GraftLinesTable(root: String) extends Table with SupportsRead
+    with SupportsWrite with SupportsDeleteV2 {
   override def name(): String = s"graft_lines($root)"
   override def schema(): StructType = GraftLines.schema
   override def capabilities(): util.Set[TableCapability] =
@@ -90,6 +92,110 @@ class GraftLinesTable(root: String) extends Table with SupportsRead with Support
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftLinesWriteBuilder(root)
+
+  // ------------------------------------------------- row-level DELETE
+  // `DELETE FROM <table> WHERE p` arrives here as the split conjunction of
+  // v2 Predicates. canDeleteWhere is the honest gate: only predicate
+  // shapes we can evaluate line-side are accepted — anything else makes
+  // Spark raise its standard "cannot delete" analysis error instead of us
+  // silently deleting the wrong rows. The rewrite is per-shard
+  // copy-on-write (filter surviving lines to a sibling tmp file, atomic
+  // rename over the shard, drop shards that empty out) — the local-FS
+  // instantiation of the copy-on-write delete a lakehouse table format
+  // runs distributed; shards not touched by the predicate rewrite to
+  // identical bytes and could be skipped with per-shard min/max stats.
+
+  override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
+    predicates.forall(p => LinesDelete.compile(p).isDefined)
+
+  override def deleteWhere(predicates: Array[Predicate]): Unit = {
+    val tests = predicates.map(p => LinesDelete.compile(p).getOrElse(
+      throw new UnsupportedOperationException(s"cannot delete by $p")))
+    GraftLines.dataFiles(root).foreach { f =>
+      val lines = Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toSeq
+      val kept = lines.filterNot(l => tests.forall(_(l)))
+      if (kept.size != lines.size) {
+        if (kept.isEmpty) Files.delete(f)
+        else {
+          val tmp = f.resolveSibling(f.getFileName.toString + ".del.tmp")
+          Files.write(tmp, kept.asJava, StandardCharsets.UTF_8)
+          Files.move(tmp, f, StandardCopyOption.REPLACE_EXISTING,
+            StandardCopyOption.ATOMIC_MOVE)
+        }
+      }
+    }
+  }
+}
+
+/** Translates v2 [[Predicate]]s over the single `value` column into plain
+  * line-side tests. Comparison literals must be strings; the column may sit
+  * on either side of a binary comparison (the test flips). Unsupported
+  * shapes return None (→ canDeleteWhere=false → analysis error upstream).
+  */
+object LinesDelete {
+  private def isValueCol(e: Expression): Boolean = e match {
+    case r: NamedReference => r.fieldNames.sameElements(Array("value"))
+    case _ => false
+  }
+
+  private def litStr(e: Expression): Option[String] = e match {
+    // match the Literal interface, not LiteralValue (scalac pickle quirk
+    // with the unmanaged spark jars); value() is UTF8String for strings
+    case l: Literal[_] if l.dataType == StringType =>
+      Option(l.value).map(_.toString)
+    case _ => None
+  }
+
+  private def cmp(op: String): (String, String) => Boolean = op match {
+    case "="  => _ == _
+    case "<>" => _ != _
+    case "<"  => _ < _
+    case "<=" => _ <= _
+    case ">"  => _ > _
+    case ">=" => _ >= _
+  }
+
+  private val Flip = Map("<" -> ">", "<=" -> ">=", ">" -> "<", ">=" -> "<=",
+    "=" -> "=", "<>" -> "<>")
+
+  def compile(p: Predicate): Option[String => Boolean] = p.name() match {
+    // boolean structure arrives intact below the top-level conjunction
+    // split (e.g. `<>` comes in as NOT(=), OR groups arrive whole)
+    case "NOT" => p.children() match {
+      case Array(c: Predicate) => compile(c).map(t => (s: String) => !t(s))
+      case _ => None
+    }
+    case "AND" => p.children() match {
+      case Array(a: Predicate, b: Predicate) =>
+        for (ta <- compile(a); tb <- compile(b))
+          yield (s: String) => ta(s) && tb(s)
+      case _ => None
+    }
+    case "OR" => p.children() match {
+      case Array(a: Predicate, b: Predicate) =>
+        for (ta <- compile(a); tb <- compile(b))
+          yield (s: String) => ta(s) || tb(s)
+      case _ => None
+    }
+    // a written line is never SQL NULL (write rejects nulls)
+    case "IS_NULL" if p.children().length == 1 && isValueCol(p.children()(0)) =>
+      Some(_ => false)
+    case "IS_NOT_NULL" if p.children().length == 1 && isValueCol(p.children()(0)) =>
+      Some(_ => true)
+    case "STARTS_WITH" => p.children() match {
+      case Array(c, l) if isValueCol(c) =>
+        litStr(l).map(v => (s: String) => s.startsWith(v))
+      case _ => None
+    }
+    case op @ ("=" | "<>" | "<" | "<=" | ">" | ">=") => p.children() match {
+      case Array(c, l) if isValueCol(c) =>
+        litStr(l).map(v => (s: String) => cmp(op)(s, v))
+      case Array(l, c) if isValueCol(c) =>
+        litStr(l).map(v => (s: String) => cmp(Flip(op))(s, v))
+      case _ => None
+    }
+    case _ => None
+  }
 }
 
 // ------------------------------------------------------------------ write

@@ -240,4 +240,52 @@ class SourcesSpec extends SparkSpecBase {
     val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
     assert(scan.contains("PartitionFilters"), s"no partition filters in:\n$scan")
   }
+
+  test("graftlines DELETE: SQL row-level delete through the catalog, shards rewritten copy-on-write") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    import graft.sources.GraftCatalog
+    spark.conf.set("spark.sql.catalog.graft_cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    val root = s"${GraftCatalog.linesRoot}/delspec"
+    val s = spark
+    import s.implicits._
+    (0 until 100).map(i => f"doc$i%03d").toDF("value")
+      .repartition(4)
+      .write.format("graft.sources.GraftLinesSource")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).option("path", root).save()
+
+    // catalog face sees the table written through the format face
+    assert(spark.sql("SHOW TABLES IN graft_cat.lines").collect()
+      .map(_.getString(1)).contains("delspec"))
+    assert(spark.sql("SELECT count(*) n FROM graft_cat.lines.delspec")
+      .head.getLong(0) == 100L)
+
+    // range + inequality delete: conjunction of translatable predicates
+    spark.sql("""DELETE FROM graft_cat.lines.delspec
+                 WHERE value >= 'doc010' AND value < 'doc020' AND value <> 'doc015'""")
+    val left = spark.sql("SELECT value FROM graft_cat.lines.delspec")
+      .collect().map(_.getString(0)).sorted
+    assert(left.length == 91)
+    assert(left.contains("doc015") && !left.contains("doc010") && !left.contains("doc019"))
+
+    // prefix delete empties whole shards safely (files dropped, not torn)
+    spark.sql("DELETE FROM graft_cat.lines.delspec WHERE value LIKE 'doc0%'")
+    val after = spark.sql("SELECT value FROM graft_cat.lines.delspec")
+      .collect().map(_.getString(0)).sorted
+    assert(after.length == 0 ||
+      after.forall(!_.startsWith("doc0")), s"prefix rows survived: ${after.take(5).toSeq}")
+    // no torn temp files left behind
+    val leftover = Files.list(Paths.get(root)).iterator.asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".del.tmp")).toSeq
+    assert(leftover.isEmpty, s"torn rewrite temps: $leftover")
+
+    // untranslatable predicate: honest analysis-time refusal, no data loss
+    val before = spark.sql("SELECT count(*) FROM graft_cat.lines.delspec").head.getLong(0)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("DELETE FROM graft_cat.lines.delspec WHERE length(value) = 6")
+    }
+    assert(spark.sql("SELECT count(*) FROM graft_cat.lines.delspec")
+      .head.getLong(0) == before)
+  }
 }

@@ -649,6 +649,38 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming CUSUM monitor equals the oracled ts_cusum after the final batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val evTs = Tables.events(s, sfDir).select("ts")
+      .as[java.sql.Timestamp].collect()
+    val batchAnswer = graft.operators.TimeSeries.queries("ts_cusum")(s, sfDir)
+      .collect().map(_.toSeq).toSeq
+
+    val in = MemoryStream[java.sql.Timestamp]
+    var last: Seq[Seq[Any]] = Nil
+    // phase 1: day-grain running counts (state bounded by |days|);
+    // phase 2: the SHARED cusumOf finisher per micro-batch
+    val q = graft.operators.TimeSeries.dailyEventCounts(in.toDF.toDF("ts"))
+      .writeStream
+      .outputMode(OutputMode.Complete)
+      .foreachBatch { (counts: org.apache.spark.sql.DataFrame, _: Long) =>
+        last = graft.operators.TimeSeries.cusumOf(counts)
+          .collect().map(_.toSeq).toSeq
+      }
+      .start()
+    try {
+      // uneven chops: the final CUSUM must not depend on batch boundaries
+      in.addData(evTs.take(17).toSeq); q.processAllAvailable()
+      val mid = last
+      in.addData(evTs.slice(17, 3000).toSeq); q.processAllAvailable()
+      in.addData(evTs.drop(3000).toSeq); q.processAllAvailable()
+      assert(last == batchAnswer)
+      assert(mid.nonEmpty && mid != batchAnswer)
+    } finally q.stop()
+  }
+
   test("textStatsStream applies the batch stats transform to a stream") {
     val s = spark
     import s.implicits._
