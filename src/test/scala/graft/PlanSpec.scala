@@ -333,4 +333,34 @@ class PlanSpec extends SparkSpecBase {
     // the per-user rollup is map-side combined
     assert(p.contains("partial_count") || p.contains("partial_sum"), p)
   }
+
+  test("fk_orphans: every FK probe is a broadcast anti-join; counts map-side combine") {
+    val p = plan("fk_orphans")
+    assert(!p.contains("SortMergeJoin"),
+      s"dim side shuffled instead of broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"no broadcast anti-join:\n$p")
+    assert(p.contains("partial_count"), s"counts not map-side combined:\n$p")
+  }
+
+  test("merge_scd2: one key shuffle feeds the version window; no extra exchange") {
+    val p = plan("merge_scd2")
+    // history union aggregates/windows on the merge key: exactly the
+    // change-agg exchange(s) plus the window's key partitioning — the
+    // delta aggregation must be map-side combined
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("contamination_blast_radius: BFS rounds are equi-joins, never all-pairs") {
+    val p = plan("contamination_blast_radius")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs leak in BFS:\n$p")
+  }
+
+  test("incr_agg_merge: both phases are hash aggregations with map-side partials") {
+    val p = plan("incr_agg_merge")
+    assert(p.contains("partial_sum"), s"partials missing:\n$p")
+    assert(!p.contains("SortAggregate"), s"hash agg expected:\n$p")
+  }
 }
