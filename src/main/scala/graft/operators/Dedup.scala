@@ -164,6 +164,77 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** Exact Jaccard pairs >= num/den via PREFIX FILTERING (AllPairs /
+    * PPJoin family, cf. "Scaling Up All Pairs Similarity Search" and the
+    * prefix-filter literature in PAPERS.md) — the LOSSLESS alternative to
+    * the `dfCap` defense in [[ngramJaccardPairs]]: the df cap can MISS a
+    * qualifying pair whose only shared shingles are corpus-hot; prefix
+    * filtering provably never does, yet still dodges the hot-shingle
+    * quadratic bucket.
+    *
+    * Order every doc's shingle set by ascending (document frequency,
+    * hash) — one global total order — and index only each doc's PREFIX of
+    * the |x| - ceil(t*|x|) + 1 RAREST shingles: any pair with Jaccard >= t
+    * must collide inside both prefixes under a common order, so the
+    * candidate equi-join touches only rare-shingle posting lists. A
+    * boilerplate shingle shared by 10^5 docs sorts LAST and lands in
+    * almost nobody's prefix — the mega-bucket never forms, and no pair is
+    * lost (DedupSpec proves output equality with the uncapped inverted
+    * index on the fixture AND on ScalaCheck-random corpora).
+    *
+    * Scale shape: df join + per-doc sort shuffle corpus-token-sized
+    * (doc_id, hash, df) triples; the per-doc sorted state is bounded by
+    * doc length; candidates are verified against FULL shingle sets through
+    * the candidate-bounded join (cost ~ |candidates| x doc length, never
+    * hot-token quadratic). Threshold is exact-rational (num/den) so the
+    * keep predicate is pure integer arithmetic — no fp boundary cases.
+    */
+  def prefixJaccardPairs(docs: DataFrame, num: Int, den: Int): DataFrame = {
+    val e = shingleRows(docs)
+      .select(col("doc_id"), h60(col("sh")).as("g"))
+      .distinct()
+      .persist()
+    val n = e.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val dfs = e.groupBy("g").agg(count(lit(1)).as("df"))
+    // Per-doc shingles in ascending (df, g) order; ceil via integer DIV.
+    val docT = e.join(dfs, "g")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("ts"),
+        count(lit(1)).as("nsh"))
+    val pref = docT
+      .select(col("doc_id"), col("nsh"),
+        explode(slice(col("ts"), lit(1),
+          (col("nsh") - expr(s"(nsh * $num + ${den - 1}) DIV $den") + 1)
+            .cast("int"))).as("pt"))
+      .select(col("doc_id"), col("nsh"), col("pt.g").as("g"))
+      .persist()
+    // Candidate pairs: shared prefix shingle + the length filter
+    // (J >= t forces min(|x|,|y|) >= t*max(|x|,|y|)).
+    val cand = pref.as("a")
+      .join(pref.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.nsh") * den >= col("a.nsh") * num &&
+          col("a.nsh") * den >= col("b.nsh") * num)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val inter = cand
+      .join(e.as("fa"), col("doc_a") === col("fa.doc_id"))
+      .join(e.as("fb"),
+        col("doc_b") === col("fb.doc_id") && col("fa.g") === col("fb.g"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(n.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(n.as("nb"), col("doc_b") === col("nb.doc_id"))
+      // keep predicate in exact integers; jaccard column rendered exactly
+      // as in ngramJaccardPairs so the two operators are hash-comparable
+      .where(col("inter") * den >=
+        (col("na.nsh") + col("nb.nsh") - col("inter")) * num)
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / (col("na.nsh") + col("nb.nsh") - col("inter")))
+          .as("jaccard"))
+  }
+
   /** Smallest doc_id per identical text — the exact-dedup keep set, shared
     * by dedup_exact and the pipeline.
     */
@@ -273,6 +344,15 @@ object Dedup {
     "dedup_ngram_jaccard_capped" -> { (s, d) =>
       ngramJaccardPairs(documents(s, d).select("doc_id", "text"), 0.6,
         dfCap = Some(NgramDfCap))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // Same exact-Jaccard contract through LOSSLESS prefix filtering: the
+    // rarest |x|-ceil(0.6|x|)+1 shingles per doc (global df order) are the
+    // only index entries, so hot boilerplate shingles never form a join
+    // bucket yet no qualifying pair can be missed (unlike the df cap).
+    "dedup_jaccard_prefix" -> { (s, d) =>
+      prefixJaccardPairs(documents(s, d).select("doc_id", "text"), 3, 5)
         .orderBy("doc_a", "doc_b")
     },
 
@@ -422,6 +502,22 @@ object Dedup {
          |  CAST(inter AS DOUBLE) / (x.nsh + y.nsh - inter) AS jaccard
          |FROM p JOIN n x ON doc_a = x.doc_id JOIN n y ON doc_b = y.doc_id
          |WHERE CAST(inter AS DOUBLE) / (x.nsh + y.nsh - inter) >= 0.6
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Prefix filtering is lossless, so the oracle is the plain brute-force
+    // inverted index — same relation as dedup_ngram_jaccard, with the keep
+    // predicate in the same exact integer arithmetic as the operator.
+    "dedup_jaccard_prefix" ->
+      s"""WITH tok AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents),
+         |sh AS (SELECT doc_id, ${shingles3Sql("t")} AS s FROM tok),
+         |e AS (SELECT doc_id, unnest(list_distinct(list_transform(s, x -> ${h60Sql("x")}))) AS g FROM sh),
+         |n AS (SELECT doc_id, count(*) AS nsh FROM e GROUP BY doc_id),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  CAST(inter AS DOUBLE) / (x.nsh + y.nsh - inter) AS jaccard
+         |FROM p JOIN n x ON doc_a = x.doc_id JOIN n y ON doc_b = y.doc_id
+         |WHERE inter * 5 >= (x.nsh + y.nsh - inter) * 3
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_ngram_jaccard_capped" ->

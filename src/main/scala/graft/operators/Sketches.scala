@@ -6,8 +6,10 @@ import org.apache.spark.sql.functions._
 
 import org.apache.spark.sql.Column
 
+import org.apache.spark.sql.expressions.Window
+
 import graft.Tables._
-import graft.functions.{BloomFilterAgg, CountMinSketchAgg, HyperLogLogAgg}
+import graft.functions.{BloomFilterAgg, CountMinSketchAgg, HistQuantileAgg, HyperLogLogAgg}
 import TextHash.{toksSql, toks}
 
 /** Mergeable frequency sketching — Count-Min Sketch over the corpus token
@@ -119,9 +121,92 @@ object Sketches {
   private def hllRegs(s: SparkSession, d: String): DataFrame =
     tokens(s, d).agg(hll(col("tok")).as("regs"))
 
+  // -------------------------------------- quantile-histogram machinery
+
+  private val qsk = F.udaf(HistQuantileAgg, Encoders.scalaLong)
+  private val QBins = HistQuantileAgg.Bins
+  private val QHi = HistQuantileAgg.HiCents
+
+  /** Populated (l_returnflag, bin, cnt) cells of the per-group quantile
+    * histogram over l_extendedprice in integer cents — one constant-size
+    * (8 KiB) reduction per group instead of a per-group sort.
+    */
+  private[graft] def qsketchCells(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      // prices are stored as double: round BEFORE the long cast (Spark
+      // truncates, DuckDB rounds — round() first makes both exact cents)
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+      .groupBy("l_returnflag")
+      .agg(qsk(col("cents")).as("sk"))
+      .select(col("l_returnflag"), posexplode(col("sk")).as(Seq("bin", "cnt")))
+      .where(col("cnt") > 0)
+
+  /** (l_returnflag, n, q_pct, target) rank targets for p50/p90/p99:
+    * target = ceil(q*n/100) in pure integer arithmetic.
+    */
+  private def qsketchTargets(cells: DataFrame): DataFrame =
+    cells.groupBy("l_returnflag").agg(sum("cnt").as("n"))
+      .select(col("l_returnflag"), col("n"),
+        explode(array(lit(50), lit(90), lit(99))).as("q_pct"))
+      .withColumn("target", expr("(n * q_pct + 99) DIV 100"))
+
+  /** (l_returnflag, q_pct, bin_est, lo_cents): smallest bin whose
+    * cumulative count reaches the rank target, plus its integer-cent
+    * lower bound — the sketch's quantile answer, error <= one bin width.
+    */
+  private[graft] def qsketchQuantiles(s: SparkSession, d: String): DataFrame = {
+    val cells = qsketchCells(s, d)
+    val cum = cells.withColumn("cum",
+      sum("cnt").over(Window.partitionBy("l_returnflag").orderBy("bin")))
+    cum.join(qsketchTargets(cells), "l_returnflag")
+      .where(col("cum") >= col("target"))
+      .groupBy("l_returnflag", "q_pct")
+      .agg(min("bin").as("bin_est"))
+      .withColumn("lo_cents", expr(s"bin_est * ${QHi}L DIV $QBins"))
+  }
+
   // -------------------------------------------------------------- queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The quantile-histogram state itself, flattened to populated
+    // (group, bin, cnt) cells — every counter oracle-checked, verifying
+    // the integer bin function, the reduce path AND the merge path (32
+    // shuffle partitions guarantee merges happened).
+    "qsketch_cells" -> { (s, d) =>
+      qsketchCells(s, d).orderBy("l_returnflag", "bin")
+    },
+
+    // p50/p90/p99 read from the sketch: smallest bin reaching the rank
+    // target + its integer-cent lower bound. Deterministic (unlike
+    // approx_percentile) and partition-count-independent.
+    "qsketch_quantiles" -> { (s, d) =>
+      qsketchQuantiles(s, d).orderBy("l_returnflag", "q_pct")
+    },
+
+    // Rank-accuracy audit: the sketch's chosen bin must be EXACTLY the
+    // bin containing the true order statistic (row_number rank target
+    // over the sorted group) — the <= one-bin-width error contract,
+    // oracled per group per quantile.
+    "qsketch_check" -> { (s, d) =>
+      val cells = qsketchCells(s, d)
+      val t = qsketchTargets(cells)
+      val vals = lineitem(s, d).select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+      val exact = vals
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("l_returnflag").orderBy("cents")))
+        .join(t, "l_returnflag")
+        .where(col("rn") === col("target"))
+        .select(col("l_returnflag"), col("q_pct"),
+          expr(s"(cents * $QBins) DIV ${QHi}L").as("bin_exact"))
+      qsketchQuantiles(s, d)
+        .join(exact, Seq("l_returnflag", "q_pct"))
+        .select(col("l_returnflag"), col("q_pct"), col("bin_est"),
+          col("bin_exact"), (col("bin_est") === col("bin_exact")).as("hit"))
+        .orderBy("l_returnflag", "q_pct")
+    },
+
     // The HLL state itself, flattened to its populated (register, rank)
     // cells — oracle-checks the md5 slot function, the max-reduce AND the
     // element-wise-max merge bit-for-bit.
@@ -271,6 +356,48 @@ object Sketches {
        |hreg AS (SELECT idx, max(rank) AS reg FROM hrank GROUP BY idx)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "qsketch_cells" ->
+      s"""SELECT l_returnflag,
+         |  (CAST(round(l_extendedprice * 100, 0) AS BIGINT) * $QBins) // $QHi AS bin,
+         |  count(*) AS cnt
+         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "qsketch_quantiles" ->
+      s"""WITH cells AS (SELECT l_returnflag,
+         |  (CAST(round(l_extendedprice * 100, 0) AS BIGINT) * $QBins) // $QHi AS bin,
+         |  count(*) AS cnt FROM lineitem GROUP BY 1, 2),
+         |cum AS (SELECT l_returnflag, bin, cnt,
+         |  sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum FROM cells),
+         |n AS (SELECT l_returnflag, sum(cnt) AS n FROM cells GROUP BY 1),
+         |tt AS (SELECT l_returnflag, q_pct, (n * q_pct + 99) // 100 AS target
+         |       FROM (SELECT l_returnflag, n, unnest([50, 90, 99]) AS q_pct FROM n))
+         |SELECT c.l_returnflag, tt.q_pct, min(c.bin) AS bin_est,
+         |  min(c.bin) * $QHi // $QBins AS lo_cents
+         |FROM cum c JOIN tt ON c.l_returnflag = tt.l_returnflag AND c.cum >= tt.target
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "qsketch_check" ->
+      s"""WITH cells AS (SELECT l_returnflag,
+         |  (CAST(round(l_extendedprice * 100, 0) AS BIGINT) * $QBins) // $QHi AS bin,
+         |  count(*) AS cnt FROM lineitem GROUP BY 1, 2),
+         |cum AS (SELECT l_returnflag, bin, cnt,
+         |  sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum FROM cells),
+         |n AS (SELECT l_returnflag, sum(cnt) AS n FROM cells GROUP BY 1),
+         |tt AS (SELECT l_returnflag, q_pct, (n * q_pct + 99) // 100 AS target
+         |       FROM (SELECT l_returnflag, n, unnest([50, 90, 99]) AS q_pct FROM n)),
+         |est AS (SELECT c.l_returnflag, tt.q_pct, min(c.bin) AS bin_est
+         |        FROM cum c JOIN tt ON c.l_returnflag = tt.l_returnflag AND c.cum >= tt.target
+         |        GROUP BY 1, 2),
+         |rnk AS (SELECT l_returnflag, CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+         |        row_number() OVER (PARTITION BY l_returnflag
+         |          ORDER BY CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS rn FROM lineitem),
+         |ex AS (SELECT r.l_returnflag, tt.q_pct, (r.cents * $QBins) // $QHi AS bin_exact
+         |       FROM rnk r JOIN tt ON r.l_returnflag = tt.l_returnflag AND r.rn = tt.target)
+         |SELECT e.l_returnflag, e.q_pct, e.bin_est, x.bin_exact,
+         |  e.bin_est = x.bin_exact AS hit
+         |FROM est e JOIN ex x ON e.l_returnflag = x.l_returnflag AND e.q_pct = x.q_pct
+         |ORDER BY 1, 2""".stripMargin,
+
     "hll_registers" ->
       s"""WITH $hllCtes
          |SELECT CAST(idx AS INTEGER) AS idx, CAST(reg AS INTEGER) AS reg

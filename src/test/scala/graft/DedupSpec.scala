@@ -128,6 +128,60 @@ class DedupSpec extends SparkSpecBase {
     assert(capped.subsetOf(uncapped))
   }
 
+  test("prefix filtering equals the uncapped inverted index row-for-row") {
+    val uncapped = Dedup.queries("dedup_ngram_jaccard")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val prefix = Dedup.queries("dedup_jaccard_prefix")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(prefix === uncapped)
+  }
+
+  test("prefix filtering is lossless on hot-boilerplate corpora the df cap misses") {
+    val s = spark
+    import s.implicits._
+    // The dfCap adversary: docs 100/101 meet ONLY through hot shingles
+    // (shared boilerplate), so the capped query drops their pair. Prefix
+    // filtering must keep it: a hot shingle still lands in a doc's prefix
+    // when the doc has nothing rarer to offer.
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ")
+    val docs = ((0 until 20).map(i => (i.toLong, s"$boiler u$i")) :+
+      (100L, s"$boiler dupmark") :+ (101L, s"$boiler dupmark"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(docs, 0.6, dfCap = None).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val prefix = Dedup.prefixJaccardPairs(docs, 3, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(prefix === uncapped)
+    assert(prefix.contains((100L, 101L)))
+  }
+
+  test("prefix filtering is lossless on seeded random corpora (vs brute force)") {
+    val s = spark
+    import s.implicits._
+    for (seed <- 1 to 4) {
+      val rng = new scala.util.Random(seed)
+      // small vocab forces heavy shingle sharing and exercises df ties
+      val docs = (0 until 30).map { i =>
+        val n = 3 + rng.nextInt(10)
+        (i.toLong, Seq.fill(n)(s"w${rng.nextInt(8)}").mkString(" "))
+      }.toDF("doc_id", "text")
+      val brute = {
+        val sh = docs.collect().map(r => r.getLong(0) ->
+          r.getString(1).toLowerCase.split("\\s+").toSeq
+            .sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet)
+        (for {
+          (a, sa) <- sh; (b, sb) <- sh if a < b && sa.nonEmpty
+          inter = (sa & sb).size
+          if inter > 0 && inter * 5 >= (sa.size + sb.size - inter) * 3
+        } yield (a, b)).toSet
+      }
+      val got = Dedup.prefixJaccardPairs(docs, 3, 5).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === brute, s"seed $seed")
+      Graft.releaseCaches(spark)
+    }
+  }
+
   test("releaseCaches leaves no persisted relations after a library call") {
     Dedup.queries("dedup_minhash_pairs")(spark, sfDir).count()
     Dedup.queries("dedup_ngram_jaccard")(spark, sfDir).count()

@@ -101,6 +101,36 @@ class SketchesSpec extends SparkSpecBase {
     assert(check.getBoolean(3))
   }
 
+  test("qsketch cells conserve group counts and match the local bin function") {
+    val cells = Sketches.queries("qsketch_cells")(spark, sfDir).collect()
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    // independent local reference histogram
+    val ref = li.groupBy { case (f, c) =>
+      (f, graft.functions.HistQuantileAgg.binOf(c))
+    }.view.mapValues(_.length.toLong).toMap
+    val got = cells.map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got === ref)
+  }
+
+  test("qsketch merge is partition-order independent (1 vs many partitions)") {
+    import spark.implicits._
+    val qsk = F.udaf(graft.functions.HistQuantileAgg, Encoders.scalaLong)
+    val cents = Tables.lineitem(spark, sfDir)
+      .select(round(col("l_extendedprice") * 100, 0).cast("long").as("c"))
+    val one = cents.coalesce(1).agg(qsk($"c")).head.getSeq[Long](0)
+    val many = cents.repartition(16).agg(qsk($"c")).head.getSeq[Long](0)
+    assert(one == many)
+  }
+
+  test("qsketch quantile bins contain the true order statistics (check query all-hit)") {
+    val check = Sketches.queries("qsketch_check")(spark, sfDir).collect()
+    assert(check.length == 9) // 3 flags x 3 quantiles
+    check.foreach { r => assert(r.getBoolean(4), s"miss: $r") }
+  }
+
   test("bloom gate: no false negatives; stats row reconciles with gate rows") {
     val gate = Sketches.queries("bloom_gate")(spark, sfDir).collect()
     assert(gate.nonEmpty)
