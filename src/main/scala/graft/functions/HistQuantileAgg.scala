@@ -24,8 +24,8 @@ import org.apache.spark.sql.expressions.Aggregator
   * Why an Aggregator and not a sort: at 100 TB an exact quantile is a
   * full shuffle+sort per group; this is one constant-size (8 KiB) array
   * per group reduced map-side — the classic single-pass distributed
-  * histogram (cf. the equi-width sketch baseline in the quantile-sketch
-  * literature, PAPERS.md).
+  * equi-width histogram, the deterministic baseline the mergeable
+  * quantile-sketch literature (GK, KLL, t-digest) refines.
   */
 object HistQuantileAgg extends Aggregator[Long, Array[Long], Seq[Long]] {
 

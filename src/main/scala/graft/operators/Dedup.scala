@@ -164,9 +164,9 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
-  /** Exact Jaccard pairs >= num/den via PREFIX FILTERING (AllPairs /
-    * PPJoin family, cf. "Scaling Up All Pairs Similarity Search" and the
-    * prefix-filter literature in PAPERS.md) — the LOSSLESS alternative to
+  /** Exact Jaccard pairs >= num/den via PREFIX FILTERING (the AllPairs /
+    * PPJoin family: Bayardo et al. "Scaling Up All Pairs Similarity
+    * Search", WWW'07; Xiao et al. PPJoin) — the LOSSLESS alternative to
     * the `dfCap` defense in [[ngramJaccardPairs]]: the df cap can MISS a
     * qualifying pair whose only shared shingles are corpus-hot; prefix
     * filtering provably never does, yet still dodges the hot-shingle

@@ -86,6 +86,14 @@ class PlanSpec extends SparkSpecBase {
       p.contains("BroadcastHashJoin"), s"expected an equi-join:\n$p")
   }
 
+  test("dedup_jaccard_prefix: prefix candidate generation is equi-join only (no all-pairs)") {
+    val p = plan("dedup_jaccard_prefix")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"prefix filtering must stay an equi-join on the prefix shingle:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"expected an equi-join:\n$p")
+  }
+
   test("link_fuzzy_neighbors: blocked matching is equi-join only (no all-pairs)") {
     val p = plan("link_fuzzy_neighbors")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -618,6 +618,41 @@ class StreamingSpec extends SparkSpecBase {
     assert(acc.toSeq == batchSketch)
   }
 
+  test("streaming grouped quantile sketch (complete-mode agg state) equals one batch pass") {
+    // Unlike the CMS test (driver-merged in foreachBatch), here the sketch
+    // IS the streaming aggregation state: the typed Aggregator's buffer
+    // lives in the state store and merges across micro-batches — the
+    // grouped-quantile shape a 100 TB ingest monitor would run.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val qsk = org.apache.spark.sql.functions.udaf(
+      graft.functions.HistQuantileAgg, org.apache.spark.sql.Encoders.scalaLong)
+    val rows = Tables.lineitem(s, sfDir)
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+      .limit(500).as[(String, Long)].collect()
+    val in = MemoryStream[(String, Long)]
+    val q = in.toDF.toDF("flag", "cents")
+      .groupBy("flag").agg(qsk(col("cents")).as("sk"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("qsk_stream").start()
+    try {
+      // uneven micro-batches: state-store merge order must not matter
+      in.addData(rows.take(123): _*); q.processAllAvailable()
+      in.addData(rows.slice(123, 130): _*); q.processAllAvailable()
+      in.addData(rows.drop(130): _*); q.processAllAvailable()
+    } finally q.stop()
+    def cells(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("flag"), posexplode(col("sk")).as(Seq("bin", "cnt")))
+      .where(col("cnt") > 0)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val got = cells(s.table("qsk_stream"))
+    val want = cells(rows.toSeq.toDF("flag", "cents")
+      .groupBy("flag").agg(qsk(col("cents")).as("sk")))
+    assert(got === want)
+  }
+
   test("streaming drift monitor equals the oracled drift_source_kl after the final batch") {
     val s = spark
     import s.implicits._
