@@ -74,6 +74,34 @@ object Linkage {
         .agg(count(lit(1)).as("n"))
         .withColumn("n_pairs", expr("n * (n - 1) DIV 2"))
         .orderBy(desc("n"), asc("blk"))
+    },
+
+    // Golden-record consolidation (survivorship): fuzzy pairs -> duplicate
+    // CLUSTERS (transitive closure via the shared connected-components
+    // kernel, so A~B~C merges even when A!~C) -> one master per cluster
+    // (highest account balance, ties to the lowest key) with consolidated
+    // fields. The full entity-resolution pipeline a reference user would
+    // run: block -> match -> cluster -> survive — every stage reusing an
+    // already-oracled kernel, nothing all-pairs, iteration edge-sized.
+    "link_golden_record" -> { (s, d) =>
+      val c = blocked(s, d)
+      val pairs = c.as("a")
+        .join(c.as("b"),
+          col("a.blk") === col("b.blk") && col("a.c_custkey") < col("b.c_custkey"))
+        .where(levenshtein(col("a.c_name"), col("b.c_name")) <= MaxDist)
+        .select(col("a.c_custkey").as("src"), col("b.c_custkey").as("dst"))
+      val cust = customer(s, d).select("c_custkey", "c_name", "c_acctbal")
+      val cc = Components.connectedComponents(cust.select("c_custkey"), pairs)
+      val w = Window.partitionBy("cc").orderBy(desc("c_acctbal"), asc("c_custkey"))
+      cust.join(cc, cust("c_custkey") === cc("id"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("cc").as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          max(when(col("rn") === 1, col("c_custkey"))).as("master_key"),
+          max(when(col("rn") === 1, col("c_name"))).as("master_name"),
+          max(col("c_acctbal")).as("max_acctbal"))
+        .where(col("n_members") >= 2)
+        .orderBy("cluster_id")
     }
   )
 
@@ -99,6 +127,27 @@ object Linkage {
       s"""WITH c AS (SELECT $blkSql AS blk FROM customer),
          |g AS (SELECT blk, count(*) AS n FROM c GROUP BY blk)
          |SELECT blk, n, CAST(n * (n - 1) // 2 AS BIGINT) AS n_pairs
-         |FROM g ORDER BY n DESC, blk""".stripMargin
+         |FROM g ORDER BY n DESC, blk""".stripMargin,
+
+    "link_golden_record" ->
+      s"""WITH RECURSIVE c AS (SELECT c_custkey, c_name, c_acctbal, $blkSql AS blk FROM customer),
+         |pairs AS (SELECT a.c_custkey AS src, b.c_custkey AS dst
+         |  FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+         |  WHERE levenshtein(a.c_name, b.c_name) <= $MaxDist),
+         |und AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+         |reach AS (SELECT c_custkey AS id, c_custkey AS cc FROM customer
+         |          UNION
+         |          SELECT u.dst, r.cc FROM reach r JOIN und u ON u.src = r.id),
+         |comp AS (SELECT id, min(cc) AS cc FROM reach GROUP BY id),
+         |ranked AS (SELECT comp.cc, k.c_custkey, k.c_name, k.c_acctbal,
+         |    row_number() OVER (PARTITION BY comp.cc
+         |                       ORDER BY k.c_acctbal DESC, k.c_custkey) AS rn
+         |  FROM comp JOIN customer k ON k.c_custkey = comp.id)
+         |SELECT cc AS cluster_id, count(*) AS n_members,
+         |  max(CASE WHEN rn = 1 THEN c_custkey END) AS master_key,
+         |  max(CASE WHEN rn = 1 THEN c_name END) AS master_name,
+         |  max(c_acctbal) AS max_acctbal
+         |FROM ranked GROUP BY cc HAVING count(*) >= 2
+         |ORDER BY cluster_id""".stripMargin
   )
 }

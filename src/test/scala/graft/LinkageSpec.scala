@@ -32,4 +32,41 @@ class LinkageSpec extends SparkSpecBase {
     assert(res.where(col("n_pairs") =!= col("n") * (col("n") - 1) / 2).count() == 0)
     res.unpersist()
   }
+
+  test("link_golden_record: clusters are transitive, masters maximize acctbal, fields reconcile") {
+    val out = Linkage.queries("link_golden_record")(spark, linkDir).collect()
+    assert(out.nonEmpty)
+    val cust = Tables.customer(spark, linkDir)
+      .select("c_custkey", "c_name", "c_acctbal").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    // independent transitive closure from the same fuzzy-pair definition
+    val byBlk = cust.toSeq.groupBy { case (_, (n, _)) => (n.length, n.takeRight(3)) }
+    val parent = scala.collection.mutable.Map(cust.keys.map(k => k -> k).toSeq: _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    for ((_, mem) <- byBlk; Seq((ka, (na, _)), (kb, (nb, _))) <- mem.sortBy(_._1).combinations(2))
+      if (lev(na, nb) <= Linkage.MaxDist) {
+        val (ra, rb) = (find(ka), find(kb)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    val clusters = cust.keys.groupBy(find).collect { case (_, ms) if ms.size >= 2 =>
+      val m = ms.toSeq; m.min -> m
+    }.toMap
+    assert(out.length == clusters.size)
+    out.foreach { r =>
+      val (cid, n, mk, mn, mb) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4))
+      val mem = clusters(cid)
+      assert(n == mem.size)
+      assert(mb == mem.map(cust(_)._2).max)
+      // master: highest balance, ties to lowest key
+      val best = mem.toSeq.map(k => (k, cust(k)._2)).sortBy { case (k, b) => (-b, k) }.head._1
+      assert(mk == best && mn == cust(best)._1)
+    }
+  }
 }
