@@ -134,6 +134,69 @@ object Graph {
     e
   }
 
+  /** Label-propagation rounds — fixed so the oracle can unroll the
+    * identical computation (synchronous LPA oscillates on bipartite
+    * structures, but a FIXED round count is deterministic either way).
+    */
+  val LpRounds = 5
+
+  /** Both-directions near-dup edges: MinHash-LSH pairs weighted by the
+    * (exact-integer) count of agreeing signature components.
+    */
+  def nearDupEdges(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.minhashPairs(s, d)
+    val w = (col("est_jaccard") * 32).cast("long").as("w")
+    pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"), w)
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"), w))
+  }
+
+  /** Synchronous weighted label propagation (Raghavan et al. 2007) over a
+    * both-directions edge list: every node starts as its own community;
+    * each round EVERY node simultaneously adopts the label carrying the
+    * highest total edge weight among its neighbors (ties to the smallest
+    * label) — the cheap communities baseline next to the other iterative
+    * primitives (connected components = reachability, k-core = density,
+    * PageRank = centrality; this = modularity-ish grouping).
+    *
+    * Each node ALSO votes its own current label through a self-loop
+    * weighted at its maximum incident edge weight — the determinism fix
+    * for synchronous LPA's label-swap oscillation. Without it a 2-clique
+    * swaps labels every round forever (round parity decides the
+    * "result"); with it, a node only switches when a competing label
+    * strictly outweighs its strongest single tie — or ties with it and is
+    * smaller — so the 2-clique resolves to the smaller label in round one
+    * and every later round re-elects it 2·w to w. Unlike min-label
+    * connected components, the weighted majority can still hold a
+    * weakly-bridged node OUT of a neighboring community (GraphSpec locks
+    * the fixture assignment, the 2-clique stability property, and a
+    * weighted-bridge case where LPA differs from CC).
+    *
+    * Scale shape: each round is one edge-sized join against the current
+    * (node, label) relation, one map-side-combined vote aggregate, and an
+    * argmax window over the per-node vote lists — state never exceeds one
+    * label per node, and the synchronous update means no sequential
+    * dependency inside a round. localCheckpoint per round keeps the plan
+    * linear (same discipline as [[kcoreEdges]]/[[bfsLevels]]).
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val base = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+    val nodes = base.groupBy(col("src").as("id")).agg(max("w").as("sw"))
+    val e = base
+      .union(nodes.select(col("id"), col("id"), col("sw")))
+      .persist()
+    var labels = nodes.select(col("id"), col("id").as("lab")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val votes = labels.as("l").join(e.as("e"), col("l.id") === col("e.src"))
+        .groupBy(col("e.dst").as("id"), col("l.lab"))
+        .agg(sum(col("e.w")).as("vw"))
+      val wnd = Window.partitionBy("id").orderBy(desc("vw"), asc("lab"))
+      labels = votes.withColumn("rn", row_number().over(wnd))
+        .where(col("rn") === 1).select("id", "lab").localCheckpoint()
+    }
+    e.unpersist()
+    labels
+  }
+
   /** Min-hop BFS levels from a seed set over a both-directions edge list,
     * depth-bounded at `rounds`. Returns (id, level) for every node within
     * `rounds` hops of a seed; level = exact minimum hop count.
@@ -173,6 +236,28 @@ object Graph {
       pagerank(cooccurEdges(documents(s, d).select("doc_id", "text")))
         .select(col("node"), col("rank").cast("long").as("rank"))
         .orderBy(desc("rank"), asc("node"))
+    },
+
+    // Label-propagation communities of the minhash near-dup graph (the
+    // token co-occurrence graph is near-complete at fixture scale, so
+    // communities there are degenerate; the near-dup graph has the real
+    // cluster structure). Edge weight = number of agreeing signature
+    // components (est_jaccard * 32 — an exact integer, so the weighted
+    // votes stay bit-exact). Only docs with >= 1 near-dup neighbor
+    // participate, mirroring the connected-components singleton contract.
+    "graph_lp_communities" -> { (s, d) =>
+      labelPropagation(nearDupEdges(s, d), LpRounds)
+        .select(col("id").as("doc_id"), col("lab").as("community"))
+        .orderBy("doc_id")
+    },
+
+    // Community-size histogram — the useful summary at scale (the full
+    // assignment is node-sized; this is community-count-sized).
+    "graph_lp_sizes" -> { (s, d) =>
+      labelPropagation(nearDupEdges(s, d), LpRounds)
+        .groupBy(col("lab").as("community"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy(desc("n_members"), asc("community"))
     },
 
     // Degree diagnostics of the same graph — the skew check you run before
@@ -344,8 +429,44 @@ object Graph {
       s"\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r$Iters ORDER BY rank DESC, node"
   }
 
+  /** Unrolled synchronous LPA: round CTEs are MATERIALIZED so DuckDB
+    * evaluates each exactly once (the un-hinted plan re-inlines every
+    * round into the next — exponential).
+    */
+  private def lpSql(finalSelect: String): String = {
+    val head =
+      s"""WITH ${Dedup.sigCtes("documents")},
+         |pairs AS MATERIALIZED (${Dedup.minhashPairsSqlSelect}),
+         |lpb AS MATERIALIZED (
+         |  SELECT doc_a AS src, doc_b AS dst, CAST(est_jaccard * 32 AS BIGINT) AS w FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b, doc_a, CAST(est_jaccard * 32 AS BIGINT) FROM pairs),
+         |lpe AS MATERIALIZED (
+         |  SELECT src, dst, w FROM lpb
+         |  UNION ALL
+         |  SELECT src, src, max(w) FROM lpb GROUP BY src),
+         |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lab FROM lpb)""".stripMargin
+    val iters = (1 to LpRounds).map { k =>
+      s""",
+         |l$k AS MATERIALIZED (SELECT id, lab FROM (
+         |  SELECT e.dst AS id, l.lab, sum(e.w) AS vw,
+         |    row_number() OVER (PARTITION BY e.dst
+         |                       ORDER BY sum(e.w) DESC, l.lab) AS rn
+         |  FROM lpe e JOIN l${k - 1} l ON l.id = e.src
+         |  GROUP BY e.dst, l.lab) WHERE rn = 1)""".stripMargin
+    }.mkString
+    s"$head$iters\n$finalSelect"
+  }
+
   val oracles: Map[String, String] = Map(
     "graph_textrank" -> pagerankSql,
+
+    "graph_lp_communities" -> lpSql(
+      s"SELECT id AS doc_id, lab AS community FROM l$LpRounds ORDER BY doc_id"),
+
+    "graph_lp_sizes" -> lpSql(
+      s"""SELECT lab AS community, count(*) AS n_members FROM l$LpRounds
+         |GROUP BY lab ORDER BY n_members DESC, community""".stripMargin),
 
     "graph_degree_stats" ->
       s"""WITH $graphCtes

@@ -126,4 +126,56 @@ class GraphSpec extends SparkSpecBase {
       assert(deg(r.getString(0)) >= r.getLong(1))
     }
   }
+
+  test("label propagation: 2-clique resolves to the min label and stays stable") {
+    val s = spark
+    import s.implicits._
+    // without the self-vote this oscillates and the result depends on
+    // round parity — run both 5 and 6 rounds to prove it does not
+    val und = Seq((1L, 2L, 10L), (2L, 1L, 10L), (7L, 9L, 3L), (9L, 7L, 3L))
+      .toDF("src", "dst", "w")
+    for (rounds <- Seq(5, 6)) {
+      val got = Graph.labelPropagation(und, rounds).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === Map(1L -> 1L, 2L -> 1L, 7L -> 7L, 9L -> 7L), s"rounds=$rounds")
+    }
+  }
+
+  test("label propagation: weighted bridge stays out of the heavier community (differs from CC)") {
+    val s = spark
+    import s.implicits._
+    // nodes 1-2-3 strongly tied; node 10 tied to 20/30 with weight 5 each
+    // and weakly bridged to 3 (weight 1). Connected components would merge
+    // everything into component 1; weighted LPA keeps {10,20,30} separate
+    // because 10's own cluster outvotes the bridge.
+    val pairs = Seq((1L, 2L, 10L), (2L, 3L, 10L), (1L, 3L, 10L),
+      (10L, 20L, 5L), (10L, 30L, 5L), (3L, 10L, 1L))
+    val und = (pairs ++ pairs.map { case (a, b, w) => (b, a, w) })
+      .toDF("src", "dst", "w")
+    val got = Graph.labelPropagation(und, Graph.LpRounds).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(1L, 2L, 3L).map(got) === Set(1L))
+    assert(Set(10L, 20L, 30L).map(got) === Set(10L))
+    // sanity: reachability-wise this graph is ONE component
+    val cc = graft.operators.Components
+      .connectedComponents(und.select(col("src").as("id")).distinct(),
+        und.select("src", "dst")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.values.toSet.size == 1)
+  }
+
+  test("fixture LP communities: labels are members, communities refine components") {
+    val out = Graph.queries("graph_lp_communities")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty)
+    // every community label is itself a participating node
+    out.values.foreach(lab => assert(out.contains(lab)))
+    // communities refine the near-dup connected components: two docs in
+    // the same LP community are near-dup-reachable from each other
+    val cc = graft.operators.Components.nearDupComponents(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.groupBy(_._2).values.foreach { mem =>
+      assert(mem.keys.map(cc).toSet.size == 1, s"community spans components: $mem")
+    }
+  }
 }
