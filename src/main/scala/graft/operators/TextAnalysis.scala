@@ -307,6 +307,43 @@ object TextAnalysis {
             lit(0L),
             (acc, h) => (acc * 31L + h) % 1000000007L).as("fingerprint"))
         .orderBy("doc_id")
+    },
+
+    // Bigram-LM negative log likelihood per document — the next model up
+    // from text_unigram_nll: add-one-smoothed CONDITIONAL probabilities
+    // p(w2|w1) = (c(w1 w2)+1) / (c(w1->)+V), where c(w1->) counts w1 as a
+    // bigram context (so doc-final tokens don't inflate the denominator)
+    // and V is the corpus unigram vocabulary. Scale shape: the corpus
+    // collapses to a BIGRAM-vocabulary-sized count relation; context
+    // counts and V are tiny and BROADCAST, while the pair-count join is a
+    // plain equi-join on the pair key (bigram vocab can outgrow a
+    // broadcast at 100 TB — let AQE pick the build side). Per-event NLLs
+    // round to 6 dp then sum exactly as DECIMAL (double summation is
+    // partition-order-dependent). Docs with < 2 tokens have no bigram
+    // events and drop out, same as the oracle.
+    "text_bigram_nll" -> { (s, d) =>
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val bi = documents(s, d)
+        .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "tok")))
+        .withColumn("nxt", lead("tok", 1).over(w))
+        .where(col("nxt").isNotNull)
+        .select(col("doc_id"), col("tok").as("w1"), col("nxt").as("w2"))
+      val pair = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c_pair"))
+      val ctx = bi.groupBy("w1").agg(count(lit(1)).as("c_ctx"))
+      val v = documents(s, d)
+        .select(explode(toks(col("text"))).as("tok"))
+        .agg(countDistinct("tok").as("v"))
+      bi.join(pair, Seq("w1", "w2"))
+        .join(broadcast(ctx), Seq("w1"))
+        .crossJoin(broadcast(v))
+        .select(col("doc_id"),
+          round(-log((col("c_pair") + 1).cast("double") /
+            (col("c_ctx") + col("v")).cast("double")), 6).as("nll"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bi"),
+          round(sum(col("nll").cast(DecimalType(18, 6))).cast("double") /
+            count(lit(1)).cast("double"), 6).as("mean_nll"))
+        .orderBy("doc_id")
     }
   )
 
@@ -434,6 +471,25 @@ object TextAnalysis {
          |    list_prepend(CAST(0 AS BIGINT),
          |      list_transform(${toksSql("text")}, x -> ${h60Sql("x")} % 1000000007)),
          |    (acc, h) -> (acc * 31 + h) % 1000000007) AS BIGINT) AS fingerprint
-         |FROM documents ORDER BY doc_id""".stripMargin
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_bigram_nll" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS tt FROM documents),
+         |bi0 AS (SELECT doc_id, unnest(CASE WHEN len(tt) >= 2
+         |    THEN list_transform(range(1, len(tt)), i -> tt[i] || ' ' || tt[i+1])
+         |    ELSE [] END) AS bg FROM t),
+         |bi AS (SELECT doc_id, split_part(bg, ' ', 1) AS w1, bg FROM bi0),
+         |pair AS (SELECT bg, count(*) AS c_pair FROM bi GROUP BY 1),
+         |ctx AS (SELECT w1, count(*) AS c_ctx FROM bi GROUP BY 1),
+         |v AS (SELECT count(DISTINCT tok) AS v
+         |  FROM (SELECT unnest(${toksSql("text")}) AS tok FROM documents)),
+         |ev AS (SELECT doc_id,
+         |    round(-ln(CAST(c_pair + 1 AS DOUBLE) / CAST(c_ctx + v AS DOUBLE)), 6)
+         |      AS nll
+         |  FROM bi JOIN pair USING (bg) JOIN ctx USING (w1) CROSS JOIN v)
+         |SELECT doc_id, count(*) AS n_bi,
+         |  round(CAST(sum(CAST(nll AS DECIMAL(18,6))) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE), 6) AS mean_nll
+         |FROM ev GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

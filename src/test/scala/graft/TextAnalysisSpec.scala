@@ -151,4 +151,30 @@ class TextAnalysisSpec extends SparkSpecBase {
     val ps = rows.map(_.getDouble(5))
     assert(ps.zip(ps.tail).forall { case (a, b) => a >= b })
   }
+
+  test("text_bigram_nll matches an independent Scala recompute on the full fixture") {
+    val got = TextAnalysis.queries("text_bigram_nll")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split("\\s+", -1).toSeq).toMap
+    val bigrams = docs.values.toSeq.flatMap(t => t.zip(t.drop(1)))
+    val cPair = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cCtx = bigrams.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val v = docs.values.flatten.toSet.size.toLong
+    def rnd(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    docs.foreach { case (id, t) =>
+      val bs = t.zip(t.drop(1))
+      if (bs.isEmpty) assert(!got.contains(id), s"doc $id has no bigram events")
+      else {
+        // mirror the engine: 6-dp add-one-smoothed conditional NLL terms,
+        // exact decimal sum, ONE double division, round 6
+        val terms = bs.map(b => BigDecimal(rnd(-math.log(
+          (cPair(b) + 1).toDouble / (cCtx(b._1) + v).toDouble))))
+        val want = rnd(terms.sum.toDouble / bs.size.toDouble)
+        val (nBi, meanNll) = got(id)
+        assert(nBi == bs.size)
+        assert(math.abs(want - meanNll) < 1e-9, s"doc $id: want $want got $meanNll")
+      }
+    }
+  }
 }
