@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.call_function
 
-import graft.functions.{DotProductD, RegExpExtractRef}
+import graft.functions.{DamerauLevenshteinDist, DotProductD, JaroWinklerSim, RegExpExtractRef}
 
 /** Session-level wiring: registers graft's custom Catalyst expressions into
   * the session's function registry so they resolve in both SQL and the
@@ -20,6 +20,14 @@ object Graft {
     reg.createOrReplaceTempFunction(
       "graft_dot",
       exprs => DotProductD(exprs(0), exprs(1)),
+      "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_jaro_winkler",
+      exprs => JaroWinklerSim(exprs(0), exprs(1)),
+      "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_damerau",
+      exprs => DamerauLevenshteinDist(exprs(0), exprs(1)),
       "scala_udf")
     // Optimizer rules + planner strategy. The supported injection point is
     // SparkSessionExtensions (builder path: .withExtensions(new
@@ -103,31 +111,50 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read as a
-    * timestamp. Read it as a nanos long (legacy flag) and truncate to
-    * microseconds — Spark's native timestamp precision (the fixture has zero
-    * sub-microsecond bits, so this is lossless and DuckDB's TIMESTAMP_NS
-    * view agrees exactly).
+  /** events.ts normalization — the fixture's physical type has varied
+    * across driver generations (parquet TIMESTAMP(NANOS) in early rounds,
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) now), so the loader adapts
+    * by SCHEMA rather than assuming one encoding. Contract: the returned
+    * `ts` is always Spark's native TIMESTAMP (micros, session-UTC), and
+    * every path is lossless — the fixture has zero sub-microsecond bits,
+    * and the session timezone is pinned to UTC so the NTZ→LTZ cast is the
+    * identity on the stored micros value. DuckDB's view of the same
+    * parquet agrees exactly under epoch_us in all cases.
     *
-    * The legacy flag is SCOPED to this read: parquet-to-catalyst schema
-    * conversion happens eagerly inside `spark.read.parquet(...)`, so the
-    * prior value is restored immediately after — later actions on the
-    * returned DataFrame do not re-consult it (TablesSpec proves both
-    * directions: the df still computes, and an unscoped nanos read in the
-    * same session still gets Spark's default PARQUET_TYPE_ILLEGAL refusal).
+    *  - TIMESTAMP(MICROS) not UTC-adjusted → Spark reads TIMESTAMP_NTZ;
+    *    cast to TIMESTAMP (identity under UTC).
+    *  - TIMESTAMP(NANOS) → Spark 4 refuses the native read; fall back to
+    *    the nanos-as-long legacy flag and truncate to micros. The flag is
+    *    SCOPED to the read: parquet-to-catalyst schema conversion happens
+    *    eagerly inside `spark.read.parquet(...)`, so the prior value is
+    *    restored immediately after and later actions on the returned
+    *    DataFrame do not re-consult it (TablesSpec proves the restore).
+    *  - plain INT64 ts (nanos) → same truncation, no flag needed.
     */
   private def eventsWithTs(spark: SparkSession, dir: String): DataFrame = {
-    val flag = "spark.sql.legacy.parquet.nanosAsLong"
-    val prior = spark.conf.getOption(flag)
-    spark.conf.set(flag, "true")
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val path = s"$dir/events.parquet"
     val raw =
-      try spark.read.parquet(s"$dir/events.parquet")
-      finally prior match {
-        case Some(v) => spark.conf.set(flag, v)
-        case None => spark.conf.unset(flag)
+      try spark.read.parquet(path)
+      catch {
+        case _: Exception =>
+          val flag = "spark.sql.legacy.parquet.nanosAsLong"
+          val prior = spark.conf.getOption(flag)
+          spark.conf.set(flag, "true")
+          try spark.read.parquet(path)
+          finally prior match {
+            case Some(v) => spark.conf.set(flag, v)
+            case None => spark.conf.unset(flag)
+          }
       }
-    raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-      org.apache.spark.sql.functions.expr("ts div 1000")))
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", raw("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")

@@ -25,6 +25,9 @@ object Linkage {
   /** Maximum Levenshtein distance to call two names a fuzzy match. */
   val MaxDist = 2
 
+  /** Minimum (6-dp-rounded) Jaro-Winkler similarity for `link_jw_best`. */
+  val JwThreshold = 0.8
+
   /** Customers with a deterministic blocking key: name length + 3-char
     * suffix. Both engines compute identical keys (pure string ops).
     *
@@ -102,6 +105,35 @@ object Linkage {
           max(col("c_acctbal")).as("max_acctbal"))
         .where(col("n_members") >= 2)
         .orderBy("cluster_id")
+    },
+
+    // Best fuzzy match per record under Jaro-Winkler — the ranked-score
+    // face of the matcher (Levenshtein above is the boolean gate). Runs on
+    // the same blocked candidates; scores come from the codegen'd
+    // graft_jaro_winkler / graft_damerau kernels (functions/StringSim
+    // .scala), which replicate DuckDB's byte-level semantics exactly, so
+    // the similarity VALUES are part of the oracle contract, not just the
+    // ranking. Scores round to 6 dp before the threshold and the window so
+    // tie-breaks can never straddle an ulp; the row_number()==1 pick rides
+    // the GroupTopK rewrite like every other per-key top-1.
+    "link_jw_best" -> { (s, d) =>
+      graft.Graft.init(s) // registers graft_jaro_winkler / graft_damerau
+      val c = blocked(s, d)
+      val pairs = c.as("a")
+        .join(c.as("b"),
+          col("a.blk") === col("b.blk") && col("a.c_custkey") =!= col("b.c_custkey"))
+        .select(col("a.c_custkey").as("ak"), col("b.c_custkey").as("bk"),
+          round(call_function("graft_jaro_winkler",
+            col("a.c_name"), col("b.c_name")), 6).as("jw"),
+          call_function("graft_damerau",
+            col("a.c_name"), col("b.c_name")).as("dl"))
+        .where(col("jw") >= JwThreshold)
+      val w = Window.partitionBy("ak").orderBy(col("jw").desc, col("bk").asc)
+      pairs.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("ak").as("custkey"), col("bk").as("best_key"),
+          col("jw"), col("dl"))
+        .orderBy("custkey")
     }
   )
 
@@ -148,6 +180,17 @@ object Linkage {
          |  max(CASE WHEN rn = 1 THEN c_name END) AS master_name,
          |  max(c_acctbal) AS max_acctbal
          |FROM ranked GROUP BY cc HAVING count(*) >= 2
-         |ORDER BY cluster_id""".stripMargin
+         |ORDER BY cluster_id""".stripMargin,
+
+    "link_jw_best" ->
+      s"""WITH c AS (SELECT c_custkey, c_name, $blkSql AS blk FROM customer),
+         |p AS (SELECT a.c_custkey AS ak, b.c_custkey AS bk,
+         |    round(jaro_winkler_similarity(a.c_name, b.c_name), 6) AS jw,
+         |    damerau_levenshtein(a.c_name, b.c_name) AS dl
+         |  FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey <> b.c_custkey),
+         |f AS (SELECT *, row_number() OVER (PARTITION BY ak ORDER BY jw DESC, bk) AS rn
+         |  FROM p WHERE jw >= $JwThreshold)
+         |SELECT ak AS custkey, bk AS best_key, jw, dl
+         |FROM f WHERE rn = 1 ORDER BY custkey""".stripMargin
   )
 }

@@ -1,31 +1,51 @@
 package graft
 
-/** Table-loader contracts — most importantly that the events loader's
-  * nanos-timestamp legacy flag is scoped to its own read and does not
-  * mutate session state observable by later reads.
+import org.apache.spark.sql.functions._
+
+/** Table-loader contracts — the events loader must normalize `ts` to
+  * Spark's native TIMESTAMP across every fixture generation (parquet
+  * TIMESTAMP(NANOS) in early driver rounds, TIMESTAMP(MICROS) now, plain
+  * INT64 nanos as the degenerate case) without leaking session state.
   */
 class TablesSpec extends SparkSpecBase {
 
   private val flag = "spark.sql.legacy.parquet.nanosAsLong"
 
-  test("events loader scopes the nanosAsLong flag to its own read") {
+  test("events loader yields native TIMESTAMP ts and leaks no session state") {
     assert(spark.conf.getOption(flag).forall(_ == "false"))
     val ev = Tables.events(spark, sfDir)
-    // restored immediately: the session no longer carries the legacy flag
+    // no legacy flag left behind, whichever path the fixture took
     assert(spark.conf.getOption(flag).forall(_ == "false"),
       "loader leaked nanosAsLong into the session")
-    // the scoped df still executes fine after the restore
     assert(ev.count() > 0)
     assert(ev.schema("ts").dataType.typeName === "timestamp")
   }
 
-  test("a subsequent unscoped nanos-parquet read still gets the default refusal") {
-    Tables.events(spark, sfDir).count()
-    val e = intercept[Exception] {
-      spark.read.parquet(s"$sfDir/events.parquet").count()
+  test("ts values agree with the raw stored micros under the UTC session") {
+    // The fixture is TIMESTAMP(MICROS, isAdjustedToUTC=false): a raw read
+    // surfaces TIMESTAMP_NTZ. The loader's cast must be the identity on
+    // the stored micros value (session timezone pinned to UTC).
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    if (raw.schema("ts").dataType.typeName == "timestamp_ntz") {
+      val a = raw.select(col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      val b = Tables.events(spark, sfDir)
+        .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        "loader ts diverges from raw stored micros")
     }
-    assert(e.getMessage.contains("PARQUET_TYPE_ILLEGAL"),
-      s"expected Spark's default TIMESTAMP(NANOS) refusal, got: ${e.getMessage.take(200)}")
+  }
+
+  test("a plain INT64 nanos ts is truncated to micros") {
+    val dir = java.nio.file.Files.createTempDirectory("tables_int64_ts").toString
+    spark.range(3).select(col("id").as("event_id"),
+        (col("id") * 1000000000L + 123456789L).as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val ev = Tables.events(spark, dir)
+    assert(ev.schema("ts").dataType.typeName === "timestamp")
+    val got = ev.select(unix_micros(col("ts"))).collect().map(_.getLong(0)).sorted
+    // id·10⁹ + 123456789 ns → id·10⁶ + 123456 us: sub-µs bits truncate
+    assert(got.toSeq == Seq(123456L, 1123456L, 2123456L), got.toSeq)
   }
 
   test("events loader restores a pre-existing explicit flag value") {
