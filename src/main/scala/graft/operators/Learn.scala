@@ -229,8 +229,76 @@ object Learn {
       woeBins(s, d)
         .agg(count(lit(1)).as("n_bins"),
           round(sum(col("iv_c")).cast("double") / 1e6, 6).as("iv"))
+    },
+
+    // Multinomial Naive Bayes language classifier — the GENERATIVE
+    // counterpart of the logreg trainer (and the statistical upgrade of
+    // the text_langid signature heuristic): train add-one-smoothed
+    // per-class token models from the lang labels, score every doc against
+    // every class, argmax. Scale shape: the corpus collapses to the
+    // (class × vocab)-sized count relation in one map-side-combined pass
+    // and is BROADCAST back onto the token stream (shuffle-join on
+    // (cls,tok) instead if the class-conditional vocab outgrows a
+    // broadcast); the doc×class score grid is linear in the corpus.
+    // Exactness: per-token log-probs round to 6 dp and sum as DECIMAL per
+    // (doc, class); the prior folds in as an exact decimal; argmax
+    // tie-breaks (score DESC, cls ASC) — bit-reproducible end to end, and
+    // the top-1 pick rides the GroupTopK rewrite.
+    "nb_lang_scores" -> { (s, d) =>
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("cls").asc)
+      nbScores(s, d)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .join(documents(s, d).select("doc_id", "lang"), "doc_id")
+        .select(col("doc_id"), col("lang"), col("cls").as("pred"),
+          round(col("score"), 6).as("score"))
+        .orderBy("doc_id")
+    },
+
+    // Training-set confusion matrix of the NB classifier — the oracled
+    // did-it-learn contract (compact: |langs|² rows max).
+    "nb_lang_confusion" -> { (s, d) =>
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("cls").asc)
+      nbScores(s, d)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .join(documents(s, d).select("doc_id", "lang"), "doc_id")
+        .groupBy(col("lang"), col("cls").as("pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred")
     }
   )
+
+  /** Per-(doc, class) NB log-posterior scores — see nb_lang_scores. */
+  private def nbScores(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val tok = documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("tok"))
+    val cc = tok.groupBy(col("lang").as("cls"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val ctot = tok.groupBy(col("lang").as("cls")).agg(count(lit(1)).as("n_c"))
+    val v = tok.agg(countDistinct("tok").as("v"))
+    val pri = documents(s, d).groupBy(col("lang").as("cls"))
+      .agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(documents(s, d).agg(count(lit(1)).as("n_all"))))
+      .select(col("cls"),
+        round(log(col("n_docs").cast("double") / col("n_all").cast("double")), 6)
+          .as("lp_prior"))
+    tok.select("doc_id", "tok")
+      .crossJoin(broadcast(pri.select("cls")))
+      .join(broadcast(cc), Seq("cls", "tok"), "left")
+      .join(broadcast(ctot), Seq("cls"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"), col("cls"),
+        round(log((coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
+          (col("n_c") + col("v")).cast("double")), 6).as("lp"))
+      .groupBy("doc_id", "cls")
+      .agg(sum(col("lp").cast(DecimalType(18, 6))).as("s"))
+      .join(broadcast(pri), "cls")
+      .select(col("doc_id"), col("cls"),
+        (col("s") + col("lp_prior").cast(DecimalType(18, 6))).cast("double")
+          .as("score"))
+  }
 
   /** Shared WOE working frame — see woe_bins docstring. `iv_c` is the
     * fixed-point (1e-6) IV contribution used by woe_iv_total.
@@ -391,8 +459,49 @@ object Learn {
     "woe_iv_total" ->
       s"""WITH $woeCtes
          |SELECT count(*) AS n_bins,
-         |  round(CAST(sum(iv_c) AS DOUBLE) / 1e6, 6) AS iv FROM wb""".stripMargin
+         |  round(CAST(sum(iv_c) AS DOUBLE) / 1e6, 6) AS iv FROM wb""".stripMargin,
+
+    "nb_lang_scores" ->
+      s"""WITH $nbCtes
+         |SELECT r.doc_id, d.lang, r.cls AS pred, round(r.score, 6) AS score
+         |FROM r JOIN documents d USING (doc_id)
+         |WHERE rn = 1 ORDER BY r.doc_id""".stripMargin,
+
+    "nb_lang_confusion" ->
+      s"""WITH $nbCtes
+         |SELECT d.lang, r.cls AS pred, count(*) AS n
+         |FROM r JOIN documents d USING (doc_id)
+         |WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
+
+  /** Naive-Bayes scoring CTEs — the exact mirror of [[nbScores]] plus the
+    * (score DESC, cls) argmax ranking.
+    */
+  private def nbCtes: String =
+    s"""tok AS (SELECT doc_id, lang, unnest(${toksSql("text")}) AS tok
+       |  FROM documents),
+       |cc AS (SELECT lang AS cls, tok, count(*) AS cnt FROM tok GROUP BY 1, 2),
+       |ct AS (SELECT lang AS cls, count(*) AS n_c FROM tok GROUP BY 1),
+       |vv AS (SELECT count(DISTINCT tok) AS v FROM tok),
+       |pri AS (SELECT lang AS cls,
+       |    round(ln(CAST(count(*) AS DOUBLE) /
+       |      CAST((SELECT count(*) FROM documents) AS DOUBLE)), 6) AS lp_prior
+       |  FROM documents GROUP BY 1),
+       |ev AS (SELECT t.doc_id, c.cls,
+       |    round(ln(CAST(coalesce(cc.cnt, 0) + 1 AS DOUBLE)
+       |      / CAST(ct.n_c + vv.v AS DOUBLE)), 6) AS lp
+       |  FROM (SELECT doc_id, tok FROM tok) t
+       |  CROSS JOIN (SELECT cls FROM pri) c
+       |  LEFT JOIN cc ON cc.cls = c.cls AND cc.tok = t.tok
+       |  JOIN ct ON ct.cls = c.cls
+       |  CROSS JOIN vv),
+       |sc AS (SELECT e.doc_id, e.cls,
+       |    CAST(sum(CAST(lp AS DECIMAL(18,6)))
+       |      + CAST(p.lp_prior AS DECIMAL(18,6)) AS DOUBLE) AS score
+       |  FROM ev e JOIN pri p ON p.cls = e.cls
+       |  GROUP BY e.doc_id, e.cls, p.lp_prior),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY score DESC, cls) AS rn FROM sc)""".stripMargin
 
   /** WOE working-frame CTEs (value-grouped deciles → per-bin WOE + 1e-6
     * fixed-point IV contribution) — the exact mirror of [[woeBins]].
