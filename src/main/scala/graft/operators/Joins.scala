@@ -115,4 +115,39 @@ object Joins {
       .where(col("_side") === 1)
       .select((lCols.map(c => col(c)) :+ col("_last").getField("v").as(rightVal)): _*)
   }
+
+  /** Interval-overlap join — pairs every left interval [ls, le] with every
+    * right interval [rs, re] that overlaps it ([ls,le] ∩ [rs,re] ≠ ∅,
+    * bounds inclusive, non-negative integer coordinates), each pair emitted
+    * EXACTLY once. The interval×interval generalization of rangeJoin's
+    * point-in-band shape, and like it a binned EQUI-join — stock Spark
+    * plans the raw overlap predicate (`ls <= re AND rs <= le`) as a
+    * nested-loop cross product, the classic 100 TB scale killer.
+    *
+    * Mechanics: each interval is replicated into every width-`binW` bin it
+    * touches (`sequence(s div W, e div W)`), the join runs on bin
+    * equality, and the duplicate hits of a pair that shares several bins
+    * are killed WITHOUT a distinct: the pair is kept only in its canonical
+    * bin, the one containing max(ls, rs) — a bin both intervals touch iff
+    * they overlap at all, and unique per pair by construction.
+    *
+    * Scale levers: replication factor is interval_length/binW + 1 per row
+    * (pick binW near the typical interval length); bin hotness is bounded
+    * by how many intervals cross one bin — salt or split a pathological
+    * bin the same way the blocked joins handle mega-blocks.
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame, binW: Long): DataFrame = {
+    require(binW > 0, "intervalOverlapJoin: binW must be positive")
+    val reserved = Seq("_bin")
+    require(!(left.columns ++ right.columns).exists(reserved.contains),
+      "intervalOverlapJoin: input columns may not include _bin")
+    val lb = left.withColumn("_bin",
+      explode(sequence(expr(s"ls div $binW"), expr(s"le div $binW"))))
+    val rb = right.withColumn("_bin",
+      explode(sequence(expr(s"rs div $binW"), expr(s"re div $binW"))))
+    lb.join(rb, Seq("_bin"))
+      .where(col("ls") <= col("re") && col("rs") <= col("le") &&
+        col("_bin") === expr(s"greatest(ls, rs) div $binW"))
+      .drop("_bin")
+  }
 }

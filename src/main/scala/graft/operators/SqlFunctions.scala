@@ -299,6 +299,29 @@ object SqlFunctions {
         .orderBy("event_id")
     },
 
+    // Interval×interval overlap join via Joins.intervalOverlapJoin (binned
+    // equi-join, each pair exactly once, no nested loop — JoinsSpec locks
+    // parity + plan): urgent-order fulfillment windows [orderdate,
+    // orderdate+4d] against synthetic lineitem transit windows [shipdate,
+    // shipdate + linenumber%7 + 1 d], in exact epoch-day arithmetic.
+    // Oracle: DuckDB's plain inequality join over the same day numbers.
+    "q_interval_overlap" -> { (s, d) =>
+      val aDay = expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+      val bDay = expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000")
+      val a = orders(s, d)
+        .where(col("o_orderpriority") === "1-URGENT" && col("o_custkey") % 20 === 0)
+        .select(col("o_orderkey").as("a_key"), aDay.as("ls"), (aDay + 4).as("le"))
+      val b = lineitem(s, d)
+        .where(col("l_suppkey") % 50 === 0)
+        .select(col("l_orderkey").as("b_order"), col("l_linenumber").as("b_line"),
+          bDay.as("rs"), (bDay + col("l_linenumber") % 7 + 1).as("re"))
+      Joins.intervalOverlapJoin(a, b, 8L)
+        .select(col("a_key"), col("b_order"), col("b_line"),
+          (least(col("le"), col("re")) - greatest(col("ls"), col("rs")) + 1)
+            .as("overlap_days"))
+        .orderBy("a_key", "b_order", "b_line")
+    },
+
     // SQL-body scalar functions (CREATE TEMPORARY FUNCTION ... RETURN
     // expr) — the engine-surface analog of the reference's
     // register-UDF-by-name contract, but defined IN SQL and resolved from
@@ -805,6 +828,20 @@ object SqlFunctions {
         |  AND p.pts >= c.ts - INTERVAL 10 MINUTE
         |  AND p.pts <= c.ts + INTERVAL 10 MINUTE
         |GROUP BY c.event_id ORDER BY event_id""".stripMargin,
+
+    "q_interval_overlap" ->
+      """WITH a AS (SELECT o_orderkey AS a_key,
+        |    epoch_us(o_orderdate) // 86400000000 AS ls,
+        |    epoch_us(o_orderdate) // 86400000000 + 4 AS le
+        |  FROM orders WHERE o_orderpriority = '1-URGENT' AND o_custkey % 20 = 0),
+        |b AS (SELECT l_orderkey AS b_order, l_linenumber AS b_line,
+        |    epoch_us(l_shipdate) // 86400000000 AS rs,
+        |    epoch_us(l_shipdate) // 86400000000 + l_linenumber % 7 + 1 AS re
+        |  FROM lineitem WHERE l_suppkey % 50 = 0)
+        |SELECT a_key, b_order, b_line,
+        |  least(le, re) - greatest(ls, rs) + 1 AS overlap_days
+        |FROM a JOIN b ON ls <= re AND rs <= le
+        |ORDER BY a_key, b_order, b_line""".stripMargin,
 
     "q_sql_udf" ->
       """WITH b AS (SELECT

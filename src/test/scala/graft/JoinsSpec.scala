@@ -112,6 +112,41 @@ class JoinsSpec extends SparkSpecBase {
     assert(got === Seq(1.0, 2.0, 5.0))
   }
 
+  test("intervalOverlapJoin: exactly-once parity with the naive overlap join") {
+    val s = spark
+    import s.implicits._
+    // seeded random intervals, lengths 0..30 over a 0..400 range — many
+    // span several 8-wide bins, many share multiple bins
+    val rnd = new scala.util.Random(19L)
+    val left = (1 to 120).map { i =>
+      val st = rnd.nextInt(400).toLong; (i.toLong, st, st + rnd.nextInt(31))
+    }.toDF("lid", "ls", "le")
+    val right = (1 to 150).map { i =>
+      val st = rnd.nextInt(400).toLong; (i.toLong, st, st + rnd.nextInt(31))
+    }.toDF("rid", "rs", "re")
+    val got = Joins.intervalOverlapJoin(left, right, 8L)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = left.as("a").crossJoin(right.as("b"))
+      .where(col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.sorted === want.sorted) // same pairs AND same multiplicity (exactly once)
+    assert(got.distinct.size === got.size, "a pair was emitted more than once")
+  }
+
+  test("intervalOverlapJoin plans as an equi-join, not a nested loop") {
+    val s = spark
+    import s.implicits._
+    val left = (1 to 50).map(i => (i.toLong, i.toLong * 3, i.toLong * 3 + 10)).toDF("lid", "ls", "le")
+    val right = (1 to 50).map(i => (i.toLong, i.toLong * 2, i.toLong * 2 + 5)).toDF("rid", "rs", "re")
+    val p = Joins.intervalOverlapJoin(left, right, 8L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    // the naive predicate, by contrast, IS a nested loop
+    val naive = left.join(right, col("ls") <= col("re") && col("rs") <= col("le"))
+      .queryExecution.executedPlan.toString
+    assert(naive.contains("BroadcastNestedLoopJoin") || naive.contains("CartesianProduct"))
+  }
+
   test("salted join shuffles on (key, salt)") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select("l_orderkey", "l_suppkey", "l_linenumber")
