@@ -105,6 +105,42 @@ object Graph {
     ranks
   }
 
+  /** Personalized PageRank: like [[pagerank]] but ALL teleport mass
+    * returns to the `seeds` set (uniformly), so ranks measure proximity to
+    * the seeds rather than global centrality. Same scaled-integer
+    * arithmetic (restart base Scale/|seeds| at the seeds, contributions
+    * floor before summing) — bit-exact against the unrolled oracle.
+    *
+    * Scale shape mirrors pagerank: edges/out-weights persist once, each
+    * round is one shuffle of the (reachable-subgraph)-sized rank relation
+    * joined to the STATIC edge list, plus a full-outer join against the
+    * tiny seed relation to re-inject restart mass at nodes that received
+    * no contribution this round.
+    */
+  def personalizedPagerank(edges: DataFrame, seeds: DataFrame,
+                           iters: Int = Iters): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w")).persist()
+    val outw = e.groupBy("src").agg(sum("w").as("out_w")).persist()
+    val sd = seeds.select("node").distinct().persist()
+    val ns = sd.count() // seed-set-sized scalar; the one intentional action
+    val base = Scale / ns
+    val tele = (TeleNum * base) / 100L
+    var ranks = sd.select(col("node"), lit(base).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = ranks.as("r")
+        .join(e.as("e"), col("r.node") === col("e.src"))
+        .join(outw.as("o"), col("r.node") === col("o.src"))
+        .select(col("e.dst").as("node"), expr("r.rank * e.w DIV o.out_w").as("c"))
+        .groupBy("node").agg(sum("c").as("csum"))
+      ranks = contrib
+        .join(sd.withColumn("tele", lit(tele)), Seq("node"), "full_outer")
+        .select(col("node"),
+          (coalesce(col("tele"), lit(0L)) +
+            expr(s"$DampNum * coalesce(csum, 0) DIV 100")).as("rank"))
+    }
+    ranks
+  }
+
   /** Triangles of an oriented (each undirected edge exactly once, acyclic
     * orientation) edge list via the two-equi-join wedge closure — each
     * triangle appears exactly once. Property-tested against brute force
@@ -234,6 +270,21 @@ object Graph {
     // then ten vocab-sized iterations.
     "graph_textrank" -> { (s, d) =>
       pagerank(cooccurEdges(documents(s, d).select("doc_id", "text")))
+        .select(col("node"), col("rank").cast("long").as("rank"))
+        .orderBy(desc("rank"), asc("node"))
+    },
+
+    // Personalized PageRank from the English signature stopwords over the
+    // token co-occurrence graph — proximity-to-stopwords scoring (the
+    // TextRank refinement that downweights function-word-adjacent tokens
+    // when extracting keywords). Seeds restricted to words present in the
+    // vocabulary so the restart distribution is well-defined.
+    "graph_ppr_stopwords" -> { (s, d) =>
+      val edges = cooccurEdges(documents(s, d).select("doc_id", "text"))
+      val seedWords = TextAnalysis.langSignatures.toMap.apply("en")
+      val seeds = edges.select(col("src").as("node"))
+        .where(col("node").isin(seedWords.map(_.asInstanceOf[Any]): _*))
+      personalizedPagerank(edges, seeds)
         .select(col("node"), col("rank").cast("long").as("rank"))
         .orderBy(desc("rank"), asc("node"))
     },
@@ -429,6 +480,35 @@ object Graph {
       s"\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r$Iters ORDER BY rank DESC, node"
   }
 
+  /** Unrolled personalized PageRank — the [[personalizedPagerank]] mirror:
+    * restart mass only at the seed set, full-outer re-injection per round.
+    */
+  private def pprSql: String = {
+    val seedList = TextAnalysis.langSignatures.toMap.apply("en")
+      .map(w => s"'$w'").mkString(", ")
+    val head =
+      s"""WITH $graphCtes,
+         |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS out_w FROM edges GROUP BY 1),
+         |sd AS (SELECT DISTINCT src AS node FROM edges WHERE src IN ($seedList)),
+         |ns AS (SELECT count(*) AS n FROM sd),
+         |r0 AS (SELECT node, (SELECT $Scale // n FROM ns) AS rank FROM sd)""".stripMargin
+    val iters = (1 to Iters).map { k =>
+      s""",
+         |r$k AS (SELECT coalesce(c.node, s.node) AS node,
+         |    coalesce(s.tele, 0) + ($DampNum * coalesce(c.csum, 0)) // 100 AS rank
+         |  FROM (SELECT e.dst AS node,
+         |        CAST(sum((r.rank * e.w) // o.out_w) AS BIGINT) AS csum
+         |      FROM r${k - 1} r JOIN edges e ON r.node = e.src
+         |        JOIN outw o ON o.src = r.node
+         |      GROUP BY e.dst) c
+         |  FULL JOIN (SELECT node,
+         |        (SELECT ($TeleNum * ($Scale // n)) // 100 FROM ns) AS tele
+         |      FROM sd) s ON s.node = c.node)""".stripMargin
+    }.mkString
+    head + iters +
+      s"\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r$Iters ORDER BY rank DESC, node"
+  }
+
   /** Unrolled synchronous LPA: round CTEs are MATERIALIZED so DuckDB
     * evaluates each exactly once (the un-hinted plan re-inlines every
     * round into the next — exponential).
@@ -460,6 +540,8 @@ object Graph {
 
   val oracles: Map[String, String] = Map(
     "graph_textrank" -> pagerankSql,
+
+    "graph_ppr_stopwords" -> pprSql,
 
     "graph_lp_communities" -> lpSql(
       s"SELECT id AS doc_id, lab AS community FROM l$LpRounds ORDER BY doc_id"),

