@@ -240,6 +240,55 @@ object Sketches {
             .as("within_20pct"))
     },
 
+    // HLL SET ALGEBRA — the reason HLL beats exact distinct at 100 TB
+    // isn't just size, it's that sketches COMPOSE: union is the exact
+    // element-wise max merge (no rescan), intersection estimates by
+    // inclusion-exclusion |A|+|B|−|A∪B|. Sides: en-doc tokens vs non-en.
+    // Contract checked per row: (1) the merged union sketch is
+    // BIT-IDENTICAL to a sketch built from the unioned stream (merge
+    // correctness, not an approximation); (2) the union estimate is within
+    // 20% of exact; (3) the inclusion-exclusion intersection estimate is
+    // within 0.25·|A∪B| absolute (I-E compounds the three sketches'
+    // errors — an absolute bound on the union scale is the honest
+    // contract). Floats stay inside wide-margin booleans; exact counts are
+    // the oracled integers.
+    "hll_setops_check" -> { (s, d) =>
+      val docs = documents(s, d)
+      val tokA = docs.where(col("lang") === "en")
+        .select(explode(toks(col("text"))).as("tok"))
+      val tokB = docs.where(col("lang") =!= "en")
+        .select(explode(toks(col("text"))).as("tok"))
+      val ra = tokA.agg(hll(col("tok")).as("ra"))
+      val rb = tokB.agg(hll(col("tok")).as("rb"))
+      val ru = tokA.union(tokB).agg(hll(col("tok")).as("ru"))
+      val ea = tokA.agg(count_distinct(col("tok")).as("exact_a"))
+      val eb = tokB.agg(count_distinct(col("tok")).as("exact_b"))
+      val eu = tokA.union(tokB).agg(count_distinct(col("tok")).as("exact_union"))
+      val ei = tokA.select("tok").distinct()
+        .intersect(tokB.select("tok").distinct())
+        .agg(count(lit(1)).as("exact_inter"))
+      def est(regs: Column): Column = {
+        val m = lit(HllM.toDouble)
+        val sum2 = aggregate(regs, lit(0.0),
+          (acc, r) => acc + pow(lit(2.0), -r.cast("double")))
+        val nz = size(filter(regs, _ === 0)).cast("double")
+        val raw = lit(0.7213) / (lit(1.0) + lit(1.079) / m) * m * m / sum2
+        when(raw <= lit(2.5 * HllM) && nz > 0, m * log(m / nz)).otherwise(raw)
+      }
+      val merged = zip_with(col("ra"), col("rb"), (x, y) => greatest(x, y))
+      ra.crossJoin(rb).crossJoin(ru)
+        .crossJoin(broadcast(ea)).crossJoin(broadcast(eb))
+        .crossJoin(broadcast(eu)).crossJoin(broadcast(ei))
+        .select(lit(HllM).as("m"),
+          col("exact_a"), col("exact_b"), col("exact_union"), col("exact_inter"),
+          (merged === col("ru")).as("union_sketch_identical"),
+          (est(col("ru")) / col("exact_union").cast("double"))
+            .between(0.8, 1.25).as("union_within_20pct"),
+          (abs(est(col("ra")) + est(col("rb")) - est(col("ru")) -
+            col("exact_inter").cast("double")) <=
+            lit(0.25) * col("exact_union").cast("double")).as("inter_ok"))
+    },
+
     // The sketch itself, flattened to (row, bucket, count) cells — every
     // populated counter is oracle-checked, which verifies the md5 bucket
     // function, the reduce path AND the merge path (32 shuffle partitions
@@ -355,6 +404,31 @@ object Sketches {
        |        FROM hslot)),
        |hreg AS (SELECT idx, max(rank) AS reg FROM hrank GROUP BY idx)""".stripMargin
 
+  /** Suffixed, WHERE-filtered copy of the HLL register chain (tok_p /
+    * hreg_p) for the set-algebra oracle's per-side sketches.
+    */
+  private def hllCtesFor(p: String, where: String) =
+    s"""tok_$p AS (SELECT unnest(${toksSql("text")}) AS t FROM documents $where),
+       |hslot_$p AS (SELECT
+       |    CAST(('0x' || substr(md5(t), 1, 2)) AS BIGINT) AS idx,
+       |    substr(md5(t), 3, 15) AS sub
+       |  FROM tok_$p),
+       |hrank_$p AS (SELECT idx,
+       |    CASE WHEN z = 15 THEN 61 ELSE 4*z +
+       |      CASE WHEN d = '1' THEN 3 WHEN d IN ('2','3') THEN 2
+       |           WHEN d IN ('4','5','6','7') THEN 1 ELSE 0 END + 1 END AS rank
+       |  FROM (SELECT idx, CAST(length(regexp_extract(sub, '^0*')) AS INTEGER) AS z,
+       |          substr(sub, CAST(length(regexp_extract(sub, '^0*')) + 1 AS INTEGER), 1) AS d
+       |        FROM hslot_$p)),
+       |hreg_$p AS (SELECT idx, max(rank) AS reg FROM hrank_$p GROUP BY idx)""".stripMargin
+
+  /** Two-regime HLL estimate from an st_p CTE exposing (n_zero, s). */
+  private def hllEstSql(p: String) =
+    s"""CASE WHEN (0.7213/(1.0 + 1.079/$HllM.0))*$HllM.0*$HllM.0/s_$p <= ${2.5 * HllM}
+       |          AND nz_$p > 0
+       |     THEN $HllM.0 * ln($HllM.0 / CAST(nz_$p AS DOUBLE))
+       |     ELSE (0.7213/(1.0 + 1.079/$HllM.0))*$HllM.0*$HllM.0/s_$p END""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "qsketch_cells" ->
       s"""SELECT l_returnflag,
@@ -419,6 +493,42 @@ object Sketches {
          |        ELSE (0.7213/(1.0 + 1.079/$HllM.0))*$HllM.0*$HllM.0/s END
          |   / CAST(exact_distinct AS DOUBLE)) BETWEEN 0.8 AND 1.25 AS within_20pct
          |FROM st CROSS JOIN ex""".stripMargin,
+
+    "hll_setops_check" ->
+      s"""WITH ${hllCtesFor("a", "WHERE lang = 'en'")},
+         |${hllCtesFor("b", "WHERE lang <> 'en'")},
+         |${hllCtesFor("u", "")},
+         |hu AS (SELECT idx, max(reg) AS reg FROM
+         |    (SELECT idx, reg FROM hreg_a UNION ALL SELECT idx, reg FROM hreg_b)
+         |  GROUP BY idx),
+         |ident AS (SELECT
+         |    ((SELECT count(*) FROM
+         |       (SELECT idx, reg FROM hu EXCEPT SELECT idx, reg FROM hreg_u))
+         |     + (SELECT count(*) FROM
+         |       (SELECT idx, reg FROM hreg_u EXCEPT SELECT idx, reg FROM hu))) = 0 AS ok),
+         |sa AS (SELECT CAST($HllM - count(*) AS BIGINT) AS nz_a,
+         |    sum(power(2.0, -CAST(reg AS DOUBLE)))
+         |      + CAST($HllM - count(*) AS DOUBLE) AS s_a FROM hreg_a),
+         |sb AS (SELECT CAST($HllM - count(*) AS BIGINT) AS nz_b,
+         |    sum(power(2.0, -CAST(reg AS DOUBLE)))
+         |      + CAST($HllM - count(*) AS DOUBLE) AS s_b FROM hreg_b),
+         |su AS (SELECT CAST($HllM - count(*) AS BIGINT) AS nz_u,
+         |    sum(power(2.0, -CAST(reg AS DOUBLE)))
+         |      + CAST($HllM - count(*) AS DOUBLE) AS s_u FROM hreg_u),
+         |ex AS (SELECT
+         |    (SELECT count(DISTINCT t) FROM tok_a) AS exact_a,
+         |    (SELECT count(DISTINCT t) FROM tok_b) AS exact_b,
+         |    (SELECT count(DISTINCT t) FROM tok_u) AS exact_union,
+         |    (SELECT count(*) FROM (SELECT DISTINCT t FROM tok_a
+         |       INTERSECT SELECT DISTINCT t FROM tok_b)) AS exact_inter)
+         |SELECT $HllM AS m, exact_a, exact_b, exact_union, exact_inter,
+         |  ident.ok AS union_sketch_identical,
+         |  ((${hllEstSql("u")}) / CAST(exact_union AS DOUBLE))
+         |    BETWEEN 0.8 AND 1.25 AS union_within_20pct,
+         |  abs((${hllEstSql("a")}) + (${hllEstSql("b")}) - (${hllEstSql("u")})
+         |      - CAST(exact_inter AS DOUBLE))
+         |    <= 0.25 * CAST(exact_union AS DOUBLE) AS inter_ok
+         |FROM sa CROSS JOIN sb CROSS JOIN su CROSS JOIN ex CROSS JOIN ident""".stripMargin,
 
     "cms_matrix" ->
       s"""WITH $cmsCtes
