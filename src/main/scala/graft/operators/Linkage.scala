@@ -28,6 +28,9 @@ object Linkage {
   /** Minimum (6-dp-rounded) Jaro-Winkler similarity for `link_jw_best`. */
   val JwThreshold = 0.8
 
+  /** Sorted-neighborhood comparison window (successors per record). */
+  val SnWindow = 5
+
   /** Customers with a deterministic blocking key: name length + 3-char
     * suffix. Both engines compute identical keys (pure string ops).
     *
@@ -134,6 +137,30 @@ object Linkage {
         .select(col("ak").as("custkey"), col("bk").as("best_key"),
           col("jw"), col("dl"))
         .orderBy("custkey")
+    },
+
+    // Sorted-neighborhood blocking — the OTHER classic linkage candidate
+    // generator: rank all records under one global sort key and compare
+    // each record only to its `SnWindow` successors in rank order. Catches
+    // matches a hash-blocking key splits apart (here: same name stem,
+    // different length bucket). Scale shape: Ranking.globalRank avoids the
+    // single-partition window, and the rank-difference candidate join is a
+    // difference-BETWEEN predicate that RewriteBandJoin turns into a
+    // binned equi-join automatically (LinkageSpec locks the plan).
+    "link_sorted_neighborhood" -> { (s, d) =>
+      graft.Graft.init(s) // RewriteBandJoin
+      val ranked = Ranking.globalRank(
+        customer(s, d).select("c_custkey", "c_name"),
+        Seq(col("c_name"), col("c_custkey")))
+      val a = ranked.select(col("c_custkey").as("ak"), col("c_name").as("an"),
+        col("rank").as("ra"))
+      val b = ranked.select(col("c_custkey").as("bk"), col("c_name").as("bn"),
+        col("rank").as("rb"))
+      a.join(b, (col("rb") - col("ra")).between(lit(1), lit(SnWindow)))
+        .select(col("ak"), col("bk"),
+          levenshtein(col("an"), col("bn")).cast("int").as("dist"))
+        .where(col("dist") <= MaxDist)
+        .orderBy("ak", "bk")
     }
   )
 
@@ -191,6 +218,15 @@ object Linkage {
          |f AS (SELECT *, row_number() OVER (PARTITION BY ak ORDER BY jw DESC, bk) AS rn
          |  FROM p WHERE jw >= $JwThreshold)
          |SELECT ak AS custkey, bk AS best_key, jw, dl
-         |FROM f WHERE rn = 1 ORDER BY custkey""".stripMargin
+         |FROM f WHERE rn = 1 ORDER BY custkey""".stripMargin,
+
+    "link_sorted_neighborhood" ->
+      s"""WITH r AS (SELECT c_custkey, c_name,
+         |    row_number() OVER (ORDER BY c_name, c_custkey) AS rnk FROM customer),
+         |p AS (SELECT a.c_custkey AS ak, b.c_custkey AS bk,
+         |    CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+         |  FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND $SnWindow)
+         |SELECT ak, bk, dist FROM p WHERE dist <= $MaxDist
+         |ORDER BY ak, bk""".stripMargin
   )
 }

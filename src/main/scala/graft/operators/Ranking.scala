@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-safe GLOBAL ranking. `row_number() OVER (ORDER BY ...)` with no
+  * partition key moves the whole relation to one task — the classic
+  * single-partition-window cliff (Spark even logs a WindowExec warning).
+  * The distributed shape: range-repartition on the sort key, rank WITHIN
+  * each partition, then add per-partition offsets computed from a
+  * partition-count-sized aggregate (broadcast back). One extra tiny
+  * shuffle instead of one giant one.
+  */
+object Ranking {
+
+  /** Dense 1-based global rank of every row under the total order given by
+    * `order` (must be a total order — include a unique tiebreaker). The
+    * rank is partitioning-invariant: range boundaries only decide WHERE a
+    * row is ranked locally, never its global rank.
+    */
+  def globalRank(df: DataFrame, order: Seq[Column], numParts: Int = 32): DataFrame = {
+    val reserved = Seq("_pid", "_lrn", "_n", "_off", "rank")
+    require(!df.columns.exists(reserved.contains),
+      s"globalRank: input columns may not include ${reserved.mkString("/")}")
+    val parted = df.repartitionByRange(numParts, order: _*)
+      .withColumn("_pid", spark_partition_id())
+    val pw = Window.partitionBy("_pid").orderBy(order: _*)
+    val local = parted.withColumn("_lrn", row_number().over(pw))
+    // partition-count-sized: the cumulative-offset window runs over ≤
+    // numParts rows, so its single-partition execution is bounded
+    val ow = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offs = parted.groupBy("_pid").agg(count(lit(1)).as("_n"))
+      .withColumn("_off", coalesce(sum("_n").over(ow), lit(0L)))
+      .select("_pid", "_off")
+    local.join(broadcast(offs), Seq("_pid"))
+      .withColumn("rank", col("_off") + col("_lrn"))
+      .drop("_pid", "_lrn")
+  }
+}

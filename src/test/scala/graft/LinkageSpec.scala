@@ -69,4 +69,25 @@ class LinkageSpec extends SparkSpecBase {
       assert(mk == best && mn == cust(best)._1)
     }
   }
+
+  test("globalRank equals the single-window row_number under the same order") {
+    val c = Tables.customer(spark, sfDir).select("c_custkey", "c_name")
+    val got = graft.operators.Ranking
+      .globalRank(c, Seq(col("c_name"), col("c_custkey")), numParts = 7)
+      .select("c_custkey", "rank").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c_name"), col("c_custkey"))
+    val want = c.withColumn("rank", row_number().over(w).cast("long"))
+      .select("c_custkey", "rank").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
+  test("sorted-neighborhood candidate join plans as a binned equi-join") {
+    val df = graft.operators.Linkage.queries("link_sorted_neighborhood")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(df.count() > 0) // non-vacuous on the fixture
+  }
 }
