@@ -213,6 +213,18 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** LSH-blocked corpus kNN edges (q_id, cand_id, cos, rnk ≤ K) — every
+    * vector ranked against its own bucket (see ann_knn_graph).
+    */
+  private def knnGraph(s: SparkSession, d: String): DataFrame = {
+    val b = base(s, d).withColumn("bkt", bucket(col("e")))
+    val q = b.select(col("vec_id").as("q_id"), col("e").as("qe"),
+      col("nrm").as("qn"), col("bkt").as("qb"))
+    val c = b.select(col("vec_id").as("cand_id"), col("e").as("ce"),
+      col("nrm").as("cn"), col("bkt").as("cb"))
+    ranked(q.join(c, col("qb") === col("cb") && col("q_id") =!= col("cand_id")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact top-k by cosine: broadcast the (small) query batch, stream the
     // corpus — no shuffle of the big side; the window is per-query-id over
@@ -237,6 +249,29 @@ object Similarity {
         col("nrm").as("cn"), col("bkt").as("cb"))
       ranked(broadcast(q).join(c,
         col("qb") === col("cb") && col("q_id") =!= col("cand_id")))
+    },
+
+    // CORPUS-WIDE kNN graph, LSH-blocked: every vector's top-k cosine
+    // neighbors WITHIN its hyperplane bucket (the blocked kNN-graph build
+    // that SemDeDup/agglomerative pipelines start from — corpus×corpus,
+    // not query-batch×corpus, so the bucket equi-join is what keeps it off
+    // the N² cliff; per-node top-k rides the GroupTopK rewrite).
+    "ann_knn_graph" -> { (s, d) =>
+      knnGraph(s, d).orderBy("q_id", "rnk")
+    },
+
+    // Mutual-kNN pruning of that graph: keep (a,b) only when each is in
+    // the other's top-k — the standard symmetrization that kills hub
+    // false-neighbors before clustering. Self-join of the kNN edge list on
+    // the reversed key pair (edge-list-sized, not corpus-sized).
+    "ann_mutual_knn" -> { (s, d) =>
+      val g = knnGraph(s, d)
+      val fwd = g.where(col("q_id") < col("cand_id"))
+        .select(col("q_id").as("a"), col("cand_id").as("b"), col("cos"))
+      val rev = g.where(col("q_id") > col("cand_id"))
+        .select(col("cand_id").as("a"), col("q_id").as("b"))
+      fwd.join(rev, Seq("a", "b"), "left_semi")
+        .orderBy("a", "b")
     },
 
     // Bucket histogram: how balanced is the LSH partitioning? (Also the
@@ -384,6 +419,20 @@ object Similarity {
     s"""WITH base AS (SELECT vec_id, embedding AS e,
        |  sqrt(${dotSql("embedding", "embedding", Dim)}) AS nrm FROM embeddings)""".stripMargin
 
+  /** Corpus×corpus bucketed ranking CTEs for the kNN-graph oracles (the
+    * no-QuerySet-filter sibling of [[rankedSql]]).
+    */
+  private def knnGraphSqlCtes: String =
+    s"""$baseSqlCte,
+       |b2 AS (SELECT vec_id, e, nrm, ${bucketSql("e")} AS bkt FROM base),
+       |p AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+       |  round(${dotSql("q.e", "c.e", Dim)} / (q.nrm * c.nrm), 6) AS cos
+       |  FROM b2 q JOIN b2 c ON q.bkt = c.bkt AND q.vec_id <> c.vec_id),
+       |r AS (SELECT q_id, cand_id, cos,
+       |  CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, cand_id) AS INTEGER) AS rnk
+       |  FROM p)""".stripMargin
+
   private def rankedSql(bucketed: Boolean): String = {
     val bktCol = if (bucketed) s", ${bucketSql("e")} AS bkt" else ""
     val joinCond =
@@ -404,6 +453,21 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "ann_cosine_topk" -> rankedSql(bucketed = false),
     "ann_lsh_topk" -> rankedSql(bucketed = true),
+
+    "ann_knn_graph" ->
+      s"""$knnGraphSqlCtes
+         |SELECT q_id, cand_id, cos, rnk FROM r WHERE rnk <= $K
+         |ORDER BY q_id, rnk""".stripMargin,
+
+    "ann_mutual_knn" ->
+      s"""$knnGraphSqlCtes,
+         |g AS (SELECT q_id, cand_id, cos FROM r WHERE rnk <= $K),
+         |fwd AS (SELECT q_id AS a, cand_id AS b, cos FROM g WHERE q_id < cand_id),
+         |rev AS (SELECT cand_id AS a, q_id AS b FROM g WHERE q_id > cand_id)
+         |SELECT f.a, f.b, f.cos FROM fwd f
+         |WHERE EXISTS (SELECT 1 FROM rev v WHERE v.a = f.a AND v.b = f.b)
+         |ORDER BY a, b""".stripMargin,
+
     "ann_lsh_buckets" ->
       s"""$baseSqlCte
          |SELECT ${bucketSql("e")} AS bucket, count(*) AS n

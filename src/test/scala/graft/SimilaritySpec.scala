@@ -183,4 +183,22 @@ class SimilaritySpec extends SparkSpecBase {
       assert(!err.isNaN && err >= 0.0, s"recon_err must be defined, got $err")
     }
   }
+
+  test("ann_mutual_knn is the symmetric core of ann_knn_graph") {
+    val knn = Similarity.queries("ann_knn_graph")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mutual = Similarity.queries("ann_mutual_knn")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(mutual.nonEmpty)
+    mutual.foreach { case (a, b) =>
+      assert(a < b, "mutual edges are canonical (a < b)")
+      assert(knn.contains((a, b)) && knn.contains((b, a)),
+        s"($a,$b) not mutual in the kNN graph")
+    }
+    // and nothing symmetric was dropped
+    val expect = knn.filter { case (a, b) => a < b && knn.contains((b, a)) }
+    assert(mutual.toSet === expect)
+    // per-node degree bound: top-K neighbors max
+    knn.groupBy(_._1).values.foreach(es => assert(es.size <= Similarity.K))
+  }
 }
