@@ -65,15 +65,23 @@ object Graph {
 
   /** Undirected token co-occurrence edges (adjacent-token pairs, both
     * directions), weight = number of adjacencies in the corpus. Self-loops
-    * (repeated tokens) dropped. One corpus-sized shuffle on doc_id for the
-    * window, one map-side-combined groupBy down to vocab² rows.
+    * (repeated tokens) dropped.
+    *
+    * Adjacency extraction is PURE MAP-SIDE: tokenize once, zip the array
+    * with its own 1-shifted slice, explode — no doc_id window. The window
+    * form (posexplode + lead) shuffles and sorts the ENTIRE corpus by
+    * doc_id before any reduction (measured ~10s of graph_textrank's 11.5s
+    * at sf0.1); this shape's only shuffle is the map-side-combined groupBy
+    * that lands at vocab² rows. Counts are identical either way.
     */
   def cooccurEdges(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val n1 = greatest(size(col("t")) - 1, lit(0))
     val adj = docs
-      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "tok")))
-      .withColumn("nxt", lead("tok", 1).over(w))
-      .where(col("nxt").isNotNull && col("tok") =!= col("nxt"))
+      .select(toks(col("text")).as("t"))
+      .select(explode(arrays_zip(
+        slice(col("t"), lit(1), n1), slice(col("t"), lit(2), n1))).as("p"))
+      .select(col("p").getField("0").as("tok"), col("p").getField("1").as("nxt"))
+      .where(col("tok") =!= col("nxt"))
     val und = adj.select(col("tok").as("src"), col("nxt").as("dst"))
       .union(adj.select(col("nxt").as("src"), col("tok").as("dst")))
     und.groupBy("src", "dst").agg(count(lit(1)).as("w"))
@@ -132,11 +140,16 @@ object Graph {
         .join(outw.as("o"), col("r.node") === col("o.src"))
         .select(col("e.dst").as("node"), expr("r.rank * e.w DIV o.out_w").as("c"))
         .groupBy("node").agg(sum("c").as("csum"))
+      // localCheckpoint per round (the logreg/Components discipline): the
+      // full-outer chain otherwise compounds into a 10-deep plan whose
+      // optimization alone dominates runtime (measured 40s -> ~3s at
+      // sf0.1); each round's rank relation is reachable-subgraph-sized.
       ranks = contrib
         .join(sd.withColumn("tele", lit(tele)), Seq("node"), "full_outer")
         .select(col("node"),
           (coalesce(col("tele"), lit(0L)) +
             expr(s"$DampNum * coalesce(csum, 0) DIV 100")).as("rank"))
+        .localCheckpoint()
     }
     ranks
   }
@@ -280,7 +293,9 @@ object Graph {
     // when extracting keywords). Seeds restricted to words present in the
     // vocabulary so the restart distribution is well-defined.
     "graph_ppr_stopwords" -> { (s, d) =>
-      val edges = cooccurEdges(documents(s, d).select("doc_id", "text"))
+      // persisted: consumed by the seed filter AND the iteration's e/outw
+      // (caller-owned lifecycle — Graft.releaseCaches after the action)
+      val edges = cooccurEdges(documents(s, d).select("doc_id", "text")).persist()
       val seedWords = TextAnalysis.langSignatures.toMap.apply("en")
       val seeds = edges.select(col("src").as("node"))
         .where(col("node").isin(seedWords.map(_.asInstanceOf[Any]): _*))
