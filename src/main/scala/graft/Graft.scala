@@ -53,6 +53,9 @@ object Graft {
     if (!optimizerHas(graft.plans.RewriteBandJoin))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.RewriteBandJoin
+    if (!optimizerHas(graft.plans.RewriteMaxSelfJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RewriteMaxSelfJoin
     if (!spark.sessionState.planner.strategies.contains(graft.plans.GroupTopKStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.GroupTopKStrategy

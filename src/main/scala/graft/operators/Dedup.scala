@@ -108,6 +108,11 @@ object Dedup {
     */
   val NgramDfCap = 4L
 
+  /** Minimum directional containment (either direction) for
+    * `dedup_containment`.
+    */
+  val ContainmentMin = 0.8
+
   /** Exact n-gram (3-shingle) Jaccard pairs >= `minJaccard` over a
     * (doc_id, text) corpus, via an inverted shingle index — no cross join:
     * only documents sharing a shingle ever meet, shuffled on the shingle
@@ -347,6 +352,30 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     },
 
+    // Directional CONTAINMENT on the same inverted index: |A∩B|/|A| — the
+    // quote/excerpt/superset detector Jaccard is blind to (a 50-shingle
+    // doc fully inside a 500-shingle doc has jaccard 0.1 but containment
+    // 1.0). Emits both directions' exact fractions per canonical pair;
+    // int/int divisions, so values hash-match the oracle bit-for-bit.
+    "dedup_containment" -> { (s, d) =>
+      val e = shingleRows(documents(s, d).select("doc_id", "text"))
+        .select(col("doc_id"), h60(col("sh")).as("g"))
+        .distinct()
+        .persist()
+      val n = e.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+      e.as("a")
+        .join(e.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(n.as("na"), col("doc_a") === col("na.doc_id"))
+        .join(n.as("nb"), col("doc_b") === col("nb.doc_id"))
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          (col("inter").cast("double") / col("na.nsh")).as("cont_a_in_b"),
+          (col("inter").cast("double") / col("nb.nsh")).as("cont_b_in_a"))
+        .where(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= ContainmentMin)
+        .orderBy("doc_a", "doc_b")
+    },
+
     // Same exact-Jaccard contract through LOSSLESS prefix filtering: the
     // rarest |x|-ceil(0.6|x|)+1 shingles per doc (global df order) are the
     // only index entries, so hot boilerplate shingles never form a join
@@ -502,6 +531,21 @@ object Dedup {
          |  CAST(inter AS DOUBLE) / (x.nsh + y.nsh - inter) AS jaccard
          |FROM p JOIN n x ON doc_a = x.doc_id JOIN n y ON doc_b = y.doc_id
          |WHERE CAST(inter AS DOUBLE) / (x.nsh + y.nsh - inter) >= 0.6
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_containment" ->
+      s"""WITH tok AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents),
+         |sh AS (SELECT doc_id, ${shingles3Sql("t")} AS s FROM tok),
+         |e AS (SELECT doc_id, unnest(list_distinct(list_transform(s, x -> ${h60Sql("x")}))) AS g FROM sh),
+         |n AS (SELECT doc_id, count(*) AS nsh FROM e GROUP BY doc_id),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, inter,
+         |  CAST(inter AS DOUBLE) / x.nsh AS cont_a_in_b,
+         |  CAST(inter AS DOUBLE) / y.nsh AS cont_b_in_a
+         |FROM p JOIN n x ON doc_a = x.doc_id JOIN n y ON doc_b = y.doc_id
+         |WHERE greatest(CAST(inter AS DOUBLE) / x.nsh,
+         |               CAST(inter AS DOUBLE) / y.nsh) >= ${ContainmentMin}
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     // Prefix filtering is lossless, so the oracle is the plain brute-force

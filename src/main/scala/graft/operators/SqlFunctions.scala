@@ -322,6 +322,22 @@ object SqlFunctions {
         .orderBy("a_key", "b_order", "b_line")
     },
 
+    // Keep-the-group-extreme via the naive self-join-against-aggregate SQL
+    // — RewriteMaxSelfJoin (plans/GraftRules.scala) collapses it to a
+    // single-pass window filter (one scan, one shuffle; MaxJoinElimSpec
+    // locks plan + parity). The oracle runs the same naive SQL in DuckDB.
+    "q_max_join_elim" -> { (s, d) =>
+      graft.Graft.init(s)
+      lineitem(s, d).createOrReplaceTempView("g_mje_lineitem")
+      s.sql(
+        """SELECT l.l_suppkey, l.l_orderkey, l.l_linenumber, m.mx
+          |FROM g_mje_lineitem l
+          |JOIN (SELECT l_suppkey, max(l_extendedprice) AS mx
+          |      FROM g_mje_lineitem GROUP BY l_suppkey) m
+          |  ON l.l_suppkey = m.l_suppkey AND l.l_extendedprice = m.mx
+          |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)
+    },
+
     // SQL-body scalar functions (CREATE TEMPORARY FUNCTION ... RETURN
     // expr) — the engine-surface analog of the reference's
     // register-UDF-by-name contract, but defined IN SQL and resolved from
@@ -828,6 +844,14 @@ object SqlFunctions {
         |  AND p.pts >= c.ts - INTERVAL 10 MINUTE
         |  AND p.pts <= c.ts + INTERVAL 10 MINUTE
         |GROUP BY c.event_id ORDER BY event_id""".stripMargin,
+
+    "q_max_join_elim" ->
+      """SELECT l.l_suppkey, l.l_orderkey, l.l_linenumber, m.mx
+        |FROM lineitem l
+        |JOIN (SELECT l_suppkey, max(l_extendedprice) AS mx
+        |      FROM lineitem GROUP BY l_suppkey) m
+        |  ON l.l_suppkey = m.l_suppkey AND l.l_extendedprice = m.mx
+        |ORDER BY l.l_suppkey, l.l_orderkey, l.l_linenumber""".stripMargin,
 
     "q_interval_overlap" ->
       """WITH a AS (SELECT o_orderkey AS a_key,

@@ -273,6 +273,219 @@ object RewriteBandJoin extends Rule[LogicalPlan] with PredicateHelper {
   }
 }
 
+/** Catalyst optimizer rule: SELF-JOIN ELIMINATION for the keep-the-extreme
+  * pattern. The SQL a user naturally writes for "rows holding their
+  * group's max" is a join back against a grouped aggregate:
+  *
+  *   SELECT t.*, m.mx
+  *   FROM t JOIN (SELECT k, max(v) AS mx FROM t GROUP BY k) m
+  *     ON t.k = m.k AND t.v = m.mx
+  *
+  * Stock Spark executes that as TWO scans of `t` plus an aggregate and a
+  * join — at 100 TB, two full passes and two shuffles where one suffices.
+  * This rule detects the shape (the aggregate child `sameResult`-equal to
+  * the probe side, exactly one non-distinct unfiltered MAX/MIN over a
+  * column, every grouping key equi-joined to its own probe-side column,
+  * the extreme equi-joined to its own source column, inner join, no
+  * hints) and rewrites to one pass:
+  *
+  *   Project(t.* ++ re-aliased agg outputs)
+  *     Filter(v = max(v) OVER (PARTITION BY k)  [AND k IS NOT NULL ...])
+  *       Window(max(v) over k)(t)
+  *
+  * Semantics preserved exactly:
+  *   - join multiplicity is 1 (the agg side is unique per key) = the
+  *     window filter's keep-or-drop;
+  *   - NULL extremes never satisfy `v = mx` on either plan;
+  *   - rows with a NULL grouping key are dropped by the join's
+  *     null-rejecting equality, so the rewrite adds IS NOT NULL for each
+  *     nullable key (window partitions would otherwise keep the NULL
+  *     group);
+  *   - ties all match in both plans;
+  *   - output attribute ids and order are preserved by re-aliasing the
+  *     aggregate's outputs onto probe-side columns / the window extreme.
+  *
+  * Kill switch `spark.graft.maxJoinElim.enabled` restores the naive plan
+  * (MaxJoinElimSpec locks result parity between the two).
+  */
+object RewriteMaxSelfJoin extends Rule[LogicalPlan] with PredicateHelper {
+
+  private def enabled: Boolean =
+    SQLConf.get.getConfString("spark.graft.maxJoinElim.enabled", "true") == "true"
+
+  import org.apache.spark.sql.catalyst.expressions.{And, ExprId, IsNotNull, KnownFloatingPointNormalized, NamedExpression, WindowExpression, WindowSpecDefinition, SpecifiedWindowFrame, RowFrame, UnboundedPreceding, UnboundedFollowing}
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Max, Min}
+  import org.apache.spark.sql.catalyst.optimizer.NormalizeNaNAndZero
+  import org.apache.spark.sql.catalyst.plans.Inner
+  import org.apache.spark.sql.catalyst.plans.logical.JoinHint
+
+  /** The aggregate side, tolerating an inferred `IsNotNull` filter over the
+    * aggregate's own outputs (InferFiltersFromConstraints derives one from
+    * the join's null-rejecting equality; it is implied again by the
+    * rewritten plan's filters).
+    */
+  private object AggSide {
+    def unapply(p: LogicalPlan): Option[logical.Aggregate] = p match {
+      case a: logical.Aggregate => Some(a)
+      case logical.Filter(cond, a: logical.Aggregate)
+          if splitConjunctivePredicates(cond).forall {
+            case IsNotNull(attr: Attribute) => a.outputSet.contains(attr)
+            case _ => false
+          } => Some(a)
+      case _ => None
+    }
+  }
+
+  /** NormalizeFloatingNumbers wraps double/float join keys; the wrappers
+    * are value-preserving for equality under Spark's SQL semantics
+    * (NaN = NaN is true, -0.0 = 0.0 is true — the same semantics plain
+    * EqualTo has in a Filter), so matching unwraps them.
+    */
+  private def unwrapNorm(e: Expression): Expression = e match {
+    case KnownFloatingPointNormalized(inner) => unwrapNorm(inner)
+    case NormalizeNaNAndZero(inner) => unwrapNorm(inner)
+    case other => other
+  }
+
+  /** Strip pure column-selection Projects and collect Filter conjuncts,
+    * returning the residual core plan. Attribute ids survive both.
+    */
+  private def strip(p: LogicalPlan): (LogicalPlan, Seq[Expression]) = p match {
+    case logical.Project(projList, child) if projList.forall(_.isInstanceOf[Attribute]) =>
+      strip(child)
+    case logical.Filter(cond, child) =>
+      val (c, fs) = strip(child)
+      (c, fs ++ splitConjunctivePredicates(cond))
+    case other => (other, Nil)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled) return plan
+    plan.transformUp {
+      case j @ logical.Join(probe, AggSide(agg), Inner, Some(cond), JoinHint.NONE)
+          if !j.isStreaming =>
+        tryRewrite(j, probe, agg, cond, aggOnRight = true).getOrElse(j)
+      case j @ logical.Join(AggSide(agg), probe, Inner, Some(cond), JoinHint.NONE)
+          if !j.isStreaming =>
+        tryRewrite(j, probe, agg, cond, aggOnRight = false).getOrElse(j)
+    }
+  }
+
+  private def tryRewrite(j: logical.Join, probe: LogicalPlan, agg: logical.Aggregate,
+                         cond: Expression, aggOnRight: Boolean): Option[LogicalPlan] = {
+    // ---- aggregate shape: grouping attrs + exactly one max/min(col) ----
+    val groupAttrs: Seq[Attribute] = agg.groupingExpressions.map {
+      case a: Attribute => a
+      case _ => return None
+    }
+    if (groupAttrs.isEmpty) return None // global extreme: broadcast join is already optimal
+    var extreme: Option[(Attribute, NamedExpression, Boolean)] = None // (src col, out, isMax)
+    val groupOut = scala.collection.mutable.ArrayBuffer.empty[(Attribute, NamedExpression)]
+    agg.aggregateExpressions.foreach {
+      case out @ Alias(AggregateExpression(Max(v: Attribute), _, false, None, _), _) =>
+        if (extreme.isDefined) return None
+        extreme = Some((v, out, true))
+      case out @ Alias(AggregateExpression(Min(v: Attribute), _, false, None, _), _) =>
+        if (extreme.isDefined) return None
+        extreme = Some((v, out, false))
+      case out: Attribute if groupAttrs.exists(_.semanticEquals(out)) =>
+        groupOut += ((out, out))
+      case out @ Alias(g: Attribute, _) if groupAttrs.exists(_.semanticEquals(g)) =>
+        groupOut += ((g, out))
+      case _ => return None
+    }
+    val (vAttr, extremeOut, isMax) = extreme.getOrElse(return None)
+
+    // ---- subtree equivalence, robust to asymmetric column pruning and
+    // inferred IsNotNull filters on the join columns ----
+    val (coreP, filtersP) = strip(probe)
+    val (coreA, filtersA) = strip(agg.child)
+    if (!coreP.sameResult(coreA)) return None
+    if (coreP.output.size != coreA.output.size) return None
+    val corr: Map[ExprId, Attribute] = coreA.output.zip(coreP.output)
+      .map { case (a, p) => a.exprId -> p }.toMap
+    // agg-side columns in probe-attr space (they survive pure projects, so
+    // they are core attrs)
+    if (!corr.contains(vAttr.exprId) || !groupAttrs.forall(g => corr.contains(g.exprId)))
+      return None
+    val pv = corr(vAttr.exprId)
+    val partCols: Seq[Attribute] = groupAttrs.map(g => corr(g.exprId))
+    if (!probe.outputSet.contains(pv) || !partCols.forall(probe.outputSet.contains))
+      return None
+    // filters must agree up to IsNotNull on the join columns: those are
+    // implied by the join's null-rejecting equality on one side and by the
+    // rewritten plan's keep-filter on the other
+    val joinCols = (partCols :+ pv).map(_.exprId).toSet
+    def isJoinColNotNull(e: Expression): Boolean = e match {
+      case IsNotNull(a: Attribute) => joinCols.contains(a.exprId)
+      case _ => false
+    }
+    val mappedA = filtersA.map(_.transform {
+      case a: Attribute if corr.contains(a.exprId) => corr(a.exprId)
+    })
+    val canonP = filtersP.map(_.canonicalized)
+    val canonA = mappedA.map(_.canonicalized)
+    val onlyP = canonP.diff(canonA)
+    val onlyA = canonA.diff(canonP)
+    val mappedANotNullOk = mappedA.zip(canonA).filter(x => onlyA.contains(x._2))
+      .forall(x => isJoinColNotNull(x._1))
+    val filtersPNotNullOk = filtersP.zip(canonP).filter(x => onlyP.contains(x._2))
+      .forall(x => isJoinColNotNull(x._1))
+    if (!mappedANotNullOk || !filtersPNotNullOk) return None
+
+    // ---- join condition: every grouping output equated to its own probe
+    // column, the extreme output to its own source column, nothing else ----
+    val conjuncts = splitConjunctivePredicates(cond)
+    if (conjuncts.size != groupOut.size + 1) return None
+    def eqPair(c: Expression): Option[(Attribute, Attribute)] = c match {
+      case EqualTo(x, y) => (unwrapNorm(x), unwrapNorm(y)) match {
+        case (a: Attribute, b: Attribute) =>
+          if (probe.outputSet.contains(a) && agg.outputSet.contains(b)) Some((a, b))
+          else if (probe.outputSet.contains(b) && agg.outputSet.contains(a)) Some((b, a))
+          else None
+        case _ => None
+      }
+      case _ => None
+    }
+    val pairs = conjuncts.map(c => eqPair(c).getOrElse(return None))
+    val extremeOk = pairs.count { case (p, ao) =>
+      ao.exprId == extremeOut.exprId && p.exprId == pv.exprId
+    } == 1
+    val remaining = pairs.filterNot(_._2.exprId == extremeOut.exprId)
+    val groupsOk = groupOut.forall { case (g, out) =>
+      remaining.exists { case (p, ao) =>
+        ao.exprId == out.exprId && p.exprId == corr(g.exprId).exprId
+      }
+    } && remaining.size == groupOut.size
+    if (!extremeOk || !groupsOk) return None
+
+    // ---- build: one pass over the probe side ----
+    val frame = SpecifiedWindowFrame(RowFrame, UnboundedPreceding, UnboundedFollowing)
+    val fn = if (isMax) Max(pv) else Min(pv)
+    val wAlias = Alias(
+      WindowExpression(fn.toAggregateExpression(),
+        WindowSpecDefinition(partCols, Nil, frame)), "_graft_grpext")()
+    val win = logical.Window(Seq(wAlias), partCols, Nil, probe, None)
+    val keep = (EqualTo(pv, wAlias.toAttribute) +:
+      partCols.collect { case a if a.nullable => IsNotNull(a) })
+      .reduce(And(_, _))
+    val filt = logical.Filter(keep, win)
+    val aggSideOut: Seq[NamedExpression] = agg.aggregateExpressions.map { out =>
+      if (out.exprId == extremeOut.exprId)
+        Alias(wAlias.toAttribute, out.name)(exprId = out.exprId)
+      else {
+        val g = groupOut.find(_._2.exprId == out.exprId).get._1
+        val p = corr(g.exprId)
+        if (p.exprId == out.exprId) p
+        else Alias(p, out.name)(exprId = out.exprId)
+      }
+    }
+    val outputs = if (aggOnRight) probe.output ++ aggSideOut
+                  else aggSideOut ++ probe.output
+    Some(logical.Project(outputs, filt))
+  }
+}
+
 /** SparkSessionExtensions entry point:
   *
   *   SparkSession.builder()
@@ -287,6 +500,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
     ext.injectOptimizerRule(_ => RewriteGroupTopK)
     ext.injectOptimizerRule(_ => RewriteBandJoin)
+    ext.injectOptimizerRule(_ => RewriteMaxSelfJoin)
     ext.injectPlannerStrategy(_ => GroupTopKStrategy)
   }
 }

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** RewriteMaxSelfJoin: the keep-the-group-extreme self-join collapses to a
+  * single-pass window filter — result parity with the kill-switched naive
+  * plan, join eliminated from the optimized plan, guards hold.
+  */
+class MaxJoinElimSpec extends SparkSpecBase {
+
+  private val flag = "spark.graft.maxJoinElim.enabled"
+
+  private def naiveSql(fn: String): String =
+    s"""SELECT l.l_suppkey, l.l_orderkey, l.l_linenumber, m.mx
+       |FROM g_mje_lineitem l
+       |JOIN (SELECT l_suppkey, $fn(l_extendedprice) AS mx
+       |      FROM g_mje_lineitem GROUP BY l_suppkey) m
+       |  ON l.l_suppkey = m.l_suppkey AND l.l_extendedprice = m.mx
+       |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+
+  private def setup(): Unit = {
+    Graft.init(spark)
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("g_mje_lineitem")
+  }
+
+  test("max variant: join eliminated, result identical to the naive plan") {
+    setup()
+    val df = spark.sql(naiveSql("max"))
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("Join"), s"join survived:\n$opt")
+    assert(opt.contains("windowspecdefinition"), s"no window introduced:\n$opt")
+    val got = df.collect().map(_.toString).toSeq
+    spark.conf.set(flag, "false")
+    val want = try spark.sql(naiveSql("max")).collect().map(_.toString).toSeq
+    finally spark.conf.unset(flag)
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("min variant and agg-on-left variant both rewrite with parity") {
+    setup()
+    val df = spark.sql(naiveSql("min"))
+    assert(!df.queryExecution.optimizedPlan.toString.contains("Join"))
+    val flipped = spark.sql(
+      """SELECT m.mx, l.l_orderkey
+        |FROM (SELECT l_suppkey, max(l_extendedprice) AS mx
+        |      FROM g_mje_lineitem GROUP BY l_suppkey) m
+        |JOIN g_mje_lineitem l
+        |  ON l.l_suppkey = m.l_suppkey AND l.l_extendedprice = m.mx
+        |ORDER BY l_orderkey, mx""".stripMargin)
+    assert(!flipped.queryExecution.optimizedPlan.toString.contains("Join"))
+    val got = flipped.collect().map(_.toString).toSeq
+    spark.conf.set(flag, "false")
+    val want = try spark.sql(
+      """SELECT m.mx, l.l_orderkey
+        |FROM (SELECT l_suppkey, max(l_extendedprice) AS mx
+        |      FROM g_mje_lineitem GROUP BY l_suppkey) m
+        |JOIN g_mje_lineitem l
+        |  ON l.l_suppkey = m.l_suppkey AND l.l_extendedprice = m.mx
+        |ORDER BY l_orderkey, mx""".stripMargin).collect().map(_.toString).toSeq
+    finally spark.conf.unset(flag)
+    assert(got === want)
+  }
+
+  test("NULL grouping keys are dropped exactly like the null-rejecting join") {
+    setup()
+    val s2 = spark
+    import s2.implicits._
+    Seq((Some(1L), 10.0), (Some(1L), 20.0), (None, 99.0), (None, 5.0), (Some(2L), 7.0))
+      .toDF("k", "v").createOrReplaceTempView("g_mje_nulls")
+    val sql =
+      """SELECT t.k, t.v FROM g_mje_nulls t
+        |JOIN (SELECT k, max(v) AS mv FROM g_mje_nulls GROUP BY k) m
+        |  ON t.k = m.k AND t.v = m.mv ORDER BY t.k, t.v""".stripMargin
+    val df = spark.sql(sql)
+    assert(!df.queryExecution.optimizedPlan.toString.contains("Join"))
+    val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === Seq((1L, 20.0), (2L, 7.0)), s"NULL keys must drop: $got")
+    spark.conf.set(flag, "false")
+    val want = try spark.sql(sql).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    finally spark.conf.unset(flag)
+    assert(got === want)
+  }
+
+  test("ties: every row achieving the extreme is kept, like the join") {
+    setup()
+    val s2 = spark
+    import s2.implicits._
+    // parquet-backed: a LocalRelation would be NARROWED by column pruning
+    // into a different relation, which the sameResult guard correctly
+    // refuses (the rule targets file-scan subtrees, where pruning keeps
+    // the relation and projects instead)
+    val dir = java.nio.file.Files.createTempDirectory("mje_ties").toString
+    Seq((1L, 5.0, "a"), (1L, 5.0, "b"), (1L, 3.0, "c"), (2L, 1.0, "d"))
+      .toDF("k", "v", "tag").write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView("g_mje_ties")
+    val df = spark.sql(
+      """SELECT t.tag FROM g_mje_ties t
+        |JOIN (SELECT k, max(v) AS mv FROM g_mje_ties GROUP BY k) m
+        |  ON t.k = m.k AND t.v = m.mv ORDER BY tag""".stripMargin)
+    assert(!df.queryExecution.optimizedPlan.toString.contains("Join"))
+    assert(df.collect().map(_.getString(0)).toSeq === Seq("a", "b", "d"))
+  }
+
+  test("guard: differing subtrees (extra filter) must NOT rewrite") {
+    setup()
+    val df = spark.sql(
+      """SELECT l.l_orderkey, m.mx
+        |FROM g_mje_lineitem l
+        |JOIN (SELECT l_suppkey, max(l_extendedprice) AS mx
+        |      FROM g_mje_lineitem WHERE l_quantity > 10
+        |      GROUP BY l_suppkey) m
+        |  ON l.l_suppkey = m.l_suppkey AND l.l_extendedprice = m.mx""".stripMargin)
+    assert(df.queryExecution.optimizedPlan.toString.contains("Join"),
+      "rule fired across non-equal subtrees")
+  }
+
+  test("guard: extra join conjunct or avg aggregate must NOT rewrite") {
+    setup()
+    val avgDf = spark.sql(
+      """SELECT l.l_orderkey FROM g_mje_lineitem l
+        |JOIN (SELECT l_suppkey, avg(l_extendedprice) AS mx
+        |      FROM g_mje_lineitem GROUP BY l_suppkey) m
+        |  ON l.l_suppkey = m.l_suppkey AND l.l_extendedprice = m.mx""".stripMargin)
+    assert(avgDf.queryExecution.optimizedPlan.toString.contains("Join"))
+    val extraDf = spark.sql(
+      """SELECT l.l_orderkey FROM g_mje_lineitem l
+        |JOIN (SELECT l_suppkey, max(l_extendedprice) AS mx
+        |      FROM g_mje_lineitem GROUP BY l_suppkey) m
+        |  ON l.l_suppkey = m.l_suppkey AND l.l_extendedprice = m.mx
+        |     AND l.l_orderkey > m.l_suppkey""".stripMargin)
+    assert(extraDf.queryExecution.optimizedPlan.toString.contains("Join"))
+  }
+}
