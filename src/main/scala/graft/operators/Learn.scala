@@ -269,36 +269,67 @@ object Learn {
     }
   )
 
-  /** Per-(doc, class) NB log-posterior scores — see nb_lang_scores. */
-  private def nbScores(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
+  /** The trained NB model state: class-conditional token counts, per-class
+    * token totals, vocabulary size, and 6-dp log priors. Every relation is
+    * (class×vocab)-bounded, so the whole model broadcasts — which is what
+    * lets the identical scorer run on a STREAMING doc relation
+    * (StreamingSpec proves stream == batch predictions).
+    */
+  private[graft] case class NbModel(cc: DataFrame, ctot: DataFrame,
+                                    v: DataFrame, pri: DataFrame)
+
+  private[graft] def nbModel(s: SparkSession, d: String): NbModel = {
     val tok = documents(s, d)
       .select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("tok"))
-    val cc = tok.groupBy(col("lang").as("cls"), col("tok"))
-      .agg(count(lit(1)).as("cnt"))
-    val ctot = tok.groupBy(col("lang").as("cls")).agg(count(lit(1)).as("n_c"))
-    val v = tok.agg(countDistinct("tok").as("v"))
-    val pri = documents(s, d).groupBy(col("lang").as("cls"))
-      .agg(count(lit(1)).as("n_docs"))
-      .crossJoin(broadcast(documents(s, d).agg(count(lit(1)).as("n_all"))))
-      .select(col("cls"),
-        round(log(col("n_docs").cast("double") / col("n_all").cast("double")), 6)
-          .as("lp_prior"))
-    tok.select("doc_id", "tok")
-      .crossJoin(broadcast(pri.select("cls")))
-      .join(broadcast(cc), Seq("cls", "tok"), "left")
-      .join(broadcast(ctot), Seq("cls"))
-      .crossJoin(broadcast(v))
+    NbModel(
+      cc = tok.groupBy(col("lang").as("cls"), col("tok"))
+        .agg(count(lit(1)).as("cnt")),
+      ctot = tok.groupBy(col("lang").as("cls")).agg(count(lit(1)).as("n_c")),
+      v = tok.agg(countDistinct("tok").as("v")),
+      pri = documents(s, d).groupBy(col("lang").as("cls"))
+        .agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(documents(s, d).agg(count(lit(1)).as("n_all"))))
+        .select(col("cls"),
+          round(log(col("n_docs").cast("double") / col("n_all").cast("double")), 6)
+            .as("lp_prior")))
+  }
+
+  /** Score a (doc_id, text) relation against a trained [[NbModel]] —
+    * per-(doc, class) log-posterior with exact decimal sums. Pure batch
+    * relational ops over broadcast model state, so the same call scores a
+    * micro-batch inside foreachBatch unchanged.
+    */
+  private[graft] def nbScoreDocs(docs: DataFrame, m: NbModel): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    docs.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .crossJoin(broadcast(m.pri.select("cls")))
+      .join(broadcast(m.cc), Seq("cls", "tok"), "left")
+      .join(broadcast(m.ctot), Seq("cls"))
+      .crossJoin(broadcast(m.v))
       .select(col("doc_id"), col("cls"),
         round(log((coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
           (col("n_c") + col("v")).cast("double")), 6).as("lp"))
       .groupBy("doc_id", "cls")
       .agg(sum(col("lp").cast(DecimalType(18, 6))).as("s"))
-      .join(broadcast(pri), "cls")
+      .join(broadcast(m.pri), "cls")
       .select(col("doc_id"), col("cls"),
         (col("s") + col("lp_prior").cast(DecimalType(18, 6))).cast("double")
           .as("score"))
   }
+
+  /** Deterministic argmax over [[nbScoreDocs]] output: (doc_id, pred,
+    * score) — shared by the batch queries and the streaming deployment.
+    */
+  private[graft] def nbPredict(scores: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("cls").asc)
+    scores.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("cls").as("pred"), round(col("score"), 6).as("score"))
+  }
+
+  /** Per-(doc, class) NB log-posterior scores — see nb_lang_scores. */
+  private def nbScores(s: SparkSession, d: String): DataFrame =
+    nbScoreDocs(documents(s, d), nbModel(s, d))
 
   /** Shared WOE working frame — see woe_bins docstring. `iv_c` is the
     * fixed-point (1e-6) IV contribution used by woe_iv_total.

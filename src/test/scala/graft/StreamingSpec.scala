@@ -732,4 +732,41 @@ class StreamingSpec extends SparkSpecBase {
       assert(r.getDouble(1) > 0.0)
     } finally q.stop()
   }
+
+  test("NB classifier scores a stream identically to batch (train-batch/deploy-stream)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.operators.Learn
+    // freeze the trained model state (every relation class×vocab-bounded)
+    val m0 = Learn.nbModel(spark, sfDir)
+    val m = Learn.NbModel(m0.cc.localCheckpoint(), m0.ctot.localCheckpoint(),
+      m0.v.localCheckpoint(), m0.pri.localCheckpoint())
+    val batch = Learn.nbPredict(
+        Learn.nbScoreDocs(Tables.documents(spark, sfDir).select("doc_id", "text"), m))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    // the frozen-model scorer reproduces the oracled query's predictions
+    val oracled = Learn.queries("nb_lang_scores")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getDouble(3))).toSet
+    assert(batch === oracled)
+
+    val docRows = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    val acc = scala.collection.mutable.Set[(Long, String, Double)]()
+    val q = in.toDF.toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        acc.synchronized {
+          acc ++= Learn.nbPredict(Learn.nbScoreDocs(b, m)).collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        }
+        ()
+      }.start()
+    try {
+      val (a, b2) = docRows.splitAt(docRows.length / 2)
+      in.addData(a.toSeq); q.processAllAvailable()
+      in.addData(b2.toSeq); q.processAllAvailable()
+      assert(acc.synchronized(acc.toSet) === batch)
+    } finally q.stop()
+  }
 }
