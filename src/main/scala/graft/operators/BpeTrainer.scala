@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import TextHash.{toks, toksSql}
+
+/** In-engine BPE (byte-pair-encoding) tokenizer TRAINING — the classic
+  * Sennrich et al. merge loop, run entirely as relational operations:
+  *
+  *   1. collapse the corpus to the word-count table (ONE corpus pass; the
+  *      training loop never touches the corpus again — the classic BPE
+  *      trick of training on the word VOCABULARY with multiplicities);
+  *   2. symbolize each word into characters;
+  *   3. per round: count adjacent symbol pairs weighted by word count
+  *      (vocab-sized explode), pick the most frequent pair (ties broken
+  *      lexicographically so training is deterministic), and merge it
+  *      greedily LEFT-TO-RIGHT in every word.
+  *
+  * Scale shape: after step 1 everything is vocabulary-sized. At 100 TB the
+  * corpus pass is the only heavy stage (map-side-combined groupBy); the
+  * merge rounds shuffle a vocab-sized relation and localCheckpoint like
+  * the other iterative kernels.
+  *
+  * Cross-engine exactness: a word's symbol sequence is ONE string with
+  * symbols joined by the `Sep` control char (absent from the corpus —
+  * spec-checked), so the greedy merge is a pure string fold: the last
+  * symbol equals `a` iff the accumulator ends with Sep+a (or IS a), and
+  * merging rewrites that suffix to a||b. The identical fold runs as
+  * `aggregate` here and `list_reduce` in the DuckDB oracle; pair counting,
+  * argmax tie-breaks, and every string op are engine-identical, so all
+  * `Merges` rounds reproduce bit-for-bit.
+  *
+  * Greedy-left-to-right correctness of the fold: after a merge the last
+  * symbol is a||b, which can never equal `a` again (b is non-empty), so
+  * overlapping re-merges ("aaa" with pair (a,a) → "aa","a") fall out of
+  * plain string equality — no lookahead state needed.
+  */
+object BpeTrainer {
+
+  /** Merge rounds — fixed so the oracle can unroll the identical loop. */
+  val Merges = 6
+
+  /** Symbol separator (U+001F unit separator; not in the fixture corpus). */
+  val Sep = "\u001f"
+
+  /** (word, cnt) — the corpus collapsed to its vocabulary. */
+  private def wordCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(toks(col("text"))).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** word → its characters joined by [[Sep]]. */
+  private def symbolize(w: Column): Column =
+    array_join(transform(sequence(lit(1), length(w)), i => substring(w, i, lit(1))), Sep)
+
+  /** Run the merge loop; returns (merges table, final word symbolization).
+    * merges: (round, a, b, merged, support); words: (word, cnt, sym).
+    */
+  def train(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    var words = wordCounts(documents(s, d))
+      .select(col("word"), col("cnt"), symbolize(col("word")).as("sym"))
+      .localCheckpoint()
+    var merges = Seq.empty[DataFrame]
+    var exhausted = false
+    for (r <- 1 to Merges if !exhausted) {
+      val pairs = words
+        .select(col("cnt"), split(col("sym"), Sep).as("syms"))
+        // single-symbol words have no pairs — and sequence(1, 0) DESCENDS
+        // in Spark, so they must be filtered before the transform
+        .where(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> named_struct('a', syms[i-1], 'b', syms[i]))"))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("cnt").as("total"))
+      val best = pairs.orderBy(desc("total"), asc("a"), asc("b")).limit(1)
+        .localCheckpoint()
+      // a degenerate corpus can run out of pairs before Merges rounds —
+      // stop instead of cross-joining against an empty best (which would
+      // silently empty the word relation). isEmpty is free here: best is
+      // already a materialized 1-or-0-row checkpoint.
+      if (best.isEmpty) { exhausted = true }
+      else {
+      merges :+= best.select(lit(r).as("round"), col("a"), col("b"),
+        concat(col("a"), col("b")).as("merged"), col("total").as("support"))
+      words = words.crossJoin(broadcast(best))
+        .select(col("word"), col("cnt"),
+          aggregate(split(col("sym"), Sep), lit(""),
+            (acc, sChar) =>
+              when(acc === "", sChar)
+                .when((acc === col("a") ||
+                    acc.endsWith(concat(lit(Sep), col("a")))) && sChar === col("b"),
+                  concat(substring_index_tail(acc, col("a")), col("a"), col("b")))
+                .otherwise(concat(acc, lit(Sep), sChar))).as("sym"))
+        .localCheckpoint()
+      }
+    }
+    (merges.reduce(_.unionByName(_)), words)
+  }
+
+  /** substr(acc, 1, length(acc) - length(a)) as a Column helper. */
+  private def substring_index_tail(acc: Column, a: Column): Column =
+    acc.substr(lit(1), length(acc) - length(a))
+
+  // -------------------------------------------------------------- queries
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The learned merge table — the tokenizer artifact itself.
+    "bpe_merges" -> { (s, d) =>
+      train(s, d)._1.orderBy("round")
+    },
+
+    // Final per-word segmentation after all rounds (Sep swapped for '|'
+    // so the output column stays a plain scalar for the driver harness).
+    "bpe_word_encoding" -> { (s, d) =>
+      train(s, d)._2
+        .select(col("word"), col("cnt"),
+          size(split(col("sym"), Sep)).as("n_syms"),
+          regexp_replace(col("sym"), Sep, "|").as("segments"))
+        .orderBy("word")
+    }
+  )
+
+  // -------------------------------------------------------------- oracles
+
+  private def foldSql: String =
+    s"""list_reduce(string_split(sym, chr(31)), (acc, s) -> CASE
+       |  WHEN (acc = b.a OR ends_with(acc, chr(31) || b.a)) AND s = b.b
+       |  THEN substr(acc, 1, len(acc) - len(b.a)) || b.a || b.b
+       |  ELSE acc || chr(31) || s END)""".stripMargin
+
+  private def trainCtes: String = {
+    val sb = new StringBuilder(
+      s"""wc AS (SELECT word, count(*) AS cnt FROM (
+         |    SELECT unnest(${toksSql("text")}) AS word FROM documents)
+         |  WHERE len(word) > 0 GROUP BY word),
+         |w0 AS (SELECT word, cnt,
+         |    list_aggr(list_transform(range(1, len(word) + 1),
+         |      i -> substr(word, CAST(i AS INTEGER), 1)), 'string_agg', chr(31)) AS sym
+         |  FROM wc)""".stripMargin)
+    for (r <- 1 to Merges) {
+      val p = r - 1
+      sb.append(
+        s""",
+           |p$r AS (SELECT p.a AS a, p.b AS b, CAST(sum(cnt) AS BIGINT) AS total FROM (
+           |    SELECT cnt, unnest(list_transform(range(1, len(syms)),
+           |      i -> struct_pack(a := syms[i], b := syms[i+1]))) AS p
+           |    FROM (SELECT cnt, string_split(sym, chr(31)) AS syms FROM w$p))
+           |  GROUP BY 1, 2),
+           |b$r AS (SELECT a, b, total FROM p$r ORDER BY total DESC, a, b LIMIT 1),
+           |w$r AS (SELECT word, cnt, $foldSql AS sym
+           |  FROM w$p CROSS JOIN b$r b)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  val oracles: Map[String, String] = Map(
+    "bpe_merges" -> {
+      val rows = (1 to Merges).map(r =>
+        s"SELECT $r AS round, a, b, a || b AS merged, total AS support FROM b$r")
+        .mkString("\n", "\nUNION ALL\n", "\n")
+      s"WITH $trainCtes $rows ORDER BY round"
+    },
+
+    "bpe_word_encoding" ->
+      s"""WITH $trainCtes
+         |SELECT word, cnt,
+         |  CAST(len(string_split(sym, chr(31))) AS INTEGER) AS n_syms,
+         |  replace(sym, chr(31), '|') AS segments
+         |FROM w$Merges ORDER BY word""".stripMargin
+  )
+}
