@@ -120,6 +120,28 @@ object BpeTrainer {
           size(split(col("sym"), Sep)).as("n_syms"),
           regexp_replace(col("sym"), Sep, "|").as("segments"))
         .orderBy("word")
+    },
+
+    // The tokenizer APPLIED back to the corpus: per-document subword
+    // counts under the trained merges — word stream joined to the
+    // (vocab-sized, broadcast) segmentation table, the deploy step after
+    // training. compression = chars per subword, the signal tokenizer
+    // quality is judged by.
+    "bpe_doc_tokens" -> { (s, d) =>
+      val segs = train(s, d)._2
+        .select(col("word"), size(split(col("sym"), Sep)).as("n_syms"))
+      documents(s, d)
+        .select(col("doc_id"), explode(toks(col("text"))).as("word"))
+        .where(length(col("word")) > 0)
+        .join(broadcast(segs), "word")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum("n_syms").as("n_subwords"),
+          sum(length(col("word"))).as("n_chars"))
+        .select(col("doc_id"), col("n_words"), col("n_subwords"),
+          round(col("n_chars").cast("double") / col("n_subwords").cast("double"), 6)
+            .as("chars_per_subword"))
+        .orderBy("doc_id")
     }
   )
 
@@ -169,6 +191,20 @@ object BpeTrainer {
          |SELECT word, cnt,
          |  CAST(len(string_split(sym, chr(31))) AS INTEGER) AS n_syms,
          |  replace(sym, chr(31), '|') AS segments
-         |FROM w$Merges ORDER BY word""".stripMargin
+         |FROM w$Merges ORDER BY word""".stripMargin,
+
+    "bpe_doc_tokens" ->
+      s"""WITH $trainCtes,
+         |segs AS (SELECT word,
+         |    CAST(len(string_split(sym, chr(31))) AS INTEGER) AS n_syms
+         |  FROM w$Merges),
+         |dw AS (SELECT doc_id, unnest(${toksSql("text")}) AS word FROM documents),
+         |j AS (SELECT doc_id, dw.word, n_syms FROM dw
+         |  JOIN segs ON dw.word = segs.word WHERE len(dw.word) > 0)
+         |SELECT doc_id, count(*) AS n_words,
+         |  CAST(sum(n_syms) AS BIGINT) AS n_subwords,
+         |  round(CAST(sum(len(word)) AS DOUBLE) / CAST(sum(n_syms) AS DOUBLE), 6)
+         |    AS chars_per_subword
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }
