@@ -371,4 +371,31 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("partial_sum"), s"partials missing:\n$p")
     assert(!p.contains("SortAggregate"), s"hash agg expected:\n$p")
   }
+
+  test("ann_knn_graph: corpus×corpus stays a bucket equi-join, never all-pairs") {
+    val p = plan("ann_knn_graph")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"kNN-graph build leaked an all-pairs join:\n$p")
+  }
+
+  test("nb_lang_scores: model state broadcasts; the token stream never shuffles to meet it") {
+    val p = plan("nb_lang_scores")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"model relations not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_interval_overlap: binned equi-join (the naive overlap predicate is a nested loop)") {
+    val p = plan("q_interval_overlap")
+    assert(!p.contains("CartesianProduct"), s"interval join went all-pairs:\n$p")
+  }
+
+  test("bpe_merges: rounds materialize via localCheckpoint — the final plan reads checkpointed state") {
+    val p = plan("bpe_merges")
+    // training ran round-by-round during plan construction (the iterative-
+    // kernel discipline); the result plan is a union over the checkpointed
+    // 1-row best frames, not a re-derivation of the merge loop
+    assert(p.contains("Scan ExistingRDD"), s"expected checkpointed rounds:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
