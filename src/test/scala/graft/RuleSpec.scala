@@ -98,4 +98,38 @@ class RuleSpec extends SparkSpecBase {
     val once = RewriteHofDotProduct(q.queryExecution.optimizedPlan)
     assert(RewriteHofDotProduct(once) === once)
   }
+
+  test("rule interaction: max-self-join elimination composes with the GroupTopK rewrite") {
+    // per supplier: the 2 latest-shipped lineitems among those holding the
+    // supplier's max extendedprice — the self-join collapses to a window
+    // filter (RewriteMaxSelfJoin) and the row_number()<=2 on top still
+    // becomes the bounded-heap GroupTopK operator
+    Graft.init(spark)
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("g_ri_lineitem")
+    val sql =
+      """SELECT * FROM (
+        |  SELECT l.l_suppkey, l.l_orderkey, l.l_linenumber, l.l_shipdate,
+        |         row_number() OVER (PARTITION BY l.l_suppkey
+        |                            ORDER BY l.l_shipdate DESC, l.l_orderkey) AS rn
+        |  FROM g_ri_lineitem l
+        |  JOIN (SELECT l_suppkey, max(l_extendedprice) AS mx
+        |        FROM g_ri_lineitem GROUP BY l_suppkey) m
+        |    ON l.l_suppkey = m.l_suppkey AND l.l_extendedprice = m.mx)
+        |WHERE rn <= 2 ORDER BY l_suppkey, rn""".stripMargin
+    val df2 = spark.sql(sql)
+    val phys = df2.queryExecution.executedPlan.toString
+    val opt = df2.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("Join"), s"self-join survived:\n$opt")
+    assert(phys.contains("GroupTopK"), s"GroupTopK missing:\n$phys")
+    // parity against both rules disabled
+    val got = df2.collect().map(_.toString).toSeq
+    spark.conf.set("spark.graft.maxJoinElim.enabled", "false")
+    spark.conf.set("spark.graft.groupTopK.enabled", "false")
+    val want = try spark.sql(sql).collect().map(_.toString).toSeq
+    finally {
+      spark.conf.unset("spark.graft.maxJoinElim.enabled")
+      spark.conf.unset("spark.graft.groupTopK.enabled")
+    }
+    assert(got === want && got.nonEmpty)
+  }
 }

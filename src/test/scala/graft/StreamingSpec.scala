@@ -733,6 +733,43 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("intervalOverlapJoin runs stream-static unchanged, equal to the batch join") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.operators.Joins
+    // static side: lineitem transit windows (the q_interval_overlap B side)
+    val bDay = expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000")
+    val staticB = Tables.lineitem(spark, sfDir)
+      .where(col("l_suppkey") % 50 === 0)
+      .select(col("l_orderkey").as("b_order"), col("l_linenumber").as("b_line"),
+        bDay.as("rs"), (bDay + col("l_linenumber") % 7 + 1).as("re"))
+      .localCheckpoint()
+    // streaming side: urgent-order fulfillment windows arriving as a stream
+    val aDay = expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+    val aRows = Tables.orders(spark, sfDir)
+      .where(col("o_orderpriority") === "1-URGENT" && col("o_custkey") % 20 === 0)
+      .select(col("o_orderkey").as("a_key"), aDay.as("ls"), (aDay + 4).as("le"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val batch = Joins.intervalOverlapJoin(
+        spark.createDataFrame(aRows.toSeq).toDF("a_key", "ls", "le"), staticB, 8L)
+      .select("a_key", "b_order", "b_line")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val in = MemoryStream[(Long, Long, Long)]
+    val out = Joins.intervalOverlapJoin(in.toDF.toDF("a_key", "ls", "le"), staticB, 8L)
+      .select("a_key", "b_order", "b_line")
+    val q = out.writeStream.format("memory").queryName("iv_enrich")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (x, y) = aRows.splitAt(aRows.length / 2)
+      in.addData(x.toSeq); q.processAllAvailable()
+      in.addData(y.toSeq); q.processAllAvailable()
+      val streamed = s.sql("SELECT * FROM iv_enrich").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(streamed === batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("NB classifier scores a stream identically to batch (train-batch/deploy-stream)") {
     val s = spark
     import s.implicits._
