@@ -274,6 +274,25 @@ object Similarity {
         .orderBy("a", "b")
     },
 
+    // Embedding-space clustering: connected components over the
+    // mutual-kNN graph — the standard "chain near-neighbors into
+    // clusters" step (mutual-kNN edges are the densest trustworthy
+    // signal; CC chains them transitively). Reuses the shared iterative
+    // CC kernel: singletons never iterate, rounds are edge-subgraph-sized.
+    "ann_knn_components" -> { (s, d) =>
+      val g = knnGraph(s, d)
+      val fwd = g.where(col("q_id") < col("cand_id"))
+        .select(col("q_id").as("a"), col("cand_id").as("b"))
+      val rev = g.where(col("q_id") > col("cand_id"))
+        .select(col("cand_id").as("a"), col("q_id").as("b"))
+      val mutual = fwd.join(rev, Seq("a", "b"), "left_semi")
+      Components.connectedComponents(
+          base(s, d).select(col("vec_id")),
+          mutual.select(col("a").as("src"), col("b").as("dst")))
+        .toDF("vec_id", "component_id")
+        .orderBy("vec_id")
+    },
+
     // Bucket histogram: how balanced is the LSH partitioning? (Also the
     // skew diagnostic you'd run before trusting the bucket join at scale.)
     "ann_lsh_buckets" -> { (s, d) =>
@@ -467,6 +486,20 @@ object Similarity {
          |SELECT f.a, f.b, f.cos FROM fwd f
          |WHERE EXISTS (SELECT 1 FROM rev v WHERE v.a = f.a AND v.b = f.b)
          |ORDER BY a, b""".stripMargin,
+
+    "ann_knn_components" ->
+      s"""WITH RECURSIVE ${knnGraphSqlCtes.stripPrefix("WITH ")},
+         |g AS (SELECT q_id, cand_id FROM r WHERE rnk <= $K),
+         |fwd AS (SELECT q_id AS a, cand_id AS b FROM g WHERE q_id < cand_id),
+         |rev AS (SELECT cand_id AS a, q_id AS b FROM g WHERE q_id > cand_id),
+         |mut AS (SELECT f.a, f.b FROM fwd f
+         |  WHERE EXISTS (SELECT 1 FROM rev v WHERE v.a = f.a AND v.b = f.b)),
+         |und AS (SELECT a AS src, b AS dst FROM mut UNION ALL SELECT b, a FROM mut),
+         |reach AS (SELECT vec_id AS id, vec_id AS cc FROM embeddings
+         |          UNION
+         |          SELECT u.dst, r2.cc FROM reach r2 JOIN und u ON u.src = r2.id),
+         |comp AS (SELECT id AS vec_id, min(cc) AS component_id FROM reach GROUP BY id)
+         |SELECT vec_id, component_id FROM comp ORDER BY vec_id""".stripMargin,
 
     "ann_lsh_buckets" ->
       s"""$baseSqlCte

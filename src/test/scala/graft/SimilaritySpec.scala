@@ -201,4 +201,17 @@ class SimilaritySpec extends SparkSpecBase {
     // per-node degree bound: top-K neighbors max
     knn.groupBy(_._1).values.foreach(es => assert(es.size <= Similarity.K))
   }
+
+  test("ann_knn_components: mutual edges never straddle components; singletons self-label") {
+    val cc = Similarity.queries("ann_knn_components")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mutual = Similarity.queries("ann_mutual_knn")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(cc.size == Tables.embeddings(spark, sfDir).count())
+    mutual.foreach { case (a, b) => assert(cc(a) == cc(b), s"edge ($a,$b) split") }
+    val inEdges = mutual.flatMap { case (a, b) => Seq(a, b) }.toSet
+    cc.filterNot { case (id, _) => inEdges.contains(id) }
+      .foreach { case (id, c) => assert(c == id, "singleton must self-label") }
+    Graft.releaseCaches(spark)
+  }
 }
