@@ -56,9 +56,15 @@ object Graft {
     if (!optimizerHas(graft.plans.RewriteMaxSelfJoin))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.RewriteMaxSelfJoin
+    if (!optimizerHas(graft.plans.RewriteMaxPerKey))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RewriteMaxPerKey
     if (!spark.sessionState.planner.strategies.contains(graft.plans.GroupTopKStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.GroupTopKStrategy
+    if (!spark.sessionState.planner.strategies.contains(graft.plans.MaxPerKeyStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.MaxPerKeyStrategy
     spark
   }
 

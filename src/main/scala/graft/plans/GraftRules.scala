@@ -501,6 +501,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => RewriteGroupTopK)
     ext.injectOptimizerRule(_ => RewriteBandJoin)
     ext.injectOptimizerRule(_ => RewriteMaxSelfJoin)
+    ext.injectOptimizerRule(_ => RewriteMaxPerKey)
     ext.injectPlannerStrategy(_ => GroupTopKStrategy)
+    ext.injectPlannerStrategy(_ => MaxPerKeyStrategy)
   }
 }

@@ -28,7 +28,10 @@ class MaxJoinElimSpec extends SparkSpecBase {
     val df = spark.sql(naiveSql("max"))
     val opt = df.queryExecution.optimizedPlan.toString
     assert(!opt.contains("Join"), s"join survived:\n$opt")
-    assert(opt.contains("windowspecdefinition"), s"no window introduced:\n$opt")
+    // the produced window form is further subsumed by the MaxPerKey
+    // whole-operator path when that rule is on
+    assert(opt.contains("windowspecdefinition") || opt.contains("MaxPerKey"),
+      s"neither window nor MaxPerKey introduced:\n$opt")
     val got = df.collect().map(_.toString).toSeq
     spark.conf.set(flag, "false")
     val want = try spark.sql(naiveSql("max")).collect().map(_.toString).toSeq
