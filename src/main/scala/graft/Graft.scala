@@ -144,10 +144,18 @@ object Tables {
     import org.apache.spark.sql.functions.{expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val path = s"$dir/events.parquet"
+    // only the illegal-TIMESTAMP(NANOS) refusal triggers the legacy-flag
+    // retry; anything else (missing file, corrupt footer, permissions)
+    // must surface as its ORIGINAL error, not a confusing second failure
+    // under the flag
+    def isNanosRefusal(e: Throwable): Boolean = {
+      val m = Option(e.getMessage).getOrElse("")
+      m.contains("NANOS") || m.contains("Illegal Parquet type")
+    }
     val raw =
       try spark.read.parquet(path)
       catch {
-        case _: Exception =>
+        case e: org.apache.spark.sql.AnalysisException if isNanosRefusal(e) =>
           val flag = "spark.sql.legacy.parquet.nanosAsLong"
           val prior = spark.conf.getOption(flag)
           spark.conf.set(flag, "true")

@@ -97,7 +97,13 @@ object BpeTrainer {
         .localCheckpoint()
       }
     }
-    (merges.reduce(_.unionByName(_)), words)
+    // a fully degenerate corpus (all words single-symbol) exhausts before
+    // recording ANY merge — return an empty merges table with the right
+    // schema instead of letting reduce throw on the empty seq
+    val mergesOut = merges.reduceOption(_.unionByName(_)).getOrElse(
+      s.range(0).select(lit(0).as("round"), lit("").as("a"), lit("").as("b"),
+        lit("").as("merged"), lit(0L).as("support")))
+    (mergesOut, words)
   }
 
   /** substr(acc, 1, length(acc) - length(a)) as a Column helper. */

@@ -23,8 +23,15 @@ object Ranking {
     val reserved = Seq("_pid", "_lrn", "_n", "_off", "rank")
     require(!df.columns.exists(reserved.contains),
       s"globalRank: input columns may not include ${reserved.mkString("/")}")
+    // materialize the partitioned relation ONCE: local ranks and partition
+    // offsets both read `parted`, and correctness requires they observe the
+    // SAME sampled range boundaries. Without this the two plan branches
+    // only share boundaries via exchange reuse — which can be disabled
+    // (spark.sql.exchange.reuse=false) or defeated by canonicalization
+    // drift, silently producing inconsistent _pid assignments.
     val parted = df.repartitionByRange(numParts, order: _*)
       .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
     val pw = Window.partitionBy("_pid").orderBy(order: _*)
     val local = parted.withColumn("_lrn", row_number().over(pw))
     // partition-count-sized: the cumulative-offset window runs over ≤

@@ -395,6 +395,11 @@ object RewriteMaxSelfJoin extends Rule[LogicalPlan] with PredicateHelper {
       case _ => return None
     }
     val (vAttr, extremeOut, isMax) = extreme.getOrElse(return None)
+    // every grouping key must survive into the aggregate output: if one is
+    // projected away, the join below cannot equate it, and the query means
+    // "rows matching ANY group's extreme" — which a per-own-group window
+    // does not reproduce (groupsOk would pass vacuously on empty groupOut)
+    if (!groupAttrs.forall(g => groupOut.exists(_._1.semanticEquals(g)))) return None
 
     // ---- subtree equivalence, robust to asymmetric column pruning and
     // inferred IsNotNull filters on the join columns ----

@@ -43,6 +43,19 @@ class BpeSpec extends SparkSpecBase {
     (merges.toSeq, words.map { case (w, (_, syms)) => w -> syms })
   }
 
+  test("degenerate corpus (all single-symbol words) returns an EMPTY merges table") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpe_degen").toString
+    Seq((1L, "a b c", "en", "web", 5L), (2L, "d e a", "en", "web", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val (merges, words) = BpeTrainer.train(spark, dir)
+    assert(merges.collect().isEmpty, "no pairs exist, merges must be empty")
+    assert(merges.columns.toSeq === Seq("round", "a", "b", "merged", "support"))
+    assert(words.count() == 5) // the vocabulary itself survives untouched
+  }
+
   test("fixture training equals the sequential reference, round for round") {
     val gotMerges = BpeTrainer.queries("bpe_merges")(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4))).toSeq

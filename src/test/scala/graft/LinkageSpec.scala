@@ -84,6 +84,26 @@ class LinkageSpec extends SparkSpecBase {
     assert(got === want)
   }
 
+  test("globalRank stays correct with exchange reuse DISABLED") {
+    // ranks and offsets both derive from one materialized partitioning, so
+    // correctness must not depend on the two branches' exchanges being
+    // reused as one — prove it with reuse off
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try {
+      val c = Tables.customer(spark, sfDir).select("c_custkey", "c_name")
+      val got = graft.operators.Ranking
+        .globalRank(c, Seq(col("c_name"), col("c_custkey")), numParts = 7)
+        .select("c_custkey", "rank").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("c_name"), col("c_custkey"))
+      val want = c.withColumn("rank", row_number().over(w).cast("long"))
+        .select("c_custkey", "rank").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want)
+    } finally spark.conf.unset("spark.sql.exchange.reuse")
+  }
+
   test("sorted-neighborhood candidate join plans as a binned equi-join") {
     val df = graft.operators.Linkage.queries("link_sorted_neighborhood")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString

@@ -118,6 +118,31 @@ class MaxJoinElimSpec extends SparkSpecBase {
       "rule fired across non-equal subtrees")
   }
 
+  test("guard: join omitting the grouping key (match-ANY-group's-max) must NOT rewrite") {
+    setup()
+    val s2 = spark
+    import s2.implicits._
+    // row b (k=1, v=3.0) equals group 2's max but not its own group's max:
+    // the join keeps it, a per-own-group window would silently drop it
+    val dir = java.nio.file.Files.createTempDirectory("mje_nogrp").toString
+    Seq((1L, 5.0, "a"), (1L, 3.0, "b"), (2L, 3.0, "c"), (2L, 1.0, "d"))
+      .toDF("k", "v", "tag").write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView("g_mje_nogrp")
+    val sql =
+      """SELECT t.tag FROM g_mje_nogrp t
+        |JOIN (SELECT max(v) AS mx FROM g_mje_nogrp GROUP BY k) m
+        |  ON t.v = m.mx ORDER BY tag""".stripMargin
+    val df = spark.sql(sql)
+    assert(df.queryExecution.optimizedPlan.toString.contains("Join"),
+      "rule fired on a join that omits the grouping key")
+    val got = df.collect().map(_.getString(0)).toSeq
+    assert(got === Seq("a", "b", "c"), s"match-any-group semantics broken: $got")
+    spark.conf.set(flag, "false")
+    val want = try spark.sql(sql).collect().map(_.getString(0)).toSeq
+    finally spark.conf.unset(flag)
+    assert(got === want)
+  }
+
   test("guard: extra join conjunct or avg aggregate must NOT rewrite") {
     setup()
     val avgDf = spark.sql(
