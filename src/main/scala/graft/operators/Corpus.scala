@@ -165,11 +165,15 @@ object Corpus {
     * (count desc, token asc).
     */
   private def vocabTable(s: SparkSession, d: String): DataFrame = {
-    val w = Window.orderBy(desc("cnt"), asc("tok"))
-    documents(s, d)
+    // ranked via the distributed globalRank, NOT row_number() over an
+    // unpartitioned window: a web-scale raw-token vocabulary is 1e8-1e9
+    // rows (every typo and numeral), and a global window would move ALL
+    // of it through one task
+    val counts = documents(s, d)
       .select(explode(toks(col("text"))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
-      .withColumn("id", row_number().over(w))
+    Ranking.globalRank(counts, Seq(desc("cnt"), asc("tok")))
+      .withColumn("id", col("rank").cast("int")).drop("rank")
   }
 
   /** Target fraction of the corpus the alpha-mixture sample keeps. */

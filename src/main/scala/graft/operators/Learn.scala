@@ -341,9 +341,12 @@ object Learn {
       .groupBy("v")
       .agg(count(lit(1)).as("cnt"),
         sum(when(col("good"), 1L).otherwise(0L)).as("ng"))
-    val wCum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    val binned = byV
-      .withColumn("cum_before", coalesce(sum("cnt").over(wCum), lit(0L)))
+    // exclusive prefix sum via the distributed globalCumSum, NOT a global
+    // ORDER BY window: the distinct-6dp-value grain is bounded only by the
+    // value RANGE × 1e6 — effectively unbounded for a continuous column —
+    // and a global window would put all of it through one task
+    val binned = Ranking
+      .globalCumSum(byV, Seq(col("v")), col("cnt"), "cum_before")
       .crossJoin(broadcast(byV.agg(sum("cnt").as("n"), sum("ng").as("g"))))
       .withColumn("bin", expr("cum_before * 10 DIV n").cast("int"))
     val woe = log((col("n_good") + 0.5) / (col("gt") + 5.0) *

@@ -44,4 +44,32 @@ object Ranking {
       .withColumn("rank", col("_off") + col("_lrn"))
       .drop("_pid", "_lrn")
   }
+
+  /** EXCLUSIVE global prefix sum of integral column `value` under the total
+    * order `order`: adds `out` = sum(value) over all strictly-preceding
+    * rows (0 for the first). Same distributed shape as [[globalRank]]:
+    * range-repartition on the order, running sum WITHIN each partition,
+    * plus per-partition totals accumulated over a ≤numParts-row aggregate
+    * and broadcast back. Replaces the single-task
+    * `sum(...) over (ORDER BY ... ROWS UNBOUNDED PRECEDING)` cliff.
+    */
+  def globalCumSum(df: DataFrame, order: Seq[Column], value: Column, out: String,
+                   numParts: Int = 32): DataFrame = {
+    val reserved = Seq("_pid", "_lcs", "_n", "_off", out)
+    require(!df.columns.exists(reserved.contains),
+      s"globalCumSum: input columns may not include ${reserved.mkString("/")}")
+    val parted = df.repartitionByRange(numParts, order: _*)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint() // one physical partitioning feeds BOTH branches
+    val pw = Window.partitionBy("_pid").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = parted.withColumn("_lcs", coalesce(sum(value).over(pw), lit(0L)))
+    val ow = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offs = parted.groupBy("_pid").agg(sum(value).as("_n"))
+      .withColumn("_off", coalesce(sum("_n").over(ow), lit(0L)))
+      .select("_pid", "_off")
+    local.join(broadcast(offs), Seq("_pid"))
+      .withColumn(out, col("_off") + col("_lcs"))
+      .drop("_pid", "_lcs")
+  }
 }

@@ -24,6 +24,38 @@ class EntrySpec extends SparkSpecBase {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("no global window over an unbounded relation (single-task-cliff ban)") {
+    // A window with an empty (or all-foldable, e.g. partitionBy(lit(1)))
+    // partition spec moves its ENTIRE child relation through one task —
+    // the cliff that made vocab_table/woe_bins 'weak at scale'. Allowed
+    // only when the child is bounded by construction:
+    //  (a) structurally: the child output carries "_pid" — the ≤numParts-row
+    //      offset aggregate inside Ranking.globalRank/globalCumSum;
+    //  (b) an audited case whitelisted here WITH its bound.
+    // set SWEEP_NOWL=1 to disable the whitelist and list every global
+    // window (how this inventory was produced)
+    val bounded: Map[String, String] = if (sys.env.contains("SWEEP_NOWL")) Map.empty else Map(
+      "eval_auc" -> "rank window over DISTINCT 6-dp sigmoid scores: ≤ 1e6+1 rows",
+      "q_skyline_parts" -> "phase-2 pass over the union of 32 shard-local skylines (frontier-sized)",
+      "sample_mixture" -> "mixtureRates window over the |sources|-row per-source aggregate",
+      "sample_mixture_stats" -> "same |sources|-row mixtureRates aggregate",
+      "sample_weighted" -> "top-K selection window over a limit(WeightedK) relation",
+      "ts_cusum" -> "global max over the day-grain CUSUM relation: ≤ calendar-days rows"
+    )
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.optimizedPlan
+      val bad = plan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty || w.partitionSpec.forall(_.foldable) => w
+      }.filterNot(w => w.child.output.exists(_.name == "_pid"))
+      if (bad.nonEmpty && !bounded.contains(name)) Some(s"$name: ${bad.head.simpleString(60)}")
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"global windows over unbounded relations (route through Ranking.globalRank/" +
+        s"globalCumSum or whitelist with an audited bound):\n${offenders.mkString("\n")}")
+  }
+
   test("no query output carries a non-atomic column (driver-harness sortability)") {
     // The driver's oracle compare loads each result into pandas and sorts
     // by ALL columns before hashing; an array/map/struct cell is unhashable
