@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -31,6 +32,26 @@ object Substring {
   val SpanStride = 20
   private val TopSpans = 20
 
+  /** Minimum duplicated-substring length for the EXACT (suffix-grain)
+    * pass — every character position is examined, unlike the sampled
+    * stride-[[SpanStride]] profile above.
+    */
+  val ExactLen = 20
+
+  /** (doc_id, i, h): EVERY character position i (1-based) with the 64-bit
+    * hash of its [[ExactLen]]-gram. The per-doc array is built map-side
+    * and exploded — only (doc_id, int, 8-byte hash) rows ever shuffle,
+    * never text.
+    */
+  private def exactGrams(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .where(length(col("text")) >= ExactLen)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, length(text) - ${ExactLen - 1}), " +
+          s"i -> named_struct('i', i, 'h', xxhash64(substring(text, i, $ExactLen))))"))
+        .as("g"))
+      .select(col("doc_id"), col("g.i").as("i"), col("g.h").as("h"))
+
   /** (doc_id, s, span, h): sampled character windows + 60-bit hash.
     * Docs shorter than SpanLen emit nothing (fixture min 48 chars).
     */
@@ -56,6 +77,39 @@ object Substring {
           sum(when(col("n_docs_h") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
         .withColumn("dup_ratio",
           round(col("n_dup_spans").cast("double") / col("n_spans").cast("double"), 6))
+        .orderBy("doc_id")
+    },
+
+    // EXACT substring dedup at suffix grain (Lee et al., "Deduplicating
+    // Training Data"): per-doc character coverage of every maximal
+    // substring of length >= ExactLen occurring >= 2 times anywhere in
+    // the corpus (within-doc repeats included). The L-gram window union
+    // is exact — a duplicated substring of length M >= L makes all its
+    // L-grams duplicated, and each duplicated L-gram IS a duplicated
+    // substring — so union([i, i+L)) over duplicated starts equals the
+    // duplicated-character set; adjacent/overlapping windows chain-merge
+    // into maximal spans (the relational stand-in for a suffix array:
+    // gram-bucketed group + per-doc island windows, never all-pairs).
+    // Grams travel as xxhash64 keys; a 64-bit collision could only
+    // over-mark a span (2^-64 per pair — accepted).
+    "dup_exact_spans" -> { (s, d) =>
+      val L = ExactLen
+      val grams = exactGrams(s, d)
+      val dup = grams.groupBy("h").agg(count(lit(1)).as("n"))
+        .where(col("n") >= 2).select("h")
+      val wPrev = Window.partitionBy("doc_id").orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.partitionBy("doc_id").orderBy("i")
+      grams.join(dup, "h").select("doc_id", "i")
+        .withColumn("brk",
+          when(col("i") > coalesce(max(col("i") + L).over(wPrev), lit(-1)), 1L)
+            .otherwise(0L))
+        .withColumn("isle", sum("brk").over(wRun))
+        .groupBy("doc_id", "isle")
+        .agg((max(col("i") + L) - min(col("i"))).cast("long").as("span_len"))
+        .groupBy("doc_id")
+        .agg(sum("span_len").as("dup_chars"), count(lit(1)).as("n_spans"),
+          max("span_len").as("max_span"))
         .orderBy("doc_id")
     },
 
@@ -98,6 +152,30 @@ object Substring {
          |SELECT doc_id, n_spans, n_dup_spans,
          |  round(CAST(n_dup_spans AS DOUBLE) / CAST(n_spans AS DOUBLE), 6) AS dup_ratio
          |FROM p ORDER BY doc_id""".stripMargin,
+
+    // brute force at character grain: raw grams as group keys (no hash),
+    // the same island merge spelled in SQL
+    "dup_exact_spans" ->
+      s"""WITH g AS (SELECT doc_id,
+         |    unnest(generate_series(1, length(text) - ${ExactLen - 1})) AS i, text
+         |  FROM documents WHERE length(text) >= $ExactLen),
+         |gr AS (SELECT doc_id, i,
+         |    substr(text, CAST(i AS INTEGER), $ExactLen) AS h FROM g),
+         |dup AS (SELECT h FROM gr GROUP BY h HAVING count(*) >= 2),
+         |ds AS (SELECT gr.doc_id, gr.i FROM gr JOIN dup USING (h)),
+         |isl AS (SELECT doc_id, i,
+         |    CASE WHEN i > coalesce(max(i + $ExactLen) OVER (PARTITION BY doc_id
+         |        ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         |      THEN 1 ELSE 0 END AS brk
+         |  FROM ds),
+         |i2 AS (SELECT doc_id, i,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS isle FROM isl),
+         |sp2 AS (SELECT doc_id, isle,
+         |    CAST(max(i + $ExactLen) - min(i) AS BIGINT) AS span_len
+         |  FROM i2 GROUP BY doc_id, isle)
+         |SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS dup_chars,
+         |  count(*) AS n_spans, max(span_len) AS max_span
+         |FROM sp2 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "dup_span_top" ->
       s"""WITH $spanCte,

@@ -67,6 +67,58 @@ class RetrievalSpec extends SparkSpecBase {
     }
   }
 
+  test("dup_exact_spans: planted-overlap adversary corpus matches brute force") {
+    val s2 = spark
+    import s2.implicits._
+    val L = Substring.ExactLen // 20
+    // filler 20-grams are globally unique: every 5-char token carries the
+    // doc letter plus a LETTER-OFFSET counter (a plain 0-based counter
+    // would end every doc's filler with the same "0007" and extend the
+    // planted spans by 4 shared chars)
+    def filler(c: Char, n: Int): String =
+      (0 until n).map(i => f"$c${c.toInt * 31 + i}%04d").mkString
+    val p30 = "QWERTYUIOPASDFGHJKLZXCVBNMQWER" // 30 shared chars -> one 30-span
+    val p20 = "INNERREPEATINNERREPE" // 20 chars, repeated WITHIN doc 5
+    val p19 = "NINETEENCHARSHARED0" // 19 shared chars -> BELOW grain, no span
+    val p60 = (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9')).mkString.take(60)
+    val docs = Seq(
+      (1L, filler('q', 8) + p30 + filler('b', 8)),
+      (2L, filler('c', 8) + p30 + filler('d', 8)),
+      (3L, filler('e', 8) + p19 + filler('f', 8)),
+      (4L, filler('g', 8) + p19 + filler('h', 8)),
+      (5L, filler('i', 8) + p20 + filler('j', 8) + p20 + filler('k', 8)),
+      (6L, filler('l', 8) + p60 + filler('m', 8)), // 41 overlapping dup windows
+      (7L, filler('n', 8) + p60 + filler('o', 8)), //   must chain-merge to ONE span
+      (8L, filler('p', 16)) // fully unique doc: absent from the output
+    ).map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+    val dir = java.nio.file.Files.createTempDirectory("exact_spans").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Substring.queries("dup_exact_spans")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // character-grain brute force: count every L-gram, merge duplicated
+    // windows per doc
+    val grams = docs.flatMap { case (id, t, _, _, _) =>
+      (0 to t.length - L).map(i => (t.substring(i, i + L), id, i)) }
+    val counts = grams.groupBy(_._1).view.mapValues(_.size).toMap
+    val want = grams.filter(g => counts(g._1) >= 2).groupBy(_._2)
+      .view.mapValues { gs =>
+        var spans = List.empty[(Int, Int)]
+        for (s0 <- gs.map(_._3).sorted) spans = spans match {
+          case (a, b) :: rest if s0 <= b => (a, math.max(b, s0 + L)) :: rest
+          case _ => (s0, s0 + L) :: spans
+        }
+        val lens = spans.map { case (a, b) => (b - a).toLong }
+        (lens.sum, lens.size.toLong, lens.max)
+      }.toMap
+    assert(got === want)
+    assert(got(1L) == ((30L, 1L, 30L)) && got(2L) == ((30L, 1L, 30L)))
+    assert(!got.contains(3L) && !got.contains(4L) && !got.contains(8L))
+    assert(got(5L) == ((40L, 2L, 20L)), "within-doc repeat must count")
+    assert(got(6L) == ((60L, 1L, 60L)) && got(7L) == ((60L, 1L, 60L)),
+      "overlapping windows must chain-merge to one maximal span")
+  }
+
   test("dup spans: ratio law, planted duplicate detected via fixture repeats") {
     val prof = qs("dup_span_profile").collect()
     prof.foreach { r =>
