@@ -251,6 +251,44 @@ object Similarity {
         col("qb") === col("cb") && col("q_id") =!= col("cand_id")))
     },
 
+    // MULTI-PROBE LSH top-k: each query probes its own bucket PLUS the
+    // NumPlanes Hamming-1 buckets (one sign bit flipped) — the hyperplane
+    // analogue of IVF's multi-probe. Near-misses land one sign flip away
+    // far more often than uniformly, so recall rises steeply while the
+    // candidate set only grows (NumPlanes+1)/2^NumPlanes of the corpus.
+    // Probe buckets are distinct, so no candidate pair duplicates; the
+    // probe explode is query-side only (QuerySet × 7 rows, still
+    // broadcast).
+    "ann_lsh_multiprobe_topk" -> { (s, d) =>
+      val b = base(s, d).withColumn("bkt", bucket(col("e")))
+      val flips = (0 +: (0 until NumPlanes).map(1 << _)).map(lit(_))
+      val q = b.where(col("vec_id") < QuerySet)
+        .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"),
+          col("bkt"), explode(array(flips: _*)).as("m"))
+        .select(col("q_id"), col("qe"), col("qn"),
+          col("m").bitwiseXOR(col("bkt")).as("qb"))
+      val c = b.select(col("vec_id").as("cand_id"), col("e").as("ce"),
+        col("nrm").as("cn"), col("bkt").as("cb"))
+      ranked(broadcast(q).join(c,
+        col("qb") === col("cb") && col("q_id") =!= col("cand_id")))
+    },
+
+    // Recall@K audit of the two LSH variants against the exact scan:
+    // the measured evidence multi-probe exists for.
+    "ann_lsh_recall" -> { (s, d) =>
+      val exact = queries("ann_cosine_topk")(s, d).select("q_id", "cand_id")
+      def recallOf(name: String, v: DataFrame): DataFrame =
+        exact.join(v.select("q_id", "cand_id"), Seq("q_id", "cand_id"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+          .crossJoin(broadcast(exact.agg(count(lit(1)).as("total"))))
+          .select(lit(name).as("variant"), col("hits"), col("total"),
+            round(col("hits").cast("double") / col("total").cast("double"), 6)
+              .as("recall"))
+      recallOf("multi_probe", queries("ann_lsh_multiprobe_topk")(s, d))
+        .unionByName(recallOf("single_probe", queries("ann_lsh_topk")(s, d)))
+        .orderBy("variant")
+    },
+
     // CORPUS-WIDE kNN graph, LSH-blocked: every vector's top-k cosine
     // neighbors WITHIN its hyperplane bucket (the blocked kNN-graph build
     // that SemDeDup/agglomerative pipelines start from — corpus×corpus,
@@ -469,9 +507,65 @@ object Similarity {
        |SELECT q_id, cand_id, cos, rnk FROM r WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin
   }
 
+  /** Flip-mask list for the multi-probe oracles: own bucket + Hamming-1. */
+  private def flipMaskSql: String =
+    (0 +: (0 until NumPlanes).map(1 << _)).mkString("[", ", ", "]")
+
+  /** Multi-probe CTE chain ending in ranked relation `r` (same shape as
+    * [[rankedSql]]'s, so the final SELECT is shared).
+    */
+  private def multiProbeCtes: String =
+    s"""$baseSqlCte,
+       |b2 AS (SELECT vec_id, e, nrm, ${bucketSql("e")} AS bkt FROM base),
+       |qp AS (SELECT vec_id, e, nrm, xor(bkt, m) AS qb
+       |  FROM b2, (SELECT unnest($flipMaskSql) AS m) t
+       |  WHERE vec_id < $QuerySet),
+       |p AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+       |  round(${dotSql("q.e", "c.e", Dim)} / (q.nrm * c.nrm), 6) AS cos
+       |  FROM qp q JOIN b2 c ON q.qb = c.bkt AND q.vec_id <> c.vec_id),
+       |r AS (SELECT q_id, cand_id, cos,
+       |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS INTEGER) AS rnk
+       |  FROM p)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "ann_cosine_topk" -> rankedSql(bucketed = false),
     "ann_lsh_topk" -> rankedSql(bucketed = true),
+
+    "ann_lsh_multiprobe_topk" ->
+      s"""$multiProbeCtes
+         |SELECT q_id, cand_id, cos, rnk FROM r WHERE rnk <= $K
+         |ORDER BY q_id, rnk""".stripMargin,
+
+    "ann_lsh_recall" ->
+      s"""$multiProbeCtes,
+         |mp AS (SELECT q_id, cand_id FROM r WHERE rnk <= $K),
+         |pe AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+         |  round(${dotSql("q.e", "c.e", Dim)} / (q.nrm * c.nrm), 6) AS cos
+         |  FROM b2 q JOIN b2 c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < $QuerySet),
+         |ex AS (SELECT q_id, cand_id FROM (SELECT q_id, cand_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rnk
+         |  FROM pe) WHERE rnk <= $K),
+         |ps AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+         |  round(${dotSql("q.e", "c.e", Dim)} / (q.nrm * c.nrm), 6) AS cos
+         |  FROM b2 q JOIN b2 c ON q.bkt = c.bkt AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < $QuerySet),
+         |sp AS (SELECT q_id, cand_id FROM (SELECT q_id, cand_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rnk
+         |  FROM ps) WHERE rnk <= $K),
+         |tot AS (SELECT count(*) AS total FROM ex),
+         |hm AS (SELECT count(*) AS hits FROM ex
+         |  WHERE EXISTS (SELECT 1 FROM mp WHERE mp.q_id = ex.q_id AND mp.cand_id = ex.cand_id)),
+         |hs AS (SELECT count(*) AS hits FROM ex
+         |  WHERE EXISTS (SELECT 1 FROM sp WHERE sp.q_id = ex.q_id AND sp.cand_id = ex.cand_id))
+         |SELECT 'multi_probe' AS variant, hits, total,
+         |  round(CAST(hits AS DOUBLE) / CAST(total AS DOUBLE), 6) AS recall
+         |FROM hm, tot
+         |UNION ALL
+         |SELECT 'single_probe', hits, total,
+         |  round(CAST(hits AS DOUBLE) / CAST(total AS DOUBLE), 6)
+         |FROM hs, tot
+         |ORDER BY variant""".stripMargin,
 
     "ann_knn_graph" ->
       s"""$knnGraphSqlCtes

@@ -49,6 +49,31 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("multi-probe LSH: cosines exact, candidates from Hamming<=1 buckets, recall >= single-probe") {
+    val rows = Similarity.queries("ann_lsh_multiprobe_topk")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    def bucketOf(v: Array[Double]): Int =
+      (0 until Similarity.NumPlanes).map { j =>
+        val d = v.zip(Similarity.planes(j)).map { case (a, b) => a * b }
+          .foldLeft(0.0)(_ + _)
+        if (d >= 0.0) 1 << j else 0
+      }.sum
+    rows.foreach { r =>
+      val c = math.rint(cosine(vecs(r.getLong(0)), vecs(r.getLong(1))) * 1e6) / 1e6
+      assert(r.getDouble(2) === c)
+      val hd = Integer.bitCount(
+        bucketOf(vecs(r.getLong(0))) ^ bucketOf(vecs(r.getLong(1))))
+      assert(hd <= 1, s"candidate from a Hamming-$hd bucket")
+    }
+    // recall monotonicity is structural (superset candidate pool); the
+    // audit query must report it, and the fixture shows a real lift
+    val rec = Similarity.queries("ann_lsh_recall")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(rec("multi_probe") >= rec("single_probe"))
+    assert(rec("multi_probe") > rec("single_probe"),
+      s"fixture should show a measurable multi-probe lift: $rec")
+  }
+
   test("ann_lsh_buckets partitions the whole corpus") {
     val total = Similarity.queries("ann_lsh_buckets")(spark, sfDir)
       .collect().map(_.getLong(1)).sum
