@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables._
 import TextHash._
@@ -161,6 +162,80 @@ object Similarity {
     */
   lazy val pqCC: Array[Array[Double]] =
     pqCodebooks.map(_.map(c => c.foldLeft(0.0)((a, x) => a + x * x)))
+
+  // ------------------------------------------------------------------
+  // TRAINED PQ codebooks: the per-block Lloyd run the seeded path above
+  // documents as its upgrade. All 8 blocks train in ONE grouped pass —
+  // vectors explode into (vec_id, b, slice) block rows once, centroids
+  // key on (b, cid), assignment is a broadcast join on b — so a round
+  // costs one corpus scan regardless of PqBlocks, and per-round state is
+  // codebook-sized (8×16 sub-vectors, localCheckpoint'd like every
+  // iterative kernel). Centroid updates use the same 1e-9 fixed-point
+  // sums as Clustering.lloyd so the unrolled DuckDB training CTEs are
+  // bit-identical.
+  // ------------------------------------------------------------------
+  val PqTrainRounds = 2
+
+  /** (vec_id, b, xs, xx): the corpus split into per-block sub-vectors. */
+  private def pqBlocks(s: SparkSession, d: String): DataFrame = {
+    graft.Graft.init(s)
+    embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("x"))
+      .select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${PqBlocks - 1}), " +
+          s"b -> named_struct('b', b, 'xs', slice(x, b * $PqSub + 1, $PqSub)))"))
+        .as("t"))
+      .select(col("vec_id"), col("t.b").as("b"), col("t.xs").as("xs"))
+      .withColumn("xx", dot(col("xs"), col("xs")))
+  }
+
+  /** [[PqTrainRounds]] grouped Lloyd rounds from deterministic seeds (the
+    * block slices of vectors 0..PqK-1). Returns (b, cid, c) — clusters
+    * that lose every member drop out, mirrored by the oracle.
+    */
+  private def pqTrain(blocks: DataFrame): DataFrame = {
+    var cents = blocks.where(col("vec_id") < PqK)
+      .select(col("b"), col("vec_id").as("cid"), col("xs").as("c"))
+      .localCheckpoint()
+    for (_ <- 1 to PqTrainRounds) {
+      val cc = cents.select(col("b"), col("cid"), col("c"),
+        dot(col("c"), col("c")).as("cc"))
+      cents = blocks.join(broadcast(cc), Seq("b"))
+        .withColumn("dist2",
+          col("xx") - lit(2.0) * dot(col("xs"), col("c")) + col("cc"))
+        .groupBy("vec_id", "b")
+        .agg(min(struct(col("dist2"), col("cid"))).as("m"),
+          first(col("xs")).as("xs"))
+        .select(col("b"), col("m.cid").as("cid"),
+          posexplode(col("xs")).as(Seq("pos", "v")))
+        .withColumn("v9", round(col("v") * lit(1e9)).cast("long"))
+        .groupBy("b", "cid", "pos")
+        .agg(sum("v9").as("s9"), count(lit(1)).as("n"))
+        .withColumn("cj",
+          col("s9").cast("double") / col("n").cast("double") / lit(1e9))
+        .groupBy("b", "cid")
+        .agg(collect_list(struct(col("pos"), col("cj"))).as("pc"))
+        .select(col("b"), col("cid"),
+          transform(array_sort(col("pc")), t => t.getField("cj")).as("c"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** (vec_id, b, code, d2): per-block argmin against the FINAL trained
+    * codebooks — (dist2 asc, cid asc), same tie order as the oracle.
+    */
+  private def pqTrainedCodes(blocks: DataFrame, cents: DataFrame): DataFrame = {
+    val cc = cents.select(col("b"), col("cid"), col("c"),
+      dot(col("c"), col("c")).as("cc"))
+    blocks.join(broadcast(cc), Seq("b"))
+      .withColumn("dist2",
+        col("xx") - lit(2.0) * dot(col("xs"), col("c")) + col("cc"))
+      .groupBy("vec_id", "b")
+      .agg(min(struct(col("dist2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("b"), col("m.cid").as("code"),
+        col("m.dist2").as("d2"))
+  }
 
   /** CTE block shared by the PQ oracles: defines `d(vec_id, ds0..ds7)`
     * where dsb = the 16 squared centroid distances of block b, mirroring
@@ -446,6 +521,72 @@ object Similarity {
         .orderBy("vec_id")
     },
 
+    // TRAINED PQ: same code/error contract as emb_quantize_pq, but the
+    // codebooks come from the per-block grouped Lloyd run. recon_err2 sums
+    // the 6-dp-rounded block minima as exact DECIMALs (the block rows
+    // arrive via a groupBy, so a double fold would be order-dependent).
+    "emb_quantize_pq_trained" -> { (s, d) =>
+      val blocks = pqBlocks(s, d).persist()
+      pqTrainedCodes(blocks, pqTrain(blocks))
+        .groupBy("vec_id")
+        .agg(
+          concat_ws(",",
+            transform(array_sort(collect_list(struct(col("b"), col("code")))),
+              t => t.getField("code").cast("string"))).as("codes"),
+          sum(round(col("d2"), 6).cast(DecimalType(18, 6))).as("errD"))
+        .select(col("vec_id"), col("codes"),
+          col("errD").cast("double").as("recon_err2"))
+        .orderBy("vec_id")
+    },
+
+    // The measured training gain: corpus-mean reconstruction error of the
+    // seeded vs trained codebooks (exact decimal sums; the whole point of
+    // Lloyd — trained must come out lower, spec-asserted).
+    "emb_pq_train_gain" -> { (s, d) =>
+      def meanOf(name: String, v: DataFrame): DataFrame =
+        v.agg(sum(col("recon_err2").cast(DecimalType(20, 6))).as("se"),
+            count(lit(1)).as("n"))
+          .select(lit(name).as("variant"),
+            round(col("se").cast("double") / col("n").cast("double"), 6)
+              .as("mean_err2"))
+      meanOf("seeded", queries("emb_quantize_pq")(s, d))
+        .unionByName(meanOf("trained", queries("emb_quantize_pq_trained")(s, d)))
+        .orderBy("variant")
+    },
+
+    // ADC search over the TRAINED codebooks: corpus rows carry 8 codes,
+    // each query's exact per-block centroid distances form its LUT
+    // (broadcast), and the ADC distance assembles by joining code = cid
+    // per block — the per-(query, candidate) sum is an exact DECIMAL of
+    // 9-dp-rounded block terms (order-independent, so the relational
+    // groupBy sum matches DuckDB bit-for-bit). Partial aggregation
+    // collapses the 8 block rows map-side, so the shuffle is one row per
+    // (query, candidate) — the same volume every per-query ranking pays.
+    "ann_pq_trained_topk" -> { (s, d) =>
+      val blocks = pqBlocks(s, d).persist()
+      val cents = pqTrain(blocks)
+      val codes = pqTrainedCodes(blocks, cents)
+        .select(col("vec_id").as("cand_id"), col("b"), col("code"))
+      val cc = cents.select(col("b"), col("cid"), col("c"),
+        dot(col("c"), col("c")).as("cc"))
+      val qluts = blocks.where(col("vec_id") < QuerySet)
+        .join(broadcast(cc), Seq("b"))
+        .select(col("vec_id").as("q_id"), col("b").as("qb"), col("cid"),
+          (col("xx") - lit(2.0) * dot(col("xs"), col("c")) + col("cc"))
+            .as("dist"))
+      val w = Window.partitionBy("q_id").orderBy(col("adc").asc, col("cand_id").asc)
+      codes.join(broadcast(qluts),
+          col("b") === col("qb") && col("code") === col("cid") &&
+            col("q_id") =!= col("cand_id"))
+        .groupBy("q_id", "cand_id")
+        .agg(sum(round(col("dist"), 9).cast(DecimalType(20, 9))).as("adcD"))
+        .select(col("q_id"), col("cand_id"),
+          round(col("adcD").cast("double"), 6).as("adc"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= K)
+        .orderBy("q_id", "rnk")
+    },
+
     "emb_quantize_sq8" -> { (s, d) =>
       val e = embeddings(s, d).select(col("vec_id"), toDouble(col("embedding")).as("x"))
       val stats = e.select(posexplode(col("x")).as(Seq("dim", "v")))
@@ -505,6 +646,49 @@ object Similarity {
        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS INTEGER) AS rnk
        |  FROM p)
        |SELECT q_id, cand_id, cos, rnk FROM r WHERE rnk <= $K ORDER BY q_id, rnk""".stripMargin
+  }
+
+  /** Unrolled grouped-Lloyd PQ training CTEs, mirroring [[pqTrain]] +
+    * [[pqTrainedCodes]]: bx = block rows, tc0 = seed codebooks, per round
+    * td/ta/tu/tg/tc (distances → argmin → fixed-point sums → rebuilt
+    * centroids), then fa = final assignment (vec_id, b, code, dist2)
+    * against tc`rounds`.
+    */
+  private def pqTrainCtes(rounds: Int): String = {
+    val sb = new StringBuilder(
+      s"""e AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x FROM embeddings),
+         |blk AS (SELECT vec_id, b, x[b * $PqSub + 1:(b + 1) * $PqSub] AS xs
+         |  FROM e, (SELECT unnest(range(0, $PqBlocks)) AS b) t),
+         |bx AS (SELECT vec_id, b, xs, ${dotSql("xs", "xs", PqSub)} AS xx FROM blk),
+         |tc0 AS (SELECT b, vec_id AS cid, xs AS c FROM blk WHERE vec_id < $PqK)""".stripMargin)
+    for (r <- 1 to rounds) {
+      val p = r - 1
+      sb.append(
+        s""",
+           |td$r AS (SELECT v.vec_id, v.b, v.xs, c.cid,
+           |    v.xx - 2 * ${dotSql("v.xs", "c.c", PqSub)} + ${dotSql("c.c", "c.c", PqSub)} AS dist2
+           |  FROM bx v JOIN tc$p c ON v.b = c.b),
+           |ta$r AS (SELECT vec_id, b, xs, cid FROM
+           |  (SELECT *, row_number() OVER (PARTITION BY vec_id, b ORDER BY dist2, cid) AS rn FROM td$r)
+           |  WHERE rn = 1),
+           |tu$r AS (SELECT b, cid, unnest(range(1, ${PqSub + 1})) AS pos,
+           |    unnest(list_transform(xs, v -> CAST(round(v * 1000000000.0) AS BIGINT))) AS v9
+           |  FROM ta$r),
+           |tg$r AS (SELECT b, cid, pos, CAST(sum(v9) AS BIGINT) AS s9, count(*) AS n
+           |  FROM tu$r GROUP BY b, cid, pos),
+           |tc$r AS (SELECT b, cid,
+           |    list(CAST(s9 AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000.0 ORDER BY pos) AS c
+           |  FROM tg$r GROUP BY b, cid)""".stripMargin)
+    }
+    sb.append(
+      s""",
+         |fd AS (SELECT v.vec_id, v.b, c.cid,
+         |    v.xx - 2 * ${dotSql("v.xs", "c.c", PqSub)} + ${dotSql("c.c", "c.c", PqSub)} AS dist2
+         |  FROM bx v JOIN tc$rounds c ON v.b = c.b),
+         |fa AS (SELECT vec_id, b, cid AS code, dist2 FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id, b ORDER BY dist2, cid) AS rn FROM fd)
+         |  WHERE rn = 1)""".stripMargin)
+    sb.toString
   }
 
   /** Flip-mask list for the multi-probe oracles: own bucket + Hamming-1. */
@@ -665,6 +849,48 @@ object Similarity {
          |  round($err, 6) AS recon_err2
          |FROM d ORDER BY vec_id""".stripMargin
     },
+
+    "emb_quantize_pq_trained" ->
+      s"""WITH ${pqTrainCtes(PqTrainRounds)}
+         |SELECT vec_id,
+         |  string_agg(CAST(code AS VARCHAR), ',' ORDER BY b) AS codes,
+         |  CAST(sum(CAST(round(dist2, 6) AS DECIMAL(18, 6))) AS DOUBLE) AS recon_err2
+         |FROM fa GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "emb_pq_train_gain" -> {
+      val err = (0 until PqBlocks).map(b => s"list_min(ds$b)").mkString(" + ")
+      s"""WITH ${pqTrainCtes(PqTrainRounds)},
+         |${pqDistCtes},
+         |sv AS (SELECT vec_id, round($err, 6) AS recon_err2 FROM d),
+         |tv AS (SELECT vec_id,
+         |    CAST(sum(CAST(round(dist2, 6) AS DECIMAL(18, 6))) AS DOUBLE) AS recon_err2
+         |  FROM fa GROUP BY vec_id),
+         |sm AS (SELECT CAST(sum(CAST(recon_err2 AS DECIMAL(20, 6))) AS DOUBLE) AS se,
+         |    count(*) AS n FROM sv),
+         |tm AS (SELECT CAST(sum(CAST(recon_err2 AS DECIMAL(20, 6))) AS DOUBLE) AS se,
+         |    count(*) AS n FROM tv)
+         |SELECT 'seeded' AS variant, round(se / n, 6) AS mean_err2 FROM sm
+         |UNION ALL
+         |SELECT 'trained', round(se / n, 6) FROM tm
+         |ORDER BY variant""".stripMargin
+    },
+
+    "ann_pq_trained_topk" ->
+      s"""WITH ${pqTrainCtes(PqTrainRounds)},
+         |ql AS (SELECT v.vec_id AS q_id, v.b, c.cid,
+         |    v.xx - 2 * ${dotSql("v.xs", "c.c", PqSub)} + ${dotSql("c.c", "c.c", PqSub)} AS dist
+         |  FROM bx v JOIN tc$PqTrainRounds c ON v.b = c.b
+         |  WHERE v.vec_id < $QuerySet),
+         |pd AS (SELECT q.q_id, f.vec_id AS cand_id,
+         |    CAST(sum(CAST(round(q.dist, 9) AS DECIMAL(20, 9))) AS DOUBLE) AS adcd
+         |  FROM fa f JOIN ql q ON f.b = q.b AND f.code = q.cid
+         |    AND q.q_id <> f.vec_id
+         |  GROUP BY q.q_id, f.vec_id),
+         |pr AS (SELECT q_id, cand_id, round(adcd, 6) AS adc,
+         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY round(adcd, 6), cand_id) AS INTEGER) AS rnk
+         |  FROM pd)
+         |SELECT q_id, cand_id, adc, rnk FROM pr WHERE rnk <= $K
+         |ORDER BY q_id, rnk""".stripMargin,
 
     "emb_quantize_sq8" -> {
       val xi = "CAST(embedding[i] AS DOUBLE)"

@@ -184,6 +184,32 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("trained PQ: valid codes, error strictly below seeded, gain query agrees") {
+    val rows = Similarity.queries("emb_quantize_pq_trained")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val codes = r.getString(1).split(",", -1)
+      assert(codes.length == Similarity.PqBlocks)
+      codes.foreach { c =>
+        val v = c.toInt
+        assert(v >= 0 && v < Similarity.PqK)
+      }
+      assert(r.getDouble(2) >= -1e-6) // recon error can't be negative
+    }
+    val gain = Similarity.queries("emb_pq_train_gain")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(gain("trained") < gain("seeded"),
+      s"Lloyd training must reduce mean reconstruction error: $gain")
+    // the gain row equals the mean of the per-vector table (6-dp)
+    val mean = rows.map(_.getDouble(2)).sum / rows.length
+    assert(math.abs(gain("trained") - mean) < 1e-4)
+    // trained ADC search returns K ranked candidates per query
+    val adc = Similarity.queries("ann_pq_trained_topk")(spark, sfDir).collect()
+    adc.groupBy(_.getLong(0)).values.foreach { g =>
+      assert(g.map(_.getInt(3)).sorted.toSeq === (1 to g.length))
+    }
+  }
+
   test("emb_quantize_sq8: constant dimension yields code 0 and ~zero error, never NaN") {
     // Build a tiny embeddings fixture where dim 1 is constant across all
     // vectors (the 0/0 hazard the scale clamp guards). Other dims vary.
