@@ -314,7 +314,7 @@ object RewriteMaxSelfJoin extends Rule[LogicalPlan] with PredicateHelper {
     SQLConf.get.getConfString("spark.graft.maxJoinElim.enabled", "true") == "true"
 
   import org.apache.spark.sql.catalyst.expressions.{And, ExprId, IsNotNull, KnownFloatingPointNormalized, NamedExpression, WindowExpression, WindowSpecDefinition, SpecifiedWindowFrame, RowFrame, UnboundedPreceding, UnboundedFollowing}
-  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Max, Min}
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Count, Max, Min, Sum}
   import org.apache.spark.sql.catalyst.optimizer.NormalizeNaNAndZero
   import org.apache.spark.sql.catalyst.plans.Inner
   import org.apache.spark.sql.catalyst.plans.logical.JoinHint
@@ -379,22 +379,33 @@ object RewriteMaxSelfJoin extends Rule[LogicalPlan] with PredicateHelper {
       case _ => return None
     }
     if (groupAttrs.isEmpty) return None // global extreme: broadcast join is already optimal
-    var extreme: Option[(Attribute, NamedExpression, Boolean)] = None // (src col, out, isMax)
+    // Supported aggregates: the group aggregate and its whole-partition
+    // window form are the same function over the same rows (subtree
+    // equality), so the join-to-window rewrite is sound for ANY
+    // deterministic aggregate. Recognized: max/min (group-extreme),
+    // sum/count (keep-rows-matching-the-group-total, e.g. "the row whose
+    // v equals its group's count"). DISTINCT and filtered aggregates fall
+    // through to None via the pattern below.
+    def supported(f: AggregateFunction): Boolean = f match {
+      case Max(_: Attribute) => true
+      case Min(_: Attribute) => true
+      case s: Sum => s.child.isInstanceOf[Attribute]
+      case c: Count => c.children.forall(ch => ch.isInstanceOf[Attribute] || ch.foldable)
+      case _ => false
+    }
+    var extreme: Option[(AggregateFunction, NamedExpression)] = None
     val groupOut = scala.collection.mutable.ArrayBuffer.empty[(Attribute, NamedExpression)]
     agg.aggregateExpressions.foreach {
-      case out @ Alias(AggregateExpression(Max(v: Attribute), _, false, None, _), _) =>
+      case out @ Alias(AggregateExpression(f, _, false, None, _), _) if supported(f) =>
         if (extreme.isDefined) return None
-        extreme = Some((v, out, true))
-      case out @ Alias(AggregateExpression(Min(v: Attribute), _, false, None, _), _) =>
-        if (extreme.isDefined) return None
-        extreme = Some((v, out, false))
+        extreme = Some((f, out))
       case out: Attribute if groupAttrs.exists(_.semanticEquals(out)) =>
         groupOut += ((out, out))
       case out @ Alias(g: Attribute, _) if groupAttrs.exists(_.semanticEquals(g)) =>
         groupOut += ((g, out))
       case _ => return None
     }
-    val (vAttr, extremeOut, isMax) = extreme.getOrElse(return None)
+    val (aggFn, extremeOut) = extreme.getOrElse(return None)
     // every grouping key must survive into the aggregate output: if one is
     // projected away, the join below cannot equate it, and the query means
     // "rows matching ANY group's extreme" — which a per-own-group window
@@ -411,12 +422,44 @@ object RewriteMaxSelfJoin extends Rule[LogicalPlan] with PredicateHelper {
       .map { case (a, p) => a.exprId -> p }.toMap
     // agg-side columns in probe-attr space (they survive pure projects, so
     // they are core attrs)
-    if (!corr.contains(vAttr.exprId) || !groupAttrs.forall(g => corr.contains(g.exprId)))
+    if (!aggFn.references.forall(r => corr.contains(r.exprId)) ||
+        !groupAttrs.forall(g => corr.contains(g.exprId)))
       return None
-    val pv = corr(vAttr.exprId)
+    val fnRefs: Seq[Attribute] = aggFn.references.toSeq.map(r => corr(r.exprId))
     val partCols: Seq[Attribute] = groupAttrs.map(g => corr(g.exprId))
-    if (!probe.outputSet.contains(pv) || !partCols.forall(probe.outputSet.contains))
+    if (!fnRefs.forall(probe.outputSet.contains) ||
+        !partCols.forall(probe.outputSet.contains))
       return None
+
+    // ---- join condition: every grouping output equated to its own probe
+    // column, the aggregate output to exactly one probe column (for
+    // max/min that is usually the aggregated column itself, but any probe
+    // column is sound — the window filter compares the same values),
+    // nothing else ----
+    val conjuncts = splitConjunctivePredicates(cond)
+    if (conjuncts.size != groupOut.size + 1) return None
+    def eqPair(c: Expression): Option[(Attribute, Attribute)] = c match {
+      case EqualTo(x, y) => (unwrapNorm(x), unwrapNorm(y)) match {
+        case (a: Attribute, b: Attribute) =>
+          if (probe.outputSet.contains(a) && agg.outputSet.contains(b)) Some((a, b))
+          else if (probe.outputSet.contains(b) && agg.outputSet.contains(a)) Some((b, a))
+          else None
+        case _ => None
+      }
+      case _ => None
+    }
+    val pairs = conjuncts.map(c => eqPair(c).getOrElse(return None))
+    val extremePairs = pairs.filter(_._2.exprId == extremeOut.exprId)
+    if (extremePairs.size != 1) return None
+    val pv = extremePairs.head._1
+    val remaining = pairs.filterNot(_._2.exprId == extremeOut.exprId)
+    val groupsOk = groupOut.forall { case (g, out) =>
+      remaining.exists { case (p, ao) =>
+        ao.exprId == out.exprId && p.exprId == corr(g.exprId).exprId
+      }
+    } && remaining.size == groupOut.size
+    if (!groupsOk) return None
+
     // filters must agree up to IsNotNull on the join columns: those are
     // implied by the join's null-rejecting equality on one side and by the
     // rewritten plan's keep-filter on the other
@@ -438,35 +481,13 @@ object RewriteMaxSelfJoin extends Rule[LogicalPlan] with PredicateHelper {
       .forall(x => isJoinColNotNull(x._1))
     if (!mappedANotNullOk || !filtersPNotNullOk) return None
 
-    // ---- join condition: every grouping output equated to its own probe
-    // column, the extreme output to its own source column, nothing else ----
-    val conjuncts = splitConjunctivePredicates(cond)
-    if (conjuncts.size != groupOut.size + 1) return None
-    def eqPair(c: Expression): Option[(Attribute, Attribute)] = c match {
-      case EqualTo(x, y) => (unwrapNorm(x), unwrapNorm(y)) match {
-        case (a: Attribute, b: Attribute) =>
-          if (probe.outputSet.contains(a) && agg.outputSet.contains(b)) Some((a, b))
-          else if (probe.outputSet.contains(b) && agg.outputSet.contains(a)) Some((b, a))
-          else None
-        case _ => None
-      }
-      case _ => None
-    }
-    val pairs = conjuncts.map(c => eqPair(c).getOrElse(return None))
-    val extremeOk = pairs.count { case (p, ao) =>
-      ao.exprId == extremeOut.exprId && p.exprId == pv.exprId
-    } == 1
-    val remaining = pairs.filterNot(_._2.exprId == extremeOut.exprId)
-    val groupsOk = groupOut.forall { case (g, out) =>
-      remaining.exists { case (p, ao) =>
-        ao.exprId == out.exprId && p.exprId == corr(g.exprId).exprId
-      }
-    } && remaining.size == groupOut.size
-    if (!extremeOk || !groupsOk) return None
-
     // ---- build: one pass over the probe side ----
     val frame = SpecifiedWindowFrame(RowFrame, UnboundedPreceding, UnboundedFollowing)
-    val fn = if (isMax) Max(pv) else Min(pv)
+    // the aggregate function itself, rebased onto probe-side attributes
+    // (keeps evalMode/type behavior identical to the original)
+    val fn = aggFn.withNewChildren(aggFn.children.map(_.transform {
+      case a: Attribute if corr.contains(a.exprId) => corr(a.exprId)
+    })).asInstanceOf[AggregateFunction]
     val wAlias = Alias(
       WindowExpression(fn.toAggregateExpression(),
         WindowSpecDefinition(partCols, Nil, frame)), "_graft_grpext")()

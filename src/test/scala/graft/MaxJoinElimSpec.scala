@@ -118,6 +118,65 @@ class MaxJoinElimSpec extends SparkSpecBase {
       "rule fired across non-equal subtrees")
   }
 
+  test("count-extreme: rows matching their group's count rewrite with parity") {
+    setup()
+    val s2 = spark
+    import s2.implicits._
+    // k=1 has 3 rows (v=3 twice -> kept), k=2 has 2 rows (v=2 once -> kept)
+    val dir = java.nio.file.Files.createTempDirectory("mje_cnt").toString
+    Seq((1L, 3L, "a"), (1L, 1L, "b"), (1L, 3L, "c"), (2L, 1L, "d"), (2L, 2L, "e"))
+      .toDF("k", "v", "tag").write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView("g_mje_cnt")
+    val sql =
+      """SELECT t.tag FROM g_mje_cnt t
+        |JOIN (SELECT k, count(*) AS c FROM g_mje_cnt GROUP BY k) m
+        |  ON t.k = m.k AND t.v = m.c ORDER BY tag""".stripMargin
+    val df = spark.sql(sql)
+    assert(!df.queryExecution.optimizedPlan.toString.contains("Join"),
+      s"count-extreme should rewrite:\n${df.queryExecution.optimizedPlan}")
+    val got = df.collect().map(_.getString(0)).toSeq
+    assert(got === Seq("a", "c", "e"))
+    spark.conf.set(flag, "false")
+    val want = try spark.sql(sql).collect().map(_.getString(0)).toSeq
+    finally spark.conf.unset(flag)
+    assert(got === want)
+  }
+
+  test("sum-extreme: rows matching their group's total rewrite with parity") {
+    setup()
+    val s2 = spark
+    import s2.implicits._
+    // k=1 sums to 4.0 (row a matches), k=2 is a singleton (always matches)
+    val dir = java.nio.file.Files.createTempDirectory("mje_sum").toString
+    Seq((1L, 4.0, "a"), (1L, -2.0, "b"), (1L, 2.0, "c"), (2L, 5.0, "d"))
+      .toDF("k", "v", "tag").write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView("g_mje_sum")
+    val sql =
+      """SELECT t.tag FROM g_mje_sum t
+        |JOIN (SELECT k, sum(v) AS s FROM g_mje_sum GROUP BY k) m
+        |  ON t.k = m.k AND t.v = m.s ORDER BY tag""".stripMargin
+    val df = spark.sql(sql)
+    assert(!df.queryExecution.optimizedPlan.toString.contains("Join"),
+      s"sum-extreme should rewrite:\n${df.queryExecution.optimizedPlan}")
+    val got = df.collect().map(_.getString(0)).toSeq
+    assert(got === Seq("a", "d"))
+    spark.conf.set(flag, "false")
+    val want = try spark.sql(sql).collect().map(_.getString(0)).toSeq
+    finally spark.conf.unset(flag)
+    assert(got === want)
+  }
+
+  test("guard: DISTINCT aggregate must NOT rewrite") {
+    setup()
+    val df = spark.sql(
+      """SELECT l.l_orderkey FROM g_mje_lineitem l
+        |JOIN (SELECT l_suppkey, count(DISTINCT l_extendedprice) AS c
+        |      FROM g_mje_lineitem GROUP BY l_suppkey) m
+        |  ON l.l_suppkey = m.l_suppkey AND l.l_linenumber = m.c""".stripMargin)
+    assert(df.queryExecution.optimizedPlan.toString.contains("Join"),
+      "rule fired on a DISTINCT aggregate")
+  }
+
   test("guard: join omitting the grouping key (match-ANY-group's-max) must NOT rewrite") {
     setup()
     val s2 = spark
