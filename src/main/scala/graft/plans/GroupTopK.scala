@@ -53,6 +53,21 @@ import org.apache.spark.sql.internal.SQLConf
   * expressions only, non-empty PARTITION BY (global top-k is
   * TakeOrderedAndProject's job), k bounded by spark.graft.groupTopK.maxK
   * (the per-key heap is memory), kill switch spark.graft.groupTopK.enabled.
+  *
+  * Codegen-boundary audit (round 6, CodegenAudit at sf0.1, warm-JVM
+  * 3-run medians): the Partial/Final execs run `mapPartitions` over
+  * InternalRow, breaking whole-stage codegen at their boundary.
+  * q_topk_per_segment measures operator 0.35-0.37 s vs kill-switched
+  * window 0.29-0.30 s — the break + per-row iterator cost ~60-70 ms and
+  * the shuffle-volume savings are invisible at local[32], where the
+  * whole shuffle is in-memory. The operator exists for the
+  * network-bound regime (shuffle rows drop from n to <= keys*k per
+  * partition); the stock path it replaces (WindowExec) is itself not a
+  * CodegenSupport operator, so a CodegenSupport implementation here
+  * would only reclaim the ~20% fixture-scale CPU overhead at the cost
+  * of a HashAggregate-style blocking-codegen operator. Decision:
+  * recorded, not implemented — revisit only if a profile shows the
+  * boundary dominating at a real shuffle-bound scale.
   */
 case class GroupTopKNode(
     groupExprs: Seq[Expression],

@@ -55,6 +55,14 @@ import org.apache.spark.sql.internal.SQLConf
   * a flush weakens pruning but never the answer: partial output only has
   * to be a superset of each key's true extreme rows. Kill switch
   * `spark.graft.maxPerKey.enabled` restores the window execution.
+  *
+  * Codegen-boundary audit (round 6, CodegenAudit at sf0.1, warm-JVM
+  * 3-run medians): q_max_join_elim runs 0.36-0.37 s through this
+  * operator vs 0.58-0.64 s kill-switched to the window path — the
+  * mapPartitions codegen break is already subsumed by the single-scan +
+  * tie-pruned-shuffle win even at local[32], and the margin widens in
+  * any network-bound regime. CodegenSupport not implemented; see the
+  * matching note in GroupTopK.scala for the trade.
   */
 case class MaxPerKeyNode(
     groupExprs: Seq[Expression],
