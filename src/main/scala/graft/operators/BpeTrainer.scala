@@ -86,14 +86,7 @@ object BpeTrainer {
       merges :+= best.select(lit(r).as("round"), col("a"), col("b"),
         concat(col("a"), col("b")).as("merged"), col("total").as("support"))
       words = words.crossJoin(broadcast(best))
-        .select(col("word"), col("cnt"),
-          aggregate(split(col("sym"), Sep), lit(""),
-            (acc, sChar) =>
-              when(acc === "", sChar)
-                .when((acc === col("a") ||
-                    acc.endsWith(concat(lit(Sep), col("a")))) && sChar === col("b"),
-                  concat(substring_index_tail(acc, col("a")), col("a"), col("b")))
-                .otherwise(concat(acc, lit(Sep), sChar))).as("sym"))
+        .select(col("word"), col("cnt"), foldOnce(col("sym")).as("sym"))
         .localCheckpoint()
       }
     }
@@ -109,6 +102,58 @@ object BpeTrainer {
   /** substr(acc, 1, length(acc) - length(a)) as a Column helper. */
   private def substring_index_tail(acc: Column, a: Column): Column =
     acc.substr(lit(1), length(acc) - length(a))
+
+  /** One application of the training fold for the (a, b) columns in
+    * scope — shared verbatim by the trainer loop and [[applyMerges]].
+    */
+  private def foldOnce(sym: Column): Column =
+    aggregate(split(sym, Sep), lit(""),
+      (acc, sChar) =>
+        when(acc === "", sChar)
+          .when((acc === col("a") ||
+              acc.endsWith(concat(lit(Sep), col("a")))) && sChar === col("b"),
+            concat(substring_index_tail(acc, col("a")), col("a"), col("b")))
+          .otherwise(concat(acc, lit(Sep), sChar)))
+
+  /** Apply a FROZEN merge table to any `word` relation with the exact
+    * fold the trainer used, in round order — the deploy-time re-encoder.
+    * Unlike the training-words join in bpe_doc_tokens, this segments
+    * UNSEEN words too (characters, minus whichever merges apply), which
+    * is what a shipped tokenizer must do. Each round's 1-row merge
+    * broadcasts through an always-true LEFT join so an absent round
+    * (degenerate training) passes rows through unchanged. Adds/updates
+    * `sym`; all other input columns survive.
+    */
+  def applyMerges(words: DataFrame, merges: DataFrame): DataFrame = {
+    var cur = words.withColumn("sym", symbolize(col("word")))
+    for (r <- 1 to Merges) {
+      val m = merges.where(col("round") === r).select(col("a"), col("b"))
+      cur = cur.join(broadcast(m), lit(true), "left")
+        .withColumn("sym",
+          when(col("a").isNull, col("sym")).otherwise(foldOnce(col("sym"))))
+        .drop("a", "b")
+    }
+    cur
+  }
+
+  /** Per-document token stats of `docs` (doc_id, text) re-encoded under a
+    * frozen merge table — the bpe_doc_tokens contract computed through
+    * [[applyMerges]] instead of the training-words join, usable per
+    * micro-batch in a stream (stateless given the broadcast merges).
+    */
+  def encodeDocs(docs: DataFrame, merges: DataFrame): DataFrame = {
+    val words = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("word"))
+      .where(length(col("word")) > 0)
+    applyMerges(words, merges)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(split(col("sym"), Sep))).as("n_subwords"),
+        sum(length(col("word"))).as("n_chars"))
+      .select(col("doc_id"), col("n_words"), col("n_subwords"),
+        round(col("n_chars").cast("double") / col("n_subwords").cast("double"), 6)
+          .as("chars_per_subword"))
+  }
 
   // -------------------------------------------------------------- queries
 
