@@ -95,12 +95,15 @@ object Substring {
     "dup_exact_spans" -> { (s, d) =>
       val L = ExactLen
       val grams = exactGrams(s, d)
-      val dup = grams.groupBy("h").agg(count(lit(1)).as("n"))
-        .where(col("n") >= 2).select("h")
+      // duplicated-gram marking via ONE hash-keyed shuffle: a count window
+      // partitioned by h (groupBy-then-join-back would shuffle the gram
+      // table twice — measured 6.3-6.5 s in-run vs 4.8 s cold-alone at sf0.1)
+      val wH = Window.partitionBy("h")
       val wPrev = Window.partitionBy("doc_id").orderBy("i")
         .rowsBetween(Window.unboundedPreceding, -1)
       val wRun = Window.partitionBy("doc_id").orderBy("i")
-      grams.join(dup, "h").select("doc_id", "i")
+      grams.withColumn("n", count(lit(1)).over(wH))
+        .where(col("n") >= 2).select("doc_id", "i")
         .withColumn("brk",
           when(col("i") > coalesce(max(col("i") + L).over(wPrev), lit(-1)), 1L)
             .otherwise(0L))
