@@ -198,7 +198,7 @@ object Clustering {
     * r, d_r (distances) -> a_r (argmin assignment) -> u_r/g_r (fixed-point
     * per-dim sums) -> c_r (reassembled centroids).
     */
-  private def lloydCtes(rounds: Int): String = {
+  private[operators] def lloydCtes(rounds: Int): String = {
     val sb = new StringBuilder(
       s"""e AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x FROM embeddings),
          |x2 AS (SELECT vec_id, x, ${dotSql("x", "x", Dim)} AS xx FROM e),

@@ -176,17 +176,23 @@ object Similarity {
   // ------------------------------------------------------------------
   val PqTrainRounds = 2
 
-  /** (vec_id, b, xs, xx): the corpus split into per-block sub-vectors. */
-  private def pqBlocks(s: SparkSession, d: String): DataFrame = {
-    graft.Graft.init(s)
-    embeddings(s, d)
-      .select(col("vec_id"), toDouble(col("embedding")).as("x"))
+  /** (vec_id, b, xs, xx): any (vec_id, x) relation split into per-block
+    * sub-vectors — the corpus for plain PQ, residuals for IVF-PQ.
+    */
+  private def pqBlocksOf(vecs: DataFrame): DataFrame =
+    vecs
       .select(col("vec_id"), explode(expr(
         s"transform(sequence(0, ${PqBlocks - 1}), " +
           s"b -> named_struct('b', b, 'xs', slice(x, b * $PqSub + 1, $PqSub)))"))
         .as("t"))
       .select(col("vec_id"), col("t.b").as("b"), col("t.xs").as("xs"))
       .withColumn("xx", dot(col("xs"), col("xs")))
+
+  /** [[pqBlocksOf]] over the raw embeddings. */
+  private def pqBlocks(s: SparkSession, d: String): DataFrame = {
+    graft.Graft.init(s)
+    pqBlocksOf(embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("x")))
   }
 
   /** [[PqTrainRounds]] grouped Lloyd rounds from deterministic seeds (the
@@ -587,6 +593,67 @@ object Similarity {
         .orderBy("q_id", "rnk")
     },
 
+    // The full IVF-PQ index shape (the FAISS IVFPQ memory/search
+    // architecture a 100 TB ANN deployment actually runs): a trained
+    // coarse quantizer (the shared Lloyd kernel) partitions the corpus
+    // into cells; PQ codebooks train on the RESIDUALS x - c(cell) (they
+    // are what PQ has left to encode once the cell is known); queries
+    // probe their nearest cells, build a per-(query, cell) residual ADC
+    // LUT, and rank only candidates in probed cells. Model state (8 cell
+    // centroids + 8x16 residual codebooks) broadcasts; the corpus is
+    // scanned for assignment and joined on the cell id — never all-pairs.
+    // ADC sums are exact 9-dp decimals, order-independent across engines.
+    "ann_ivfpq_topk" -> { (s, d) =>
+      val (_, coarse) = Clustering.lloyd(s, d)
+      val cc = coarse.select(col("cid"), col("c"), dot(col("c"), col("c")).as("cc"))
+      val e = embeddings(s, d)
+        .select(col("vec_id"), toDouble(col("embedding")).as("x"))
+        .withColumn("xx", dot(col("x"), col("x")))
+      val dists = e.crossJoin(broadcast(cc))
+        .withColumn("dist2",
+          col("xx") - lit(2.0) * dot(col("x"), col("c")) + col("cc"))
+      // final-centroid cell assignment, then residual vs the OWN cell
+      val assigned = dists.groupBy("vec_id")
+        .agg(min(struct(col("dist2"), col("cid"))).as("m"), first(col("x")).as("x"))
+        .select(col("vec_id"), col("m.cid").as("cell"), col("x"))
+      val res = assigned
+        .join(broadcast(coarse.select(col("cid").as("cell"), col("c"))), "cell")
+        .select(col("vec_id"), zip_with(col("x"), col("c"), (a, b) => a - b).as("x"))
+      val blocks = pqBlocksOf(res).persist()
+      val pqc = pqTrain(blocks)
+      val codes = pqTrainedCodes(blocks, pqc)
+        .join(assigned.select("vec_id", "cell"), "vec_id")
+        .select(col("vec_id").as("cand_id"), col("cell"), col("b"), col("code"))
+      val wp = Window.partitionBy("q_id").orderBy(col("dist2").asc, col("cid").asc)
+      val qprobe = dists.where(col("vec_id") < QuerySet)
+        .select(col("vec_id").as("q_id"), col("cid"), col("dist2"), col("x"), col("c"))
+        .withColumn("rn", row_number().over(wp))
+        .where(col("rn") <= Clustering.TrainedProbes)
+        .select(col("q_id"), col("cid").as("cell"),
+          zip_with(col("x"), col("c"), (a, b) => a - b).as("qres"))
+      val qb = qprobe.select(col("q_id"), col("cell"), explode(expr(
+          s"transform(sequence(0, ${PqBlocks - 1}), " +
+            s"b -> named_struct('b', b, 'xs', slice(qres, b * $PqSub + 1, $PqSub)))"))
+          .as("t"))
+        .select(col("q_id"), col("cell"), col("t.b").as("b"), col("t.xs").as("xs"))
+        .withColumn("xx", dot(col("xs"), col("xs")))
+      val pcc = pqc.select(col("b"), col("cid").as("pqcid"), col("c"),
+        dot(col("c"), col("c")).as("pcc"))
+      val qlut = qb.join(broadcast(pcc), Seq("b"))
+        .select(col("q_id"), col("cell"), col("b"), col("pqcid"),
+          (col("xx") - lit(2.0) * dot(col("xs"), col("c")) + col("pcc")).as("dist"))
+      val w = Window.partitionBy("q_id").orderBy(col("adc").asc, col("cand_id").asc)
+      codes.join(broadcast(qlut), Seq("cell", "b"))
+        .where(col("code") === col("pqcid") && col("q_id") =!= col("cand_id"))
+        .groupBy("q_id", "cand_id")
+        .agg(sum(round(col("dist"), 9).cast(DecimalType(20, 9))).as("adcD"))
+        .select(col("q_id"), col("cand_id"),
+          round(col("adcD").cast("double"), 6).as("adc"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= K)
+        .orderBy("q_id", "rnk")
+    },
+
     "emb_quantize_sq8" -> { (s, d) =>
       val e = embeddings(s, d).select(col("vec_id"), toDouble(col("embedding")).as("x"))
       val stats = e.select(posexplode(col("x")).as(Seq("dim", "v")))
@@ -654,11 +721,17 @@ object Similarity {
     * centroids), then fa = final assignment (vec_id, b, code, dist2)
     * against tc`rounds`.
     */
-  private def pqTrainCtes(rounds: Int): String = {
+  private def pqTrainCtes(rounds: Int): String =
+    s"""e AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x FROM embeddings),
+       |${pqTrainCtesFrom(rounds, "e")}""".stripMargin
+
+  /** [[pqTrainCtes]] over an arbitrary prior CTE `src` providing
+    * (vec_id, x) — residual relations for the IVF-PQ oracle.
+    */
+  private def pqTrainCtesFrom(rounds: Int, src: String): String = {
     val sb = new StringBuilder(
-      s"""e AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x FROM embeddings),
-         |blk AS (SELECT vec_id, b, x[b * $PqSub + 1:(b + 1) * $PqSub] AS xs
-         |  FROM e, (SELECT unnest(range(0, $PqBlocks)) AS b) t),
+      s"""blk AS (SELECT vec_id, b, x[b * $PqSub + 1:(b + 1) * $PqSub] AS xs
+         |  FROM $src, (SELECT unnest(range(0, $PqBlocks)) AS b) t),
          |bx AS (SELECT vec_id, b, xs, ${dotSql("xs", "xs", PqSub)} AS xx FROM blk),
          |tc0 AS (SELECT b, vec_id AS cid, xs AS c FROM blk WHERE vec_id < $PqK)""".stripMargin)
     for (r <- 1 to rounds) {
@@ -891,6 +964,44 @@ object Similarity {
          |  FROM pd)
          |SELECT q_id, cand_id, adc, rnk FROM pr WHERE rnk <= $K
          |ORDER BY q_id, rnk""".stripMargin,
+
+    "ann_ivfpq_topk" -> {
+      val R = Clustering.Rounds
+      val T = PqTrainRounds
+      s"""WITH ${Clustering.lloydCtes(R)},
+         |b2c AS (SELECT vec_id, x, ${dotSql("x", "x", Dim)} AS xx FROM e),
+         |dd AS (SELECT v.vec_id, v.x, v.xx, c.cid, c.c,
+         |    v.xx - 2 * ${dotSql("v.x", "c.c", Dim)} + ${dotSql("c.c", "c.c", Dim)} AS dist2
+         |  FROM b2c v CROSS JOIN c$R c),
+         |asg AS (SELECT vec_id, cid AS cell, x, c FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+         |   FROM dd) WHERE rn = 1),
+         |res AS (SELECT vec_id,
+         |    list_transform(range(1, ${Dim + 1}), i -> x[i] - c[i]) AS x FROM asg),
+         |${pqTrainCtesFrom(T, "res")},
+         |fc AS (SELECT f.vec_id AS cand_id, a.cell, f.b, f.code
+         |  FROM fa f JOIN asg a ON f.vec_id = a.vec_id),
+         |qp AS (SELECT vec_id AS q_id, cid AS cell,
+         |    list_transform(range(1, ${Dim + 1}), i -> x[i] - c[i]) AS qres FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+         |   FROM dd WHERE vec_id < $QuerySet) WHERE rn <= ${Clustering.TrainedProbes}),
+         |qbk AS (SELECT q_id, cell, b, qres[b * $PqSub + 1:(b + 1) * $PqSub] AS xs
+         |  FROM qp, (SELECT unnest(range(0, $PqBlocks)) AS b) t),
+         |qx AS (SELECT q_id, cell, b, xs, ${dotSql("xs", "xs", PqSub)} AS xx FROM qbk),
+         |qlut AS (SELECT q.q_id, q.cell, q.b, c.cid AS pqcid,
+         |    q.xx - 2 * ${dotSql("q.xs", "c.c", PqSub)} + ${dotSql("c.c", "c.c", PqSub)} AS dist
+         |  FROM qx q JOIN tc$T c ON q.b = c.b),
+         |pd AS (SELECT l.q_id, f.cand_id,
+         |    CAST(sum(CAST(round(l.dist, 9) AS DECIMAL(20, 9))) AS DOUBLE) AS adcd
+         |  FROM fc f JOIN qlut l ON f.cell = l.cell AND f.b = l.b AND f.code = l.pqcid
+         |    AND l.q_id <> f.cand_id
+         |  GROUP BY l.q_id, f.cand_id),
+         |pr AS (SELECT q_id, cand_id, round(adcd, 6) AS adc,
+         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY round(adcd, 6), cand_id) AS INTEGER) AS rnk
+         |  FROM pd)
+         |SELECT q_id, cand_id, adc, rnk FROM pr WHERE rnk <= $K
+         |ORDER BY q_id, rnk""".stripMargin
+    },
 
     "emb_quantize_sq8" -> {
       val xi = "CAST(embedding[i] AS DOUBLE)"

@@ -210,6 +210,38 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("ivfpq: candidates only from probed cells, ranks consecutive, ADC >= 0-ish") {
+    import graft.operators.Clustering
+    val rows = Similarity.queries("ann_ivfpq_topk")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      assert(g.map(_.getInt(3)).sorted.toSeq === (1 to g.length))
+      assert(g.length <= Similarity.K)
+    }
+    // IVF invariant: every returned candidate's trained cell is among its
+    // query's TrainedProbes nearest cells — recompute both from the same
+    // Lloyd run
+    val (_, cents) = Clustering.lloyd(spark, sfDir)
+    val cs = cents.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def d2(x: Array[Double], c: Array[Double]): Double = {
+      val xx = x.zip(x).map { case (a, b) => a * b }.foldLeft(0.0)(_ + _)
+      val xc = x.zip(c).map { case (a, b) => a * b }.foldLeft(0.0)(_ + _)
+      val ccv = c.zip(c).map { case (a, b) => a * b }.foldLeft(0.0)(_ + _)
+      xx - 2.0 * xc + ccv
+    }
+    def cellOf(v: Array[Double]): Long =
+      cs.toSeq.map { case (cid, c) => (d2(v, c), cid) }.min._2
+    def probesOf(v: Array[Double]): Set[Long] =
+      cs.toSeq.map { case (cid, c) => (d2(v, c), cid) }.sorted
+        .take(Clustering.TrainedProbes).map(_._2).toSet
+    rows.foreach { r =>
+      val (q, cand) = (r.getLong(0), r.getLong(1))
+      assert(probesOf(vecs(q)).contains(cellOf(vecs(cand))),
+        s"candidate $cand outside query $q's probed cells")
+    }
+  }
+
   test("emb_quantize_sq8: constant dimension yields code 0 and ~zero error, never NaN") {
     // Build a tiny embeddings fixture where dim 1 is constant across all
     // vectors (the 0/0 hazard the scale clamp guards). Other dims vary.
