@@ -332,11 +332,40 @@ object Corpus {
     },
 
     // Frequency-ranked vocabulary (token -> dense id), the tokenizer's
-    // vocab-build step. The ranking window is UNPARTITIONED but runs over
-    // the vocabulary relation (token counts), which is vocab-sized by
-    // definition — never the corpus.
+    // vocab-build step; ranked via the distributed Ranking.globalRank
+    // (see vocabTable).
     "vocab_table" -> { (s, d) =>
       vocabTable(s, d).select("id", "tok", "cnt").orderBy("id")
+    },
+
+    // OOV audit under the train/deploy split discipline: the vocabulary
+    // is FROZEN on the train split, then every split measures its
+    // token-level OOV rate and type coverage against it — the check run
+    // before shipping a tokenizer (a high val/test OOV rate means the
+    // vocab was built on unrepresentative data). One tok-keyed equi-join
+    // marks in-vocab tokens (vocab-sized right side, NOT broadcast at
+    // web scale), then a (split, tok) pre-aggregate makes the distinct
+    // type counts a plain count — no multi-distinct expand.
+    "vocab_oov_rate" -> { (s, d) =>
+      val k = h60(concat(lit(SplitSalt), col("doc_id").cast("string"))) % 1000
+      val tk = documents(s, d)
+        .withColumn("split",
+          when(k < 800, "train").when(k < 900, "validation").otherwise("test"))
+        .select(col("split"), explode(toks(col("text"))).as("tok"))
+      val trainVocab = tk.where(col("split") === "train")
+        .select("tok").distinct().withColumn("iv", lit(true))
+      tk.join(trainVocab, Seq("tok"), "left")
+        .groupBy("split", "tok", "iv")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("split")
+        .agg(sum("n").as("n_tokens"),
+          sum(when(col("iv").isNull, col("n")).otherwise(0L)).as("n_oov"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov_types"))
+        .withColumn("oov_rate",
+          round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6))
+        .select("split", "n_tokens", "n_oov", "n_types", "n_oov_types", "oov_rate")
+        .orderBy("split")
     },
 
     // Token-id encoding: each document rendered as its ordered token-id
@@ -701,6 +730,26 @@ object Corpus {
          |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS INTEGER) AS id,
          |  tok, cnt
          |FROM c ORDER BY id""".stripMargin,
+
+    "vocab_oov_rate" ->
+      s"""WITH ks AS (SELECT doc_id, text,
+         |    ${h60Sql(s"'$SplitSalt' || CAST(doc_id AS VARCHAR)")} % 1000 AS k
+         |  FROM documents),
+         |ds AS (SELECT doc_id, text,
+         |    CASE WHEN k < 800 THEN 'train' WHEN k < 900 THEN 'validation'
+         |         ELSE 'test' END AS split FROM ks),
+         |tk AS (SELECT split, unnest(${toksSql("text")}) AS tok FROM ds),
+         |tv AS (SELECT DISTINCT tok FROM tk WHERE split = 'train'),
+         |j AS (SELECT t.split, t.tok, (tv.tok IS NOT NULL) AS iv
+         |  FROM tk t LEFT JOIN tv ON t.tok = tv.tok),
+         |bt AS (SELECT split, tok, iv, count(*) AS n FROM j GROUP BY 1, 2, 3)
+         |SELECT split, CAST(sum(n) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN NOT iv THEN n ELSE 0 END) AS BIGINT) AS n_oov,
+         |  count(*) AS n_types,
+         |  CAST(sum(CASE WHEN NOT iv THEN 1 ELSE 0 END) AS BIGINT) AS n_oov_types,
+         |  round(CAST(sum(CASE WHEN NOT iv THEN n ELSE 0 END) AS DOUBLE)
+         |    / CAST(sum(n) AS DOUBLE), 6) AS oov_rate
+         |FROM bt GROUP BY split ORDER BY split""".stripMargin,
 
     "vocab_encode" ->
       s"""WITH tok AS (SELECT doc_id, unnest(${toksSql("text")}) AS tok,

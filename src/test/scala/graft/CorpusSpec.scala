@@ -12,6 +12,38 @@ class CorpusSpec extends SparkSpecBase {
 
   private def q(name: String) = Corpus.queries(name)(spark, sfDir)
 
+  test("vocab_oov_rate: planted unseen tokens are counted; fixture run is fully covered") {
+    val s2 = spark
+    import s2.implicits._
+    // find doc_ids the salt maps to each split so the planted corpus has
+    // all three, then give the non-train docs one known token and some
+    // genuinely unseen ones
+    val splitOf = graft.operators.Corpus.queries("corpus_split")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    def idFor(split: String): Long = splitOf.collectFirst {
+      case (id, s0) if s0 == split => id
+    }.get
+    val (tr, va, te) = (idFor("train"), idFor("validation"), idFor("test"))
+    val dir = java.nio.file.Files.createTempDirectory("oov").toString
+    Seq(
+      (tr, "alpha beta gamma alpha", "en", "web", 22L),
+      (va, "alpha newword1 newword2", "en", "web", 23L),
+      (te, "beta newword3 newword3 newword3", "en", "web", 31L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.Corpus.queries("vocab_oov_rate")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got("train") == ((4L, 0L, 3L, 0L, 0.0)))
+    assert(got("validation") == ((3L, 2L, 3L, 2L, math.rint(2.0 / 3 * 1e6) / 1e6)))
+    assert(got("test") == ((4L, 3L, 2L, 1L, 0.75)))
+    // fixture sanity: every split measured, token totals non-vacuous
+    val fx = graft.operators.Corpus.queries("vocab_oov_rate")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fx.keySet == Set("train", "validation", "test"))
+    assert(fx.values.forall(_ > 0))
+  }
+
   test("tfidf: exactly top-3 per doc, ranks 1..3, tie-break is term-asc") {
     val rows = q("tfidf_top_terms").collect()
     val byDoc = rows.groupBy(_.getLong(0))
