@@ -38,6 +38,15 @@ object Substring {
     */
   val ExactLen = 20
 
+  /** Grams in more than this many DISTINCT docs are excluded from the
+    * pair-provenance join (boilerplate — `dup_span_top`'s job) so no
+    * gram bucket goes quadratic.
+    */
+  val PairDfCap = 8L
+
+  /** Pairs reported by `dup_span_pairs`. */
+  val TopPairs = 50
+
   /** (doc_id, i, h): EVERY character position i (1-based) with the 64-bit
     * hash of its [[ExactLen]]-gram. The per-doc array is built map-side
     * and exploded — only (doc_id, int, 8-byte hash) rows ever shuffle,
@@ -116,6 +125,28 @@ object Substring {
         .orderBy("doc_id")
     },
 
+    // Span PROVENANCE: which doc PAIRS share exact >= ExactLen-char text,
+    // weighted by the number of distinct shared grams — the contamination
+    // forensics view of dup_exact_spans (who copied whom / which bench
+    // doc leaked where). The gram table collapses to (doc, gram) presence,
+    // grams in more than PairDfCap docs drop (boilerplate — no quadratic
+    // bucket survives), and the remaining gram-bucketed self-join emits
+    // pairs. Top-TopPairs under the total order (n_shared desc, a, b).
+    "dup_span_pairs" -> { (s, d) =>
+      val byDoc = exactGrams(s, d).select("doc_id", "h").distinct()
+      val wH = Window.partitionBy("h")
+      val filt = byDoc.withColumn("nd", count(lit(1)).over(wH))
+        .where(col("nd").between(2, PairDfCap))
+        .select("doc_id", "h")
+      filt.as("a").join(filt.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(desc("n_shared"), col("doc_a"), col("doc_b"))
+        .limit(TopPairs)
+    },
+
     // Most-repeated spans across the corpus: top-20 by occurrence count.
     // Grouping key is the 60-bit hash (what would cross the wire at scale);
     // min(span) recovers a deterministic representative text.
@@ -179,6 +210,20 @@ object Substring {
          |SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS dup_chars,
          |  count(*) AS n_spans, max(span_len) AS max_span
          |FROM sp2 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dup_span_pairs" ->
+      s"""WITH g AS (SELECT doc_id,
+         |    unnest(generate_series(1, length(text) - ${ExactLen - 1})) AS i, text
+         |  FROM documents WHERE length(text) >= $ExactLen),
+         |gr AS (SELECT doc_id, substr(text, CAST(i AS INTEGER), $ExactLen) AS h FROM g),
+         |bd AS (SELECT DISTINCT doc_id, h FROM gr),
+         |fd AS (SELECT doc_id, h FROM
+         |  (SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS nd FROM bd)
+         |  WHERE nd BETWEEN 2 AND $PairDfCap)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         |FROM fd a JOIN fd b ON a.h = b.h AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 ORDER BY n_shared DESC, doc_a, doc_b
+         |LIMIT $TopPairs""".stripMargin,
 
     "dup_span_top" ->
       s"""WITH $spanCte,

@@ -117,6 +117,11 @@ class RetrievalSpec extends SparkSpecBase {
     assert(got(5L) == ((40L, 2L, 20L)), "within-doc repeat must count")
     assert(got(6L) == ((60L, 1L, 60L)) && got(7L) == ((60L, 1L, 60L)),
       "overlapping windows must chain-merge to one maximal span")
+    // provenance pairs on the same corpus: (6,7) share 41 distinct grams
+    // of p60, (1,2) the 11 grams of p30; no other cross-doc pair exists
+    val pairs = Substring.queries("dup_span_pairs")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs == Map((6L, 7L) -> 41L, (1L, 2L) -> 11L), s"pairs: $pairs")
   }
 
   test("dup spans: ratio law, planted duplicate detected via fixture repeats") {
