@@ -164,6 +164,31 @@ object Similarity {
     pqCodebooks.map(_.map(c => c.foldLeft(0.0)((a, x) => a + x * x)))
 
   // ------------------------------------------------------------------
+  // Random projection (Johnson-Lindenstrauss): a deterministic Gaussian
+  // matrix maps 64-dim embeddings to RpDim=16 dims. At 100 TB this is
+  // the cheapest pre-filter there is — 4x less storage and per-pair math
+  // than full vectors with distance distortion bounded by JL — and the
+  // natural stage-1 of a "filter cheap, re-rank exact" cascade.
+  // ------------------------------------------------------------------
+  val RpDim = 16
+  /** Stage-1 shortlist size for the two-stage rerank search. */
+  val RpShortlist = 25
+
+  /** [projected dim][input dim], seed 7, 6-dp literals like [[planes]]. */
+  lazy val rpPlanes: Array[Array[Double]] = {
+    val r = new scala.util.Random(7)
+    Array.fill(RpDim, Dim)(math.rint(r.nextGaussian() * 1e6) / 1e6)
+  }
+
+  private def rpProject(x: Column): Column =
+    array((0 until RpDim).map(j => dot(x, array(rpPlanes(j).map(lit): _*))): _*)
+
+  private def rpProjectSql(x: String): String =
+    (0 until RpDim).map(j =>
+      dotSql(x, rpPlanes(j).mkString("[", ", ", "]"), Dim))
+      .mkString("[", ",\n    ", "]")
+
+  // ------------------------------------------------------------------
   // TRAINED PQ codebooks: the per-block Lloyd run the seeded path above
   // documents as its upgrade. All 8 blocks train in ONE grouped pass —
   // vectors explode into (vec_id, b, slice) block rows once, centroids
@@ -593,6 +618,42 @@ object Similarity {
         .orderBy("q_id", "rnk")
     },
 
+    // JL projection audit: per-vector 16-dim projection (fixed-point
+    // token string — never a raw-double string, whose formatting differs
+    // across engines) plus the norm-preservation ratio
+    // ||Px|| / (sqrt(RpDim) * ||x||), which JL says concentrates near 1.
+    "emb_rp_project" -> { (s, d) =>
+      val b = base(s, d).withColumn("p", rpProject(col("e")))
+      b.select(col("vec_id"),
+          concat_ws(",", transform(col("p"),
+            v => round(v * lit(1e6)).cast("long").cast("string"))).as("proj_q6"),
+          round(sqrt(dot(col("p"), col("p"))) /
+            (sqrt(lit(RpDim.toDouble)) * col("nrm")), 6).as("norm_ratio"))
+        .orderBy("vec_id")
+    },
+
+    // Two-stage search: stage 1 ranks candidates by SQUARED L2 in the
+    // cheap 16-dim projected space (a 4x-smaller scan), stage 2 re-ranks
+    // only the RpShortlist survivors by exact cosine — the cascade shape
+    // every production retrieval system runs. Both stages are
+    // deterministic total orders, so both engines agree exactly.
+    "ann_rp_rerank_topk" -> { (s, d) =>
+      val b = base(s, d).withColumn("p", rpProject(col("e")))
+      val q = b.where(col("vec_id") < QuerySet)
+        .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"),
+          col("p").as("qp"))
+      val c = b.select(col("vec_id").as("cand_id"), col("e").as("ce"),
+        col("nrm").as("cn"), col("p").as("cp"))
+      val ws = Window.partitionBy("q_id").orderBy(col("pd2").asc, col("cand_id").asc)
+      val shortlist = broadcast(q).join(c, col("q_id") =!= col("cand_id"))
+        .withColumn("pd2",
+          dot(col("qp"), col("qp")) - lit(2.0) * dot(col("qp"), col("cp")) +
+            dot(col("cp"), col("cp")))
+        .withColumn("srn", row_number().over(ws))
+        .where(col("srn") <= RpShortlist)
+      ranked(shortlist.select("q_id", "cand_id", "qe", "qn", "ce", "cn"))
+    },
+
     // The full IVF-PQ index shape (the FAISS IVFPQ memory/search
     // architecture a 100 TB ANN deployment actually runs): a trained
     // coarse quantizer (the shared Lloyd kernel) partitions the corpus
@@ -963,6 +1024,36 @@ object Similarity {
          |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY round(adcd, 6), cand_id) AS INTEGER) AS rnk
          |  FROM pd)
          |SELECT q_id, cand_id, adc, rnk FROM pr WHERE rnk <= $K
+         |ORDER BY q_id, rnk""".stripMargin,
+
+    "emb_rp_project" ->
+      s"""$baseSqlCte,
+         |bp AS (SELECT vec_id, e, nrm, ${rpProjectSql("e")} AS p FROM base)
+         |SELECT vec_id,
+         |  array_to_string(list_transform(p,
+         |    v -> CAST(CAST(round(v * 1000000.0) AS BIGINT) AS VARCHAR)), ',') AS proj_q6,
+         |  round(sqrt(${dotSql("p", "p", RpDim)})
+         |    / (sqrt(${RpDim}.0) * nrm), 6) AS norm_ratio
+         |FROM bp ORDER BY vec_id""".stripMargin,
+
+    "ann_rp_rerank_topk" ->
+      s"""$baseSqlCte,
+         |bp AS (SELECT vec_id, e, nrm, ${rpProjectSql("e")} AS p FROM base),
+         |s1 AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+         |    q.e AS qe, q.nrm AS qn, c.e AS ce, c.nrm AS cn,
+         |    ${dotSql("q.p", "q.p", RpDim)} - 2 * ${dotSql("q.p", "c.p", RpDim)}
+         |      + ${dotSql("c.p", "c.p", RpDim)} AS pd2
+         |  FROM bp q JOIN bp c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < $QuerySet),
+         |sl AS (SELECT q_id, cand_id, qe, qn, ce, cn FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY pd2, cand_id) AS srn
+         |   FROM s1) WHERE srn <= $RpShortlist),
+         |p AS (SELECT q_id, cand_id,
+         |    round(${dotSql("qe", "ce", Dim)} / (qn * cn), 6) AS cos FROM sl),
+         |r AS (SELECT q_id, cand_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS INTEGER) AS rnk
+         |  FROM p)
+         |SELECT q_id, cand_id, cos, rnk FROM r WHERE rnk <= $K
          |ORDER BY q_id, rnk""".stripMargin,
 
     "ann_ivfpq_topk" -> {

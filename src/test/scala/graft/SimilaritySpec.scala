@@ -210,6 +210,26 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("random projection: JL norm concentration; rerank cosines exact with useful recall") {
+    val proj = Similarity.queries("emb_rp_project")(spark, sfDir).collect()
+    assert(proj.length == vecs.size)
+    val ratios = proj.map(_.getDouble(2))
+    ratios.foreach(r => assert(r > 0.3 && r < 2.0, s"JL ratio way off: $r"))
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.85 && mean < 1.15, s"JL ratios should concentrate near 1: $mean")
+    val rerank = Similarity.queries("ann_rp_rerank_topk")(spark, sfDir).collect()
+    assert(rerank.nonEmpty)
+    rerank.foreach { r =>
+      val c = math.rint(cosine(vecs(r.getLong(0)), vecs(r.getLong(1))) * 1e6) / 1e6
+      assert(r.getDouble(2) === c) // stage-2 cosines are EXACT, not projected
+    }
+    val exact = Similarity.queries("ann_cosine_topk")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = rerank.map(r => (r.getLong(0), r.getLong(1))).count(exact.contains)
+    assert(hits.toDouble / exact.size > 0.3,
+      s"shortlist-25 rerank should recover a useful share of exact top-5: $hits/${exact.size}")
+  }
+
   test("ivfpq: candidates only from probed cells, ranks consecutive, ADC >= 0-ish") {
     import graft.operators.Clustering
     val rows = Similarity.queries("ann_ivfpq_topk")(spark, sfDir).collect()
