@@ -189,8 +189,57 @@ object Clustering {
           (col("s6").cast("double") / col("n_vecs").cast("double") / lit(DistFix))
             .as("mean_dist2"))
         .orderBy("cluster")
+    },
+
+    // Temperature-balanced sampling over LEARNED domains: the
+    // source-mixture math (sqrt temperature, alpha = 0.5) applied to the
+    // trained k-means clusters instead of source labels — the
+    // DataComp/DoReMi-style rebalancing when the domains are discovered,
+    // not given. Per-cluster keep rates from one k-row aggregate (the
+    // global window runs over |clusters| rows — bounded); the draw is the
+    // md5 key, so the sample is deterministic and oracle-able.
+    "cluster_balanced_rates" -> { (s, d) =>
+      clusterRates(s, d)
+        .select(col("cid").as("cluster"), col("n_c"),
+          round(col("rate"), 6).as("rate"), col("thresh"))
+        .orderBy("cluster")
+    },
+
+    "cluster_balanced_sample" -> { (s, d) =>
+      val (assign, _) = lloyd(s, d)
+      val draw = h60(concat(lit(CbsSalt), col("vec_id").cast("string"))) % 1000000L
+      assign.select(col("vec_id"), col("cid"))
+        .join(broadcast(clusterRates(s, d).select("cid", "thresh")), "cid")
+        .where(draw < col("thresh"))
+        .select(col("vec_id"), col("cid").as("cluster"))
+        .orderBy("vec_id")
     }
   )
+
+  /** Target corpus fraction of the cluster-balanced sample. */
+  val CbsFrac = 0.5
+  private val CbsSalt = "cbs1:"
+
+  /** (cid, n_c, rate, thresh) — the mixtureRates shape over trained
+    * cluster ids: w_c = sqrt(n_c/N) rounded 9 dp, W = exact decimal sum,
+    * rate_c = min(1, (w_c/W)·(frac·N)/n_c), thresh = floor(rate·1e6).
+    */
+  private def clusterRates(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val wAll = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    lloyd(s, d)._1.groupBy("cid").agg(count(lit(1)).as("n_c"))
+      .withColumn("n_total", sum("n_c").over(wAll))
+      .withColumn("w",
+        round(sqrt(col("n_c").cast("double") / col("n_total").cast("double")), 9))
+      .withColumn("w_sum",
+        sum(col("w").cast(DecimalType(20, 9))).over(wAll).cast("double"))
+      .withColumn("rate", least(lit(1.0),
+        (col("w") / col("w_sum")) * (lit(CbsFrac) * col("n_total").cast("double"))
+          / col("n_c").cast("double")))
+      .withColumn("thresh", floor(col("rate") * lit(1000000.0)).cast("long"))
+      .select("cid", "n_c", "rate", "thresh")
+  }
 
   // -------------------------------------------------------------- oracles
 
@@ -287,6 +336,38 @@ object Clustering {
          |  FROM a$Rounds GROUP BY cid)
          |SELECT s1.cid AS cluster, n_vecs, round(${dotSql("c.c", "c.c", Dim)}, 6) AS centroid_norm2,
          |  CAST(s6 AS DOUBLE) / CAST(n_vecs AS DOUBLE) / 1000000.0 AS mean_dist2
-         |FROM s1 JOIN c$Rounds c ON s1.cid = c.cid ORDER BY cluster""".stripMargin
+         |FROM s1 JOIN c$Rounds c ON s1.cid = c.cid ORDER BY cluster""".stripMargin,
+
+    "cluster_balanced_rates" ->
+      s"""WITH ${lloydCtes(Rounds)},
+         |$clusterRatesCtes
+         |SELECT cid AS cluster, CAST(n_c AS BIGINT) AS n_c,
+         |  round(rate, 6) AS rate, thresh
+         |FROM crt ORDER BY cluster""".stripMargin,
+
+    "cluster_balanced_sample" ->
+      s"""WITH ${lloydCtes(Rounds)},
+         |$clusterRatesCtes
+         |SELECT a.vec_id, a.cid AS cluster
+         |FROM a$Rounds a JOIN crt ON a.cid = crt.cid
+         |WHERE ${h60Sql(s"'$CbsSalt' || CAST(a.vec_id AS VARCHAR)")} % 1000000 < thresh
+         |ORDER BY a.vec_id""".stripMargin
   )
+
+  /** CTE block mirroring [[clusterRates]] (defines `crt(cid, n_c, rate,
+    * thresh)`); assumes a$Rounds from [[lloydCtes]] is in scope.
+    */
+  private def clusterRatesCtes: String =
+    s"""cs AS (SELECT cid, count(*) AS n_c FROM a$Rounds GROUP BY 1),
+       |ct AS (SELECT sum(n_c) AS n_total FROM cs),
+       |cw AS (SELECT cid, n_c, n_total,
+       |  round(sqrt(CAST(n_c AS DOUBLE) / CAST(n_total AS DOUBLE)), 9) AS w
+       |  FROM cs CROSS JOIN ct),
+       |cww AS (SELECT CAST(sum(CAST(w AS DECIMAL(20,9))) AS DOUBLE) AS w_sum FROM cw),
+       |crt AS (SELECT cid, n_c,
+       |  least(1.0, ((w / w_sum) * ($CbsFrac * CAST(n_total AS DOUBLE)))
+       |    / CAST(n_c AS DOUBLE)) AS rate,
+       |  CAST(floor(least(1.0, ((w / w_sum) * ($CbsFrac * CAST(n_total AS DOUBLE)))
+       |    / CAST(n_c AS DOUBLE)) * 1000000.0) AS BIGINT) AS thresh
+       |  FROM cw CROSS JOIN cww)""".stripMargin
 }

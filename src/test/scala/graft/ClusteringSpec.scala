@@ -117,6 +117,29 @@ class ClusteringSpec extends SparkSpecBase {
     assert(stats.map(_.getLong(2)).sum == dropped.size)
   }
 
+  test("cluster-balanced sample: near target fraction, minority clusters upweighted") {
+    val rates = Clustering.queries("cluster_balanced_rates")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rates.nonEmpty)
+    rates.foreach { case (_, n, rate, thresh) =>
+      assert(n > 0 && rate > 0.0 && rate <= 1.0)
+      assert(thresh >= 1L && thresh <= 1000000L)
+    }
+    // sqrt temperature: keep RATE decreases as cluster size grows
+    val byN = rates.sortBy(_._2)
+    byN.sliding(2).foreach { case Array((_, n1, r1, _), (_, n2, r2, _)) =>
+      if (n1 < n2) assert(r1 >= r2 - 1e-9, s"smaller cluster must keep at a higher rate: $n1->$r1 vs $n2->$r2")
+    }
+    val kept = Clustering.queries("cluster_balanced_sample")(spark, sfDir).collect()
+    val total = rates.map(_._2).sum
+    val frac = kept.length.toDouble / total
+    assert(frac > Clustering.CbsFrac - 0.15 && frac < Clustering.CbsFrac + 0.15,
+      s"sample fraction $frac should be near ${Clustering.CbsFrac}")
+    // determinism: a second run keeps the identical set
+    val kept2 = Clustering.queries("cluster_balanced_sample")(spark, sfDir).collect()
+    assert(kept.map(_.getLong(0)).toSet == kept2.map(_.getLong(0)).toSet)
+  }
+
   test("plan: centroids broadcast — the corpus side never shuffles to assign") {
     val (assign, _) = Clustering.lloyd(spark, sfDir)
     val plan = assign.queryExecution.executedPlan.toString

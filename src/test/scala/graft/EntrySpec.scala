@@ -40,6 +40,8 @@ class EntrySpec extends SparkSpecBase {
       "sample_mixture" -> "mixtureRates window over the |sources|-row per-source aggregate",
       "sample_mixture_stats" -> "same |sources|-row mixtureRates aggregate",
       "sample_weighted" -> "top-K selection window over a limit(WeightedK) relation",
+      "cluster_balanced_rates" -> "clusterRates window over the |clusters|-row aggregate",
+      "cluster_balanced_sample" -> "same |clusters|-row clusterRates aggregate",
       "ts_cusum" -> "global max over the day-grain CUSUM relation: ≤ calendar-days rows"
     )
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
