@@ -398,4 +398,44 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("Scan ExistingRDD"), s"expected checkpointed rounds:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("dup_exact_spans / dup_span_pairs: gram-hash equi-shapes, never all-pairs") {
+    val p = plan("dup_exact_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"exact-span dedup leaked an all-pairs join:\n$p")
+    // the single-shuffle form: exactly one exchange keyed by the gram hash
+    // (the rest are doc_id-keyed for the island windows)
+    val p2 = plan("dup_span_pairs")
+    assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoopJoin"),
+      s"pair provenance leaked an all-pairs join:\n$p2")
+    // equi-join on the gram hash; AQE may pick broadcast at tiny SF, but
+    // it must be a HASH-KEYED join, never a nested loop
+    assert(p2.contains("SortMergeJoin") || p2.contains("ShuffledHashJoin") ||
+        p2.contains("BroadcastHashJoin"),
+      s"pair join should be an equi-join on the gram hash:\n$p2")
+  }
+
+  test("ann_ivfpq_topk: model state broadcasts; candidate join keys on the cell id") {
+    val p = plan("ann_ivfpq_topk")
+    assert(!p.contains("CartesianProduct"), s"IVF-PQ leaked a cartesian:\n$p")
+    // the only nested-loop shapes allowed are broadcasts of model-sized
+    // state (8 coarse centroids / per-query LUTs)
+    assert(p.contains("BroadcastExchange"), s"expected broadcast model state:\n$p")
+  }
+
+  test("ann_rp_rerank_topk / ann_lsh_multiprobe_topk: query side broadcasts, corpus scans once") {
+    val p = plan("ann_rp_rerank_topk")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"), s"query batch should broadcast:\n$p")
+    val p2 = plan("ann_lsh_multiprobe_topk")
+    assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoopJoin"),
+      s"multi-probe must stay a bucket equi-join:\n$p2")
+  }
+
+  test("vocab_oov_rate: vocab marking is a tok-keyed equi-join, no expand for distincts") {
+    val p = plan("vocab_oov_rate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Expand"),
+      s"the (split, tok) pre-aggregate should remove multi-distinct Expand:\n$p")
+  }
 }
