@@ -618,6 +618,52 @@ object Similarity {
         .orderBy("q_id", "rnk")
     },
 
+    // Hard-negative mining for contrastive training: each query's top-K
+    // most-similar candidates with a DIFFERENT label — the pairs a
+    // contrastive objective learns most from. Same broadcast-query /
+    // streamed-corpus shape as ann_cosine_topk with the label inequality
+    // folded into the join.
+    "ann_hard_negatives" -> { (s, d) =>
+      graft.Graft.init(s)
+      val bl = embeddings(s, d)
+        .select(col("vec_id"), toDouble(col("embedding")).as("e"), col("label"))
+        .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+      val q = bl.where(col("vec_id") < QuerySet)
+        .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"),
+          col("label").as("ql"))
+      val c = bl.select(col("vec_id").as("cand_id"), col("e").as("ce"),
+        col("nrm").as("cn"), col("label").as("cl"))
+      ranked(broadcast(q).join(c,
+        col("q_id") =!= col("cand_id") && col("ql") =!= col("cl")))
+    },
+
+    // kNN label-consistency eval: every vector's label predicted by the
+    // majority vote of its bucketed top-K neighbors (ties: count desc,
+    // label asc), scored against its own label per class — the quality
+    // signal for an embedding space ("do nearby points share labels?").
+    // Rides the existing LSH-bucketed kNN graph; vectors whose bucket
+    // holds no neighbor are not scored (coverage is part of the output).
+    "knn_label_eval" -> { (s, d) =>
+      val lab = embeddings(s, d).select(col("vec_id"), col("label"))
+      val votes = knnGraph(s, d)
+        .join(lab.select(col("vec_id").as("cand_id"), col("label").as("cl")), "cand_id")
+        .groupBy("q_id", "cl")
+        .agg(count(lit(1)).as("n_votes"))
+      val wv = Window.partitionBy("q_id")
+        .orderBy(col("n_votes").desc, col("cl").asc)
+      votes.withColumn("vr", row_number().over(wv))
+        .where(col("vr") === 1)
+        .select(col("q_id").as("vec_id"), col("cl").as("pred"))
+        .join(lab, "vec_id")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_scored"),
+          sum(when(col("pred") === col("label"), 1L).otherwise(0L)).as("n_correct"))
+        .withColumn("acc",
+          round(col("n_correct").cast("double") / col("n_scored").cast("double"), 6))
+        .select("label", "n_scored", "n_correct", "acc")
+        .orderBy("label")
+    },
+
     // JL projection audit: per-vector 16-dim projection (fixed-point
     // token string — never a raw-double string, whose formatting differs
     // across engines) plus the norm-preservation ratio
@@ -1025,6 +1071,35 @@ object Similarity {
          |  FROM pd)
          |SELECT q_id, cand_id, adc, rnk FROM pr WHERE rnk <= $K
          |ORDER BY q_id, rnk""".stripMargin,
+
+    "ann_hard_negatives" ->
+      s"""WITH bl AS (SELECT vec_id, label,
+         |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e FROM embeddings),
+         |b2 AS (SELECT vec_id, label, e, sqrt(${dotSql("e", "e", Dim)}) AS nrm FROM bl),
+         |p AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+         |  round(${dotSql("q.e", "c.e", Dim)} / (q.nrm * c.nrm), 6) AS cos
+         |  FROM b2 q JOIN b2 c ON q.vec_id <> c.vec_id AND q.label <> c.label
+         |  WHERE q.vec_id < $QuerySet),
+         |r AS (SELECT q_id, cand_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS INTEGER) AS rnk
+         |  FROM p)
+         |SELECT q_id, cand_id, cos, rnk FROM r WHERE rnk <= $K
+         |ORDER BY q_id, rnk""".stripMargin,
+
+    "knn_label_eval" ->
+      s"""$knnGraphSqlCtes,
+         |g AS (SELECT q_id, cand_id FROM r WHERE rnk <= $K),
+         |v AS (SELECT g.q_id, e.label AS cl, count(*) AS n_votes
+         |  FROM g JOIN embeddings e ON g.cand_id = e.vec_id GROUP BY 1, 2),
+         |pr AS (SELECT q_id AS vec_id, cl AS pred FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY q_id
+         |     ORDER BY n_votes DESC, cl) AS vr FROM v) WHERE vr = 1),
+         |sc AS (SELECT e.label, pr.pred FROM pr JOIN embeddings e USING (vec_id))
+         |SELECT label, count(*) AS n_scored,
+         |  CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         |  round(CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE), 6) AS acc
+         |FROM sc GROUP BY label ORDER BY label""".stripMargin,
 
     "emb_rp_project" ->
       s"""$baseSqlCte,

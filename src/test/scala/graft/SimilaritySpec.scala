@@ -210,6 +210,28 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("hard negatives cross labels; knn label eval scores bounded and covered") {
+    val labels = Tables.embeddings(spark, sfDir).select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val hn = Similarity.queries("ann_hard_negatives")(spark, sfDir).collect()
+    assert(hn.nonEmpty)
+    hn.foreach { r =>
+      assert(labels(r.getLong(0)) != labels(r.getLong(1)),
+        "hard negative shares the query's label")
+      val c = math.rint(cosine(vecs(r.getLong(0)), vecs(r.getLong(1))) * 1e6) / 1e6
+      assert(r.getDouble(2) === c)
+    }
+    val ev = Similarity.queries("knn_label_eval")(spark, sfDir).collect()
+    assert(ev.nonEmpty)
+    val scored = ev.map(_.getLong(1)).sum
+    assert(scored > 0 && scored <= labels.size)
+    ev.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      val acc = r.getDouble(3)
+      assert(acc >= 0.0 && acc <= 1.0)
+    }
+  }
+
   test("random projection: JL norm concentration; rerank cosines exact with useful recall") {
     val proj = Similarity.queries("emb_rp_project")(spark, sfDir).collect()
     assert(proj.length == vecs.size)
