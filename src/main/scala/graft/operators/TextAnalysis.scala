@@ -60,6 +60,10 @@ object TextAnalysis {
   val CollocMinCount = 5
   val CollocTopK = 50
 
+  /** Quality quantile bands for `curriculum_order` (band 0 = best). */
+  val CurriculumBands = 4
+  private val CurriculumSalt = "cur1:"
+
   /** DuckDB SQL for quality_score, given a token-list column `t` and the
     * raw `text` column — must mirror [[stats]] exactly.
     */
@@ -127,6 +131,30 @@ object TextAnalysis {
     // score in [0,1] — the filter signal a pretraining pipeline thresholds on.
     "text_stats" -> { (s, d) =>
       stats(documents(s, d).select("doc_id", "text")).orderBy("doc_id")
+    },
+
+    // Curriculum data ordering: docs banded into CurriculumBands quality
+    // quantiles (band 0 = best) and deterministically shuffled WITHIN each
+    // band — the easy-to-hard training order with intra-band randomness.
+    // Both the quantile banding and the final position come from
+    // Ranking.globalRank, so no unpartitioned window touches the corpus;
+    // the band boundary is exact integer arithmetic on the rank, so ties
+    // at a quantile edge land deterministically in both engines.
+    "curriculum_order" -> { (s, d) =>
+      val q = stats(documents(s, d).select("doc_id", "text"))
+        .select(col("doc_id"), col("quality_score"))
+      val ranked = Ranking
+        .globalRank(q, Seq(desc("quality_score"), asc("doc_id")))
+      val banded = ranked
+        .crossJoin(broadcast(ranked.agg(count(lit(1)).as("n_total"))))
+        .withColumn("band",
+          expr(s"(rank - 1) * $CurriculumBands DIV n_total").cast("int"))
+        .withColumn("ord",
+          h60(concat(lit(CurriculumSalt), col("doc_id").cast("string"))))
+        .select("doc_id", "band", "ord")
+      Ranking.globalRank(banded, Seq(asc("band"), asc("ord"), asc("doc_id")))
+        .select(col("doc_id"), col("band"), col("rank").as("pos"))
+        .orderBy("pos")
     },
 
     // Language-ID: per-language signature-word hits, argmax with fixed
@@ -363,6 +391,21 @@ object TextAnalysis {
          |        (1.0 - punct_ratio) * $WPunct +
          |        least(1.0, stopword_ratio * $StopBoost) * $WStop, 6) AS quality_score
          |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    "curriculum_order" -> {
+      s"""WITH tok AS (SELECT doc_id, text, ${toksSql("text")} AS t FROM documents),
+         |q AS (SELECT doc_id, ${qualitySql("t", "text")} AS qs FROM tok),
+         |rk AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY qs DESC, doc_id) AS rank FROM q),
+         |n AS (SELECT count(*) AS n_total FROM rk),
+         |bd AS (SELECT doc_id,
+         |    CAST(((rank - 1) * $CurriculumBands) // n_total AS INTEGER) AS band,
+         |    ${h60Sql(s"'$CurriculumSalt' || CAST(doc_id AS VARCHAR)")} AS ord
+         |  FROM rk CROSS JOIN n)
+         |SELECT doc_id, band,
+         |  row_number() OVER (ORDER BY band, ord, doc_id) AS pos
+         |FROM bd ORDER BY pos""".stripMargin
     },
 
     "text_langid" -> {

@@ -10,6 +10,31 @@ import graft.operators.{TextAnalysis, TextHash}
   */
 class TextAnalysisSpec extends SparkSpecBase {
 
+  test("curriculum: pos is a permutation, bands are quality-monotone quartiles") {
+    import graft.operators.TextAnalysis
+    val rows = TextAnalysis.queries("curriculum_order")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val n = rows.length
+    assert(n > 0)
+    assert(rows.map(_._3).sorted.toSeq == (1L to n).toSeq, "pos must be a permutation")
+    val bandSizes = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bandSizes.keySet == (0 until TextAnalysis.CurriculumBands).toSet)
+    bandSizes.values.foreach(sz =>
+      assert(math.abs(sz - n / TextAnalysis.CurriculumBands) <= 1,
+        s"quantile bands must be balanced: $bandSizes"))
+    // quality monotone across bands (ties at a boundary may straddle)
+    val q = TextAnalysis.queries("text_stats")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(6)).toMap
+    val byBand = rows.groupBy(_._2).view.mapValues(_.map(t => q(t._1))).toMap
+    for (b <- 0 until TextAnalysis.CurriculumBands - 1)
+      assert(byBand(b).min >= byBand(b + 1).max,
+        s"band $b should be uniformly >= band ${b + 1} in quality")
+    // positions sort by (band, md5 order): deterministic across runs
+    val again = TextAnalysis.queries("curriculum_order")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
   private def df(rows: (Long, String)*) = {
     val s = spark
     import s.implicits._
