@@ -593,6 +593,27 @@ object SqlFunctions {
           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     },
 
+    // EXACT nearest-rank quantiles at corpus scale: percentile_cont-style
+    // aggregates buffer per-group value multisets, which works at group
+    // grain but not for one global quantile over an unbounded column. The
+    // distributed shape: Ranking.globalRank totally orders the column
+    // (range shuffle, per-partition ranks, broadcast offsets), the target
+    // ranks ceil(p * N) come from one broadcast count, and the answer is
+    // a K-row filter on rank — no single task ever holds the column.
+    "q_exact_quantiles_dist" -> { (s, d) =>
+      val ps = Seq(0.01, 0.25, 0.5, 0.75, 0.99)
+      val vals = lineitem(s, d)
+        .select(col("l_extendedprice").as("v"), col("l_orderkey"), col("l_linenumber"))
+      val ranked = graft.operators.Ranking
+        .globalRank(vals, Seq(asc("v"), asc("l_orderkey"), asc("l_linenumber")))
+      val tgt = ranked
+        .crossJoin(broadcast(ranked.agg(count(lit(1)).as("n_total"))))
+      ps.map { p =>
+        tgt.where(col("rank") === ceil(lit(p) * col("n_total")).cast("long"))
+          .select(lit(p).as("p"), col("v").as("value"))
+      }.reduce(_.unionByName(_)).orderBy("p")
+    },
+
     // Equal-width histogram: global [min,max] bounds (one tiny broadcast
     // row), then a pure per-row bucket map + count — the profile query you
     // run on any numeric column before choosing binning/clipping. The
@@ -976,6 +997,20 @@ object SqlFunctions {
         | quantile_cont(o_totalprice, 0.5) AS median_price,
         | quantile_cont(o_totalprice, 0.9) AS p90_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_exact_quantiles_dist" -> {
+      val ps = Seq(0.01, 0.25, 0.5, 0.75, 0.99)
+      s"""WITH rk AS (SELECT l_extendedprice AS v,
+         |    row_number() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rank
+         |  FROM lineitem),
+         |n AS (SELECT count(*) AS n_total FROM rk),
+         |t AS (SELECT rank, v, n_total FROM rk CROSS JOIN n)
+         |${ps.map(p =>
+            s"SELECT CAST($p AS DOUBLE) AS p, v AS value FROM t " +
+              s"WHERE rank = CAST(ceil($p * n_total) AS BIGINT)")
+          .mkString("", "\nUNION ALL\n", "")}
+         |ORDER BY p""".stripMargin
+    },
 
     "q_histogram" ->
       """WITH b AS (SELECT min(value) AS mn, max(value) AS mx FROM events)

@@ -7,6 +7,20 @@ import graft.operators.Relational
   */
 class RelationalSpec extends SparkSpecBase {
 
+  test("q_exact_quantiles_dist: monotone in p, agrees with a local sort") {
+    val rows = graft.operators.SqlFunctions.queries("q_exact_quantiles_dist")(spark, sfDir)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1))
+    assert(rows.map(_._1).toSeq == Seq(0.01, 0.25, 0.5, 0.75, 0.99))
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.toSeq, "quantiles must be monotone")
+    val vals = Tables.lineitem(spark, sfDir)
+      .select("l_extendedprice", "l_orderkey", "l_linenumber").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getInt(2))).sorted.map(_._1)
+    rows.foreach { case (p, v) =>
+      assert(v == vals(math.ceil(p * vals.length).toInt - 1),
+        s"nearest-rank p=$p mismatch")
+    }
+  }
+
   test("approx_count_distinct stays within 5% of exact") {
     Relational.queries("q_approx_distinct")(spark, sfDir).collect().foreach { r =>
       val approx = r.getLong(1).toDouble
