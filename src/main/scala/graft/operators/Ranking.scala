@@ -42,7 +42,7 @@ object Ranking {
       .select("_pid", "_off")
     local.join(broadcast(offs), Seq("_pid"))
       .withColumn("rank", col("_off") + col("_lrn"))
-      .drop("_pid", "_lrn")
+      .drop("_pid", "_lrn", "_off")
   }
 
   /** EXCLUSIVE global prefix sum of integral column `value` under the total
@@ -70,6 +70,6 @@ object Ranking {
       .select("_pid", "_off")
     local.join(broadcast(offs), Seq("_pid"))
       .withColumn(out, col("_off") + col("_lcs"))
-      .drop("_pid", "_lcs")
+      .drop("_pid", "_lcs", "_off")
   }
 }

@@ -84,6 +84,21 @@ class LinkageSpec extends SparkSpecBase {
     assert(got === want)
   }
 
+  test("globalCumSum: equals the single-window prefix sum at ANY partition count") {
+    val li = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey").as("v")).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("v").rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val want = li.withColumn("cum", coalesce(sum("cnt").over(w), lit(0L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    for (np <- Seq(1, 7, 32)) {
+      val got = graft.operators.Ranking
+        .globalCumSum(li, Seq(col("v")), col("cnt"), "cum", numParts = np)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got === want, s"numParts=$np")
+    }
+  }
+
   test("globalRank stays correct with exchange reuse DISABLED") {
     // ranks and offsets both derive from one materialized partitioning, so
     // correctness must not depend on the two branches' exchanges being
