@@ -52,14 +52,53 @@ object Substring {
     * and exploded — only (doc_id, int, 8-byte hash) rows ever shuffle,
     * never text.
     */
-  private def exactGrams(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+  private[operators] def exactGramsOf(docs: DataFrame): DataFrame =
+    docs
       .where(length(col("text")) >= ExactLen)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, length(text) - ${ExactLen - 1}), " +
           s"i -> named_struct('i', i, 'h', xxhash64(substring(text, i, $ExactLen))))"))
         .as("g"))
       .select(col("doc_id"), col("g.i").as("i"), col("g.h").as("h"))
+
+  private def exactGrams(s: SparkSession, d: String): DataFrame =
+    exactGramsOf(documents(s, d).select("doc_id", "text"))
+
+  /** Distinct gram-hash set of `docs` — the frozen benchmark-side state
+    * the contamination gate checks against (public: the streaming spec
+    * freezes it like a model artifact).
+    */
+  def benchmarkGrams(docs: DataFrame): DataFrame =
+    exactGramsOf(docs).select("h").distinct()
+
+  /** A probe doc is contaminated when >= this many of its characters are
+    * covered by benchmark-shared substrings of length >= [[ExactLen]].
+    */
+  val ContamMinChars = 40
+
+  /** Per-doc character coverage of `docs` by substrings (length >=
+    * [[ExactLen]]) that also appear in `benchGrams` (a distinct gram-hash
+    * column `h`, e.g. frozen from the benchmark slice) — the exact
+    * substring-grain contamination gate, stateless given the gram set, so
+    * a stream can apply it per micro-batch unchanged.
+    */
+  def exactContamination(docs: DataFrame, benchGrams: DataFrame): DataFrame = {
+    val L = ExactLen
+    val wPrev = Window.partitionBy("doc_id").orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("doc_id").orderBy("i")
+    exactGramsOf(docs).join(broadcast(benchGrams), "h").select("doc_id", "i")
+      .withColumn("brk",
+        when(col("i") > coalesce(max(col("i") + L).over(wPrev), lit(-1)), 1L)
+          .otherwise(0L))
+      .withColumn("isle", sum("brk").over(wRun))
+      .groupBy("doc_id", "isle")
+      .agg((max(col("i") + L) - min(col("i"))).cast("long").as("span_len"))
+      .groupBy("doc_id")
+      .agg(sum("span_len").as("contam_chars"), count(lit(1)).as("n_spans"),
+        max("span_len").as("max_span"))
+      .withColumn("contaminated", col("contam_chars") >= ContamMinChars)
+  }
 
   /** (doc_id, s, span, h): sampled character windows + 60-bit hash.
     * Docs shorter than SpanLen emit nothing (fixture min 48 chars).
@@ -122,6 +161,19 @@ object Substring {
         .groupBy("doc_id")
         .agg(sum("span_len").as("dup_chars"), count(lit(1)).as("n_spans"),
           max("span_len").as("max_span"))
+        .orderBy("doc_id")
+    },
+
+    // Exact substring-grain CONTAMINATION: every non-benchmark doc's
+    // character coverage by >= ExactLen-char substrings shared with the
+    // benchmark slice (doc_id % BenchMod == 0, same slice as
+    // contamination_check) — the suffix-grain upgrade of the shingle
+    // overlap check, catching partial-sentence leaks shingles dilute.
+    // The benchmark gram set is benchmark-sized and broadcasts.
+    "contam_exact_coverage" -> { (s, d) =>
+      val docs = documents(s, d).select("doc_id", "text")
+      val bg = benchmarkGrams(docs.where(col("doc_id") % Corpus.BenchMod === 0))
+      exactContamination(docs.where(col("doc_id") % Corpus.BenchMod =!= 0), bg)
         .orderBy("doc_id")
     },
 
@@ -209,6 +261,30 @@ object Substring {
          |  FROM i2 GROUP BY doc_id, isle)
          |SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS dup_chars,
          |  count(*) AS n_spans, max(span_len) AS max_span
+         |FROM sp2 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "contam_exact_coverage" ->
+      s"""WITH g AS (SELECT doc_id,
+         |    unnest(generate_series(1, length(text) - ${ExactLen - 1})) AS i, text
+         |  FROM documents WHERE length(text) >= $ExactLen),
+         |gr AS (SELECT doc_id, i,
+         |    substr(text, CAST(i AS INTEGER), $ExactLen) AS h FROM g),
+         |bg AS (SELECT DISTINCT h FROM gr WHERE doc_id % ${Corpus.BenchMod} = 0),
+         |ds AS (SELECT gr.doc_id, gr.i FROM gr JOIN bg USING (h)
+         |  WHERE gr.doc_id % ${Corpus.BenchMod} <> 0),
+         |isl AS (SELECT doc_id, i,
+         |    CASE WHEN i > coalesce(max(i + $ExactLen) OVER (PARTITION BY doc_id
+         |        ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         |      THEN 1 ELSE 0 END AS brk
+         |  FROM ds),
+         |i2 AS (SELECT doc_id, i,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS isle FROM isl),
+         |sp2 AS (SELECT doc_id, isle,
+         |    CAST(max(i + $ExactLen) - min(i) AS BIGINT) AS span_len
+         |  FROM i2 GROUP BY doc_id, isle)
+         |SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS contam_chars,
+         |  count(*) AS n_spans, max(span_len) AS max_span,
+         |  (CAST(sum(span_len) AS BIGINT) >= $ContamMinChars) AS contaminated
          |FROM sp2 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "dup_span_pairs" ->

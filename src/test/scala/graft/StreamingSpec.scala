@@ -770,6 +770,45 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("substring contamination gate on a stream equals batch and the oracled query") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.operators.{Corpus, Substring}
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    // freeze the benchmark gram set (benchmark-sized state, like a model)
+    val bg = Substring
+      .benchmarkGrams(docs.where(col("doc_id") % Corpus.BenchMod === 0))
+      .localCheckpoint()
+    val probe = docs.where(col("doc_id") % Corpus.BenchMod =!= 0)
+    val batch = Substring.exactContamination(probe, bg).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toSet
+    val oracled = Substring.queries("contam_exact_coverage")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toSet
+    assert(batch === oracled && batch.nonEmpty)
+
+    val probeRows = probe.collect().map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    val acc = scala.collection.mutable.Set[(Long, Long, Long, Long, Boolean)]()
+    val q = in.toDF.toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        acc.synchronized {
+          acc ++= Substring.exactContamination(b, bg).collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+              r.getBoolean(4)))
+        }
+        ()
+      }.start()
+    try {
+      val (a, b2) = probeRows.splitAt(probeRows.length / 2)
+      in.addData(a.toSeq); q.processAllAvailable()
+      in.addData(b2.toSeq); q.processAllAvailable()
+      assert(acc.synchronized(acc.toSet) === batch)
+    } finally q.stop()
+  }
+
   test("frozen BPE merges re-encode a stream identically to batch and the oracled query") {
     val s = spark
     import s.implicits._
