@@ -614,6 +614,26 @@ object SqlFunctions {
       }.reduce(_.unionByName(_)).orderBy("p")
     },
 
+    // EXACT weighted median at corpus scale, on the same distributed
+    // kernel: globalCumSum orders by value and accumulates quantity
+    // weights, and the (lower) weighted median is the unique row whose
+    // exclusive prefix is below half the total weight while its inclusive
+    // prefix reaches it — integer arithmetic throughout (2*cum vs W), so
+    // no fractional threshold crosses engines.
+    "q_weighted_median_dist" -> { (s, d) =>
+      val vals = lineitem(s, d)
+        .select(col("l_extendedprice").as("v"),
+          round(col("l_quantity")).cast("long").as("w"),
+          col("l_orderkey"), col("l_linenumber"))
+      val cum = graft.operators.Ranking.globalCumSum(
+        vals, Seq(asc("v"), asc("l_orderkey"), asc("l_linenumber")),
+        col("w"), "cum_before")
+      cum.crossJoin(broadcast(cum.agg(sum("w").as("w_total"))))
+        .where(lit(2) * col("cum_before") < col("w_total") &&
+          lit(2) * (col("cum_before") + col("w")) >= col("w_total"))
+        .select(col("v").as("weighted_median"), col("w_total"))
+    },
+
     // Equal-width histogram: global [min,max] bounds (one tiny broadcast
     // row), then a pure per-row bucket map + count — the profile query you
     // run on any numeric column before choosing binning/clipping. The
@@ -1011,6 +1031,18 @@ object SqlFunctions {
           .mkString("", "\nUNION ALL\n", "")}
          |ORDER BY p""".stripMargin
     },
+
+    "q_weighted_median_dist" ->
+      """WITH rk AS (SELECT l_extendedprice AS v,
+        |    CAST(round(l_quantity) AS BIGINT) AS w,
+        |    coalesce(sum(CAST(round(l_quantity) AS BIGINT)) OVER (
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM lineitem),
+        |t AS (SELECT CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS w_total
+        |  FROM lineitem)
+        |SELECT v AS weighted_median, w_total FROM rk CROSS JOIN t
+        |WHERE 2 * cum_before < w_total AND 2 * (cum_before + w) >= w_total""".stripMargin,
 
     "q_histogram" ->
       """WITH b AS (SELECT min(value) AS mn, max(value) AS mx FROM events)

@@ -7,6 +7,25 @@ import graft.operators.Relational
   */
 class RelationalSpec extends SparkSpecBase {
 
+  test("q_weighted_median_dist: unique row, agrees with a local weighted scan") {
+    val rows = graft.operators.SqlFunctions
+      .queries("q_weighted_median_dist")(spark, sfDir).collect()
+    assert(rows.length == 1, "the crossing row is unique by construction")
+    val (got, wTotal) = (rows(0).getDouble(0), rows(0).getLong(1))
+    val vals = Tables.lineitem(spark, sfDir)
+      .select("l_extendedprice", "l_quantity", "l_orderkey", "l_linenumber").collect()
+      .map(r => ((r.getDouble(0), r.getLong(2), r.getInt(3)), math.round(r.getDouble(1))))
+      .sortBy(_._1)
+    assert(wTotal == vals.map(_._2).sum)
+    var cum = 0L
+    val want = vals.find { case (_, w) =>
+      val hit = 2 * cum < wTotal && 2 * (cum + w) >= wTotal
+      cum += w
+      hit
+    }.get._1._1
+    assert(got == want)
+  }
+
   test("q_exact_quantiles_dist: monotone in p, agrees with a local sort") {
     val rows = graft.operators.SqlFunctions.queries("q_exact_quantiles_dist")(spark, sfDir)
       .collect().map(r => r.getDouble(0) -> r.getDouble(1))
