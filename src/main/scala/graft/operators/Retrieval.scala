@@ -46,6 +46,8 @@ object Retrieval {
     */
   private val QueryTerms = Seq("join", "vector", "scan", "filter")
   private val TopK = 10
+  /** RRF dampening constant (the standard 60 from Cormack et al.). */
+  val RrfK = 60
   /** Chunk window / stride in characters (stride < width -> overlap). */
   val ChunkWidth = 120
   val ChunkStride = 90
@@ -111,6 +113,33 @@ object Retrieval {
     // Multi-term query: additive BM25 over all query terms per doc, top-10
     // docs. Per-term 6-dp scores go through the fixed-point sum (scaled
     // longs) so the total is partial-agg-order independent.
+    // Hybrid retrieval via reciprocal-rank fusion: per term, the BM25
+    // relevance ranking fuses with the corpus-wide quality ranking (the
+    // static prior) as 1/(60+r_rel) + 1/(60+r_prior) — the standard RRF
+    // combiner, rank-based so the two signals need no score calibration.
+    // Fusion math runs on exact integer ranks (identical doubles in both
+    // engines); the quality rank rides Ranking.globalRank, so the prior
+    // never crosses one task.
+    "retrieval_rrf" -> { (s, d) =>
+      val wB = Window.partitionBy("term").orderBy(col("score").desc, col("doc_id"))
+      val bm = bm25(s, d)
+        .withColumn("r_bm25", row_number().over(wB))
+        .select("term", "doc_id", "r_bm25")
+      val q = TextAnalysis.stats(documents(s, d).select("doc_id", "text"))
+        .select(col("doc_id"), col("quality_score"))
+      val qr = Ranking.globalRank(q, Seq(desc("quality_score"), asc("doc_id")))
+        .select(col("doc_id"), col("rank").as("r_quality"))
+      val wF = Window.partitionBy("term").orderBy(col("rrf").desc, col("doc_id"))
+      bm.join(qr, "doc_id")
+        .withColumn("rrf",
+          lit(1.0) / (lit(RrfK) + col("r_bm25")) +
+            lit(1.0) / (lit(RrfK) + col("r_quality")))
+        .withColumn("rnk", row_number().over(wF))
+        .where(col("rnk") <= TopK)
+        .select(col("term"), col("doc_id"), round(col("rrf"), 6).as("rrf"), col("rnk"))
+        .orderBy("term", "rnk")
+    },
+
     "bm25_query_topk" -> { (s, d) =>
       bm25(s, d)
         .groupBy("doc_id")
@@ -211,6 +240,25 @@ object Retrieval {
          |      AS INTEGER) AS rnk
          |  FROM scored)
          |SELECT term, doc_id, score, rnk FROM r WHERE rnk <= $TopK
+         |ORDER BY term, rnk""".stripMargin,
+
+    "retrieval_rrf" ->
+      s"""WITH $bm25Cte,
+         |br AS (SELECT term, doc_id,
+         |    row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS r_bm25
+         |  FROM scored),
+         |tok2 AS (SELECT doc_id, text, ${toksSql("text")} AS t FROM documents),
+         |qq AS (SELECT doc_id, ${TextAnalysis.qualitySql("t", "text")} AS qs FROM tok2),
+         |qr AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY qs DESC, doc_id) AS r_quality FROM qq),
+         |f AS (SELECT br.term, br.doc_id,
+         |    1.0 / ($RrfK + r_bm25) + 1.0 / ($RrfK + r_quality) AS rrf
+         |  FROM br JOIN qr ON br.doc_id = qr.doc_id),
+         |fr AS (SELECT term, doc_id, rrf,
+         |    CAST(row_number() OVER (PARTITION BY term ORDER BY rrf DESC, doc_id)
+         |      AS INTEGER) AS rnk
+         |  FROM f)
+         |SELECT term, doc_id, round(rrf, 6) AS rrf, rnk FROM fr WHERE rnk <= $TopK
          |ORDER BY term, rnk""".stripMargin,
 
     "bm25_query_topk" ->

@@ -67,6 +67,22 @@ class RetrievalSpec extends SparkSpecBase {
     }
   }
 
+  test("retrieval_rrf: per-term fused ranking is bounded, descending, consecutive") {
+    import graft.operators.Retrieval
+    val rows = q("retrieval_rrf").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    val bound = 2.0 / (Retrieval.RrfK + 1)
+    rows.foreach { case (_, _, rrf, _) => assert(rrf > 0.0 && rrf <= bound) }
+    rows.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to g.length))
+      assert(sorted.map(-_._3).toSeq == sorted.map(-_._3).sorted.toSeq,
+        "rrf must be non-increasing in rank")
+      assert(g.map(_._2).distinct.length == g.length, "one row per doc per term")
+    }
+  }
+
   test("dup_exact_spans: planted-overlap adversary corpus matches brute force") {
     val s2 = spark
     import s2.implicits._
