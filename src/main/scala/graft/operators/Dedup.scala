@@ -419,8 +419,83 @@ object Dedup {
     // banding, so results still hash-match.
     "dedup_embedding_cosine" -> { (s, d) =>
       embeddingCosineLsh(s, d).orderBy("vec_a", "vec_b")
+    },
+
+    // Segment-grain dedup WITH document reconstruction (the RefinedWeb /
+    // CCNet "remove duplicated paragraphs, keep the remainder" move —
+    // paragraph grain stands in as fixed 20-token segments on this flat
+    // fixture). A segment occurrence survives iff it is the FIRST
+    // occurrence of its content in global (doc_id, seg_idx) order; each
+    // doc is rebuilt from its surviving segments. Unlike doc-level dedup
+    // this salvages the unique remainder of partially-duplicated docs.
+    "dedup_segment_rewrite" -> { (s, d) => segmentRewrite(s, d) },
+
+    // Per-source segment-duplication profile over the same occurrence
+    // relation: which sources contribute the duplicated-segment mass.
+    "segment_dup_stats" -> { (s, d) =>
+      val occ = segmentOccurrences(documents(s, d).select("doc_id", "text"))
+      val first = occ.groupBy(col("k").as("fk"))
+        .agg(min(struct(col("doc_id"), col("seg_idx"))).as("w"))
+      occ.join(first, col("k") === col("fk"))
+        .withColumn("dropped",
+          struct(col("doc_id"), col("seg_idx")) =!= col("w"))
+        .join(documents(s, d).select("doc_id", "source"), Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_segs"),
+          sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"))
+        .withColumn("drop_rate",
+          col("n_dropped").cast("double") / col("n_segs"))
+        .orderBy("source")
     }
   )
+
+  /** Tokens-per-segment for the segment-grain dedup. */
+  val SegLen = 20
+
+  /** (doc_id, seg_idx, seg, k): one row per fixed-SegLen-token segment of
+    * each document (last segment may be shorter), k = md5 of the segment
+    * text. Explode-then-group shape, NOT a per-row array HOF: transform()
+    * lambdas run interpreted and CollapseProject would inline the split()
+    * into every segment slice (the trap measured in TextHash.shingleRows).
+    * One shuffle on (doc_id, seg_idx); the md5 keys — never segment text —
+    * are what downstream dup-detection shuffles.
+    */
+  def segmentOccurrences(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("seg_idx", floor(col("pos") / SegLen).cast("long"))
+      .groupBy("doc_id", "seg_idx")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("seg"))
+      .withColumn("k", md5(col("seg")))
+
+  /** First-occurrence-wins segment dedup + per-doc reconstruction: emits
+    * (doc_id, n_segs, n_kept, new_text). Dup decision shuffles only md5
+    * keys; reconstruction re-groups the (already doc_id-partitioned)
+    * survivors.
+    */
+  private def segmentRewrite(s: SparkSession, d: String): DataFrame =
+    segmentRewriteFor(documents(s, d).select("doc_id", "text"))
+
+  def segmentRewriteFor(docs: DataFrame): DataFrame = {
+    val occ = segmentOccurrences(docs).persist()
+    val first = occ.groupBy(col("k").as("fk"))
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("w"))
+    val kept = occ.join(first,
+      col("k") === col("fk") && struct(col("doc_id"), col("seg_idx")) === col("w"))
+    val rebuilt = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(
+        transform(array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+          x => x.getField("seg")), " ").as("new_text"))
+    occ.groupBy("doc_id").agg(count(lit(1)).as("n_segs"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("new_text"), lit("")).as("new_text"))
+      .orderBy("doc_id")
+  }
 
   /** LSH-bucketed cosine near-dup pairs (cos >= `CosThreshold`, 6-dp
     * rounded). The base scan+map subtree is consumed three times (band
@@ -616,6 +691,44 @@ object Dedup {
          | JOIN base b ON b.vec_id = kb.vec_id
          |WHERE round(${dotSql("a.e", "b.e", 64)} / (a.nrm * b.nrm), 6) >= $CosThreshold
          |ORDER BY vec_a, vec_b""".stripMargin
-    }
+    },
+
+    "dedup_segment_rewrite" ->
+      s"""$segSqlCte
+         |reb AS (SELECT doc_id, count(*) AS n_kept,
+         |          string_agg(seg, ' ' ORDER BY seg_idx) AS new_text
+         |        FROM num WHERE rn = 1 GROUP BY doc_id),
+         |tot AS (SELECT doc_id, count(*) AS n_segs FROM seg GROUP BY doc_id)
+         |SELECT t.doc_id, t.n_segs,
+         |  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+         |  coalesce(r.new_text, '') AS new_text
+         |FROM tot t LEFT JOIN reb r USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "segment_dup_stats" ->
+      s"""$segSqlCte
+         |x AS (SELECT * FROM num)
+         |SELECT d.source, count(*) AS n_segs,
+         |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+         |    AS drop_rate
+         |FROM x JOIN documents d USING (doc_id)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin
   )
+
+  /** Shared oracle CTE: fixed-SegLen-token segments of every document plus
+    * the global first-occurrence rank of each segment's content (rn = 1 is
+    * the keeper). Mirrors [[segmentOccurrences]] exactly: same tokenizer,
+    * 1-based DuckDB list slices over the 0-based segment index.
+    */
+  private def segSqlCte: String =
+    s"""WITH tok AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents),
+       |seg AS (SELECT doc_id, i AS seg_idx,
+       |          array_to_string(t[(i*$SegLen+1):(i*$SegLen+$SegLen)], ' ') AS seg
+       |        FROM tok,
+       |          LATERAL (SELECT unnest(range(CAST(ceil(len(t)/$SegLen.0) AS BIGINT))) AS i) r),
+       |num AS (SELECT doc_id, seg_idx, seg,
+       |          row_number() OVER (PARTITION BY md5(seg)
+       |                             ORDER BY doc_id, seg_idx) AS rn
+       |        FROM seg),""".stripMargin
 }

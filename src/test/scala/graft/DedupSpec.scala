@@ -218,4 +218,29 @@ class DedupSpec extends SparkSpecBase {
     assert(lsh.size >= brute.size * 0.9,
       s"overall recall too low: ${lsh.size}/${brute.size}")
   }
+
+  test("segment rewrite: planted-overlap adversary corpus") {
+    import spark.implicits._
+    // 20-token segments built from unique markers; seg(x) repeats marker x.
+    def seg(x: String): String = Seq.fill(Dedup.SegLen)(x).mkString(" ")
+    val docs = Seq(
+      (0L, seg("a0") + " " + seg("a1")), // baseline: both segments unique here
+      (1L, seg("a0") + " " + seg("b1")), // cross-doc dup of doc 0's first seg
+      (2L, seg("a0") + " " + seg("a1")), // full duplicate of doc 0
+      (3L, seg("c0") + " " + seg("c0")), // INTERNAL duplicate: seg1 == seg0
+      (4L, "short tail")                 // sub-SegLen doc: one partial segment
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentRewriteFor(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(0L) === ((2L, 2L, seg("a0") + " " + seg("a1"))))
+    assert(out(1L) === ((2L, 1L, seg("b1")))) // unique remainder salvaged
+    assert(out(2L) === ((2L, 0L, "")))        // full dup -> empty rewrite
+    assert(out(3L) === ((2L, 1L, seg("c0")))) // second internal copy dropped
+    assert(out(4L) === ((1L, 1L, "short tail")))
+    // conservation: kept occurrences == distinct segment contents
+    val occ = Dedup.segmentOccurrences(docs)
+    assert(out.values.map(_._2).sum === occ.select("k").distinct().count())
+    assert(out.values.map(_._1).sum === occ.count())
+  }
 }
