@@ -9,7 +9,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables._
-import graft.functions.{BloomFilterAgg, CountMinSketchAgg, HistQuantileAgg, HyperLogLogAgg}
+import graft.functions.{BloomFilterAgg, CountMinSketchAgg, HistQuantileAgg, HyperLogLogAgg, MisraGriesAgg}
 import TextHash.{toksSql, toks}
 
 /** Mergeable frequency sketching — Count-Min Sketch over the corpus token
@@ -356,8 +356,81 @@ object Sketches {
           .otherwise(0L)).as("n_false_pos"),
         sum(when(col("exact_member") && !col("bloom_positive"), 1L)
           .otherwise(0L)).as("n_false_neg"))
+    },
+
+    // Misra-Gries with k ≥ |domain| (64 ≥ the fixture's 31-token
+    // vocabulary): no decrement can ever fire, so the summary IS the exact
+    // histogram — the full-values oracle for the sketch's reduce + merge
+    // plumbing (32 shuffle partitions guarantee merges happened).
+    "mg_exact_histogram" -> { (s, d) =>
+      tokens(s, d).agg(mgWide(col("tok")).as("m"))
+        .select(explode(col("m")).as(Seq("tok", "cnt")))
+        .orderBy("tok")
+    },
+
+    // The no-false-negative guarantee through REAL decrements: k=6 over a
+    // 9-symbol Benford-skewed stream (leading digit of i²). Every item
+    // with exact count > N/(k+1) must be in the summary, so
+    // summary ∩ {exact > N/7} == plain threshold filter — which is what
+    // the oracle computes, with no reference to the (merge-order-
+    // dependent) summary at all. Output carries EXACT counts only; the
+    // estimates are order-dependent and stay out of hashed output.
+    "mg_guaranteed_hitters" -> { (s, _) =>
+      val st = benford(s)
+      val summary = st.agg(mgNarrow(col("item")).as("m"))
+        .select(explode(col("m")).as(Seq("item", "est")))
+      val exact = st.groupBy("item").agg(count(lit(1)).as("exact_cnt"))
+      val n = st.agg(count(lit(1)).as("n"))
+      exact.join(summary, Seq("item"))
+        .crossJoin(broadcast(n))
+        .where(col("exact_cnt").cast("double") > col("n").cast("double") / (MgK + 1))
+        .select(col("item"), col("exact_cnt"))
+        .orderBy("item")
+    },
+
+    // Order-invariant error-bound audit on the same stream: est ≤ exact
+    // for every item, and exact − est ≤ (N − S)/(k+1) with S = Σ stored
+    // counters (the Misra-Gries bound, preserved by the mergeable-
+    // summaries merge). All violation counts must be 0 under ANY
+    // reduce/merge order — which is why they can be oracled as constants.
+    "mg_bounds_check" -> { (s, _) =>
+      val st = benford(s)
+      val summary = st.agg(mgNarrow(col("item")).as("m"))
+        .select(explode(col("m")).as(Seq("item", "est")))
+      val ssum = summary.agg(sum("est").as("s_sum"),
+        count(lit(1)).as("n_counters"))
+      val exact = st.groupBy("item").agg(count(lit(1)).as("exact_cnt"))
+      val n = st.agg(count(lit(1)).as("n"))
+      exact.join(summary, Seq("item"), "left")
+        .na.fill(0L, Seq("est"))
+        .crossJoin(broadcast(n)).crossJoin(broadcast(ssum))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(when(col("est") > col("exact_cnt"), 1L).otherwise(0L))
+            .as("n_overestimates"),
+          sum(when((col("exact_cnt") - col("est")).cast("double") >
+            (col("n") - col("s_sum")).cast("double") / (MgK + 1), 1L)
+            .otherwise(0L)).as("n_bound_violations"),
+          bool_and(col("n_counters") <= MgK).as("size_within_k"))
     }
   )
+
+  /** Misra-Gries counter budgets: wide ≥ any realistic fixture vocabulary
+    * (exact mode), narrow < the Benford stream's 9 symbols (decrement
+    * mode).
+    */
+  private val MgK = 6
+  private val mgWide = F.udaf(new MisraGriesAgg(64), Encoders.STRING)
+  private val mgNarrow = F.udaf(new MisraGriesAgg(MgK), Encoders.STRING)
+
+  /** Deterministic Benford-skewed 9-symbol stream: the leading digit of i²
+    * for i in 1..20000 (digit 1 ≈ 30%, …, digit 9 ≈ 4%) — reproducible in
+    * both engines from range() with no data dependency, unlike the
+    * fixture's deliberately near-uniform categorical columns.
+    */
+  private def benford(s: SparkSession): DataFrame =
+    s.range(1, 20001)
+      .select(substring((col("id") * col("id")).cast("string"), 1, 1).as("item"))
 
   // -------------------------------------------------------------- oracles
 
@@ -576,6 +649,35 @@ object Sketches {
          |    AS BIGINT) AS n_false_pos,
          |  CAST(sum(CASE WHEN exact_member AND NOT bloom_positive THEN 1 ELSE 0 END)
          |    AS BIGINT) AS n_false_neg
-         |FROM gate""".stripMargin
+         |FROM gate""".stripMargin,
+
+    // k=64 ≥ |vocab|: the MG summary equals the exact histogram.
+    "mg_exact_histogram" ->
+      s"""WITH tok AS (SELECT unnest(${toksSql("text")}) AS tok FROM documents)
+         |SELECT tok, count(*) AS cnt FROM tok GROUP BY tok ORDER BY tok""".stripMargin,
+
+    // The guarantee makes the summary intersection equal to the plain
+    // threshold filter — the oracle never sees the summary.
+    "mg_guaranteed_hitters" ->
+      s"""$benfordSqlCte,
+         |e AS (SELECT item, count(*) AS exact_cnt FROM s GROUP BY item),
+         |n AS (SELECT count(*) AS n FROM s)
+         |SELECT item, exact_cnt FROM e, n
+         |WHERE CAST(exact_cnt AS DOUBLE) > CAST(n AS DOUBLE) / ${MgK + 1}
+         |ORDER BY item""".stripMargin,
+
+    // The bound violations are 0 under any merge order — constants.
+    "mg_bounds_check" ->
+      s"""$benfordSqlCte
+         |SELECT CAST(count(DISTINCT item) AS BIGINT) AS n_items,
+         |  CAST(0 AS BIGINT) AS n_overestimates,
+         |  CAST(0 AS BIGINT) AS n_bound_violations,
+         |  true AS size_within_k
+         |FROM s""".stripMargin
   )
+
+  /** Oracle CTE mirroring [[benford]]. */
+  private def benfordSqlCte: String =
+    """WITH s AS (SELECT substr(CAST(i*i AS VARCHAR), 1, 1) AS item
+      |           FROM (SELECT unnest(range(1, 20001)) AS i))""".stripMargin
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Encoders, functions => F}
 
-import graft.functions.{BloomFilterAgg, CountMinSketchAgg, HyperLogLogAgg}
+import graft.functions.{BloomFilterAgg, CountMinSketchAgg, HyperLogLogAgg, MisraGriesAgg}
 import graft.operators.Sketches
 
 class SketchesSpec extends SparkSpecBase {
@@ -142,5 +142,66 @@ class SketchesSpec extends SparkSpecBase {
     assert(stats.getLong(2) == gate.count(_.getBoolean(2)))
     assert(stats.getLong(3) == gate.count(r => r.getBoolean(2) && !r.getBoolean(1)))
     assert(stats.getLong(4) == 0L)
+  }
+
+  /** Sequential classic Misra-Gries — the single-partition reference. */
+  private def mgSequential(items: Seq[String], k: Int): Map[String, Long] =
+    items.foldLeft(Map.empty[String, Long])(new MisraGriesAgg(k).reduce)
+
+  private def benfordItems: Seq[String] =
+    (1L to 20000L).map(i => (i * i).toString.take(1))
+
+  test("misra-gries: single partition equals the sequential reference") {
+    import spark.implicits._
+    val mg = F.udaf(new MisraGriesAgg(6), Encoders.STRING)
+    val got = benfordItems.toDF("item").coalesce(1)
+      .agg(mg($"item")).head.getMap[String, Long](0).toMap
+    assert(got == mgSequential(benfordItems, 6))
+  }
+
+  test("misra-gries: k >= domain is exact and partition-independent") {
+    import spark.implicits._
+    val mg = F.udaf(new MisraGriesAgg(64), Encoders.STRING)
+    val exact = benfordItems.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    for (p <- Seq(1, 4, 32)) {
+      val got = benfordItems.toDF("item").repartition(p)
+        .agg(mg($"item")).head.getMap[String, Long](0).toMap
+      assert(got == exact, s"not exact at $p partitions")
+    }
+  }
+
+  test("misra-gries contract holds under every partitioning (decrement mode)") {
+    import spark.implicits._
+    val k = 6
+    val mg = F.udaf(new MisraGriesAgg(k), Encoders.STRING)
+    val exact = benfordItems.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val n = benfordItems.size.toLong
+    for (p <- Seq(1, 4, 16, 64)) {
+      val got = benfordItems.toDF("item").repartition(p)
+        .agg(mg($"item")).head.getMap[String, Long](0).toMap
+      assert(got.size <= k, s"summary exceeds k at $p partitions")
+      val s = got.values.sum
+      exact.foreach { case (t, c) =>
+        val est = got.getOrElse(t, 0L)
+        assert(est <= c, s"overestimate of $t at $p partitions")
+        assert(c - est <= (n - s).toDouble / (k + 1),
+          s"bound violated for $t at $p partitions: $c - $est > ${(n - s).toDouble / (k + 1)}")
+      }
+      // no-false-negative corollary: every item above N/(k+1) survives
+      exact.filter(_._2 > n.toDouble / (k + 1)).keys
+        .foreach(t => assert(got.contains(t), s"guaranteed hitter $t missing at $p partitions"))
+    }
+  }
+
+  test("misra-gries merge: over-full union subtracts the (k+1)-th largest") {
+    val agg = new MisraGriesAgg(2)
+    val merged = agg.merge(Map("a" -> 10L, "b" -> 4L), Map("b" -> 3L, "c" -> 5L))
+    // combined: a=10 b=7 c=5 -> subtract 3rd largest (5): a=5 b=2
+    assert(merged == Map("a" -> 5L, "b" -> 2L))
+    // ties at the cut all drop together; size stays <= k
+    val tied = agg.merge(Map("a" -> 5L, "b" -> 5L), Map("c" -> 5L, "d" -> 5L))
+    assert(tied.isEmpty)
   }
 }
