@@ -430,6 +430,28 @@ object Dedup {
     // this salvages the unique remainder of partially-duplicated docs.
     "dedup_segment_rewrite" -> { (s, d) => segmentRewrite(s, d) },
 
+    // BATCH face of the streaming near-dup ingestion gate
+    // (StreamingOps.nearDupIngest): a deterministic md5 split carves the
+    // corpus into a 90% reference slice and a 10% incoming batch; the
+    // reference MinHash signature index is built once and every incoming
+    // doc is checked against it through the same banded equi-join
+    // (minhashMatchesAgainst). Emits the per-doc admission decision. At
+    // scale the index is the precomputed artifact and the incoming batch
+    // is the small broadcast side — the delta-dedup shape for continuous
+    // corpus growth.
+    "dedup_delta_gate" -> { (s, d) =>
+      val docs = documents(s, d).select("doc_id", "text")
+      val k = h60(concat(lit(DeltaSalt), col("doc_id").cast("string"))) % 10
+      val incoming = docs.where(k === 0)
+      val corpus = docs.where(k =!= 0)
+      val dup = minhashMatchesAgainst(incoming, signatureIndex(corpus))
+      incoming.select("doc_id")
+        .join(dup.withColumn("m", lit(true)), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("m"), lit(false)).as("near_dup_of_corpus"))
+        .orderBy("doc_id")
+    },
+
     // Per-source segment-duplication profile over the same occurrence
     // relation: which sources contribute the duplicated-segment mass.
     "segment_dup_stats" -> { (s, d) =>
@@ -451,6 +473,9 @@ object Dedup {
 
   /** Tokens-per-segment for the segment-grain dedup. */
   val SegLen = 20
+
+  /** Salt for the deterministic corpus/incoming split of the delta gate. */
+  private val DeltaSalt = "delta:"
 
   /** (doc_id, seg_idx, seg, k): one row per fixed-SegLen-token segment of
     * each document (last segment may be shorter), k = md5 of the segment
@@ -545,34 +570,39 @@ object Dedup {
   /** CTE list (no WITH keyword) building `sig` from `src`, a relation with
     * (doc_id, text) — composable into larger WITH chains.
     */
-  private[operators] def sigCtes(src: String): String = {
+  private[operators] def sigCtes(src: String, sfx: String = ""): String = {
     val sigCols = (0 until NumHashes)
       .map(j => s"list_min(list_transform(h, v -> (v*${aCoef(j)}+${bCoef(j)}) % $P)) AS s$j")
       .mkString(", ")
-    s"""tok AS (SELECT doc_id, ${toksSql("text")} AS t FROM $src),
-       |sh AS (SELECT doc_id, ${shingles3Sql("t")} AS s FROM tok),
-       |hs AS (SELECT doc_id, list_transform(s, x -> ${h60Sql("x")} % $P) AS h FROM sh
+    s"""tok$sfx AS (SELECT doc_id, ${toksSql("text")} AS t FROM $src),
+       |sh$sfx AS (SELECT doc_id, ${shingles3Sql("t")} AS s FROM tok$sfx),
+       |hs$sfx AS (SELECT doc_id, list_transform(s, x -> ${h60Sql("x")} % $P) AS h FROM sh$sfx
        |       WHERE len(s) > 0),
-       |sig AS (SELECT doc_id, $sigCols FROM hs)""".stripMargin
+       |sig$sfx AS (SELECT doc_id, $sigCols FROM hs$sfx)""".stripMargin
   }
+
+  /** OR-of-bands equality between signature rows aliased a and b. */
+  private def bandEqSql: String =
+    (0 until Bands).map { b =>
+      "(" + (0 until Rows).map(r => s"a.s${b * Rows + r} = b.s${b * Rows + r}")
+        .mkString(" AND ") + ")"
+    }.mkString(" OR ")
+
+  /** Signature-agreement count between rows aliased a and b. */
+  private def sigAgreeSql: String =
+    (0 until NumHashes)
+      .map(j => s"CASE WHEN a.s$j = b.s$j THEN 1 ELSE 0 END").mkString(" + ")
 
   private[operators] def sigSqlCte: String = "WITH " + sigCtes("documents")
 
   /** SELECT producing (doc_a, doc_b, est_jaccard) pairs; requires
     * [[sigSqlCte]] in scope.
     */
-  private[operators] def minhashPairsSqlSelect: String = {
-    val bandEq = (0 until Bands).map { b =>
-      "(" + (0 until Rows).map(r => s"a.s${b * Rows + r} = b.s${b * Rows + r}")
-        .mkString(" AND ") + ")"
-    }.mkString(" OR ")
-    val est = (0 until NumHashes)
-      .map(j => s"CASE WHEN a.s$j = b.s$j THEN 1 ELSE 0 END").mkString(" + ")
+  private[operators] def minhashPairsSqlSelect: String =
     s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  CAST($est AS DOUBLE) / $NumHashes AS est_jaccard
-       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandEq)
-       |WHERE CAST($est AS DOUBLE) / $NumHashes >= 0.5""".stripMargin
-  }
+       |  CAST($sigAgreeSql AS DOUBLE) / $NumHashes AS est_jaccard
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandEqSql)
+       |WHERE CAST($sigAgreeSql AS DOUBLE) / $NumHashes >= 0.5""".stripMargin
 
   private def simhashSqlCte: String =
     s"""WITH tok AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents),
@@ -713,7 +743,22 @@ object Dedup {
          |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
          |    AS drop_rate
          |FROM x JOIN documents d USING (doc_id)
-         |GROUP BY d.source ORDER BY d.source""".stripMargin
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    "dedup_delta_gate" -> {
+      val splitK =
+        s"${h60Sql(s"'$DeltaSalt' || CAST(doc_id AS VARCHAR)")} % 10"
+      s"""WITH inc AS (SELECT doc_id, text FROM documents WHERE $splitK = 0),
+         |cor AS (SELECT doc_id, text FROM documents WHERE $splitK != 0),
+         |${sigCtes("inc", "_i")},
+         |${sigCtes("cor", "_r")},
+         |m AS (SELECT DISTINCT a.doc_id
+         |      FROM sig_i a JOIN sig_r b ON ($bandEqSql)
+         |      WHERE CAST($sigAgreeSql AS DOUBLE) / $NumHashes >= 0.5)
+         |SELECT i.doc_id, (m.doc_id IS NOT NULL) AS near_dup_of_corpus
+         |FROM inc i LEFT JOIN m ON i.doc_id = m.doc_id
+         |ORDER BY i.doc_id""".stripMargin
+    }
   )
 
   /** Shared oracle CTE: fixed-SegLen-token segments of every document plus

@@ -219,6 +219,29 @@ class DedupSpec extends SparkSpecBase {
       s"overall recall too low: ${lsh.size}/${brute.size}")
   }
 
+  test("dedup_delta_gate agrees with the full pair relation across the split") {
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def incomingSide(id: Long): Boolean = h60(s"delta:$id") % 10 == 0
+    val pairs = Dedup.queries("dedup_minhash_pairs")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // expected positives: incoming docs with a >=0.5-est partner on the
+    // corpus side (pairs within one side don't gate)
+    val expect = pairs.flatMap { case (a, b) =>
+      Seq(a -> b, b -> a).collect {
+        case (x, y) if incomingSide(x) && !incomingSide(y) => x
+      }
+    }.toSet
+    val gate = Dedup.queries("dedup_delta_gate")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(gate.nonEmpty)
+    assert(gate.keySet.forall(incomingSide), "gate emitted a corpus-side doc")
+    assert(gate.filter(_._2).keySet === expect)
+  }
+
   test("segment rewrite: planted-overlap adversary corpus") {
     import spark.implicits._
     // 20-token segments built from unique markers; seg(x) repeats marker x.
