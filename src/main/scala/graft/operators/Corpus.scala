@@ -647,8 +647,41 @@ object Corpus {
             x => x.cast("string"))).as("doc_ids"))
         .where(col("df") >= 2)
         .orderBy("sh")
+    },
+
+    // Token-BALANCED shard planner: where corpus_shuffle spreads docs by
+    // hash (balanced in COUNT, not cost), training shards should carry
+    // near-equal TOKEN totals so no data-parallel worker becomes the
+    // stragglers' shard. Serpentine (boustrophedon) assignment over the
+    // token-count rank — block b of S docs deals shard 0..S-1 on even
+    // blocks and S-1..0 on odd blocks, pairing heavy docs with light
+    // ones — gets within one max-doc-weight of perfect balance in ONE
+    // distributed pass (rank via Ranking.globalRank; the greedy LPT
+    // alternative is inherently sequential). The spec locks the balance
+    // bound; shard_balance_stats below measures it.
+    "shard_assign_balanced" -> { (s, d) => shardAssignBalanced(s, d) },
+
+    // Per-shard audit of the planner: doc counts and token totals.
+    "shard_balance_stats" -> { (s, d) =>
+      shardAssignBalanced(s, d)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tok_sum"))
+        .orderBy("shard")
     }
   )
+
+  private def shardAssignBalanced(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d)
+      .select(col("doc_id"), size(toks(col("text"))).cast("long").as("n_tok"))
+    val ranked = Ranking.globalRank(base, Seq(desc("n_tok"), asc("doc_id")))
+    val idx = (col("rank") - 1) % NumShards
+    ranked
+      .withColumn("shard",
+        when(pmod(floor((col("rank") - 1) / NumShards), lit(2)) === 0, idx)
+          .otherwise(lit(NumShards - 1) - idx).cast("int"))
+      .select("doc_id", "n_tok", "shard")
+      .orderBy("doc_id")
+  }
 
   // -------------------------------------------------------------- oracles
 
@@ -910,6 +943,32 @@ object Corpus {
          |SELECT sh, count(*) AS df,
          |  array_to_string(list_transform(list_sort(list(doc_id)),
          |    x -> CAST(x AS VARCHAR)), ',') AS doc_ids
-         |FROM s GROUP BY sh HAVING count(*) >= 2 ORDER BY sh""".stripMargin
+         |FROM s GROUP BY sh HAVING count(*) >= 2 ORDER BY sh""".stripMargin,
+
+    "shard_assign_balanced" ->
+      s"""WITH $shardBalCte
+         |SELECT doc_id, n_tok, shard FROM sh ORDER BY doc_id""".stripMargin,
+
+    "shard_balance_stats" ->
+      s"""WITH $shardBalCte
+         |SELECT shard, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS tok_sum
+         |FROM sh GROUP BY shard ORDER BY shard""".stripMargin
   )
+
+  /** Oracle CTE for the serpentine token-balanced shard assignment (the
+    * oracle may use a plain global window; the engine side rides
+    * Ranking.globalRank).
+    */
+  private def shardBalCte: String =
+    s"""base AS (SELECT doc_id,
+       |    CAST(len(${toksSql("text")}) AS BIGINT) AS n_tok FROM documents),
+       |rk AS (SELECT doc_id, n_tok,
+       |    row_number() OVER (ORDER BY n_tok DESC, doc_id) AS rank FROM base),
+       |sh AS (SELECT doc_id, n_tok,
+       |    CAST(CASE WHEN ((rank-1) // $NumShards) % 2 = 0
+       |         THEN (rank-1) % $NumShards
+       |         ELSE $NumShards - 1 - ((rank-1) % $NumShards) END AS INTEGER)
+       |      AS shard
+       |  FROM rk)""".stripMargin
 }

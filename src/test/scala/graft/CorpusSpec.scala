@@ -292,4 +292,25 @@ class CorpusSpec extends SparkSpecBase {
       assert((r.getInt(4) == 1) == (r.getString(2) != r.getString(3)))
     }
   }
+
+  test("shard_assign_balanced: exact partition with serpentine balance bound") {
+    val assign = Corpus.queries("shard_assign_balanced")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    // every doc assigned exactly once, to a real shard
+    assert(assign.length.toLong == nDocs)
+    assert(assign.map(_._1).distinct.length.toLong == nDocs)
+    val shards = assign.map(_._3)
+    assert(shards.forall(sh => sh >= 0 && sh < 8))
+    // doc counts within 1 of even (serpentine deals whole blocks)
+    val byShard = assign.groupBy(_._3)
+    val counts = byShard.view.mapValues(_.length).values
+    assert(counts.max - counts.min <= 1)
+    // token balance: serpentine on desc-sorted weights keeps the spread
+    // within the largest single document's weight
+    val sums = byShard.view.mapValues(_.map(_._2).sum).values
+    val maxDoc = assign.map(_._2).max
+    assert(sums.max - sums.min <= maxDoc,
+      s"spread ${sums.max - sums.min} exceeds max doc weight $maxDoc")
+  }
 }
