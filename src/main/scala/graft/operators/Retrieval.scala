@@ -46,6 +46,9 @@ object Retrieval {
     */
   private val QueryTerms = Seq("join", "vector", "scan", "filter")
   private val TopK = 10
+  /** Retrieval-eval list depth and binary-relevance tf threshold. */
+  private val EvalK = 100
+  private val RelTf = 3
   /** RRF dampening constant (the standard 60 from Cormack et al.). */
   val RrfK = 60
   /** Chunk window / stride in characters (stride < width -> overlap). */
@@ -149,6 +152,46 @@ object Retrieval {
           (col("s6").cast("double") / lit(1e6)).as("qscore"))
         .orderBy(col("qscore").desc, col("doc_id"))
         .limit(TopK)
+    },
+
+    // Rank-quality metrics for the BM25 rankings: per query term, MRR,
+    // precision@5 and average precision over the top-EvalK retrieved
+    // list, against deterministic binary relevance (tf >= RelTf — BM25's
+    // length normalization reorders raw tf, so the metrics are
+    // nontrivial). Truncating to the retrieved list first is both the
+    // standard IR protocol (metrics@k) and the scale guard: the
+    // truncation is a row_number-over-window filter (the GroupTopK
+    // whole-operator path), after which every window runs over ≤ EvalK
+    // rows per term. AP's precision contributions are summed as 6-dp
+    // scaled longs (exact, order-free) with one double division at the
+    // end — the same fixed-point discipline as bm25_query_topk.
+    "retrieval_eval" -> { (s, d) =>
+      val w = Window.partitionBy("term").orderBy(col("score").desc, col("doc_id"))
+      val ranked = bm25(s, d)
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= EvalK)
+        .withColumn("rel", col("tf") >= RelTf)
+      val cw = Window.partitionBy("term").orderBy("rnk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ranked
+        .withColumn("cum_rel",
+          sum(when(col("rel"), 1L).otherwise(0L)).over(cw))
+        .groupBy("term")
+        .agg(
+          count(lit(1)).as("n_ranked"),
+          sum(when(col("rel"), 1L).otherwise(0L)).as("n_rel"),
+          round(max(when(col("rel"), lit(1.0) / col("rnk")).otherwise(0.0)), 6)
+            .as("mrr"),
+          (sum(when(col("rel") && col("rnk") <= 5, 1L).otherwise(0L))
+            .cast("double") / 5).as("p_at_5"),
+          sum(when(col("rel"),
+            round(col("cum_rel").cast("double") / col("rnk") * 1e6).cast("long"))
+            .otherwise(0L)).as("ap6"))
+        .withColumn("avg_precision",
+          when(col("n_rel") === 0, lit(0.0))
+            .otherwise(col("ap6").cast("double") / 1e6 / col("n_rel")))
+        .drop("ap6")
+        .orderBy("term")
     },
 
     // Overlapping character windows (RAG chunking): width 120, stride 90.
@@ -268,6 +311,30 @@ object Retrieval {
          |  FROM scored GROUP BY doc_id)
          |SELECT doc_id, n_terms, CAST(s6 AS DOUBLE) / 1000000.0 AS qscore
          |FROM q ORDER BY qscore DESC, doc_id LIMIT $TopK""".stripMargin,
+
+    "retrieval_eval" ->
+      s"""WITH $bm25Cte,
+         |r AS (SELECT term, doc_id, tf, score,
+         |    row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS rnk
+         |  FROM scored),
+         |t AS (SELECT *, (tf >= $RelTf) AS rel FROM r WHERE rnk <= $EvalK),
+         |c AS (SELECT *, sum(CASE WHEN rel THEN 1 ELSE 0 END) OVER
+         |    (PARTITION BY term ORDER BY rnk ROWS UNBOUNDED PRECEDING) AS cum_rel
+         |  FROM t),
+         |a AS (SELECT term, count(*) AS n_ranked,
+         |    CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+         |    round(max(CASE WHEN rel THEN CAST(1 AS DOUBLE)/rnk ELSE 0.0 END), 6)
+         |      AS mrr,
+         |    CAST(sum(CASE WHEN rel AND rnk <= 5 THEN 1 ELSE 0 END) AS DOUBLE)/5
+         |      AS p_at_5,
+         |    CAST(sum(CASE WHEN rel THEN
+         |        CAST(round(CAST(cum_rel AS DOUBLE)/rnk*1000000.0) AS BIGINT)
+         |      ELSE 0 END) AS BIGINT) AS ap6
+         |  FROM c GROUP BY term)
+         |SELECT term, n_ranked, n_rel, mrr, p_at_5,
+         |  CASE WHEN n_rel = 0 THEN 0.0
+         |       ELSE CAST(ap6 AS DOUBLE)/1000000.0/n_rel END AS avg_precision
+         |FROM a ORDER BY term""".stripMargin,
 
     "chunk_overlap" ->
       s"""WITH $chunkCte

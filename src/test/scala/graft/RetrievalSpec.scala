@@ -160,4 +160,22 @@ class RetrievalSpec extends SparkSpecBase {
     val keys = top.map(r => (-r.getLong(2), -r.getLong(1), r.getString(0)))
     assert(keys.toSeq == keys.sortBy(identity).toSeq)
   }
+
+  test("retrieval_eval: metric ranges and relevance nontriviality") {
+    val rows = Retrieval.queries("retrieval_eval")(spark, sfDir).collect()
+    assert(rows.length == 4) // one per query term
+    rows.foreach { r =>
+      val (nRanked, nRel) = (r.getLong(1), r.getLong(2))
+      val (mrr, p5, ap) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(nRel <= nRanked)
+      assert(mrr >= 0.0 && mrr <= 1.0)
+      assert(p5 >= 0.0 && p5 <= 1.0)
+      assert(ap >= 0.0 && ap <= 1.0)
+      // if anything is relevant the first relevant doc gives mrr > 0
+      if (nRel > 0) assert(mrr > 0.0 && ap > 0.0)
+      // nontriviality: relevance must not equal the retrieved set, or
+      // every metric saturates at 1 and the oracle proves nothing
+      assert(nRel < nRanked, "tf threshold made every retrieved doc relevant")
+    }
+  }
 }
