@@ -784,8 +784,61 @@ object Similarity {
             acc + abs(xi(i) - (mn(i) + (code(i).cast("double") + 0.5) *
               (scale(i) / 255.0)))), 6).as("recon_err"))
         .orderBy("vec_id")
+    },
+
+    // Per-dimension z-score standardization — the preconditioning step
+    // before k-means / LSH when dimensions have uneven spread (a
+    // high-variance dimension otherwise dominates every distance). One
+    // map-side-combined aggregate produces the 64-row (dim, mean, std)
+    // relation, broadcast back onto the corpus; the corpus is scanned
+    // twice but shuffled never. Moments are EXACT: values quantize to
+    // 1e-9 longs, sums of squares accumulate in DECIMAL(38,0) integer
+    // arithmetic (order-free), and doubles appear only in the final
+    // per-dim division — so the z-scores hash-match the oracle.
+    "emb_standardize_stats" -> { (s, d) =>
+      standardizeStats(s, d)
+        .select(col("dim"), round(col("mean"), 6).as("mean"),
+          round(col("std"), 6).as("std"))
+        .orderBy("dim")
+    },
+
+    "emb_standardize" -> { (s, d) =>
+      embDims9(s, d)
+        .join(broadcast(standardizeStats(s, d)), "dim")
+        .withColumn("z6",
+          round((col("x9").cast("double") / lit(1e9) - col("mean"))
+            / col("std") * lit(1e6)).cast("long"))
+        .groupBy("vec_id")
+        .agg(concat_ws(",",
+          transform(array_sort(collect_list(struct(col("dim"), col("z6")))),
+            t => t.getField("z6").cast("string"))).as("z"))
+        .orderBy("vec_id")
     }
   )
+
+  /** (vec_id, dim [1-based], x9): embedding values quantized to 1e-9
+    * scaled longs — the exact-integer domain the standardization moments
+    * accumulate in.
+    */
+  private def embDims9(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("vec_id"), posexplode(toDouble(col("embedding"))).as(Seq("dim0", "v")))
+      .select(col("vec_id"), (col("dim0") + 1).cast("long").as("dim"),
+        round(col("v") * lit(1e9)).cast("long").as("x9"))
+
+  /** (dim, mean, std) with population std; exact integer moments, one
+    * double division sequence at the end (identical in the oracle).
+    */
+  private def standardizeStats(s: SparkSession, d: String): DataFrame = {
+    val mean = col("s9").cast("double") / lit(1e9) / col("n").cast("double")
+    val ex2 = col("ssq").cast("double") / lit(1e18) / col("n").cast("double")
+    embDims9(s, d)
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum("x9").as("s9"),
+        sum(col("x9").cast("decimal(38,0)") * col("x9")).as("ssq"))
+      .select(col("dim"), mean.as("mean"),
+        sqrt(ex2 - mean * mean).as("std"))
+  }
 
   private def baseSqlCte: String =
     s"""WITH base AS (SELECT vec_id, embedding AS e,
@@ -1184,6 +1237,36 @@ object Similarity {
          |    abs($xi - (mns[i] + (CAST($codeI AS DOUBLE) + 0.5)
          |      * ($scaleI / 255.0))))), 6) AS recon_err
          |FROM embeddings CROSS JOIN sa ORDER BY vec_id""".stripMargin
-    }
+    },
+
+    "emb_standardize_stats" ->
+      s"""$standardizeSqlCte
+         |SELECT dim, round(mean, 6) AS mean, round(std, 6) AS std
+         |FROM ms ORDER BY dim""".stripMargin,
+
+    "emb_standardize" ->
+      s"""$standardizeSqlCte
+         |SELECT vec_id, string_agg(CAST(
+         |    CAST(round((CAST(x9 AS DOUBLE)/1e9 - mean)/std*1e6) AS BIGINT)
+         |    AS VARCHAR), ',' ORDER BY dim) AS z
+         |FROM d JOIN ms USING (dim)
+         |GROUP BY vec_id ORDER BY vec_id""".stripMargin
   )
+
+  /** CTEs mirroring [[embDims9]] + [[standardizeStats]]: 1e-9-quantized
+    * values, HUGEINT square sums (the DECIMAL(38,0) analog), identical
+    * final double division order.
+    */
+  private def standardizeSqlCte: String = {
+    val meanSql = "CAST(s9 AS DOUBLE)/1e9/CAST(n AS DOUBLE)"
+    s"""WITH d AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+       |    CAST(round(CAST(unnest(embedding) AS DOUBLE)*1e9) AS BIGINT) AS x9
+       |  FROM embeddings),
+       |st AS (SELECT dim, count(*) AS n, sum(x9) AS s9,
+       |    sum(CAST(x9 AS HUGEINT)*x9) AS ssq FROM d GROUP BY dim),
+       |ms AS (SELECT dim, $meanSql AS mean,
+       |    sqrt(CAST(ssq AS DOUBLE)/1e18/CAST(n AS DOUBLE)
+       |         - ($meanSql) * ($meanSql)) AS std
+       |  FROM st)""".stripMargin
+  }
 }

@@ -339,4 +339,23 @@ class SimilaritySpec extends SparkSpecBase {
       .foreach { case (id, c) => assert(c == id, "singleton must self-label") }
     Graft.releaseCaches(spark)
   }
+
+  test("emb_standardize: z-scores re-center and re-scale every dimension") {
+    val z = Similarity.queries("emb_standardize")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(",").map(_.toLong))
+    val dims = z.head._2.length
+    assert(dims == 64 && z.forall(_._2.length == dims))
+    // per-dim moments of the z6-scaled scores: mean ~ 0, std ~ 1e6
+    // (tolerances cover the 1e-6 output quantization over 500 rows)
+    (0 until dims).foreach { j =>
+      val col = z.map(_._2(j).toDouble)
+      val m = col.sum / col.length
+      val sd = math.sqrt(col.map(v => (v - m) * (v - m)).sum / col.length)
+      assert(math.abs(m) < 50.0, s"dim $j mean off: $m")
+      assert(math.abs(sd - 1e6) < 1e3, s"dim $j std off: $sd")
+    }
+    val stats = Similarity.queries("emb_standardize_stats")(spark, sfDir).collect()
+    assert(stats.length == dims)
+    stats.foreach(r => assert(r.getDouble(2) > 0.0, "zero std dimension"))
+  }
 }
