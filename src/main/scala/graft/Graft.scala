@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.call_function
 
-import graft.functions.{DamerauLevenshteinDist, DotProductD, JaroWinklerSim, RegExpExtractRef}
+import graft.functions.{DamerauLevenshteinDist, DotProductD, JaroWinklerSim, NfcNormalize, RegExpExtractRef, StripAccents}
 
 /** Session-level wiring: registers graft's custom Catalyst expressions into
   * the session's function registry so they resolve in both SQL and the
@@ -28,6 +28,14 @@ object Graft {
     reg.createOrReplaceTempFunction(
       "graft_damerau",
       exprs => DamerauLevenshteinDist(exprs(0), exprs(1)),
+      "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_nfc",
+      exprs => NfcNormalize(exprs(0)),
+      "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_strip_accents",
+      exprs => StripAccents(exprs(0)),
       "scala_udf")
     // Optimizer rules + planner strategy. The supported injection point is
     // SparkSessionExtensions (builder path: .withExtensions(new

@@ -372,8 +372,54 @@ object TextAnalysis {
           round(sum(col("nll").cast(DecimalType(18, 6))).cast("double") /
             count(lit(1)).cast("double"), 6).as("mean_nll"))
         .orderBy("doc_id")
+    },
+
+    // Unicode canonicalization over a planted multilingual fixture (the
+    // parquet corpus is ASCII, so the unicode behavior needs its own
+    // VALUES table, like the regexp edge-case queries): NFC composition,
+    // accent stripping, and the case-folded normalization KEY a
+    // multilingual dedup would hash — composed 'Café', decomposed
+    // 'Café' and 'CAFÉ' all land on 'cafe', while Ł keeps its stroke
+    // (the bar is part of the letter, not a combining mark — matching
+    // DuckDB's utf8proc semantics exactly).
+    "text_normalize_values" -> { (s, _) =>
+      graft.Graft.init(s)
+      normFixture(s).select(col("id"),
+        call_function("graft_nfc", col("s")).as("nfc"),
+        call_function("graft_strip_accents", col("s")).as("stripped"),
+        lower(call_function("graft_strip_accents", col("s"))).as("norm_key"))
+        .orderBy("id")
+    },
+
+    // The dedup composition: exact dedup keyed on the normalization key.
+    "dedup_normalized" -> { (s, _) =>
+      graft.Graft.init(s)
+      normFixture(s)
+        .groupBy(lower(call_function("graft_strip_accents", col("s")))
+          .as("norm_key"))
+        .agg(count(lit(1)).as("n_variants"), min(col("id")).as("keep_id"))
+        .orderBy("norm_key")
     }
   )
+
+  /** Inline unicode fixture: composed/decomposed/case/accent variants,
+    * written as \\u escapes so the source encoding can never silently
+    * re-compose them; the oracle builds the SAME code points via chr().
+    */
+  private def normFixture(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (1L, "Caf\u00e9"),                    // composed e-acute
+      (2L, "Cafe\u0301"),                   // decomposed e + combining acute
+      (3L, "CAF\u00c9"),                    // uppercase composed
+      (4L, "na\u00efve"), (5L, "NAIVE"),
+      (6L, "stra\u00dfe"),                  // sharp-s survives accent-strip
+      (7L, "\u00f8re"),                     // o-stroke is not an accent
+      (8L, "\u0104\u0106\u0118\u0141"),  // A-C-E-ogonek/acute + L-stroke
+      (9L, "a\u0328c\u0301e\u0328"),      // decomposed a/c/e + marks
+      (10L, "cafe")
+    ).toDF("id", "s")
+  }
 
   val oracles: Map[String, String] = Map(
     "text_stats" -> {
@@ -533,6 +579,35 @@ object TextAnalysis {
          |SELECT doc_id, count(*) AS n_bi,
          |  round(CAST(sum(CAST(nll AS DECIMAL(18,6))) AS DOUBLE)
          |    / CAST(count(*) AS DOUBLE), 6) AS mean_nll
-         |FROM ev GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |FROM ev GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_normalize_values" ->
+      s"""WITH $normValuesSqlCte
+         |SELECT CAST(id AS BIGINT) AS id, nfc_normalize(s) AS nfc,
+         |  strip_accents(s) AS stripped,
+         |  lower(strip_accents(s)) AS norm_key
+         |FROM v ORDER BY id""".stripMargin,
+
+    "dedup_normalized" ->
+      s"""WITH $normValuesSqlCte
+         |SELECT lower(strip_accents(s)) AS norm_key, count(*) AS n_variants,
+         |  CAST(min(id) AS BIGINT) AS keep_id
+         |FROM v GROUP BY 1 ORDER BY norm_key""".stripMargin
   )
+
+  /** Oracle VALUES mirroring [[normFixture]] — combining marks built via
+    * chr() so the SQL string carries no raw combining code points.
+    */
+  private def normValuesSqlCte: String =
+    """v(id, s) AS (VALUES
+      |  (1, 'Caf' || chr(233)),
+      |  (2, 'Cafe' || chr(769)),
+      |  (3, 'CAF' || chr(201)),
+      |  (4, 'na' || chr(239) || 've'),
+      |  (5, 'NAIVE'),
+      |  (6, 'stra' || chr(223) || 'e'),
+      |  (7, chr(248) || 're'),
+      |  (8, chr(260) || chr(262) || chr(280) || chr(321)),
+      |  (9, 'a' || chr(808) || 'c' || chr(769) || 'e' || chr(808)),
+      |  (10, 'cafe'))""".stripMargin
 }

@@ -202,4 +202,25 @@ class TextAnalysisSpec extends SparkSpecBase {
       }
     }
   }
+  test("unicode normalization kernels: NFC, accent strip, idempotence, nulls") {
+    import graft.functions.UnicodeNormKernels._
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    // NFC composes the decomposed acute; composed input passes through
+    assert(nfc(u("Cafe\u0301")).toString == "Caf\u00e9")
+    assert(nfc(u("Caf\u00e9")).toString == "Caf\u00e9")
+    // accent strip: marks drop, letter modifications stay
+    assert(stripAccents(u("Caf\u00e9")).toString == "Cafe")
+    assert(stripAccents(u("\u0104\u0106\u0118\u0141")).toString == "ACE\u0141")
+    assert(stripAccents(u("\u00f8re stra\u00dfe")).toString == "\u00f8re stra\u00dfe")
+    // idempotence
+    val twice = nfc(nfc(u("a\u0328c\u0301")))
+    assert(twice == nfc(u("a\u0328c\u0301")))
+    // expression path incl. null propagation + SQL registration
+    Graft.init(spark)
+    val r = spark.sql(
+      "SELECT graft_nfc(s), graft_strip_accents(s) FROM VALUES " +
+        "('Cafe\u0301'), (CAST(NULL AS STRING)) AS t(s)").collect()
+    assert(r(0).getString(0) == "Caf\u00e9" && r(0).getString(1) == "Cafe")
+    assert(r(1).isNullAt(0) && r(1).isNullAt(1))
+  }
 }
