@@ -358,6 +358,46 @@ object Sketches {
           .otherwise(0L)).as("n_false_neg"))
     },
 
+    // Sketches compose with groupBy: one HLL per source (constant-size
+    // state per group — the grouped distinct-count that never shuffles
+    // per-group token sets), with two oracled contracts: each source's
+    // estimate lands within 20% of its exact distinct count, and the
+    // element-wise-max merge of the per-source sketches is bit-identical
+    // to the sketch of the whole corpus (the mergeability theorem the
+    // incremental/partitioned use case rests on — union sketches per
+    // shard, merge later, lose nothing). n_zero is emitted as a
+    // hash-checked VALUE so the oracle grounds more than booleans.
+    "hll_by_source_check" -> { (s, d) =>
+      val tokSrc = documents(s, d)
+        .select(col("source"), explode(toks(col("text"))).as("tok"))
+      val cells = tokSrc.groupBy("source").agg(hll(col("tok")).as("regs"))
+        .select(col("source"), posexplode(col("regs")).as(Seq("idx", "reg")))
+        .persist()
+      val stats = cells.groupBy("source").agg(
+        sum(when(col("reg") === 0, 1L).otherwise(0L)).as("n_zero"),
+        sum(pow(lit(2.0), -col("reg").cast("double"))).as("s"))
+      val exact = tokSrc.groupBy("source")
+        .agg(count_distinct(col("tok")).as("exact_distinct"))
+      val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(HllM.toDouble))
+      val raw = alpha * lit(HllM.toDouble) * lit(HllM.toDouble) / col("s")
+      val est = when(raw <= lit(2.5 * HllM) && col("n_zero") > 0,
+        lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("n_zero").cast("double")))
+        .otherwise(raw)
+      val merged = cells.groupBy("idx").agg(max("reg").as("mreg"))
+      val global = hllRegs(s, d)
+        .select(posexplode(col("regs")).as(Seq("gidx", "greg")))
+      val same = merged.join(global, col("idx") === col("gidx"), "full")
+        .agg(sum(when(coalesce(col("mreg"), lit(-1)) =!=
+          coalesce(col("greg"), lit(-2)), 1L).otherwise(0L)).as("n_diff"))
+        .select((col("n_diff") === 0).as("merge_identical"))
+      stats.join(exact, "source").crossJoin(broadcast(same))
+        .select(col("source"), col("exact_distinct"), col("n_zero"),
+          (est / col("exact_distinct").cast("double")).between(0.8, 1.25)
+            .as("within_20pct"),
+          col("merge_identical"))
+        .orderBy("source")
+    },
+
     // Misra-Gries with k ≥ |domain| (64 ≥ the fixture's 31-token
     // vocabulary): no decrement can ever fire, so the summary IS the exact
     // histogram — the full-values oracle for the sketch's reduce + merge
@@ -651,6 +691,28 @@ object Sketches {
          |    AS BIGINT) AS n_false_neg
          |FROM gate""".stripMargin,
 
+    // Grouped HLL: per-source registers via the same slot SQL, grouped;
+    // s folds the zero registers in closed form ((M - populated) * 2^0)
+    // instead of expanding all M rows per group. merge_identical is a
+    // theorem for max-merge, so the oracle states it as a constant.
+    "hll_by_source_check" ->
+      s"""WITH $hllGroupedCtes,
+         |st_g AS (SELECT source,
+         |    CAST($HllM - count(*) AS BIGINT) AS n_zero,
+         |    CAST($HllM - count(*) AS DOUBLE)
+         |      + sum(power(2.0, -CAST(reg AS DOUBLE))) AS s
+         |  FROM hreg_g GROUP BY source),
+         |ex_g AS (SELECT source, count(DISTINCT t) AS exact_distinct
+         |  FROM tok_g GROUP BY source)
+         |SELECT source, exact_distinct, n_zero,
+         |  (CASE WHEN (0.7213/(1.0 + 1.079/$HllM.0))*$HllM.0*$HllM.0/s <= ${2.5 * HllM}
+         |            AND n_zero > 0
+         |        THEN $HllM.0 * ln($HllM.0 / CAST(n_zero AS DOUBLE))
+         |        ELSE (0.7213/(1.0 + 1.079/$HllM.0))*$HllM.0*$HllM.0/s END
+         |   / CAST(exact_distinct AS DOUBLE)) BETWEEN 0.8 AND 1.25 AS within_20pct,
+         |  true AS merge_identical
+         |FROM st_g JOIN ex_g USING (source) ORDER BY source""".stripMargin,
+
     // k=64 ≥ |vocab|: the MG summary equals the exact histogram.
     "mg_exact_histogram" ->
       s"""WITH tok AS (SELECT unnest(${toksSql("text")}) AS tok FROM documents)
@@ -675,6 +737,26 @@ object Sketches {
          |  true AS size_within_k
          |FROM s""".stripMargin
   )
+
+  /** Grouped variant of the HLL register CTEs: source carried through the
+    * slot computation, registers per (source, idx).
+    */
+  private def hllGroupedCtes: String =
+    s"""tok_g AS (SELECT source, unnest(${toksSql("text")}) AS t FROM documents),
+       |hslot_g AS (SELECT source,
+       |    CAST(('0x' || substr(md5(t), 1, 2)) AS BIGINT) AS idx,
+       |    substr(md5(t), 3, 15) AS sub
+       |  FROM tok_g),
+       |hrank_g AS (SELECT source, idx,
+       |    CASE WHEN z = 15 THEN 61 ELSE 4*z +
+       |      CASE WHEN d = '1' THEN 3 WHEN d IN ('2','3') THEN 2
+       |           WHEN d IN ('4','5','6','7') THEN 1 ELSE 0 END + 1 END AS rank
+       |  FROM (SELECT source, idx,
+       |          CAST(length(regexp_extract(sub, '^0*')) AS INTEGER) AS z,
+       |          substr(sub, CAST(length(regexp_extract(sub, '^0*')) + 1 AS INTEGER), 1) AS d
+       |        FROM hslot_g)),
+       |hreg_g AS (SELECT source, idx, max(rank) AS reg
+       |  FROM hrank_g GROUP BY source, idx)""".stripMargin
 
   /** Oracle CTE mirroring [[benford]]. */
   private def benfordSqlCte: String =

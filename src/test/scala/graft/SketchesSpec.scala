@@ -144,6 +144,17 @@ class SketchesSpec extends SparkSpecBase {
     assert(stats.getLong(4) == 0L)
   }
 
+  test("hll_by_source_check: grouped estimates in range, merge equals global") {
+    val rows = Sketches.queries("hll_by_source_check")(spark, sfDir).collect()
+    Graft.releaseCaches(spark)
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)                 // exact distinct
+      assert(r.getBoolean(3), s"estimate out of range for ${r.getString(0)}")
+      assert(r.getBoolean(4), "per-source merge != global sketch")
+    }
+  }
+
   /** Sequential classic Misra-Gries — the single-partition reference. */
   private def mgSequential(items: Seq[String], k: Int): Map[String, Long] =
     items.foldLeft(Map.empty[String, Long])(new MisraGriesAgg(k).reduce)
