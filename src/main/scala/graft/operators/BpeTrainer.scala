@@ -193,6 +193,31 @@ object BpeTrainer {
           round(col("n_chars").cast("double") / col("n_subwords").cast("double"), 6)
             .as("chars_per_subword"))
         .orderBy("doc_id")
+    },
+
+    // Tokenizer fertility audit — the standard tokenizer quality probe:
+    // subwords-per-word (fertility; 1.0 = every word is one token) and
+    // chars-per-subword (compression) per source. High-fertility sources
+    // are where a vocabulary underfits — the signal that decides vocab
+    // size / retraining before a 100 TB encode run. Same broadcast-segs
+    // join as bpe_doc_tokens, rolled up to the (bounded) source grain.
+    "bpe_fertility" -> { (s, d) =>
+      val segs = train(s, d)._2
+        .select(col("word"), size(split(col("sym"), Sep)).as("n_syms"))
+      documents(s, d)
+        .select(col("source"), explode(toks(col("text"))).as("word"))
+        .where(length(col("word")) > 0)
+        .join(broadcast(segs), "word")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_words"),
+          sum("n_syms").as("n_subwords"),
+          sum(length(col("word"))).as("n_chars"))
+        .select(col("source"), col("n_words"), col("n_subwords"),
+          round(col("n_subwords").cast("double") / col("n_words").cast("double"), 6)
+            .as("fertility"),
+          round(col("n_chars").cast("double") / col("n_subwords").cast("double"), 6)
+            .as("chars_per_subword"))
+        .orderBy("source")
     }
   )
 
@@ -256,6 +281,22 @@ object BpeTrainer {
          |  CAST(sum(n_syms) AS BIGINT) AS n_subwords,
          |  round(CAST(sum(len(word)) AS DOUBLE) / CAST(sum(n_syms) AS DOUBLE), 6)
          |    AS chars_per_subword
-         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "bpe_fertility" ->
+      s"""WITH $trainCtes,
+         |segs AS (SELECT word,
+         |    CAST(len(string_split(sym, chr(31))) AS INTEGER) AS n_syms
+         |  FROM w$Merges),
+         |dw AS (SELECT source, unnest(${toksSql("text")}) AS word FROM documents),
+         |j AS (SELECT source, dw.word, n_syms FROM dw
+         |  JOIN segs ON dw.word = segs.word WHERE len(dw.word) > 0)
+         |SELECT source, count(*) AS n_words,
+         |  CAST(sum(n_syms) AS BIGINT) AS n_subwords,
+         |  round(CAST(sum(n_syms) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         |    AS fertility,
+         |  round(CAST(sum(len(word)) AS DOUBLE) / CAST(sum(n_syms) AS DOUBLE), 6)
+         |    AS chars_per_subword
+         |FROM j GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -95,4 +95,20 @@ class BpeSpec extends SparkSpecBase {
       .where(col("text").contains(BpeTrainer.Sep)).count()
     assert(n == 0L, "U+001F appears in the fixture corpus — Sep must change")
   }
+
+  test("bpe_fertility: bounds and conservation against bpe_doc_tokens") {
+    val bySrc = BpeTrainer.queries("bpe_fertility")(spark, sfDir).collect()
+    Graft.releaseCaches(spark)
+    assert(bySrc.nonEmpty)
+    bySrc.foreach { r =>
+      // a word splits into >= 1 subwords; a subword has >= 1 chars
+      assert(r.getDouble(3) >= 1.0, s"fertility < 1 for ${r.getString(0)}")
+      assert(r.getDouble(4) >= 1.0, s"chars/subword < 1 for ${r.getString(0)}")
+    }
+    val byDoc = BpeTrainer.queries("bpe_doc_tokens")(spark, sfDir).collect()
+    Graft.releaseCaches(spark)
+    // conservation: per-source word/subword totals == per-doc totals
+    assert(bySrc.map(_.getLong(1)).sum == byDoc.map(_.getLong(1)).sum)
+    assert(bySrc.map(_.getLong(2)).sum == byDoc.map(_.getLong(2)).sum)
+  }
 }
