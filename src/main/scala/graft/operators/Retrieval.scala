@@ -194,6 +194,42 @@ object Retrieval {
         .orderBy("term")
     },
 
+    // Phrase search through a POSITIONAL inverted index: occurrences of
+    // the corpus' most frequent 3-token phrase, found by joining the
+    // three words' posting lists on (doc_id, adjacent positions) — the
+    // classic phrase-query plan. No LIKE/regex scan of document text:
+    // the corpus tokenizes once into (doc_id, pos, tok) and everything
+    // after is equi-joins, with the first word's (filtered, small)
+    // posting list as the probe side. The phrase itself is picked
+    // deterministically (max shingle count, lexicographic tie-break), so
+    // the query is self-contained and non-vacuous at any scale.
+    "phrase_search" -> { (s, d) =>
+      val docs = documents(s, d).select("doc_id", "text")
+      val pos = docs
+        .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "tok")))
+        .persist()
+      val top = TextHash.shingleRows(docs)
+        .groupBy("sh").agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), asc("sh")).limit(1)
+        .select(split(col("sh"), " ").as("w"))
+        .select(element_at(col("w"), 1).as("w1"),
+          element_at(col("w"), 2).as("w2"), element_at(col("w"), 3).as("w3"))
+      val first = pos.crossJoin(broadcast(top))
+        .where(col("tok") === col("w1")).as("a")
+      first
+        .join(pos.as("b"),
+          col("b.doc_id") === col("a.doc_id") &&
+            col("b.pos") === col("a.pos") + 1 && col("b.tok") === col("a.w2"))
+        .join(pos.as("c3"),
+          col("c3.doc_id") === col("a.doc_id") &&
+            col("c3.pos") === col("a.pos") + 2 && col("c3.tok") === col("a.w3"))
+        .groupBy(col("a.doc_id").as("doc_id"),
+          concat_ws(" ", col("a.w1"), col("a.w2"), col("a.w3")).as("phrase"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          min(col("a.pos")).cast("long").as("first_pos"))
+        .orderBy("doc_id")
+    },
+
     // Overlapping character windows (RAG chunking): width 120, stride 90.
     "chunk_overlap" -> { (s, d) =>
       chunks(s, d)
@@ -335,6 +371,24 @@ object Retrieval {
          |  CASE WHEN n_rel = 0 THEN 0.0
          |       ELSE CAST(ap6 AS DOUBLE)/1000000.0/n_rel END AS avg_precision
          |FROM a ORDER BY term""".stripMargin,
+
+    "phrase_search" ->
+      s"""WITH tok AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents),
+         |tp AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok
+         |  FROM tok, LATERAL (SELECT unnest(range(1, len(t)+1)) AS i) r),
+         |shc AS (SELECT unnest(${TextHash.shingles3Sql("t")}) AS sh FROM tok),
+         |cnt AS (SELECT sh, count(*) AS c FROM shc GROUP BY sh),
+         |top AS (SELECT string_split_regex(sh, ' ') AS w
+         |  FROM cnt ORDER BY c DESC, sh LIMIT 1),
+         |ws AS (SELECT w[1] AS w1, w[2] AS w2, w[3] AS w3 FROM top),
+         |m AS (SELECT a.doc_id, a.pos, w1 || ' ' || w2 || ' ' || w3 AS phrase
+         |  FROM tp a JOIN tp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |  JOIN tp c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+         |  CROSS JOIN ws
+         |  WHERE a.tok = w1 AND b.tok = w2 AND c.tok = w3)
+         |SELECT doc_id, phrase, count(*) AS n_occurrences,
+         |  CAST(min(pos) AS BIGINT) AS first_pos
+         |FROM m GROUP BY doc_id, phrase ORDER BY doc_id""".stripMargin,
 
     "chunk_overlap" ->
       s"""WITH $chunkCte

@@ -82,7 +82,13 @@ object Substring {
     * substring-grain contamination gate, stateless given the gram set, so
     * a stream can apply it per micro-batch unchanged.
     */
-  def exactContamination(docs: DataFrame, benchGrams: DataFrame): DataFrame = {
+  /** Maximal contaminated character islands of `docs` against the frozen
+    * gram set: (doc_id, s, e) half-open 1-based char ranges [s, e) covered
+    * by benchmark-shared ExactLen-grams, chain-merged so islands are
+    * disjoint with ≥ 1 clean char between them. The shared core of the
+    * coverage gate and the decontamination rewrite.
+    */
+  def contamIslands(docs: DataFrame, benchGrams: DataFrame): DataFrame = {
     val L = ExactLen
     val wPrev = Window.partitionBy("doc_id").orderBy("i")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -93,11 +99,55 @@ object Substring {
           .otherwise(0L))
       .withColumn("isle", sum("brk").over(wRun))
       .groupBy("doc_id", "isle")
-      .agg((max(col("i") + L) - min(col("i"))).cast("long").as("span_len"))
+      .agg(min(col("i")).cast("long").as("s"),
+        max(col("i") + L).cast("long").as("e"))
+      .select("doc_id", "s", "e")
+  }
+
+  def exactContamination(docs: DataFrame, benchGrams: DataFrame): DataFrame =
+    contamIslands(docs, benchGrams)
+      .select(col("doc_id"), (col("e") - col("s")).as("span_len"))
       .groupBy("doc_id")
       .agg(sum("span_len").as("contam_chars"), count(lit(1)).as("n_spans"),
         max("span_len").as("max_span"))
       .withColumn("contaminated", col("contam_chars") >= ContamMinChars)
+
+  /** Decontamination REWRITE: every probe doc with its benchmark-
+    * contaminated islands REMOVED and the clean gaps re-joined — the
+    * salvage counterpart of the coverage gate (drop the leaked spans,
+    * keep the document). Gap pieces are computed relationally (lag over
+    * each doc's few islands — partitions bounded by spans-per-doc, not
+    * corpus size) and re-concatenated in order; uncontaminated docs pass
+    * through untouched.
+    */
+  def decontaminate(docs: DataFrame, benchGrams: DataFrame): DataFrame = {
+    val ranges = contamIslands(docs, benchGrams)
+    val wd = Window.partitionBy("doc_id").orderBy("s")
+    val gaps = ranges
+      .withColumn("pstart", coalesce(lag("e", 1).over(wd), lit(1L)))
+      .join(docs, "doc_id")
+      .select(col("doc_id"),
+        col("text").substr(col("pstart").cast("int"),
+          (col("s") - col("pstart")).cast("int")).as("piece"),
+        col("s"))
+    val tails = ranges.groupBy("doc_id").agg(max("e").as("tstart"))
+      .join(docs, "doc_id")
+      .select(col("doc_id"),
+        col("text").substr(col("tstart").cast("int"),
+          greatest(length(col("text")) - col("tstart").cast("int") + 1, lit(0))
+            .cast("int")).as("piece"),
+        (length(col("text")) + 1).cast("long").as("s"))
+    val rebuilt = gaps.unionByName(tails)
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("s"), col("piece")))),
+          x => x.getField("piece")), "").as("clean_text"))
+    docs.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), col("text")).as("clean_text"),
+        (length(col("text")) -
+          length(coalesce(col("clean_text"), col("text")))).cast("long")
+          .as("removed_chars"))
   }
 
   /** (doc_id, s, span, h): sampled character windows + 60-bit hash.
@@ -174,6 +224,17 @@ object Substring {
       val docs = documents(s, d).select("doc_id", "text")
       val bg = benchmarkGrams(docs.where(col("doc_id") % Corpus.BenchMod === 0))
       exactContamination(docs.where(col("doc_id") % Corpus.BenchMod =!= 0), bg)
+        .orderBy("doc_id")
+    },
+
+    // Decontamination REWRITE over the same split: probe docs with their
+    // benchmark-leaked islands cut out and the clean remainder re-joined.
+    // Where the coverage gate DROPS a contaminated doc, the rewrite
+    // salvages everything outside the leaked spans.
+    "contam_rewrite" -> { (s, d) =>
+      val docs = documents(s, d).select("doc_id", "text")
+      val bg = benchmarkGrams(docs.where(col("doc_id") % Corpus.BenchMod === 0))
+      decontaminate(docs.where(col("doc_id") % Corpus.BenchMod =!= 0), bg)
         .orderBy("doc_id")
     },
 
@@ -264,21 +325,7 @@ object Substring {
          |FROM sp2 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "contam_exact_coverage" ->
-      s"""WITH g AS (SELECT doc_id,
-         |    unnest(generate_series(1, length(text) - ${ExactLen - 1})) AS i, text
-         |  FROM documents WHERE length(text) >= $ExactLen),
-         |gr AS (SELECT doc_id, i,
-         |    substr(text, CAST(i AS INTEGER), $ExactLen) AS h FROM g),
-         |bg AS (SELECT DISTINCT h FROM gr WHERE doc_id % ${Corpus.BenchMod} = 0),
-         |ds AS (SELECT gr.doc_id, gr.i FROM gr JOIN bg USING (h)
-         |  WHERE gr.doc_id % ${Corpus.BenchMod} <> 0),
-         |isl AS (SELECT doc_id, i,
-         |    CASE WHEN i > coalesce(max(i + $ExactLen) OVER (PARTITION BY doc_id
-         |        ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-         |      THEN 1 ELSE 0 END AS brk
-         |  FROM ds),
-         |i2 AS (SELECT doc_id, i,
-         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS isle FROM isl),
+      s"""WITH $contamIslandSqlCtes,
          |sp2 AS (SELECT doc_id, isle,
          |    CAST(max(i + $ExactLen) - min(i) AS BIGINT) AS span_len
          |  FROM i2 GROUP BY doc_id, isle)
@@ -286,6 +333,32 @@ object Substring {
          |  count(*) AS n_spans, max(span_len) AS max_span,
          |  (CAST(sum(span_len) AS BIGINT) >= $ContamMinChars) AS contaminated
          |FROM sp2 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "contam_rewrite" ->
+      s"""WITH $contamIslandSqlCtes,
+         |rng AS (SELECT doc_id, CAST(min(i) AS BIGINT) AS s,
+         |    CAST(max(i + $ExactLen) AS BIGINT) AS e
+         |  FROM i2 GROUP BY doc_id, isle),
+         |gp AS (SELECT doc_id, s,
+         |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1) AS pstart
+         |  FROM rng),
+         |pieces AS (SELECT d.doc_id,
+         |    substr(d.text, CAST(pstart AS INTEGER), CAST(s - pstart AS INTEGER))
+         |      AS piece, s
+         |  FROM gp JOIN documents d USING (doc_id)),
+         |tl AS (SELECT doc_id, max(e) AS tstart FROM rng GROUP BY doc_id),
+         |tp AS (SELECT d.doc_id, substr(d.text, CAST(tstart AS INTEGER)) AS piece,
+         |    CAST(length(d.text) + 1 AS BIGINT) AS s
+         |  FROM tl JOIN documents d USING (doc_id)),
+         |allp AS (SELECT * FROM pieces UNION ALL SELECT * FROM tp),
+         |reb AS (SELECT doc_id, string_agg(piece, '' ORDER BY s) AS clean_text
+         |  FROM allp GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(reb.clean_text, d.text) AS clean_text,
+         |  CAST(length(d.text) - length(coalesce(reb.clean_text, d.text)) AS BIGINT)
+         |    AS removed_chars
+         |FROM documents d LEFT JOIN reb USING (doc_id)
+         |WHERE d.doc_id % ${Corpus.BenchMod} <> 0
+         |ORDER BY d.doc_id""".stripMargin,
 
     "dup_span_pairs" ->
       s"""WITH g AS (SELECT doc_id,
@@ -309,4 +382,25 @@ object Substring {
          |SELECT span, n_docs, n_occ FROM g
          |ORDER BY n_occ DESC, n_docs DESC, span LIMIT $TopSpans""".stripMargin
   )
+
+  /** Shared oracle CTEs: probe-side covered positions chain-merged into
+    * contamination islands (i2 carries the island id per covered
+    * position) — mirrors [[contamIslands]].
+    */
+  private def contamIslandSqlCtes: String =
+    s"""g AS (SELECT doc_id,
+       |    unnest(generate_series(1, length(text) - ${ExactLen - 1})) AS i, text
+       |  FROM documents WHERE length(text) >= $ExactLen),
+       |gr AS (SELECT doc_id, i,
+       |    substr(text, CAST(i AS INTEGER), $ExactLen) AS h FROM g),
+       |bg AS (SELECT DISTINCT h FROM gr WHERE doc_id % ${Corpus.BenchMod} = 0),
+       |ds AS (SELECT gr.doc_id, gr.i FROM gr JOIN bg USING (h)
+       |  WHERE gr.doc_id % ${Corpus.BenchMod} <> 0),
+       |isl AS (SELECT doc_id, i,
+       |    CASE WHEN i > coalesce(max(i + $ExactLen) OVER (PARTITION BY doc_id
+       |        ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |      THEN 1 ELSE 0 END AS brk
+       |  FROM ds),
+       |i2 AS (SELECT doc_id, i,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS isle FROM isl)""".stripMargin
 }

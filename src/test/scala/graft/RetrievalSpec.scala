@@ -161,6 +161,46 @@ class RetrievalSpec extends SparkSpecBase {
     assert(keys.toSeq == keys.sortBy(identity).toSeq)
   }
 
+  test("phrase_search agrees with a sequential sliding-window count") {
+    val phrase = Retrieval.queries("phrase_search")(spark, sfDir).collect()
+    Graft.releaseCaches(spark)
+    assert(phrase.nonEmpty)
+    val words = phrase.head.getString(1).split(" ")
+    assert(words.length == 3)
+    // brute-force reference: count 3-gram occurrences of the phrase
+    val expect = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val t = r.getString(1).toLowerCase.split("\\s+")
+        val hits = t.sliding(3).zipWithIndex
+          .filter(_._1.toSeq == words.toSeq).map(_._2).toSeq
+        r.getLong(0) -> hits
+      }
+      .filter(_._2.nonEmpty).toMap
+    val got = phrase.map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (id, (n, first)) =>
+      assert(n == expect(id).size && first == expect(id).min)
+    }
+  }
+
+  test("decontaminate removes exactly the planted benchmark span") {
+    import spark.implicits._
+    import graft.operators.Substring
+    val leak = "0123456789abcdefghijklmnopqrs" // 29 chars >= ExactLen
+    val docs = Seq(
+      (1L, s"XXXX${leak}YYYY" + "z" * 20),  // leak mid-doc
+      (2L, "clean text only " + "w" * 30),  // untouched
+      (3L, leak + " tail stays here......") // leak at doc start
+    ).toDF("doc_id", "text")
+    val bg = Substring.benchmarkGrams(Seq((99L, leak)).toDF("doc_id", "text"))
+    val out = Substring.decontaminate(docs, bg).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == (("XXXX" + "YYYY" + "z" * 20, 29L)))
+    assert(out(2L) == (("clean text only " + "w" * 30, 0L)))
+    assert(out(3L) == ((" tail stays here......", 29L)))
+  }
+
   test("retrieval_eval: metric ranges and relevance nontriviality") {
     val rows = Retrieval.queries("retrieval_eval")(spark, sfDir).collect()
     assert(rows.length == 4) // one per query term
