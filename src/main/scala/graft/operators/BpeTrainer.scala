@@ -155,6 +155,74 @@ object BpeTrainer {
           .as("chars_per_subword"))
   }
 
+  /** Greedy longest-match segmentation of the corpus vocabulary against
+    * the trained piece inventory (alphabet ∪ merge outputs) — the OTHER
+    * standard subword inference algorithm (WordPiece/BERT-style longest
+    * prefix first), run against the same artifact the merge-replay encoder
+    * uses, so the two can be audited against each other.
+    *
+    * Returns (word, cnt, pos, idx, piece). Scale shape: segmentation runs
+    * on the DISTINCT-WORD vocabulary, never the corpus; the best-piece
+    * table is (word-chars × distinct-piece-lengths)-sized with the tiny
+    * piece inventory broadcast; the walk advances every word one piece per
+    * round (≤ max word length rounds of vocab-sized state, localCheckpoint
+    * per round like every iterative kernel). Greedy always advances:
+    * every character of every corpus word is itself a piece (the alphabet
+    * comes from the same word relation), so best-piece exists at every
+    * position.
+    */
+  def greedySegments(s: SparkSession, d: String): DataFrame = {
+    val (merges, words) = train(s, d)
+    greedySegmentsFrom(s, merges, words)
+  }
+
+  /** [[greedySegments]] on an already-trained (merges, words) pair — lets
+    * the audit query train once and feed both inference paths.
+    */
+  def greedySegmentsFrom(s: SparkSession, merges: DataFrame,
+                         words: DataFrame): DataFrame = {
+    val wl = words.select(col("word"), col("cnt"), length(col("word")).as("len"))
+    val alpha = wl
+      .select(explode(transform(sequence(lit(1), col("len")),
+        i => substring(col("word"), i, lit(1)))).as("p"))
+      .distinct()
+    val pieces = alpha
+      .union(merges.where(length(col("merged")) > 0).select(col("merged").as("p")))
+      .distinct()
+    val lens = pieces.select(length(col("p")).as("l")).distinct()
+    // best[word, pos] = longest piece matching at pos — one equi-join on
+    // the candidate substring; recomputed NEVER (checkpointed: it feeds
+    // every walk round, and its lineage contains the whole training run)
+    val best = wl
+      .select(col("word"), col("len"), explode(sequence(lit(1), col("len"))).as("pos"))
+      .join(broadcast(lens), col("pos") + col("l") - 1 <= col("len"))
+      .select(col("word"), col("pos"), col("l"),
+        col("word").substr(col("pos"), col("l")).as("c"))
+      .join(broadcast(pieces), col("c") === col("p"))
+      .groupBy("word", "pos").agg(max("l").as("bl"))
+      .localCheckpoint()
+    var active = wl
+      .select(col("word"), col("cnt"), col("len"), lit(1).as("pos"), lit(0).as("idx"))
+      .localCheckpoint()
+    var out = Seq.empty[DataFrame]
+    while (!active.isEmpty) {
+      val step = active.join(best, Seq("word", "pos"))
+        .select(col("word"), col("cnt"), col("len"), col("pos"), col("idx"),
+          col("word").substr(col("pos"), col("bl")).as("piece"), col("bl"))
+        .localCheckpoint()
+      out :+= step.select("word", "cnt", "pos", "idx", "piece")
+      active = step
+        .select(col("word"), col("cnt"), col("len"),
+          (col("pos") + col("bl")).as("pos"), (col("idx") + 1).as("idx"))
+        .where(col("pos") <= col("len"))
+        .localCheckpoint()
+    }
+    // empty-corpus degenerate: no walk rounds ran — empty frame, right schema
+    out.reduceOption(_.unionByName(_)).getOrElse(
+      s.range(0).select(lit("").as("word"), lit(0L).as("cnt"),
+        lit(0).as("pos"), lit(0).as("idx"), lit("").as("piece")))
+  }
+
   // -------------------------------------------------------------- queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -193,6 +261,49 @@ object BpeTrainer {
           round(col("n_chars").cast("double") / col("n_subwords").cast("double"), 6)
             .as("chars_per_subword"))
         .orderBy("doc_id")
+    },
+
+    // Greedy longest-match (WordPiece/BERT-style) encoding of the corpus
+    // vocabulary against the SAME trained piece inventory the merge-replay
+    // encoder uses — per word: piece count + the segmentation itself.
+    "wp_greedy_encoding" -> { (s, d) =>
+      greedySegments(s, d)
+        .groupBy("word")
+        .agg(first("cnt").as("cnt"), count(lit(1)).as("n_pieces"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("idx"), col("piece")))),
+            t => t.getField("piece")), "|").as("segments"))
+        .orderBy("word")
+    },
+
+    // The two inference algorithms audited against each other on the same
+    // vocabulary: corpus-weighted fertility of greedy longest-match vs
+    // merge-replay, plus how often they produce the IDENTICAL
+    // segmentation. Greedy can only ever use fewer-or-equal pieces per
+    // word than merge order allows when its longest-prefix choice lines
+    // up; the audit measures the divergence a deployment would see from
+    // swapping inference code paths. All ratios from exact long sums.
+    "wp_vs_bpe_fertility" -> { (s, d) =>
+      val (merges, words) = train(s, d) // ONE training run feeds both paths
+      val wp = greedySegmentsFrom(s, merges, words)
+        .groupBy("word")
+        .agg(first("cnt").as("cnt"), count(lit(1)).as("wp_n"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("idx"), col("piece")))),
+            t => t.getField("piece")), "|").as("wp_seg"))
+      val bpe = words
+        .select(col("word"), size(split(col("sym"), Sep)).as("bpe_n"),
+          regexp_replace(col("sym"), Sep, "|").as("bpe_seg"))
+      wp.join(bpe, "word")
+        .agg(count(lit(1)).as("n_words"),
+          round(sum(col("cnt") * col("wp_n")).cast("double") /
+            sum(col("cnt")).cast("double"), 6).as("wp_fertility"),
+          round(sum(col("cnt") * col("bpe_n")).cast("double") /
+            sum(col("cnt")).cast("double"), 6).as("bpe_fertility"),
+          sum(when(col("wp_seg") === col("bpe_seg"), 1L).otherwise(0L))
+            .as("n_identical"))
+        .withColumn("agree_frac",
+          round(col("n_identical").cast("double") / col("n_words").cast("double"), 6))
     },
 
     // Tokenizer fertility audit — the standard tokenizer quality probe:
@@ -254,7 +365,64 @@ object BpeTrainer {
     sb.toString
   }
 
+  /** CTE list mirroring [[greedySegmentsFrom]]: piece inventory from the
+    * unrolled training (alphabet ∪ b1..bN merge outputs), the best-piece
+    * table, and the greedy walk as a RECURSIVE CTE (the oracle's stand-in
+    * for the bounded walk loop; `segs` = (word, cnt, idx, piece)). Callers
+    * must open the chain with WITH RECURSIVE.
+    */
+  private def greedyCtes: String = {
+    val mg = (1 to Merges).map(r => s"SELECT a || b AS p FROM b$r")
+      .mkString(" UNION ALL ")
+    s"""mg AS ($mg),
+       |alpha AS (SELECT DISTINCT substr(word, CAST(i AS INTEGER), 1) AS p
+       |  FROM (SELECT word, unnest(range(1, len(word) + 1)) AS i FROM wc)),
+       |pieces AS (SELECT p FROM alpha UNION SELECT p FROM mg WHERE len(p) > 0),
+       |lens AS (SELECT DISTINCT len(p) AS l FROM pieces),
+       |wpos AS (SELECT word, unnest(range(1, len(word) + 1)) AS pos FROM wc),
+       |cand AS (SELECT wpos.word, pos, l,
+       |    substr(wpos.word, CAST(pos AS INTEGER), CAST(l AS INTEGER)) AS c
+       |  FROM wpos CROSS JOIN lens WHERE pos + l - 1 <= len(wpos.word)),
+       |best AS (SELECT word, pos, max(l) AS bl
+       |  FROM cand JOIN pieces ON cand.c = pieces.p GROUP BY word, pos),
+       |walk(word, cnt, pos, idx) AS (
+       |  SELECT word, cnt, CAST(1 AS BIGINT), CAST(0 AS BIGINT) FROM wc
+       |  UNION ALL
+       |  SELECT w.word, w.cnt, w.pos + b.bl, w.idx + 1
+       |  FROM walk w JOIN best b ON w.word = b.word AND w.pos = b.pos),
+       |segs AS (SELECT w.word, w.cnt, w.idx,
+       |    substr(w.word, CAST(w.pos AS INTEGER), CAST(b.bl AS INTEGER)) AS piece
+       |  FROM walk w JOIN best b ON w.word = b.word AND w.pos = b.pos)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "wp_greedy_encoding" ->
+      s"""WITH RECURSIVE $trainCtes,
+         |$greedyCtes
+         |SELECT word, CAST(any_value(cnt) AS BIGINT) AS cnt,
+         |  count(*) AS n_pieces,
+         |  string_agg(piece, '|' ORDER BY idx) AS segments
+         |FROM segs GROUP BY word ORDER BY word""".stripMargin,
+
+    "wp_vs_bpe_fertility" ->
+      s"""WITH RECURSIVE $trainCtes,
+         |$greedyCtes,
+         |wp AS (SELECT word, any_value(cnt) AS cnt, count(*) AS wp_n,
+         |    string_agg(piece, '|' ORDER BY idx) AS wp_seg
+         |  FROM segs GROUP BY word),
+         |bpe AS (SELECT word,
+         |    CAST(len(string_split(sym, chr(31))) AS INTEGER) AS bpe_n,
+         |    replace(sym, chr(31), '|') AS bpe_seg FROM w$Merges)
+         |SELECT count(*) AS n_words,
+         |  round(CAST(sum(cnt * wp_n) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6)
+         |    AS wp_fertility,
+         |  round(CAST(sum(cnt * bpe_n) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6)
+         |    AS bpe_fertility,
+         |  CAST(sum(CASE WHEN wp_seg = bpe_seg THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_identical,
+         |  round(CAST(sum(CASE WHEN wp_seg = bpe_seg THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS agree_frac
+         |FROM wp JOIN bpe USING (word)""".stripMargin,
     "bpe_merges" -> {
       val rows = (1 to Merges).map(r =>
         s"SELECT $r AS round, a, b, a || b AS merged, total AS support FROM b$r")

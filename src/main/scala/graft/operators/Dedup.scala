@@ -468,6 +468,30 @@ object Dedup {
         .withColumn("drop_rate",
           col("n_dropped").cast("double") / col("n_segs"))
         .orderBy("source")
+    },
+
+    // Candidate-quality audit of the MinHash-LSH kernel: its est-Jaccard
+    // >= 0.5 pairs scored against exact ground truth at the SAME threshold
+    // (the lossless inverted-index Jaccard join). Reports candidate/truth/
+    // true-positive counts plus precision and recall in one row — the
+    // measurement that justifies (or indicts) the sketch parameters
+    // (NumHashes/Bands/Rows) before a 100 TB run trusts them. Both sides
+    // are existing banded/blocked kernels — the audit adds only a
+    // pair-keyed full-outer join of two small pair relations.
+    "minhash_recall_audit" -> { (s, d) =>
+      val docs = documents(s, d).select("doc_id", "text")
+      val cand = minhashPairsFor(docs)
+        .select(col("doc_a"), col("doc_b"), lit(1).as("c"))
+      val truth = ngramJaccardPairs(docs, 0.5, dfCap = None)
+        .select(col("doc_a"), col("doc_b"), lit(1).as("t"))
+      cand.join(truth, Seq("doc_a", "doc_b"), "full_outer")
+        .agg(count(col("c")).as("n_candidates"),
+          count(col("t")).as("n_truth"),
+          sum(when(col("c").isNotNull && col("t").isNotNull, 1L)
+            .otherwise(0L)).as("n_tp"))
+        .select(col("n_candidates"), col("n_truth"), col("n_tp"),
+          round(col("n_tp").cast("double") / col("n_candidates"), 6).as("precision"),
+          round(col("n_tp").cast("double") / col("n_truth"), 6).as("recall"))
     }
   )
 
@@ -758,7 +782,33 @@ object Dedup {
          |SELECT i.doc_id, (m.doc_id IS NOT NULL) AS near_dup_of_corpus
          |FROM inc i LEFT JOIN m ON i.doc_id = m.doc_id
          |ORDER BY i.doc_id""".stripMargin
-    }
+    },
+
+    "minhash_recall_audit" ->
+      s"""$sigSqlCte,
+         |mh AS ($minhashPairsSqlSelect),
+         |e2 AS (SELECT doc_id,
+         |    unnest(list_distinct(list_transform(${shingles3Sql("t")},
+         |      x -> ${h60Sql("x")}))) AS g
+         |  FROM tok),
+         |n2 AS (SELECT doc_id, count(*) AS nsh FROM e2 GROUP BY doc_id),
+         |p2 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |      FROM e2 a JOIN e2 b ON a.g = b.g AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2),
+         |tr AS (SELECT doc_a, doc_b
+         |  FROM p2 JOIN n2 x ON doc_a = x.doc_id JOIN n2 y ON doc_b = y.doc_id
+         |  WHERE CAST(inter AS DOUBLE) / (x.nsh + y.nsh - inter) >= 0.5),
+         |j AS (SELECT (mh.doc_a IS NOT NULL) AS c, (tr.doc_a IS NOT NULL) AS t
+         |  FROM mh FULL OUTER JOIN tr
+         |    ON mh.doc_a = tr.doc_a AND mh.doc_b = tr.doc_b)
+         |SELECT CAST(sum(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+         |  CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+         |  CAST(sum(CASE WHEN c AND t THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+         |  round(CAST(sum(CASE WHEN c AND t THEN 1 ELSE 0 END) AS DOUBLE) /
+         |    sum(CASE WHEN c THEN 1 ELSE 0 END), 6) AS precision,
+         |  round(CAST(sum(CASE WHEN c AND t THEN 1 ELSE 0 END) AS DOUBLE) /
+         |    sum(CASE WHEN t THEN 1 ELSE 0 END), 6) AS recall
+         |FROM j""".stripMargin
   )
 
   /** Shared oracle CTE: fixed-SegLen-token segments of every document plus

@@ -56,8 +56,48 @@ object Drift {
         .select(round(contrib * Fix).cast("long").as("cc"))
         .agg(count(lit(1)).as("n_cells"),
           round(sum(col("cc")).cast("double") / Fix, 6).as("chi2"))
-    }
+    },
+
+    // Embedding-space drift between label groups: linear-kernel MMD², which
+    // for the linear kernel reduces to ‖μ_a − μ_b‖² — the squared distance
+    // between group mean embeddings. The question this answers at 100 TB:
+    // "did the embedding distribution of slice A move away from slice B"
+    // without any pairwise kernel sums (the full Gram-matrix MMD is O(n²);
+    // the linear reduction is two map-side mean aggregates). Scale shape:
+    // one posexplode groupBy collapses the corpus to a (label × 64)-sized
+    // stats relation; the pair join runs on that tiny frame (broadcast).
+    // Means come from exact 1e-9-quantized integer sums; the 64 per-dim
+    // contributions sum in fixed point (double addition is partition-
+    // order-dependent; long addition is associative).
+    "emb_drift_mmd" -> { (s, d) => mmdPairs(embeddings(s, d)) }
   )
+
+  /** (label_a, label_b, mmd2) for every label pair of a (label, embedding)
+    * relation — the [[queries]] emb_drift_mmd kernel, factored for the
+    * planted-fixture spec (identical groups ⇒ 0; a translated group ⇒ the
+    * exact squared shift).
+    */
+  def mmdPairs(emb: DataFrame): DataFrame = {
+    val st = emb
+      .select(col("label"),
+        posexplode(TextHash.toDouble(col("embedding"))).as(Seq("dim0", "v")))
+      .select(col("label"), (col("dim0") + 1).as("dim"),
+        round(col("v") * lit(1e9)).cast("long").as("x9"))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"), sum("x9").as("s9"))
+      .select(col("label"), col("dim"),
+        (col("s9").cast("double") / lit(1e9) / col("n").cast("double")).as("m"))
+    val a = st.select(col("label").as("label_a"), col("dim"), col("m").as("ma"))
+    val b = st.select(col("label").as("label_b"), col("dim"), col("m").as("mb"))
+    a.join(broadcast(b), Seq("dim"))
+      .where(col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"),
+        round((col("ma") - col("mb")) * (col("ma") - col("mb")) * Fix)
+          .cast("long").as("c9"))
+      .groupBy("label_a", "label_b")
+      .agg(round(sum(col("c9")).cast("double") / Fix, 6).as("mmd2"))
+      .orderBy("label_a", "label_b")
+  }
 
   /** KL/entropy finisher over any (source, tok, c) count relation — shared
     * verbatim by the batch query and the streaming drift monitor
@@ -130,6 +170,19 @@ object Drift {
         |    / (CAST(rt AS DOUBLE)*CAST(ct AS DOUBLE)/CAST(n AS DOUBLE)) * 1e9)
         |    AS BIGINT) AS cc FROM j)
         |SELECT count(*) AS n_cells, round(CAST(sum(cc) AS DOUBLE)/1e9, 6) AS chi2
-        |FROM t""".stripMargin
+        |FROM t""".stripMargin,
+
+    "emb_drift_mmd" ->
+      """WITH dmd AS (SELECT label, generate_subscripts(embedding, 1) AS dim,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE)*1e9) AS BIGINT) AS x9
+        |  FROM embeddings),
+        |st AS (SELECT label, CAST(dim AS INTEGER) AS dim,
+        |    CAST(sum(x9) AS DOUBLE)/1e9/CAST(count(*) AS DOUBLE) AS m
+        |  FROM dmd GROUP BY 1, 2),
+        |p AS (SELECT a.label AS label_a, b.label AS label_b,
+        |    CAST(round((a.m - b.m)*(a.m - b.m)*1e9) AS BIGINT) AS c9
+        |  FROM st a JOIN st b ON a.dim = b.dim AND a.label < b.label)
+        |SELECT label_a, label_b, round(CAST(sum(c9) AS DOUBLE)/1e9, 6) AS mmd2
+        |FROM p GROUP BY 1, 2 ORDER BY label_a, label_b""".stripMargin
   )
 }

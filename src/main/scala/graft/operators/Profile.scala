@@ -64,8 +64,47 @@ object Profile {
     // fact side streams through map-side; only the per-fk counts move.
     // All-zero orphan counts are the PASSING audit, not a vacuous result —
     // the spec plants an orphan to prove the probe detects one.
-    "fk_orphans" -> { (s, d) => fkOrphans(s, d) }
+    "fk_orphans" -> { (s, d) => fkOrphans(s, d) },
+
+    // k-anonymity audit (Sweeney 2002) over the events table: quasi-
+    // identifier = (event_type, event day, value decade). Every
+    // equivalence class with its size and its sensitive-attribute
+    // diversity (distinct user_ids — the l in l-diversity); classes
+    // smaller than k are re-identification risks a release pipeline must
+    // suppress or generalize. ONE groupBy on the QI tuple — the class
+    // relation is bounded by the QI domain product, not the row count.
+    "kanon_classes" -> { (s, d) =>
+      kanonClasses(events(s, d))
+        .orderBy("event_type", "day", "vb")
+    },
+
+    // One-row release-risk summary: class counts, rows in small classes,
+    // the at-risk fraction, and the worst sensitive-diversity among the
+    // classes that DO meet k (l-diversity can fail even where k holds).
+    // Aggregates the class relation — nothing row-sized moves twice.
+    "kanon_risk" -> { (s, d) =>
+      val cls = kanonClasses(events(s, d))
+      cls.agg(
+        count(lit(1)).as("n_classes"),
+        sum(when(col("n") < KAnonK, 1L).otherwise(0L)).as("n_small_classes"),
+        sum(when(col("n") < KAnonK, col("n")).otherwise(0L)).as("n_rows_at_risk"),
+        round(sum(when(col("n") < KAnonK, col("n")).otherwise(0L)).cast("double") /
+          sum(col("n")).cast("double"), 6).as("risk_frac"),
+        min(when(col("n") >= KAnonK, col("l_div"))).as("min_l_div_at_k"))
+    }
   )
+
+  /** k threshold for the k-anonymity audit. */
+  val KAnonK = 5
+
+  /** Equivalence classes of the (event_type, day, value-decade) quasi-
+    * identifier with size and user_id diversity.
+    */
+  def kanonClasses(ev: DataFrame): DataFrame =
+    ev.select(col("event_type"), to_date(col("ts")).cast("string").as("day"),
+        floor(col("value") / 10).cast("long").as("vb"), col("user_id"))
+      .groupBy("event_type", "day", "vb")
+      .agg(count(lit(1)).as("n"), countDistinct("user_id").as("l_div"))
 
   /** One (fk, n_child, n_orphans) audit row — child keys absent from the
     * parent key set, counted via a broadcast LEFT ANTI join.
@@ -139,6 +178,25 @@ object Profile {
            |    (SELECT 1 FROM $parent p WHERE p.$pkey = c.$key)
            |    THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
            |FROM $child c""".stripMargin
-      }.mkString("", "\nUNION ALL\n", "\nORDER BY fk"))
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY fk")),
+
+    "kanon_classes" ->
+      s"""SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         |  CAST(floor(value / 10) AS BIGINT) AS vb,
+         |  count(*) AS n, count(DISTINCT user_id) AS l_div
+         |FROM events GROUP BY 1, 2, 3 ORDER BY event_type, day, vb""".stripMargin,
+
+    "kanon_risk" ->
+      s"""WITH g AS (SELECT event_type, CAST(ts AS DATE) AS day,
+         |    CAST(floor(value / 10) AS BIGINT) AS vb,
+         |    count(*) AS n, count(DISTINCT user_id) AS l_div
+         |  FROM events GROUP BY 1, 2, 3)
+         |SELECT count(*) AS n_classes,
+         |  CAST(sum(CASE WHEN n < $KAnonK THEN 1 ELSE 0 END) AS BIGINT) AS n_small_classes,
+         |  CAST(sum(CASE WHEN n < $KAnonK THEN n ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+         |  round(CAST(sum(CASE WHEN n < $KAnonK THEN n ELSE 0 END) AS DOUBLE) /
+         |    CAST(sum(n) AS DOUBLE), 6) AS risk_frac,
+         |  min(CASE WHEN n >= $KAnonK THEN l_div END) AS min_l_div_at_k
+         |FROM g""".stripMargin
   )
 }

@@ -271,8 +271,78 @@ object Retrieval {
           round(col("sum_len").cast("double") / col("n_chunks").cast("double"), 6)
             .as("mean_chunk_len"))
         .orderBy("source")
+    },
+
+    // CONTENT-DEFINED chunking (the Rabin/FastCDC family used by dedup
+    // storage systems and by substring-robust corpus dedup): a chunk
+    // boundary falls wherever the hash of the trailing CdcW-char gram is
+    // ≡ 0 mod CdcD, so boundaries move WITH the content — insert a word
+    // and only the neighboring chunks change, where fixed-stride windows
+    // (chunk_overlap) all shift and nothing dedups. Boundaries are
+    // stateless per position (no min/max-size chaining), so each position
+    // decides independently and the oracle is pure SQL. Scale shape: the
+    // per-position gram hash is the dup_exact_spans cost model — every
+    // char position hashed once, codegen'd md5, one shuffle on doc_id for
+    // the per-doc boundary window (bounded by doc length); the substring
+    // re-join rides the same doc_id partitioning.
+    "cdc_chunks" -> { (s, d) =>
+      cdcChunks(documents(s, d).select("doc_id", "text"))
+        .orderBy("doc_id", "chunk_start")
+    },
+
+    // Corpus-level CDC dedup audit: distinct-chunk rate + length profile.
+    // Only 60-bit chunk hashes aggregate. Both "distinct" counts come from
+    // pre-grouped relations (per-hash tallies + a doc count), so no
+    // aggregate mixes distinct with non-distinct — the multi-distinct
+    // Expand (3x the input rows) never appears in the plan.
+    "cdc_dedup_stats" -> { (s, d) =>
+      val ch = cdcChunks(documents(s, d).select("doc_id", "text"))
+        .select(col("doc_id"), col("chunk_len"), h60(col("chunk")).as("h"))
+      val byHash = ch.groupBy("h")
+        .agg(count(lit(1)).as("cnt"), sum("chunk_len").as("sl"))
+        .agg(sum("cnt").as("n_chunks"), count(lit(1)).as("n_distinct_chunks"),
+          sum("sl").as("sum_len"))
+      val nDocs = ch.groupBy("doc_id").agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_docs"))
+      byHash.crossJoin(broadcast(nDocs))
+        .select(col("n_docs"), col("n_chunks"), col("n_distinct_chunks"),
+          round((col("n_chunks") - col("n_distinct_chunks")).cast("double") /
+            col("n_chunks").cast("double"), 6).as("dup_chunk_frac"),
+          round(col("sum_len").cast("double") / col("n_chunks").cast("double"), 6)
+            .as("mean_chunk_len"))
     }
   )
+
+  /** CDC gram width and boundary divisor (expected chunk ≈ CdcD chars). */
+  val CdcW = 8
+  val CdcD = 32
+
+  /** (doc_id, chunk_start, chunk_len, chunk) content-defined chunks: cut
+    * ends where h60(trailing CdcW-gram) % CdcD == 0, plus the document end;
+    * chunks span consecutive cut ends. The sequence() is guarded (Spark
+    * counts DOWN for sequence(1, n<1)); docs shorter than CdcW still emit
+    * one whole-doc chunk via the document-end boundary.
+    */
+  def cdcChunks(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"), col("text"), length(col("text")).as("n"))
+    val cuts = d
+      .select(col("doc_id"), col("text"),
+        explode(when(col("n") >= CdcW, sequence(lit(1), col("n") - (CdcW - 1)))
+          .otherwise(array().cast("array<int>"))).as("p"))
+      .where(h60(col("text").substr(col("p"), lit(CdcW))) % CdcD === 0)
+      .select(col("doc_id"), (col("p") + CdcW - 1).cast("long").as("e"))
+    val ends = cuts
+      .union(d.select(col("doc_id"), col("n").cast("long").as("e")))
+      .distinct()
+    val w = Window.partitionBy("doc_id").orderBy("e")
+    ends
+      .withColumn("b", coalesce(lag("e", 1).over(w), lit(0L)))
+      .join(d, "doc_id")
+      .select(col("doc_id"), (col("b") + 1).as("chunk_start"),
+        (col("e") - col("b")).as("chunk_len"),
+        col("text").substr((col("b") + 1).cast("int"),
+          (col("e") - col("b")).cast("int")).as("chunk"))
+  }
 
   // -------------------------------------------------------------- oracles
 
@@ -413,6 +483,40 @@ object Retrieval {
          |SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
          |  round(CAST(sum(chunk_len) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
          |    AS mean_chunk_len
-         |FROM cl GROUP BY source ORDER BY source""".stripMargin
+         |FROM cl GROUP BY source ORDER BY source""".stripMargin,
+
+    "cdc_chunks" ->
+      s"""WITH $cdcCte
+         |SELECT doc_id, chunk_start, chunk_len, chunk FROM ch
+         |ORDER BY doc_id, chunk_start""".stripMargin,
+
+    "cdc_dedup_stats" ->
+      s"""WITH $cdcCte
+         |SELECT count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
+         |  count(DISTINCT ${TextHash.h60Sql("chunk")}) AS n_distinct_chunks,
+         |  round(CAST(count(*) - count(DISTINCT ${TextHash.h60Sql("chunk")})
+         |    AS DOUBLE) / count(*), 6) AS dup_chunk_frac,
+         |  round(CAST(sum(chunk_len) AS DOUBLE) / count(*), 6) AS mean_chunk_len
+         |FROM ch""".stripMargin
   )
+
+  /** CTE list producing `ch` = (doc_id, chunk_start, chunk_len, chunk) —
+    * the exact [[cdcChunks]] relation (same gram hash, same UNION-distinct
+    * of cut ends with the document end, same lag window).
+    */
+  private def cdcCte: String =
+    s"""d AS (SELECT doc_id, text, len(text) AS n FROM documents),
+       |pos AS (SELECT doc_id, unnest(range(1, n - $CdcW + 2)) AS p
+       |  FROM d WHERE n >= $CdcW),
+       |cut AS (SELECT pos.doc_id, CAST(p + ${CdcW - 1} AS BIGINT) AS e
+       |  FROM pos JOIN d USING (doc_id)
+       |  WHERE ${TextHash.h60Sql(s"substr(text, CAST(p AS INTEGER), $CdcW)")} % $CdcD = 0),
+       |ends AS (SELECT doc_id, e FROM cut
+       |  UNION SELECT doc_id, CAST(n AS BIGINT) AS e FROM d),
+       |sp AS (SELECT doc_id, e,
+       |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS b
+       |  FROM ends),
+       |ch AS (SELECT sp.doc_id, b + 1 AS chunk_start, e - b AS chunk_len,
+       |    substr(text, CAST(b + 1 AS INTEGER), CAST(e - b AS INTEGER)) AS chunk
+       |  FROM sp JOIN d USING (doc_id))""".stripMargin
 }

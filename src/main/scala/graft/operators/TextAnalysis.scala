@@ -64,6 +64,17 @@ object TextAnalysis {
   val CurriculumBands = 4
   private val CurriculumSalt = "cur1:"
 
+  /** Gopher-style rule thresholds (Rae et al. 2021 §A1.1, re-tuned to the
+    * fixture's ranges so every rule discriminates: the corpus's token
+    * counts span 10..~100, mean token lengths 3.7..5.3, stopword hits
+    * 0..8). Single source of truth for the Spark flags and the oracle.
+    */
+  val GMinWords = 20; val GMaxWords = 70
+  val GMinMeanLen = 4.0; val GMaxMeanLen = 5.0
+  val GMaxSymbolRatio = 0.1
+  val GMinAlphaFrac = 0.8
+  val GMinStopHits = 2
+
   /** DuckDB SQL for quality_score, given a token-list column `t` and the
     * raw `text` column — must mirror [[stats]] exactly.
     */
@@ -391,6 +402,31 @@ object TextAnalysis {
         .orderBy("id")
     },
 
+    // Gopher-style quality-rule battery (Rae et al. 2021): five document
+    // filters — word count bounds, mean token length bounds, symbol ratio,
+    // alphabetic-token fraction, stopword presence — each a boolean flag
+    // plus the n_failed / pass_all roll-up a pipeline thresholds on.
+    // Pure per-row projection, no shuffle; every ratio is an int/int
+    // double division (bit-exact across engines) so the boundary
+    // comparisons agree with the oracle exactly.
+    "quality_gopher_rules" -> { (s, d) =>
+      gopherRules(documents(s, d).select("doc_id", "text")).orderBy("doc_id")
+    },
+
+    // Corpus roll-up of the rule battery: per-rule failure counts and the
+    // overall survivor count in ONE map-side-combined aggregate (no
+    // per-rule rescans — the five flags come from a single projection).
+    "quality_gopher_stats" -> { (s, d) =>
+      gopherRules(documents(s, d).select("doc_id", "text"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(!col("r_word_count"), 1L).otherwise(0L)).as("fail_word_count"),
+          sum(when(!col("r_mean_len"), 1L).otherwise(0L)).as("fail_mean_len"),
+          sum(when(!col("r_symbol"), 1L).otherwise(0L)).as("fail_symbol"),
+          sum(when(!col("r_alpha"), 1L).otherwise(0L)).as("fail_alpha"),
+          sum(when(!col("r_stopword"), 1L).otherwise(0L)).as("fail_stopword"),
+          sum(when(col("pass_all"), 1L).otherwise(0L)).as("n_pass_all"))
+    },
+
     // The dedup composition: exact dedup keyed on the normalization key.
     "dedup_normalized" -> { (s, _) =>
       graft.Graft.init(s)
@@ -401,6 +437,59 @@ object TextAnalysis {
         .orderBy("norm_key")
     }
   )
+
+  /** Per-doc Gopher rule flags for any DataFrame with doc_id + text.
+    * One pass: tokenize once, derive the five metrics, compare against the
+    * shared thresholds. n_failed counts false flags; pass_all == all five.
+    */
+  def gopherRules(df: DataFrame): DataFrame = {
+    val flags = df
+      .select(col("doc_id"), col("text"), toks(col("text")).as("_t"))
+      .select(col("doc_id"),
+        size(col("_t")).as("n_tokens"),
+        (aggregate(col("_t"), lit(0), (acc, x) => acc + length(x)).cast("double") /
+          size(col("_t"))).as("mtl"),
+        (length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", "")).cast("double") /
+          length(col("text"))).as("sym"),
+        (size(filter(col("_t"), x => x.rlike("[a-z]"))).cast("double") /
+          size(col("_t"))).as("alpha"),
+        score(col("_t"), stopwords).as("stop_hits"))
+      .select(col("doc_id"),
+        (col("n_tokens") >= GMinWords && col("n_tokens") <= GMaxWords).as("r_word_count"),
+        (col("mtl") >= GMinMeanLen && col("mtl") <= GMaxMeanLen).as("r_mean_len"),
+        (col("sym") <= GMaxSymbolRatio).as("r_symbol"),
+        (col("alpha") >= GMinAlphaFrac).as("r_alpha"),
+        (col("stop_hits") >= GMinStopHits).as("r_stopword"))
+    val nf = Seq("r_word_count", "r_mean_len", "r_symbol", "r_alpha", "r_stopword")
+      .map(f => when(col(f), 0).otherwise(1))
+      .reduce(_ + _)
+    flags.withColumn("n_failed", nf).withColumn("pass_all", col("n_failed") === 0)
+  }
+
+  /** DuckDB CTE producing the same flag relation as [[gopherRules]]. */
+  private def gopherRulesSqlCte: String =
+    s"""tok AS (SELECT doc_id, text, ${toksSql("text")} AS t FROM documents),
+       |m AS (SELECT doc_id,
+       |  CAST(len(t) AS INTEGER) AS n_tokens,
+       |  CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / len(t) AS mtl,
+       |  CAST(len(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / len(text) AS sym,
+       |  CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(t) AS alpha,
+       |  CAST(${scoreSql("t", stopwords)} AS INTEGER) AS stop_hits
+       |  FROM tok),
+       |f AS (SELECT doc_id,
+       |  (n_tokens >= $GMinWords AND n_tokens <= $GMaxWords) AS r_word_count,
+       |  (mtl >= $GMinMeanLen AND mtl <= $GMaxMeanLen) AS r_mean_len,
+       |  (sym <= $GMaxSymbolRatio) AS r_symbol,
+       |  (alpha >= $GMinAlphaFrac) AS r_alpha,
+       |  (stop_hits >= $GMinStopHits) AS r_stopword
+       |  FROM m),
+       |g AS (SELECT doc_id, r_word_count, r_mean_len, r_symbol, r_alpha, r_stopword,
+       |  CAST((CASE WHEN r_word_count THEN 0 ELSE 1 END) +
+       |       (CASE WHEN r_mean_len THEN 0 ELSE 1 END) +
+       |       (CASE WHEN r_symbol THEN 0 ELSE 1 END) +
+       |       (CASE WHEN r_alpha THEN 0 ELSE 1 END) +
+       |       (CASE WHEN r_stopword THEN 0 ELSE 1 END) AS INTEGER) AS n_failed
+       |  FROM f)""".stripMargin
 
   /** Inline unicode fixture: composed/decomposed/case/accent variants,
     * written as \\u escapes so the source encoding can never silently
@@ -580,6 +669,23 @@ object TextAnalysis {
          |  round(CAST(sum(CAST(nll AS DECIMAL(18,6))) AS DOUBLE)
          |    / CAST(count(*) AS DOUBLE), 6) AS mean_nll
          |FROM ev GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "quality_gopher_rules" ->
+      s"""WITH $gopherRulesSqlCte
+         |SELECT doc_id, r_word_count, r_mean_len, r_symbol, r_alpha,
+         |  r_stopword, n_failed, (n_failed = 0) AS pass_all
+         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "quality_gopher_stats" ->
+      s"""WITH $gopherRulesSqlCte
+         |SELECT count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN r_word_count THEN 0 ELSE 1 END) AS BIGINT) AS fail_word_count,
+         |  CAST(sum(CASE WHEN r_mean_len THEN 0 ELSE 1 END) AS BIGINT) AS fail_mean_len,
+         |  CAST(sum(CASE WHEN r_symbol THEN 0 ELSE 1 END) AS BIGINT) AS fail_symbol,
+         |  CAST(sum(CASE WHEN r_alpha THEN 0 ELSE 1 END) AS BIGINT) AS fail_alpha,
+         |  CAST(sum(CASE WHEN r_stopword THEN 0 ELSE 1 END) AS BIGINT) AS fail_stopword,
+         |  CAST(sum(CASE WHEN n_failed = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
+         |FROM g""".stripMargin,
 
     "text_normalize_values" ->
       s"""WITH $normValuesSqlCte

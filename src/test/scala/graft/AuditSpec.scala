@@ -70,4 +70,31 @@ class AuditSpec extends SparkSpecBase {
     assert(merged.exceptAll(direct).count() == 0)
     assert(direct.exceptAll(merged).count() == 0)
   }
+
+  test("k-anonymity: planted singleton flagged, summary consistent with classes") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // 6-row class (2 users -> l_div 2, meets k=5) + a singleton class
+    val ts = Timestamp.valueOf("2024-01-05 10:00:00")
+    val ev = ((1 to 6).map(i =>
+      (100L + i % 2, "view", ts, 42.0)) :+ ((999L, "purchase", ts, 480.0)))
+      .toDF("user_id", "event_type", "ts", "value")
+    val byType = Profile.kanonClasses(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(byType("view") == ((4L, 6L, 2L)), s"view class: ${byType("view")}")
+    assert(byType("purchase") == ((48L, 1L, 1L)), "singleton class present")
+    // fixture: summary row is exactly the classes-relation aggregate
+    val classes = Profile.queries("kanon_classes")(spark, sfDir).collect()
+    val risk = Profile.queries("kanon_risk")(spark, sfDir).head()
+    val nEvents = graft.Tables.events(spark, sfDir).count()
+    assert(classes.map(_.getLong(3)).sum == nEvents, "classes partition the rows")
+    val small = classes.filter(_.getLong(3) < Profile.KAnonK)
+    assert(risk.getLong(0) == classes.length)
+    assert(risk.getLong(1) == small.length)
+    assert(risk.getLong(2) == small.map(_.getLong(3)).sum)
+    assert(risk.getLong(1) > 0 && risk.getLong(1) < classes.length,
+      "the k threshold must discriminate on the fixture")
+    assert(risk.getLong(4) ==
+      classes.filter(_.getLong(3) >= Profile.KAnonK).map(_.getLong(4)).min)
+  }
 }

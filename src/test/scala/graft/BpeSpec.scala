@@ -96,6 +96,31 @@ class BpeSpec extends SparkSpecBase {
     assert(n == 0L, "U+001F appears in the fixture corpus — Sep must change")
   }
 
+  test("greedy encoding: reconstruction, inventory membership, longest-match law") {
+    val rows = BpeTrainer.queries("wp_greedy_encoding")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(3).split("\\|").toSeq)).toMap
+    assert(rows.nonEmpty)
+    // piece inventory recomputed independently: merge outputs + alphabet
+    val (merges, words) = BpeTrainer.train(spark, sfDir)
+    val inventory = merges.collect().map(_.getString(3)).toSet ++
+      words.collect().flatMap(_.getString(0).toCharArray.map(_.toString))
+    rows.foreach { case (w, pieces) =>
+      assert(pieces.mkString == w, s"pieces must concatenate to '$w': $pieces")
+      pieces.foreach(p => assert(inventory.contains(p),
+        s"piece '$p' of '$w' not in the trained inventory"))
+      // greedy law: at each position the emitted piece is the LONGEST
+      // inventory piece matching there
+      var pos = 0
+      pieces.foreach { p =>
+        val longest = (1 to (w.length - pos)).reverse
+          .find(l => inventory.contains(w.substring(pos, pos + l))).get
+        assert(p.length == longest,
+          s"'$w'@$pos: emitted '${p}' but longest match has length $longest")
+        pos += p.length
+      }
+    }
+  }
+
   test("bpe_fertility: bounds and conservation against bpe_doc_tokens") {
     val bySrc = BpeTrainer.queries("bpe_fertility")(spark, sfDir).collect()
     Graft.releaseCaches(spark)

@@ -242,6 +242,33 @@ class DedupSpec extends SparkSpecBase {
     assert(gate.filter(_._2).keySet === expect)
   }
 
+  test("minhash_recall_audit: counts consistent, planted exact dup is a guaranteed tp") {
+    import spark.implicits._
+    val r = Dedup.queries("minhash_recall_audit")(spark, sfDir).head()
+    Graft.releaseCaches(spark)
+    val (cand, truth, tp) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(tp <= math.min(cand, truth))
+    assert(math.abs(r.getDouble(3) - tp.toDouble / cand) < 1e-6)
+    assert(math.abs(r.getDouble(4) - tp.toDouble / truth) < 1e-6)
+    // cross-check against the independent Scala ground truth at 0.5
+    assert(truth == groundTruthPairs(0.5).size)
+    // identical docs agree on EVERY minhash component, so the candidate
+    // pair survives banding with probability 1 — recall on a planted
+    // exact-dup corpus is deterministic, not probabilistic
+    val planted = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven")).toDF("doc_id", "text")
+    val mh = Dedup.minhashPairsFor(planted).select("doc_a", "doc_b").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val ex = Dedup.ngramJaccardPairs(planted, 0.5, dfCap = None)
+      .select("doc_a", "doc_b").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    Graft.releaseCaches(spark)
+    assert(ex == Set((1L, 2L)))
+    assert(mh.contains((1L, 2L)))
+  }
+
   test("segment rewrite: planted-overlap adversary corpus") {
     import spark.implicits._
     // 20-token segments built from unique markers; seg(x) repeats marker x.

@@ -23,6 +23,26 @@ class DriftSpec extends SparkSpecBase {
     assert(rows.map(_.toSeq).toSeq == q("drift_source_kl").collect().map(_.toSeq).toSeq)
   }
 
+  test("emb_drift_mmd: identical groups score 0, a translated group scores the exact shift") {
+    import spark.implicits._
+    import graft.operators.Drift
+    val base = Seq(Array(1.0f, 2.0f, -0.5f), Array(0.25f, -1.0f, 3.0f))
+    val shift = 0.25f
+    val emb = (base.map(v => (0, v)) ++ base.map(v => (1, v)) ++
+      base.map(v => (2, v.map(_ + shift)))).toDF("label", "embedding")
+    val r = Drift.mmdPairs(emb).collect()
+      .map(x => (x.getInt(0), x.getInt(1)) -> x.getDouble(2)).toMap
+    assert(r((0, 1)) == 0.0, "identical groups must have zero MMD")
+    val want = 3 * shift * shift // per-dim squared shift, 3 dims
+    assert(math.abs(r((0, 2)) - want) < 1e-6 && math.abs(r((1, 2)) - want) < 1e-6,
+      s"translated group: got ${r((0, 2))}, want $want")
+    // fixture: every label pair present, statistic non-negative
+    val fix = Drift.queries("emb_drift_mmd")(spark, sfDir).collect()
+    val nLabels = Tables.embeddings(spark, sfDir).select("label").distinct().count()
+    assert(fix.length == nLabels * (nLabels - 1) / 2)
+    fix.foreach(x => assert(x.getDouble(2) >= 0.0))
+  }
+
   test("drift_lang_chi2: full margins grid; statistic is non-negative") {
     val r = q("drift_lang_chi2").head()
     val nSources = Tables.documents(spark, sfDir).select("source").distinct().count()

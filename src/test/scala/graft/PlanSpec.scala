@@ -432,6 +432,33 @@ class PlanSpec extends SparkSpecBase {
       s"multi-probe must stay a bucket equi-join:\n$p2")
   }
 
+  test("wave-3 queries: equi-join/broadcast shapes, no all-pairs, no stray Expand") {
+    // minhash audit: banded candidate join + inverted-index truth join,
+    // full-outer on the pair key — all hash-keyed, never nested-loop
+    val p = plan("minhash_recall_audit")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"recall audit leaked an all-pairs join:\n$p")
+    // CDC chunking: per-position hashing is map-side; the only joins are
+    // doc_id-keyed (text re-join) — hash-keyed equi-joins
+    val p2 = plan("cdc_chunks")
+    assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoopJoin"),
+      s"cdc chunking must stay doc_id-keyed:\n$p2")
+    // MMD: corpus collapses to (label × dim) stats; the pair join is a
+    // broadcast on the tiny stats frame
+    val p3 = plan("emb_drift_mmd")
+    assert(!p3.contains("CartesianProduct"), p3)
+    assert(p3.contains("BroadcastExchange"),
+      s"label-pair join should broadcast the stats frame:\n$p3")
+    // gopher rules: pure per-row projection — no join anywhere in the plan
+    val p4 = plan("quality_gopher_rules")
+    assert(!p4.contains("Join"), s"rule battery must not join:\n$p4")
+    // k-anonymity: one grouping of the QI tuple; single-column distinct
+    // keeps the plan Expand-free
+    val p5 = plan("kanon_classes")
+    assert(!p5.contains("Join") && !p5.contains("Expand"),
+      s"kanon classes should be one groupBy:\n$p5")
+  }
+
   test("vocab_oov_rate: vocab marking is a tok-keyed equi-join, no expand for distincts") {
     val p = plan("vocab_oov_rate")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)

@@ -201,6 +201,40 @@ class RetrievalSpec extends SparkSpecBase {
     assert(out(3L) == ((" tail stays here......", 29L)))
   }
 
+  test("cdc chunks: lossless reconstruction and content-defined shift robustness") {
+    import spark.implicits._
+    // reconstruction: per doc, chunks are contiguous and concatenate to text
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byDoc = Retrieval.cdcChunks(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+    assert(byDoc.keySet == texts.keySet, "every doc must chunk")
+    byDoc.foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.head._2 == 1L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._2 == a._2 + a._3, s"gap in doc $id")
+        case _ =>
+      }
+      assert(sorted.map(_._4).mkString == texts(id), s"doc $id reconstruction")
+    }
+    // the CDC property fixed-stride windows lack: prepend an edit and the
+    // chunks beyond the edit window keep their exact boundaries/content
+    val base = texts.values.maxBy(_.length)
+    val edited = "zq rv " + base
+    val two = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val ch = Retrieval.cdcChunks(two).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3))).groupBy(_._1)
+    val c1 = ch(1L).sortBy(_._2).map(_._3)
+    val c2 = ch(2L).sortBy(_._2).map(_._3)
+    val commonSuffix = c1.reverse.zip(c2.reverse).takeWhile { case (a, b) => a == b }.length
+    assert(c1.length > 4, "fixture doc must produce several chunks")
+    assert(commonSuffix >= c1.length - 4,
+      s"edit must only disturb leading chunks: $commonSuffix of ${c1.length} shared")
+  }
+
   test("retrieval_eval: metric ranges and relevance nontriviality") {
     val rows = Retrieval.queries("retrieval_eval")(spark, sfDir).collect()
     assert(rows.length == 4) // one per query term

@@ -202,6 +202,40 @@ class TextAnalysisSpec extends SparkSpecBase {
       }
     }
   }
+  test("gopher rules: each rule trips on its planted violator, roll-up matches") {
+    import spark.implicits._
+    // one doc per rule violation + one all-pass doc; tokens engineered so
+    // only the targeted rule fails (word counts 20..70, mean len 4..5,
+    // symbol<=0.1, alpha>=0.8, stopwords>=2)
+    val pass = ("the of " + Seq.fill(23)("house").mkString(" "))           // 25 tok, mtl 4.44
+    val shortDoc = "the of house house house"                              // 5 tok -> word-count fail
+    val thinDoc = ("the of " + Seq.fill(23)("aa").mkString(" "))           // mtl 2.24 fail
+    val symDoc = ("the of " + Seq.fill(21)("house").mkString(" ") +
+      " !!!!!!!!!!!!!!!!!!!!!!!!")                                         // sym>0.1 AND alpha token "!!..." -> sym fail
+    val noStop = Seq.fill(25)("house").mkString(" ")                       // 0 stopwords fail
+    val docs = Seq((1L, pass), (2L, shortDoc), (3L, thinDoc), (4L, symDoc),
+      (5L, noStop)).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(docs).collect()
+      .map(x => x.getLong(0) ->
+        (x.getBoolean(1), x.getBoolean(2), x.getBoolean(3), x.getBoolean(4),
+          x.getBoolean(5), x.getInt(6), x.getBoolean(7))).toMap
+    assert(r(1L) == ((true, true, true, true, true, 0, true)), s"all-pass doc: ${r(1L)}")
+    assert(!r(2L)._1 && r(2L)._2 && r(2L)._5, s"short doc trips word count only: ${r(2L)}")
+    assert(r(3L)._1 && !r(3L)._2, s"thin doc trips mean len: ${r(3L)}")
+    assert(!r(4L)._3, s"symbol doc trips symbol ratio: ${r(4L)}")
+    assert(r(5L)._1 && r(5L)._2 && !r(5L)._5 && !r(5L)._7,
+      s"stopword-free doc trips stopword rule: ${r(5L)}")
+    // fixture roll-up == recomputed from the per-doc flags; rules discriminate
+    val flags = TextAnalysis.queries("quality_gopher_rules")(spark, sfDir).collect()
+    val st = TextAnalysis.queries("quality_gopher_stats")(spark, sfDir).head()
+    assert(st.getLong(0) == flags.length)
+    assert(st.getLong(6) == flags.count(_.getBoolean(7)))
+    assert(st.getLong(1) == flags.count(!_.getBoolean(1)))
+    assert(st.getLong(5) == flags.count(!_.getBoolean(5)))
+    assert(st.getLong(6) > 0 && st.getLong(6) < flags.length,
+      "thresholds must discriminate on the fixture (some pass, some fail)")
+  }
+
   test("unicode normalization kernels: NFC, accent strip, idempotence, nulls") {
     import graft.functions.UnicodeNormKernels._
     import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
