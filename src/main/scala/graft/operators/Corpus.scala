@@ -667,6 +667,60 @@ object Corpus {
         .groupBy("shard")
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tok_sum"))
         .orderBy("shard")
+    },
+
+    // Vocabulary richness per source: hapax legomena (types seen exactly
+    // once IN that source) as a fraction of the source's types and of its
+    // tokens. Template/boilerplate slices have few hapaxes; scraped noise
+    // has many — a cheap lexical-diversity signal next to drift_source_kl.
+    // ONE corpus-sized (source, tok) groupBy; everything downstream is
+    // per-source-vocabulary-sized.
+    "vocab_hapax_rate" -> { (s, d) =>
+      documents(s, d)
+        .select(col("source"), explode(toks(col("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_types"), sum("c").as("n_tokens"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("source"), col("n_types"), col("n_tokens"), col("n_hapax"),
+          round(col("n_hapax").cast("double") / col("n_types").cast("double"), 6)
+            .as("hapax_type_frac"),
+          round(col("n_hapax").cast("double") / col("n_tokens").cast("double"), 6)
+            .as("hapax_token_frac"))
+        .orderBy("source")
+    },
+
+    // Zipf's-law fit over the corpus vocabulary: OLS slope of ln(freq) on
+    // ln(rank) (natural text ≈ −1; machine-generated or deduplicate-worthy
+    // corpora drift off). Ranks come from Ranking.globalRank — the
+    // web-scale vocabulary never crosses one task — and the five OLS
+    // moments accumulate as 1e-9 fixed-point DECIMAL(38,0) sums (products
+    // of logs overflow a scaled long at 10^8 types; decimal is exact and
+    // associative where double summation is partition-order-dependent).
+    // One closing double expression, written operand-for-operand like the
+    // oracle.
+    "vocab_zipf_slope" -> { (s, d) =>
+      val vocab = documents(s, d)
+        .select(explode(toks(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val ranked = Ranking.globalRank(vocab, Seq(desc("cnt"), asc("tok")))
+        .select(log(col("rank").cast("double")).as("x"),
+          log(col("cnt").cast("double")).as("y"))
+      val t = ranked.select(
+        round(col("x") * 1e9).cast("long").as("x9"),
+        round(col("y") * 1e9).cast("long").as("y9"),
+        round(col("x") * col("y") * 1e9).cast("long").as("xy9"),
+        round(col("x") * col("x") * 1e9).cast("long").as("xx9"))
+      val dec = DecimalType(38, 0)
+      t.agg(count(lit(1)).as("n_types"),
+          sum(col("x9").cast(dec)).as("sx9"), sum(col("y9").cast(dec)).as("sy9"),
+          sum(col("xy9").cast(dec)).as("sxy9"), sum(col("xx9").cast(dec)).as("sxx9"))
+        .select(col("n_types"),
+          round((col("n_types").cast("double") * (col("sxy9").cast("double") / 1e9) -
+            (col("sx9").cast("double") / 1e9) * (col("sy9").cast("double") / 1e9)) /
+            (col("n_types").cast("double") * (col("sxx9").cast("double") / 1e9) -
+              (col("sx9").cast("double") / 1e9) * (col("sx9").cast("double") / 1e9)),
+            6).as("zipf_slope"))
     }
   )
 
@@ -953,7 +1007,39 @@ object Corpus {
       s"""WITH $shardBalCte
          |SELECT shard, count(*) AS n_docs,
          |  CAST(sum(n_tok) AS BIGINT) AS tok_sum
-         |FROM sh GROUP BY shard ORDER BY shard""".stripMargin
+         |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
+
+    "vocab_hapax_rate" ->
+      s"""WITH st AS (SELECT source, tok, count(*) AS c FROM (
+         |    SELECT source, unnest(${toksSql("text")}) AS tok FROM documents)
+         |  GROUP BY 1, 2)
+         |SELECT source, count(*) AS n_types, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+         |  round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS hapax_type_frac,
+         |  round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(sum(c) AS DOUBLE), 6) AS hapax_token_frac
+         |FROM st GROUP BY source ORDER BY source""".stripMargin,
+
+    "vocab_zipf_slope" ->
+      s"""WITH v AS (SELECT tok, count(*) AS cnt FROM (
+         |    SELECT unnest(${toksSql("text")}) AS tok FROM documents) GROUP BY 1),
+         |r AS (SELECT ln(CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS DOUBLE)) AS x,
+         |    ln(CAST(cnt AS DOUBLE)) AS y FROM v),
+         |t AS (SELECT CAST(round(x*1e9) AS BIGINT) AS x9,
+         |    CAST(round(y*1e9) AS BIGINT) AS y9,
+         |    CAST(round(x*y*1e9) AS BIGINT) AS xy9,
+         |    CAST(round(x*x*1e9) AS BIGINT) AS xx9 FROM r),
+         |m AS (SELECT count(*) AS n, sum(CAST(x9 AS HUGEINT)) AS sx9,
+         |    sum(CAST(y9 AS HUGEINT)) AS sy9, sum(CAST(xy9 AS HUGEINT)) AS sxy9,
+         |    sum(CAST(xx9 AS HUGEINT)) AS sxx9 FROM t)
+         |SELECT n AS n_types,
+         |  round((CAST(n AS DOUBLE) * (CAST(sxy9 AS DOUBLE)/1e9)
+         |      - (CAST(sx9 AS DOUBLE)/1e9) * (CAST(sy9 AS DOUBLE)/1e9))
+         |    / (CAST(n AS DOUBLE) * (CAST(sxx9 AS DOUBLE)/1e9)
+         |      - (CAST(sx9 AS DOUBLE)/1e9) * (CAST(sx9 AS DOUBLE)/1e9)), 6)
+         |    AS zipf_slope
+         |FROM m""".stripMargin
   )
 
   /** Oracle CTE for the serpentine token-balanced shard assignment (the

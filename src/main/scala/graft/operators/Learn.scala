@@ -35,6 +35,8 @@ object Learn {
 
   val Iters = 10
   val Lr = 4.0
+  /** Bin count for feature_bins_equidepth. */
+  val FeatureBins = 8
   private val Fix = 1e6
 
   /** (doc_id, y, x1, x2, x3): label + exact-rational features (never the
@@ -253,6 +255,24 @@ object Learn {
         .select(col("doc_id"), col("lang"), col("cls").as("pred"),
           round(col("score"), 6).as("score"))
         .orderBy("doc_id")
+    },
+
+    // Equi-depth feature discretization: the events value column cut into
+    // FeatureBins equal-population bins — the standard preprocessing step
+    // for WOE/monotonic models and histogram features. Rank comes from
+    // Ranking.globalRank over the (value, event_id) total order, so the
+    // full-data ordering never crosses one task (the woe_bins cumulative
+    // discipline, at row grain); the bin index is exact integer
+    // arithmetic on the rank, deterministic under ties.
+    "feature_bins_equidepth" -> { (s, d) =>
+      val ev = events(s, d).select(col("event_id"), col("value"))
+      Ranking.globalRank(ev, Seq(asc("value"), asc("event_id")))
+        .crossJoin(broadcast(ev.agg(count(lit(1)).as("n"))))
+        .withColumn("bin", expr(s"(rank - 1) * $FeatureBins DIV n").cast("int"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_rows"), min("value").as("lo"),
+          max("value").as("hi"))
+        .orderBy("bin")
     },
 
     // Training-set confusion matrix of the NB classifier — the oracled
@@ -505,7 +525,15 @@ object Learn {
       s"""WITH $nbCtes
          |SELECT d.lang, r.cls AS pred, count(*) AS n
          |FROM r JOIN documents d USING (doc_id)
-         |WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+         |WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "feature_bins_equidepth" ->
+      s"""WITH r AS (SELECT value,
+         |    row_number() OVER (ORDER BY value, event_id) AS rank FROM events),
+         |n AS (SELECT count(*) AS n FROM events)
+         |SELECT CAST((rank - 1) * $FeatureBins // n AS INTEGER) AS bin,
+         |  count(*) AS n_rows, min(value) AS lo, max(value) AS hi
+         |FROM r CROSS JOIN n GROUP BY 1 ORDER BY bin""".stripMargin
   )
 
   /** Naive-Bayes scoring CTEs — the exact mirror of [[nbScores]] plus the

@@ -402,6 +402,18 @@ object TextAnalysis {
         .orderBy("id")
     },
 
+    // Character-distribution Shannon entropy per document — the
+    // compressibility proxy (degenerate repeated text scores low; uniform
+    // noise scores high) that complements the token-level repetition
+    // filters. Scale shape: one codegen'd position explode + substr (the
+    // dup_exact_spans cost model: every char position once), one (doc, ch)
+    // groupBy reusing the doc_id partitioning downstream; each cell's
+    // -p·ln p comes from exact integer counts, rounded to 1e-9 and summed
+    // as longs (double addition is partition-order-dependent).
+    "text_char_entropy" -> { (s, d) =>
+      charEntropy(documents(s, d).select("doc_id", "text")).orderBy("doc_id")
+    },
+
     // Gopher-style quality-rule battery (Rae et al. 2021): five document
     // filters — word count bounds, mean token length bounds, symbol ratio,
     // alphabetic-token fraction, stopword presence — each a boolean flag
@@ -437,6 +449,27 @@ object TextAnalysis {
         .orderBy("norm_key")
     }
   )
+
+  /** Per-doc character-distribution Shannon entropy for any (doc_id,
+    * text) DataFrame — see the text_char_entropy query comment for the
+    * scale shape and fixed-point discipline.
+    */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val Fix = 1e9
+    val cells = docs
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")))).as("i"))
+      .select(col("doc_id"), col("text").substr(col("i"), lit(1)).as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+    val n = cells.groupBy("doc_id").agg(sum("c").as("n"))
+    val p = col("c").cast("double") / col("n").cast("double")
+    cells.join(n, "doc_id")
+      .select(col("doc_id"), col("n"),
+        round(-p * log(p) * Fix).cast("long").as("ec"))
+      .groupBy("doc_id")
+      .agg(first("n").as("n_chars"), count(lit(1)).as("n_distinct_chars"),
+        round(sum(col("ec")).cast("double") / Fix, 6).as("char_entropy"))
+  }
 
   /** Per-doc Gopher rule flags for any DataFrame with doc_id + text.
     * One pass: tokenize once, derive the five metrics, compare against the
@@ -669,6 +702,20 @@ object TextAnalysis {
          |  round(CAST(sum(CAST(nll AS DECIMAL(18,6))) AS DOUBLE)
          |    / CAST(count(*) AS DOUBLE), 6) AS mean_nll
          |FROM ev GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, substr(text, CAST(i AS INTEGER), 1) AS ch
+        |  FROM (SELECT doc_id, text, unnest(range(1, len(text) + 1)) AS i
+        |        FROM documents)),
+        |cells AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+        |n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY 1),
+        |t AS (SELECT cells.doc_id, n,
+        |    CAST(round(-(CAST(c AS DOUBLE)/CAST(n AS DOUBLE))
+        |      * ln(CAST(c AS DOUBLE)/CAST(n AS DOUBLE)) * 1e9) AS BIGINT) AS ec
+        |  FROM cells JOIN n ON cells.doc_id = n.doc_id)
+        |SELECT doc_id, any_value(n) AS n_chars, count(*) AS n_distinct_chars,
+        |  round(CAST(sum(ec) AS DOUBLE)/1e9, 6) AS char_entropy
+        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "quality_gopher_rules" ->
       s"""WITH $gopherRulesSqlCte

@@ -323,6 +323,15 @@ object StreamingOps {
   def textStatsStream(docs: DataFrame): DataFrame =
     graft.operators.TextAnalysis.stats(docs)
 
+  /** Streaming face of the Gopher-rule quality gate: the identical
+    * per-row flag battery runs on a document stream (stateless — the
+    * filters a continuous ingest pipeline applies before anything
+    * stateful sees the doc). stream == batch is by construction; the spec
+    * proves it against the oracled quality_gopher_rules relation.
+    */
+  def gopherGateStream(docs: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.gopherRules(docs)
+
   /** Stream-static enrichment join: the static dim is broadcast to every
     * task — no stream shuffle, no state. The dim is re-resolved per
     * micro-batch, so slowly-changing dims refresh on their own.

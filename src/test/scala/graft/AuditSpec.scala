@@ -71,6 +71,22 @@ class AuditSpec extends SparkSpecBase {
     assert(direct.exceptAll(merged).count() == 0)
   }
 
+  test("feature_bins_equidepth: balanced partition with monotone non-overlapping ranges") {
+    val bins = Learn.queries("feature_bins_equidepth")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(bins.map(_._1).toSeq == (0 until Learn.FeatureBins))
+    val total = graft.Tables.events(spark, sfDir).count()
+    assert(bins.map(_._2).sum == total, "bins must partition the rows")
+    assert(bins.map(_._2).max - bins.map(_._2).min <= 1,
+      s"equi-depth bins must be balanced: ${bins.map(_._2).toSeq}")
+    bins.foreach { case (_, _, lo, hi) => assert(lo <= hi) }
+    bins.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 <= b._3, "ranges must be ordered")
+      case _ =>
+    }
+  }
+
   test("k-anonymity: planted singleton flagged, summary consistent with classes") {
     import spark.implicits._
     import java.sql.Timestamp

@@ -293,6 +293,44 @@ class CorpusSpec extends SparkSpecBase {
     }
   }
 
+  test("vocab_hapax_rate: counts reconcile with an independent per-source tally") {
+    val rows = Corpus.queries("vocab_hapax_rate")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).toLowerCase.split("\\s+")))
+    rows.foreach { r =>
+      val (src, types, tokens, hapax) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val toks = docs.filter(_._1 == src).flatMap(_._2)
+      val byTok = toks.groupBy(identity).view.mapValues(_.length)
+      assert(types == byTok.size && tokens == toks.length)
+      assert(hapax == byTok.values.count(_ == 1))
+      assert(math.abs(r.getDouble(4) - hapax.toDouble / types) < 1e-6)
+    }
+  }
+
+  test("vocab_zipf_slope equals a driver-side OLS over the ranked vocabulary") {
+    val r = Corpus.queries("vocab_zipf_slope")(spark, sfDir).head()
+    val toks = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("text").collect()
+      .flatMap(_.getString(0).toLowerCase.split("\\s+"))
+    val freqs = toks.groupBy(identity).values.map(_.length.toLong).toSeq
+      .sorted(Ordering[Long].reverse)
+    val pts = freqs.zipWithIndex.map { case (c, i) =>
+      (math.log((i + 1).toDouble), math.log(c.toDouble))
+    }
+    val n = pts.length.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val want = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(r.getLong(0) == pts.length)
+    assert(math.abs(r.getDouble(1) - want) < 1e-5,
+      s"slope ${r.getDouble(1)} vs reference $want")
+    assert(r.getDouble(1) < 0.0, "Zipf slope must be negative on natural-ish text")
+  }
+
   test("shard_assign_balanced: exact partition with serpentine balance bound") {
     val assign = Corpus.queries("shard_assign_balanced")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))

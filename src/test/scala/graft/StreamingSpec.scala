@@ -733,6 +733,29 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("gopherGateStream == batch quality_gopher_rules on streamed fixture docs") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    val out = StreamingOps.gopherGateStream(in.toDF.toDF("doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("ggs")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(docs.take(docs.length / 2): _*)
+      q.processAllAvailable()
+      in.addData(docs.drop(docs.length / 2): _*) // two micro-batches
+      q.processAllAvailable()
+      val got = s.sql("SELECT * FROM ggs").collect().map(_.toSeq).toSet
+      val want = graft.operators.TextAnalysis
+        .queries("quality_gopher_rules")(spark, sfDir).collect().map(_.toSeq).toSet
+      assert(got == want, "streamed gate must equal the oracled batch relation")
+    } finally q.stop()
+  }
+
   test("intervalOverlapJoin runs stream-static unchanged, equal to the batch join") {
     val s = spark
     import s.implicits._

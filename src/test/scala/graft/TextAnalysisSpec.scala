@@ -202,6 +202,23 @@ class TextAnalysisSpec extends SparkSpecBase {
       }
     }
   }
+  test("char entropy: closed forms on planted strings, bounds on the fixture") {
+    import spark.implicits._
+    val planted = Seq((1L, "aaaa"), (2L, "abab"), (3L, "abcd"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.charEntropy(planted).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r(1L) == ((4L, 1L, 0.0)), "uniform text has zero entropy")
+    assert(math.abs(r(2L)._3 - math.log(2)) < 1e-6, "two equiprobable chars -> ln 2")
+    assert(math.abs(r(3L)._3 - math.log(4)) < 1e-6, "four equiprobable chars -> ln 4")
+    val fix = TextAnalysis.queries("text_char_entropy")(spark, sfDir).collect()
+    fix.foreach { x =>
+      val (nd, h) = (x.getLong(2), x.getDouble(3))
+      assert(h >= 0.0 && h <= math.log(nd.toDouble) + 1e-6,
+        s"entropy $h outside [0, ln $nd]")
+    }
+  }
+
   test("gopher rules: each rule trips on its planted violator, roll-up matches") {
     import spark.implicits._
     // one doc per rule violation + one all-pass doc; tokens engineered so
