@@ -2,9 +2,12 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.operators.TextHash._
 
-/** One-off stage profiler for the dedup subtrees. */
+/** One-off stage profiler (scratch main — retargeted per investigation).
+  * Current target: where ann_knn_components' time goes — graph build vs
+  * the CC iteration, and how many rounds the CC loop runs on the
+  * mutual-kNN graph at sf0.1.
+  */
 object QProf {
   def main(args: Array[String]): Unit = {
     val d = "/root/testdata/sf0.1"
@@ -12,25 +15,48 @@ object QProf {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Graft.init(spark)
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
       println(f"STAGE $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
-    val docs = Tables.documents(spark, d)
-    time("warmup-count")(docs.count())
-    time("shingle-rows")(shingleRows(docs.select("doc_id", "text")).count())
-    val exploded = shingleRows(docs.select("doc_id", "text"))
-      .select(col("doc_id"), (h60(col("sh")) % 2147483647L).as("h"))
-    time("shingle-md5")(exploded.agg(sum("h")).count())
-    time("sig-32agg") {
-      val aggs = (0 until 32).map(j => min((col("h") * (j * 1000003L + 7L)) % 2147483647L).as(s"s$j"))
-      exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*).count()
+    // warm-up (mirrors Bench): tables + a tiny CC
+    spark.read.parquet(s"$d/embeddings.parquet").count()
+    locally {
+      val n = spark.range(0, 8).select(col("id"))
+      val e = spark.range(0, 6).select(col("id").as("a"), (col("id") + 1).as("b"))
+      graft.operators.Components.connectedComponents(n, e).count()
+      Graft.releaseCaches(spark)
     }
-    time("sig-32agg-again") {
-      val aggs = (0 until 32).map(j => min((col("h") * (j * 1000003L + 7L)) % 2147483647L).as(s"s$j"))
-      exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*).count()
+    val g = graft.operators.Similarity.queries("ann_knn_graph")(spark, d)
+    time("knn-graph")(g.count())
+    Graft.releaseCaches(spark)
+    val m = graft.operators.Similarity.queries("ann_mutual_knn")(spark, d)
+      .select(col("a").as("src"), col("b").as("dst")).localCheckpoint()
+    time("mutual-graph")(m.count())
+    Graft.releaseCaches(spark)
+    val nodes = spark.read.parquet(s"$d/embeddings.parquet").select("vec_id")
+    time("cc-on-checkpointed-edges") {
+      graft.operators.Components.connectedComponents(nodes, m).count()
     }
+    println(s"CC rounds = ${graft.operators.Components.lastRounds}")
+    Graft.releaseCaches(spark)
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    time("cc-4-shuffle-partitions") {
+      graft.operators.Components.connectedComponents(nodes, m).count()
+    }
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    Graft.releaseCaches(spark)
+    spark.conf.set("spark.databricks.optimizer.adaptive.enabled", "true")
+    time("cc-again-32") {
+      graft.operators.Components.connectedComponents(nodes, m).count()
+    }
+    Graft.releaseCaches(spark)
+    time("full-ann_knn_components") {
+      graft.operators.Similarity.queries("ann_knn_components")(spark, d).count()
+    }
+    println(s"CC rounds = ${graft.operators.Components.lastRounds}")
     spark.stop()
   }
 }

@@ -64,6 +64,10 @@ object BpeTrainer {
       .localCheckpoint()
     var merges = Seq.empty[DataFrame]
     var exhausted = false
+    // merge rounds are vocabulary-sized — size their shuffles to the word
+    // table, not the session (Graft.withIterShufflePartitions); words is
+    // already checkpointed, so the count reads materialized blocks
+    graft.Graft.withIterShufflePartitions(s, words.count()) {
     for (r <- 1 to Merges if !exhausted) {
       val pairs = words
         .select(col("cnt"), split(col("sym"), Sep).as("syms"))
@@ -90,6 +94,7 @@ object BpeTrainer {
         .localCheckpoint()
       }
     }
+    } // withIterShufflePartitions
     // a fully degenerate corpus (all words single-symbol) exhausts before
     // recording ANY merge — return an empty merges table with the right
     // schema instead of letting reduce throw on the empty seq
@@ -205,17 +210,21 @@ object BpeTrainer {
       .select(col("word"), col("cnt"), col("len"), lit(1).as("pos"), lit(0).as("idx"))
       .localCheckpoint()
     var out = Seq.empty[DataFrame]
-    while (!active.isEmpty) {
-      val step = active.join(best, Seq("word", "pos"))
-        .select(col("word"), col("cnt"), col("len"), col("pos"), col("idx"),
-          col("word").substr(col("pos"), col("bl")).as("piece"), col("bl"))
-        .localCheckpoint()
-      out :+= step.select("word", "cnt", "pos", "idx", "piece")
-      active = step
-        .select(col("word"), col("cnt"), col("len"),
-          (col("pos") + col("bl")).as("pos"), (col("idx") + 1).as("idx"))
-        .where(col("pos") <= col("len"))
-        .localCheckpoint()
+    // walk rounds are vocabulary-sized (best is checkpointed — the count
+    // reads materialized blocks); size their shuffles to the state
+    graft.Graft.withIterShufflePartitions(s, best.count()) {
+      while (!active.isEmpty) {
+        val step = active.join(best, Seq("word", "pos"))
+          .select(col("word"), col("cnt"), col("len"), col("pos"), col("idx"),
+            col("word").substr(col("pos"), col("bl")).as("piece"), col("bl"))
+          .localCheckpoint()
+        out :+= step.select("word", "cnt", "pos", "idx", "piece")
+        active = step
+          .select(col("word"), col("cnt"), col("len"),
+            (col("pos") + col("bl")).as("pos"), (col("idx") + 1).as("idx"))
+          .where(col("pos") <= col("len"))
+          .localCheckpoint()
+      }
     }
     // empty-corpus degenerate: no walk rounds ran — empty frame, right schema
     out.reduceOption(_.unionByName(_)).getOrElse(

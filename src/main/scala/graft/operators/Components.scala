@@ -40,6 +40,11 @@ import graft.Tables._
   */
 object Components {
 
+  /** Round count of the most recent [[connectedComponents]] convergence —
+    * diagnostic only (profiling mains / specs read it after a run).
+    */
+  @volatile private[graft] var lastRounds: Int = 0
+
   /** Connected components of an undirected graph.
     *
     * @param nodes single-column DataFrame of node ids (any integral type)
@@ -72,6 +77,13 @@ object Components {
       val r = df.agg(count(lit(1)), sum(col("cc").cast(DecimalType(38, 0)))).head
       (r.getLong(0), Option(r.getDecimal(1)).map(BigDecimal(_)))
     }
+    // size the per-round shuffles to the SUBGRAPH (und is persisted, so
+    // this count also forces the one materialization every round reuses);
+    // see Graft.withIterShufflePartitions for why AQE can't do this here
+    val undRows = und.count()
+    // the lowered-partition scope covers ONLY the subgraph-sized loop; the
+    // node-sized singleton anti-join below runs at session parallelism
+    labels = graft.Graft.withIterShufflePartitions(nodes.sparkSession, undRows) {
     var prev = state(labels)
     var converged = false
     var rounds = 0
@@ -99,6 +111,9 @@ object Components {
       rounds += 1
     }
     require(converged, s"connectedComponents: not converged after $maxRounds rounds")
+    lastRounds = rounds
+    labels
+    } // withIterShufflePartitions
     // materialize the result WHILE und/endpoints are still cached —
     // otherwise the singleton anti-join re-derives the whole edge lineage
     // (for the near-dup graph: a full minhash recompute) at consumption

@@ -134,6 +134,9 @@ object Graph {
     val base = Scale / ns
     val tele = (TeleNum * base) / 100L
     var ranks = sd.select(col("node"), lit(base).as("rank"))
+    // each round's rank relation is reachable-subgraph-sized — size the
+    // round shuffles to the edge list (Graft.withIterShufflePartitions)
+    graft.Graft.withIterShufflePartitions(edges.sparkSession, e.count()) {
     for (_ <- 1 to iters) {
       val contrib = ranks.as("r")
         .join(e.as("e"), col("r.node") === col("e.src"))
@@ -150,6 +153,7 @@ object Graph {
           (coalesce(col("tele"), lit(0L)) +
             expr(s"$DampNum * coalesce(csum, 0) DIV 100")).as("rank"))
         .localCheckpoint()
+    }
     }
     ranks
   }
@@ -172,13 +176,18 @@ object Graph {
     * localCheckpoint per round keeps the plan linear.
     */
   def kcoreEdges(und: DataFrame, k: Int, rounds: Int): DataFrame = {
-    var e = und.select("src", "dst")
-    for (_ <- 1 to rounds) {
-      val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
-        .where(col("deg") >= k).select(col("src").as("v"))
-      e = e.join(keep.as("ka"), col("src") === col("ka.v"))
-        .join(keep.as("kb"), col("dst") === col("kb.v"))
-        .select("src", "dst").localCheckpoint()
+    var e = und.select("src", "dst").localCheckpoint()
+    // per-round shuffles sized to the (shrinking) edge subgraph — see
+    // Graft.withIterShufflePartitions; the edge set only decreases, so the
+    // initial count is the bound for every round
+    graft.Graft.withIterShufflePartitions(und.sparkSession, e.count()) {
+      for (_ <- 1 to rounds) {
+        val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
+          .where(col("deg") >= k).select(col("src").as("v"))
+        e = e.join(keep.as("ka"), col("src") === col("ka.v"))
+          .join(keep.as("kb"), col("dst") === col("kb.v"))
+          .select("src", "dst").localCheckpoint()
+      }
     }
     e
   }
@@ -234,13 +243,17 @@ object Graph {
       .union(nodes.select(col("id"), col("id"), col("sw")))
       .persist()
     var labels = nodes.select(col("id"), col("id").as("lab")).localCheckpoint()
-    for (_ <- 1 to rounds) {
-      val votes = labels.as("l").join(e.as("e"), col("l.id") === col("e.src"))
-        .groupBy(col("e.dst").as("id"), col("l.lab"))
-        .agg(sum(col("e.w")).as("vw"))
-      val wnd = Window.partitionBy("id").orderBy(desc("vw"), asc("lab"))
-      labels = votes.withColumn("rn", row_number().over(wnd))
-        .where(col("rn") === 1).select("id", "lab").localCheckpoint()
+    // votes/labels are edge-subgraph-sized every round — size the round
+    // shuffles to that, not the session (Graft.withIterShufflePartitions)
+    graft.Graft.withIterShufflePartitions(edges.sparkSession, e.count()) {
+      for (_ <- 1 to rounds) {
+        val votes = labels.as("l").join(e.as("e"), col("l.id") === col("e.src"))
+          .groupBy(col("e.dst").as("id"), col("l.lab"))
+          .agg(sum(col("e.w")).as("vw"))
+        val wnd = Window.partitionBy("id").orderBy(desc("vw"), asc("lab"))
+        labels = votes.withColumn("rn", row_number().over(wnd))
+          .where(col("rn") === 1).select("id", "lab").localCheckpoint()
+      }
     }
     e.unpersist()
     labels
@@ -264,12 +277,16 @@ object Graph {
     val e = und.toDF("src", "dst").persist()
     var levels = seeds.toDF("id").distinct()
       .select(col("id"), lit(0).as("level")).localCheckpoint()
-    for (r <- 1 to rounds) {
-      val prop = levels.where(col("level") === r - 1).as("f")
-        .join(e.as("e"), col("f.id") === col("e.src"))
-        .select(col("e.dst").as("id"), lit(r).as("level"))
-      levels = levels.union(prop).groupBy("id")
-        .agg(min("level").as("level")).localCheckpoint()
+    // frontier/levels are bounded by the edge subgraph — size the round
+    // shuffles to it (Graft.withIterShufflePartitions)
+    graft.Graft.withIterShufflePartitions(und.sparkSession, e.count()) {
+      for (r <- 1 to rounds) {
+        val prop = levels.where(col("level") === r - 1).as("f")
+          .join(e.as("e"), col("f.id") === col("e.src"))
+          .select(col("e.dst").as("id"), lit(r).as("level"))
+        levels = levels.union(prop).groupBy("id")
+          .agg(min("level").as("level")).localCheckpoint()
+      }
     }
     e.unpersist()
     levels

@@ -409,7 +409,10 @@ object Similarity {
     // false-neighbors before clustering. Self-join of the kNN edge list on
     // the reversed key pair (edge-list-sized, not corpus-sized).
     "ann_mutual_knn" -> { (s, d) =>
-      val g = knnGraph(s, d)
+      // persist: the fwd and rev branches both read the banded-join +
+      // window graph; without it the corpus×bucket join runs twice
+      // (caller releases via Graft.releaseCaches)
+      val g = knnGraph(s, d).persist()
       val fwd = g.where(col("q_id") < col("cand_id"))
         .select(col("q_id").as("a"), col("cand_id").as("b"), col("cos"))
       val rev = g.where(col("q_id") > col("cand_id"))
@@ -424,7 +427,10 @@ object Similarity {
     // signal; CC chains them transitively). Reuses the shared iterative
     // CC kernel: singletons never iterate, rounds are edge-subgraph-sized.
     "ann_knn_components" -> { (s, d) =>
-      val g = knnGraph(s, d)
+      // persist: fwd + rev both read the kNN graph, and the CC kernel's
+      // edge materialization would otherwise recompute the banded join
+      // again (measured 12.4 s -> the graph is the dominant cost)
+      val g = knnGraph(s, d).persist()
       val fwd = g.where(col("q_id") < col("cand_id"))
         .select(col("q_id").as("a"), col("cand_id").as("b"))
       val rev = g.where(col("q_id") > col("cand_id"))
