@@ -194,6 +194,35 @@ object Components {
       Graph.bfsLevels(seeds, und, Graph.BfsRounds)
         .select(col("id").as("doc_id"), col("level"))
         .orderBy("doc_id")
+    },
+
+    // Survivorship-bias audit of the near-dedup keep policy: mean quality
+    // of the kept representatives vs the dropped duplicates, one row. A
+    // best-quality-per-cluster policy SHOULD show kept >= dropped; a gap
+    // near zero would mean dedup is discarding content at random — the
+    // check a pipeline runs before trusting its dedup stage. Means go
+    // through exact DECIMAL sums (double summation is partition-order-
+    // dependent); same component/quality relations as dedup_cluster_keep.
+    "dedup_quality_bias" -> { (s, d) =>
+      val docs = documents(s, d).select("doc_id", "text")
+      val quality = TextAnalysis.stats(docs).select("doc_id", "quality_score")
+      val ranked = Window.partitionBy("component_id")
+        .orderBy(desc("quality_score"), asc("doc_id"))
+      val flagged = nearDupComponents(s, d)
+        .join(quality, "doc_id")
+        .withColumn("kept", row_number().over(ranked) === 1)
+      val q = col("quality_score").cast(DecimalType(12, 6))
+      flagged.agg(
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(!col("kept"), 1L).otherwise(0L)).as("n_dropped"),
+          (sum(when(col("kept"), q)).cast("double") /
+            sum(when(col("kept"), 1L).otherwise(0L))).as("mk"),
+          (sum(when(!col("kept"), q)).cast("double") /
+            sum(when(!col("kept"), 1L).otherwise(0L))).as("md"))
+        .select(col("n_kept"), col("n_dropped"),
+          round(col("mk"), 6).as("mean_quality_kept"),
+          round(col("md"), 6).as("mean_quality_dropped"),
+          round(col("mk") - col("md"), 6).as("quality_gap"))
     }
   )
 
@@ -249,6 +278,28 @@ object Components {
          |  UNION SELECT u.dst, b.level + 1 FROM bfs b
          |    JOIN und u ON u.src = b.id WHERE b.level < ${Graph.BfsRounds})
          |SELECT id AS doc_id, CAST(min(level) AS INTEGER) AS level FROM bfs
-         |GROUP BY id ORDER BY doc_id""".stripMargin
+         |GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "dedup_quality_bias" ->
+      s"""WITH RECURSIVE $ccCtes,
+         |qtok AS (SELECT doc_id, text, ${TextHash.toksSql("text")} AS t FROM documents),
+         |qual AS (SELECT doc_id, ${TextAnalysis.qualitySql("t", "text")} AS quality_score FROM qtok),
+         |fl AS (SELECT cc.doc_id, q.quality_score,
+         |    (row_number() OVER (PARTITION BY cc.component_id
+         |                        ORDER BY q.quality_score DESC, cc.doc_id) = 1) AS kept
+         |  FROM cc JOIN qual q ON cc.doc_id = q.doc_id),
+         |m AS (SELECT
+         |    CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |    CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+         |    CAST(sum(CASE WHEN kept THEN CAST(quality_score AS DECIMAL(12,6)) END)
+         |      AS DOUBLE) / sum(CASE WHEN kept THEN 1 ELSE 0 END) AS mk,
+         |    CAST(sum(CASE WHEN kept THEN NULL
+         |      ELSE CAST(quality_score AS DECIMAL(12,6)) END)
+         |      AS DOUBLE) / sum(CASE WHEN kept THEN 0 ELSE 1 END) AS md
+         |  FROM fl)
+         |SELECT n_kept, n_dropped, round(mk, 6) AS mean_quality_kept,
+         |  round(md, 6) AS mean_quality_dropped,
+         |  round(mk - md, 6) AS quality_gap
+         |FROM m""".stripMargin
   )
 }

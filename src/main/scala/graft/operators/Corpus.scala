@@ -79,6 +79,11 @@ object Corpus {
   /** Training-shuffle shard count (tracks cluster parallelism at scale). */
   val NumShards = 8
 
+  /** Candidate vocab sizes for vocab_coverage_curve (fixture vocab = 31
+    * types, so the ladder straddles it and the last arm saturates).
+    */
+  val CoverageLadder = Seq(5, 10, 20, 30)
+
   // ------------------------------------------------------------------ pii
 
   // Patterns stay inside the RE2 ∩ java.util.regex common subset (no
@@ -690,6 +695,31 @@ object Corpus {
         .orderBy("source")
     },
 
+    // Vocabulary-size sweep: what fraction of token OCCURRENCES the top-V
+    // types cover, for a ladder of candidate vocab sizes — the curve that
+    // picks a tokenizer/feature vocabulary budget (coverage flattens →
+    // stop paying for types). Ranks via Ranking.globalRank; the ladder is
+    // a handful of conditional sums in ONE aggregate over the ranked
+    // vocab (never a per-V rescan).
+    "vocab_coverage_curve" -> { (s, d) =>
+      val vocab = documents(s, d)
+        .select(explode(toks(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val ranked = Ranking.globalRank(vocab, Seq(desc("cnt"), asc("tok")))
+      val aggs = count(lit(1)).as("n_types") +: sum("cnt").as("total") +:
+        CoverageLadder.map(v =>
+          sum(when(col("rank") <= v, col("cnt")).otherwise(0L)).as(s"c_$v"))
+      val one = ranked.agg(aggs.head, aggs.tail: _*)
+      one.select(explode(array(CoverageLadder.map(v =>
+          struct(lit(v).as("vocab_size"), col(s"c_$v").as("covered_tokens"),
+            col("total").as("total_tokens"))): _*)).as("r"))
+        .select(col("r.vocab_size"), col("r.covered_tokens"),
+          col("r.total_tokens"),
+          round(col("r.covered_tokens").cast("double") /
+            col("r.total_tokens").cast("double"), 6).as("coverage"))
+        .orderBy("vocab_size")
+    },
+
     // Zipf's-law fit over the corpus vocabulary: OLS slope of ln(freq) on
     // ln(rank) (natural text ≈ −1; machine-generated or deduplicate-worthy
     // corpora drift off). Ranks come from Ranking.globalRank — the
@@ -1020,6 +1050,24 @@ object Corpus {
          |  round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
          |    / CAST(sum(c) AS DOUBLE), 6) AS hapax_token_frac
          |FROM st GROUP BY source ORDER BY source""".stripMargin,
+
+    "vocab_coverage_curve" -> {
+      val arms = CoverageLadder.map(v =>
+        s"""SELECT $v AS vocab_size,
+           |  CAST(sum(CASE WHEN rank <= $v THEN cnt ELSE 0 END) AS BIGINT)
+           |    AS covered_tokens,
+           |  CAST(sum(cnt) AS BIGINT) AS total_tokens FROM r""".stripMargin)
+        .mkString("\nUNION ALL\n")
+      s"""WITH v AS (SELECT tok, count(*) AS cnt FROM (
+         |    SELECT unnest(${toksSql("text")}) AS tok FROM documents) GROUP BY 1),
+         |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rank
+         |  FROM v),
+         |c AS ($arms)
+         |SELECT vocab_size, covered_tokens, total_tokens,
+         |  round(CAST(covered_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6)
+         |    AS coverage
+         |FROM c ORDER BY vocab_size""".stripMargin
+    },
 
     "vocab_zipf_slope" ->
       s"""WITH v AS (SELECT tok, count(*) AS cnt FROM (

@@ -97,6 +97,32 @@ object TimeSeries {
           |ORDER BY e.event_id""".stripMargin)
     },
 
+    // Robust-statistics counterpart of the IQR fences: median/MAD outlier
+    // detection per event_type — modified z = |x − med| / (1.4826·MAD) > 3.
+    // MAD (median absolute deviation) shrugs off the outliers themselves
+    // where stddev is dragged by them; the two exact medians run as
+    // per-group percentile_cont (grain = event_type, bounded), same
+    // engine-parity precedent as anomaly_iqr.
+    "anomaly_mad" -> { (s, d) =>
+      events(s, d).createOrReplaceTempView("g_an_events")
+      s.sql(
+        """WITH m AS (SELECT event_type,
+          |    percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+          |  FROM g_an_events GROUP BY event_type),
+          |md AS (SELECT e.event_type,
+          |    percentile_cont(0.5) WITHIN GROUP (ORDER BY abs(e.value - m.med)) AS mad
+          |  FROM g_an_events e JOIN m ON e.event_type = m.event_type
+          |  GROUP BY e.event_type)
+          |SELECT e.event_type, count(*) AS n,
+          |  sum(CASE WHEN abs(e.value - m.med) > 3 * 1.4826 * md.mad
+          |      THEN 1 ELSE 0 END) AS n_outliers,
+          |  round(any_value(m.med), 6) AS med, round(any_value(md.mad), 6) AS mad
+          |FROM g_an_events e
+          |  JOIN m ON e.event_type = m.event_type
+          |  JOIN md ON e.event_type = md.event_type
+          |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)
+    },
+
     // Downsample to per-user daily OHLC bars: open/close by total
     // (ts, event_id) order, high/low as order-independent extremes. The
     // classic resample — two window passes over one user_id shuffle.
@@ -227,6 +253,22 @@ object TimeSeries {
          |FROM events e JOIN b ON e.event_type = b.event_type
          |WHERE e.value < q1 - 1.5*(q3 - q1) OR e.value > q3 + 1.5*(q3 - q1)
          |ORDER BY e.event_id""".stripMargin,
+
+    "anomaly_mad" ->
+      """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY event_type),
+        |md AS (SELECT e.event_type,
+        |    quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        |  FROM events e JOIN m ON e.event_type = m.event_type
+        |  GROUP BY e.event_type)
+        |SELECT e.event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN abs(e.value - m.med) > 3 * 1.4826 * md.mad
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  round(any_value(m.med), 6) AS med, round(any_value(md.mad), 6) AS mad
+        |FROM events e
+        |  JOIN m ON e.event_type = m.event_type
+        |  JOIN md ON e.event_type = md.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
     "ts_gapfill" ->
       s"""WITH $dailyCte,

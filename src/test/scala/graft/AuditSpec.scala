@@ -71,6 +71,28 @@ class AuditSpec extends SparkSpecBase {
     assert(direct.exceptAll(merged).count() == 0)
   }
 
+  test("anomaly_mad: agrees with a driver-side median/MAD recompute per group") {
+    val rows = TimeSeries.queries("anomaly_mad")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val vals = graft.Tables.events(spark, sfDir)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+    def median(xs: Array[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    rows.foreach { r =>
+      val xs = vals(r.getString(0)).map(_._2)
+      val med = median(xs)
+      val mad = median(xs.map(x => math.abs(x - med)))
+      assert(math.abs(r.getDouble(3) - med) < 1e-6, s"median ${r.getString(0)}")
+      assert(math.abs(r.getDouble(4) - mad) < 1e-6, s"mad ${r.getString(0)}")
+      val out = xs.count(x => math.abs(x - med) > 3 * 1.4826 * mad)
+      assert(r.getLong(2) == out, s"outlier count ${r.getString(0)}")
+      assert(r.getLong(1) == xs.length)
+    }
+  }
+
   test("feature_bins_equidepth: balanced partition with monotone non-overlapping ranges") {
     val bins = Learn.queries("feature_bins_equidepth")(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))

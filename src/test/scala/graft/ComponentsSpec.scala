@@ -93,6 +93,28 @@ class ComponentsSpec extends SparkSpecBase {
     }
   }
 
+  test("dedup_quality_bias: counts reconcile with cluster-keep; keep-best policy shows a gap") {
+    val r = SparkEntry.queries("dedup_quality_bias")(spark, sfDir).head()
+    val nKeep = SparkEntry.queries("dedup_cluster_keep")(spark, sfDir).count()
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    assert(r.getLong(0) == nKeep, "kept = one representative per component")
+    assert(r.getLong(0) + r.getLong(1) == nDocs, "kept + dropped partition the corpus")
+    assert(r.getLong(1) > 0, "fixture must have dropped duplicates")
+    // means recompute from the component + quality relations
+    val comp = SparkEntry.queries("dedup_components")(spark, sfDir)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val qual = graft.operators.TextAnalysis
+      .queries("text_stats")(spark, sfDir).collect()
+      .map(x => x.getLong(0) -> x.getDouble(6)).toMap
+    val best = comp.groupBy(_._2).view.mapValues(ms =>
+      ms.keys.minBy(id => (-qual(id), id))).toMap
+    val kept = comp.keys.filter(id => best(comp(id)) == id).toSeq
+    val dropped = comp.keys.filterNot(id => best(comp(id)) == id).toSeq
+    def mean(ids: Seq[Long]) = ids.map(qual).sum / ids.length
+    assert(math.abs(r.getDouble(2) - mean(kept)) < 1e-5)
+    assert(math.abs(r.getDouble(3) - mean(dropped)) < 1e-5)
+  }
+
   test("corpus_split_component: zero leakage — every near-dup pair stays in one split") {
     val split = SparkEntry.queries("corpus_split_component")(spark, sfDir)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap

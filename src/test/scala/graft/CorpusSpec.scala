@@ -310,6 +310,28 @@ class CorpusSpec extends SparkSpecBase {
     }
   }
 
+  test("vocab_coverage_curve: monotone, saturating, consistent with the vocab") {
+    val rows = Corpus.queries("vocab_coverage_curve")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Corpus.CoverageLadder)
+    assert(rows.map(_._3).distinct.length == 1, "total is a corpus constant")
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 <= b._2 && a._4 <= b._4,
+        "coverage must be monotone in vocab size")
+      case _ =>
+    }
+    // independent recompute of the top arm
+    val toks = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("text").collect()
+      .flatMap(_.getString(0).toLowerCase.split("\\s+"))
+    val freq = toks.groupBy(identity).values.map(_.length.toLong).toSeq
+      .sorted(Ordering[Long].reverse)
+    val top = rows.last
+    assert(top._3 == toks.length)
+    assert(top._2 == freq.take(top._1).sum, "top arm covered-token count")
+  }
+
   test("vocab_zipf_slope equals a driver-side OLS over the ranked vocabulary") {
     val r = Corpus.queries("vocab_zipf_slope")(spark, sfDir).head()
     val toks = spark.read.parquet(s"$sfDir/documents.parquet")
