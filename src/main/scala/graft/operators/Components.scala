@@ -55,7 +55,10 @@ object Components {
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           maxRounds: Int = 50): DataFrame = {
-    val e = edges.toDF("src", "dst")
+    // checkpoint the edge input before mirroring it: the union's plan
+    // contains the edge subtree TWICE, so an expensive source (the minhash
+    // pair graph) would be computed twice inside und's one materialization
+    val e = edges.toDF("src", "dst").localCheckpoint()
     val und = e.union(e.select(col("dst"), col("src"))).persist()
     // Singleton fast-path: a node touching no edge keeps cc = id forever,
     // so ONLY edge endpoints enter the iteration. Near-dup graphs are
@@ -187,7 +190,10 @@ object Components {
     // round is a frontier-sized equi-join against the (persisted) pair
     // edges — never corpus-sized.
     "contamination_blast_radius" -> { (s, d) =>
+      // checkpoint before mirroring — the union otherwise re-derives the
+      // full minhash pair computation for each direction
       val pairs = Dedup.minhashPairs(s, d).select("doc_a", "doc_b")
+        .localCheckpoint()
       val und = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       val seeds = documents(s, d)
         .where(col("doc_id") % Corpus.BenchMod === 0).select("doc_id")

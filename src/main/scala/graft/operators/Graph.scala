@@ -202,7 +202,10 @@ object Graph {
     * (exact-integer) count of agreeing signature components.
     */
   def nearDupEdges(s: SparkSession, d: String): DataFrame = {
-    val pairs = Dedup.minhashPairs(s, d)
+    // checkpoint before mirroring — the union's plan holds the pair
+    // subtree twice, which would re-run the banded signature join per
+    // direction inside one materialization
+    val pairs = Dedup.minhashPairs(s, d).localCheckpoint()
     val w = (col("est_jaccard") * 32).cast("long").as("w")
     pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"), w)
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"), w))
@@ -237,7 +240,13 @@ object Graph {
     * linear (same discipline as [[kcoreEdges]]/[[bfsLevels]]).
     */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    // materialize the edge input ONCE: nodes, the self-loop union, and the
+    // initial labels all derive from it — unchecked, an expensive edge
+    // source (the minhash pair graph costs a full signature run) is
+    // recomputed three times before the loop even starts (measured: the
+    // lp queries spent ~5 of their 7.6 s re-deriving pairs)
     val base = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .localCheckpoint()
     val nodes = base.groupBy(col("src").as("id")).agg(max("w").as("sw"))
     val e = base
       .union(nodes.select(col("id"), col("id"), col("sw")))
