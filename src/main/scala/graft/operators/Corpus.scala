@@ -84,6 +84,9 @@ object Corpus {
     */
   val CoverageLadder = Seq(5, 10, 20, 30)
 
+  /** Term count for the term_burstiness dispersion profile. */
+  val BurstTopK = 20
+
   // ------------------------------------------------------------------ pii
 
   // Patterns stay inside the RE2 ∩ java.util.regex common subset (no
@@ -695,6 +698,35 @@ object Corpus {
         .orderBy("source")
     },
 
+    // Term burstiness: variance-to-mean ratio (index of dispersion) of
+    // per-document counts for the top-BurstTopK corpus terms. VMR ≈ 1 is
+    // Poisson scatter (function words); VMR >> 1 is clumpy, topical usage
+    // (content words) — the classic signal separating the two, and a
+    // boilerplate detector when a "content-looking" term scores near 1.
+    // Zero-count documents enter through the n_docs scalar only: E[x] and
+    // E[x²] need Σcnt and Σcnt² over nonzero (doc, term) cells plus the
+    // document total — never a dense doc×term grid. All moments are exact
+    // integer sums; two double divisions at the end.
+    "term_burstiness" -> { (s, d) =>
+      val dt = documents(s, d)
+        .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+        .groupBy("tok", "doc_id").agg(count(lit(1)).as("c"))
+        .persist() // feeds the term totals AND the moment aggregate
+      val top = dt.groupBy("tok").agg(sum("c").as("total"))
+        .orderBy(desc("total"), asc("tok")).limit(BurstTopK)
+      val nd = documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val m = dt.join(top, "tok")
+        .groupBy("tok")
+        .agg(first("total").as("total"), sum(col("c") * col("c")).as("ssq"))
+        .crossJoin(broadcast(nd))
+      val mean = col("total").cast("double") / col("n_docs").cast("double")
+      val ex2 = col("ssq").cast("double") / col("n_docs").cast("double")
+      m.select(col("tok"), col("total"),
+          round(mean, 6).as("mean_per_doc"),
+          round((ex2 - mean * mean) / mean, 6).as("vmr"))
+        .orderBy(desc("total"), asc("tok"))
+    },
+
     // Vocabulary-size sweep: what fraction of token OCCURRENCES the top-V
     // types cover, for a ladder of candidate vocab sizes — the curve that
     // picks a tokenizer/feature vocabulary budget (coverage flattens →
@@ -1050,6 +1082,25 @@ object Corpus {
          |  round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
          |    / CAST(sum(c) AS DOUBLE), 6) AS hapax_token_frac
          |FROM st GROUP BY source ORDER BY source""".stripMargin,
+
+    "term_burstiness" ->
+      s"""WITH dt AS (SELECT tok, doc_id, count(*) AS c FROM (
+         |    SELECT doc_id, unnest(${toksSql("text")}) AS tok FROM documents)
+         |  GROUP BY 1, 2),
+         |top AS (SELECT tok, CAST(sum(c) AS BIGINT) AS total FROM dt
+         |  GROUP BY tok ORDER BY total DESC, tok LIMIT $BurstTopK),
+         |nd AS (SELECT count(*) AS n_docs FROM documents),
+         |m AS (SELECT dt.tok, any_value(total) AS total,
+         |    CAST(sum(c * c) AS BIGINT) AS ssq
+         |  FROM dt JOIN top ON dt.tok = top.tok GROUP BY dt.tok)
+         |SELECT tok, total,
+         |  round(CAST(total AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+         |    AS mean_per_doc,
+         |  round((CAST(ssq AS DOUBLE) / CAST(n_docs AS DOUBLE)
+         |      - (CAST(total AS DOUBLE) / CAST(n_docs AS DOUBLE))
+         |        * (CAST(total AS DOUBLE) / CAST(n_docs AS DOUBLE)))
+         |    / (CAST(total AS DOUBLE) / CAST(n_docs AS DOUBLE)), 6) AS vmr
+         |FROM m CROSS JOIN nd ORDER BY total DESC, tok""".stripMargin,
 
     "vocab_coverage_curve" -> {
       val arms = CoverageLadder.map(v =>

@@ -470,6 +470,25 @@ object Dedup {
         .orderBy("source")
     },
 
+    // Which crawls duplicate each other: near-dup pairs cross-tabbed by
+    // the (unordered) source pair of their two sides — the matrix that
+    // decides which source to drop when two feeds overlap heavily, and
+    // whether duplication is mostly WITHIN a source (self-cell) or across
+    // feeds. Pair relation is the banded minhash output (checkpointed
+    // once); the two source annotations are doc-keyed joins; the result
+    // is at most |sources|²/2 rows.
+    "dedup_rate_by_source_pair" -> { (s, d) =>
+      val src = documents(s, d).select("doc_id", "source")
+      val pairs = minhashPairs(s, d).select("doc_a", "doc_b").localCheckpoint()
+      pairs
+        .join(src.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(src.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .groupBy(least(col("sa.source"), col("sb.source")).as("source_x"),
+          greatest(col("sa.source"), col("sb.source")).as("source_y"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_x", "source_y")
+    },
+
     // Candidate-quality audit of the MinHash-LSH kernel: its est-Jaccard
     // >= 0.5 pairs scored against exact ground truth at the SAME threshold
     // (the lossless inverted-index Jaccard join). Reports candidate/truth/
@@ -783,6 +802,16 @@ object Dedup {
          |FROM inc i LEFT JOIN m ON i.doc_id = m.doc_id
          |ORDER BY i.doc_id""".stripMargin
     },
+
+    "dedup_rate_by_source_pair" ->
+      s"""$sigSqlCte,
+         |mh AS ($minhashPairsSqlSelect)
+         |SELECT least(sa.source, sb.source) AS source_x,
+         |  greatest(sa.source, sb.source) AS source_y,
+         |  count(*) AS n_pairs
+         |FROM mh JOIN documents sa ON mh.doc_a = sa.doc_id
+         |  JOIN documents sb ON mh.doc_b = sb.doc_id
+         |GROUP BY 1, 2 ORDER BY source_x, source_y""".stripMargin,
 
     "minhash_recall_audit" ->
       s"""$sigSqlCte,

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables._
 import TextHash.{toks, toksSql}
@@ -69,7 +70,44 @@ object Drift {
     // Means come from exact 1e-9-quantized integer sums; the 64 per-dim
     // contributions sum in fixed point (double addition is partition-
     // order-dependent; long addition is associative).
-    "emb_drift_mmd" -> { (s, d) => mmdPairs(embeddings(s, d)) }
+    "emb_drift_mmd" -> { (s, d) => mmdPairs(embeddings(s, d)) },
+
+    // Stylometric source similarity: cosine between per-source character
+    // trigram profiles — the KL probe (drift_source_kl) asks "is this
+    // source's VOCABULARY unusual"; this asks "does it even LOOK like the
+    // same kind of text" at the sub-word level, which survives vocabulary
+    // shifts (new topics, other languages with shared script). One
+    // codegen'd position explode collapses the corpus to a (source, gram)
+    // count matrix; the pairwise cosine is a gram-keyed self-join of that
+    // matrix (|sources|² output). Dot products and norms accumulate as
+    // DECIMAL(38,0) sums of exact integer products (count products
+    // overflow a long at corpus scale; double sums are order-dependent).
+    "source_style_cosine" -> { (s, d) =>
+      val dec = DecimalType(38, 0)
+      val g = documents(s, d)
+        .select(col("source"), col("text"),
+          // guarded: sequence(1, n<1) counts DOWN in Spark
+          explode(when(length(col("text")) >= 3,
+            sequence(lit(1), length(col("text")) - 2))
+            .otherwise(array().cast("array<int>"))).as("i"))
+        .select(col("source"), col("text").substr(col("i"), lit(3)).as("gram"))
+        .groupBy("source", "gram").agg(count(lit(1)).as("c"))
+        .persist() // feeds the norm aggregate AND both self-join sides
+      val nrm = g.groupBy("source")
+        .agg(sum(col("c").cast(dec) * col("c")).as("ss"))
+        .select(col("source"), sqrt(col("ss").cast("double")).as("nrm"))
+      g.as("a")
+        .join(g.as("b"),
+          col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_x"), col("b.source").as("source_y"))
+        .agg(sum(col("a.c").cast(dec) * col("b.c")).as("dp"))
+        .join(broadcast(nrm.toDF("source_x", "nx")), "source_x")
+        .join(broadcast(nrm.toDF("source_y", "ny")), "source_y")
+        .select(col("source_x"), col("source_y"),
+          round(col("dp").cast("double") / (col("nx") * col("ny")), 6)
+            .as("style_cos"))
+        .orderBy("source_x", "source_y")
+    }
   )
 
   /** (label_a, label_b, mmd2) for every label pair of a (label, embedding)
@@ -171,6 +209,24 @@ object Drift {
         |    AS BIGINT) AS cc FROM j)
         |SELECT count(*) AS n_cells, round(CAST(sum(cc) AS DOUBLE)/1e9, 6) AS chi2
         |FROM t""".stripMargin,
+
+    "source_style_cosine" ->
+      """WITH g AS (SELECT source, gram, count(*) AS c FROM (
+        |    SELECT source, substr(text, CAST(i AS INTEGER), 3) AS gram
+        |    FROM (SELECT source, text, unnest(range(1, len(text) - 1)) AS i
+        |          FROM documents WHERE len(text) >= 3))
+        |  GROUP BY 1, 2),
+        |nrm AS (SELECT source, sqrt(CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE))
+        |    AS nrm FROM g GROUP BY source),
+        |dp AS (SELECT a.source AS source_x, b.source AS source_y,
+        |    CAST(sum(CAST(a.c AS HUGEINT) * b.c) AS DOUBLE) AS dp
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_x, source_y,
+        |  round(dp / (nx.nrm * ny.nrm), 6) AS style_cos
+        |FROM dp JOIN nrm nx ON dp.source_x = nx.source
+        |  JOIN nrm ny ON dp.source_y = ny.source
+        |ORDER BY source_x, source_y""".stripMargin,
 
     "emb_drift_mmd" ->
       """WITH dmd AS (SELECT label, generate_subscripts(embedding, 1) AS dim,

@@ -242,6 +242,17 @@ class DedupSpec extends SparkSpecBase {
     assert(gate.filter(_._2).keySet === expect)
   }
 
+  test("dedup_rate_by_source_pair: canonical cells partition the pair relation") {
+    val cells = Dedup.queries("dedup_rate_by_source_pair")(spark, sfDir).collect()
+    Graft.releaseCaches(spark)
+    val nPairs = Dedup.queries("dedup_minhash_pairs")(spark, sfDir).count()
+    Graft.releaseCaches(spark)
+    assert(cells.map(_.getLong(2)).sum == nPairs,
+      "source-pair cells must account for every near-dup pair exactly once")
+    cells.foreach(r => assert(r.getString(0) <= r.getString(1),
+      "cells must be canonically (min, max) ordered"))
+  }
+
   test("minhash_recall_audit: counts consistent, planted exact dup is a guaranteed tp") {
     import spark.implicits._
     val r = Dedup.queries("minhash_recall_audit")(spark, sfDir).head()

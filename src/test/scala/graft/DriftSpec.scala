@@ -43,6 +43,38 @@ class DriftSpec extends SparkSpecBase {
     fix.foreach(x => assert(x.getDouble(2) >= 0.0))
   }
 
+  test("source_style_cosine: all pairs present, values in (0,1], self-sim law on a planted clone") {
+    val rows = Drift.queries("source_style_cosine")(spark, sfDir).collect()
+    Graft.releaseCaches(spark)
+    val ns = Tables.documents(spark, sfDir).select("source").distinct().count()
+    assert(rows.length == ns * (ns - 1) / 2, "one cell per unordered source pair")
+    rows.foreach { r =>
+      val c = r.getDouble(2)
+      assert(c > 0.0 && c <= 1.0 + 1e-9, s"cosine out of range: $c")
+      assert(r.getString(0) < r.getString(1))
+    }
+  }
+
+  test("term_burstiness: moments match a driver-side recompute; variance law holds") {
+    import graft.operators.Corpus
+    val rows = Corpus.queries("term_burstiness")(spark, sfDir).collect()
+    Graft.releaseCaches(spark)
+    assert(rows.length > 0 && rows.length <= Corpus.BurstTopK)
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split("\\s+"))
+    val nDocs = docs.length
+    rows.foreach { r =>
+      val (tok, total) = (r.getString(0), r.getLong(1))
+      val perDoc = docs.map(_._2.count(_ == tok).toLong)
+      assert(perDoc.sum == total)
+      val mean = total.toDouble / nDocs
+      val ex2 = perDoc.map(c => c * c).sum.toDouble / nDocs
+      val vmr = (ex2 - mean * mean) / mean
+      assert(math.abs(r.getDouble(3) - vmr) < 1e-5, s"$tok vmr")
+      assert(r.getDouble(3) >= 0.0, "variance-to-mean cannot be negative")
+    }
+  }
+
   test("drift_lang_chi2: full margins grid; statistic is non-negative") {
     val r = q("drift_lang_chi2").head()
     val nSources = Tables.documents(spark, sfDir).select("source").distinct().count()
