@@ -113,6 +113,11 @@ object Dedup {
     */
   val ContainmentMin = 0.8
 
+  /** Exact-Jaccard thresholds for dedup_threshold_curve (min is the base
+    * relation's cut; the rest are conditional arms).
+    */
+  val ThresholdLadder = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+
   /** Exact n-gram (3-shingle) Jaccard pairs >= `minJaccard` over a
     * (doc_id, text) corpus, via an inverted shingle index — no cross join:
     * only documents sharing a shingle ever meet, shuffled on the shingle
@@ -470,6 +475,34 @@ object Dedup {
         .orderBy("source")
     },
 
+    // Threshold-sensitivity sweep for near-dedup: pair counts and
+    // affected-document counts at a ladder of exact-Jaccard thresholds,
+    // all derived from ONE inverted-index pair relation at the loosest
+    // threshold (tighter arms are conditional counts — never a rescan).
+    // Affected docs come distinct-free: collapse pairs to (doc,
+    // max-jaccard) once, then each arm counts docs whose best pair
+    // clears it. This is the curve that picks the production threshold —
+    // how much the corpus shrinks as the definition of "duplicate"
+    // loosens.
+    "dedup_threshold_curve" -> { (s, d) =>
+      val p = ngramJaccardPairs(documents(s, d).select("doc_id", "text"),
+        ThresholdLadder.min, dfCap = None).localCheckpoint()
+      val byDoc = p
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc"), col("jaccard"))
+        .groupBy("doc").agg(max("jaccard").as("mj"))
+      val pairArms = ThresholdLadder.zipWithIndex.map { case (t, i) =>
+        sum(when(col("jaccard") >= t, 1L).otherwise(0L)).as(s"p_$i") }
+      val docArms = ThresholdLadder.zipWithIndex.map { case (t, i) =>
+        sum(when(col("mj") >= t, 1L).otherwise(0L)).as(s"d_$i") }
+      val one = p.agg(pairArms.head, pairArms.tail: _*)
+        .crossJoin(byDoc.agg(docArms.head, docArms.tail: _*))
+      one.select(explode(array(ThresholdLadder.zipWithIndex.map { case (t, i) =>
+          struct(lit(t).as("threshold"), col(s"p_$i").as("n_pairs"),
+            col(s"d_$i").as("n_docs_affected")) }: _*)).as("r"))
+        .select(col("r.threshold"), col("r.n_pairs"), col("r.n_docs_affected"))
+        .orderBy("threshold")
+    },
+
     // Which crawls duplicate each other: near-dup pairs cross-tabbed by
     // the (unordered) source pair of their two sides — the matrix that
     // decides which source to drop when two feeds overlap heavily, and
@@ -801,6 +834,31 @@ object Dedup {
          |SELECT i.doc_id, (m.doc_id IS NOT NULL) AS near_dup_of_corpus
          |FROM inc i LEFT JOIN m ON i.doc_id = m.doc_id
          |ORDER BY i.doc_id""".stripMargin
+    },
+
+    "dedup_threshold_curve" -> {
+      val arms = Dedup.ThresholdLadder.map(t =>
+        s"""SELECT CAST($t AS DOUBLE) AS threshold,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM pr WHERE jaccard >= $t)
+           |    AS n_pairs,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM bd WHERE mj >= $t)
+           |    AS n_docs_affected""".stripMargin)
+        .mkString("\nUNION ALL\n")
+      s"""WITH tok AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents),
+         |sh AS (SELECT doc_id, ${shingles3Sql("t")} AS s FROM tok),
+         |e AS (SELECT doc_id, unnest(list_distinct(list_transform(s, x -> ${h60Sql("x")}))) AS g FROM sh),
+         |n AS (SELECT doc_id, count(*) AS nsh FROM e GROUP BY doc_id),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |pr AS (SELECT doc_a, doc_b,
+         |    CAST(inter AS DOUBLE) / (x.nsh + y.nsh - inter) AS jaccard
+         |  FROM p JOIN n x ON doc_a = x.doc_id JOIN n y ON doc_b = y.doc_id
+         |  WHERE CAST(inter AS DOUBLE) / (x.nsh + y.nsh - inter)
+         |    >= ${Dedup.ThresholdLadder.min}),
+         |bd AS (SELECT doc, max(jaccard) AS mj FROM (
+         |    SELECT doc_a AS doc, jaccard FROM pr
+         |    UNION ALL SELECT doc_b, jaccard FROM pr) GROUP BY doc)
+         |SELECT * FROM ($arms) ORDER BY threshold""".stripMargin
     },
 
     "dedup_rate_by_source_pair" ->

@@ -48,6 +48,8 @@ object Retrieval {
   private val TopK = 10
   /** Retrieval-eval list depth and binary-relevance tf threshold. */
   private val EvalK = 100
+  /** Cutoff for retrieval_ndcg. */
+  private val NdcgK = 10
   private val RelTf = 3
   /** RRF dampening constant (the standard 60 from Cormack et al.). */
   val RrfK = 60
@@ -273,6 +275,33 @@ object Retrieval {
         .orderBy("source")
     },
 
+    // nDCG@NdcgK completes the retrieval-metrics battery (MRR/P@5/AP in
+    // retrieval_eval are binary-relevance; nDCG grades by GAIN — here the
+    // raw term frequency — and discounts by rank): DCG over the system
+    // ranking vs ideal DCG over the same judged set re-ranked by gain.
+    // Per-position contributions are fixed-point longs (double summation
+    // is partition-order-dependent); both rankings share one shuffle on
+    // term. ndcg divides the ROUNDED dcg/idcg in both engines.
+    "retrieval_ndcg" -> { (s, d) =>
+      val ws = Window.partitionBy("term").orderBy(col("score").desc, col("doc_id"))
+      val wi = Window.partitionBy("term").orderBy(col("tf").desc, col("doc_id"))
+      val r = bm25(s, d)
+        .withColumn("rnk", row_number().over(ws))
+        .withColumn("irnk", row_number().over(wi))
+      def contrib(rank: org.apache.spark.sql.Column) =
+        when(rank <= NdcgK,
+          round(col("tf").cast("double") /
+            (log(rank.cast("double") + 1.0) / log(lit(2.0))) * 1e6).cast("long"))
+          .otherwise(0L)
+      r.groupBy("term")
+        .agg(sum(contrib(col("rnk"))).as("d6"), sum(contrib(col("irnk"))).as("i6"))
+        .select(col("term"),
+          round(col("d6").cast("double") / 1e6, 6).as("dcg"),
+          round(col("i6").cast("double") / 1e6, 6).as("idcg"))
+        .withColumn("ndcg", round(col("dcg") / col("idcg"), 6))
+        .orderBy("term")
+    },
+
     // CONTENT-DEFINED chunking (the Rabin/FastCDC family used by dedup
     // storage systems and by substring-robust corpus dedup): a chunk
     // boundary falls wherever the hash of the trailing CdcW-char gram is
@@ -484,6 +513,27 @@ object Retrieval {
          |  round(CAST(sum(chunk_len) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
          |    AS mean_chunk_len
          |FROM cl GROUP BY source ORDER BY source""".stripMargin,
+
+    "retrieval_ndcg" ->
+      s"""WITH $bm25Cte,
+         |r AS (SELECT term, doc_id, tf,
+         |    row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS rnk,
+         |    row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS irnk
+         |  FROM scored),
+         |a AS (SELECT term,
+         |    CAST(sum(CASE WHEN rnk <= $NdcgK THEN
+         |        CAST(round(CAST(tf AS DOUBLE)
+         |          / (ln(CAST(rnk AS DOUBLE) + 1.0) / ln(2.0)) * 1000000.0)
+         |          AS BIGINT) ELSE 0 END) AS BIGINT) AS d6,
+         |    CAST(sum(CASE WHEN irnk <= $NdcgK THEN
+         |        CAST(round(CAST(tf AS DOUBLE)
+         |          / (ln(CAST(irnk AS DOUBLE) + 1.0) / ln(2.0)) * 1000000.0)
+         |          AS BIGINT) ELSE 0 END) AS BIGINT) AS i6
+         |  FROM r GROUP BY term),
+         |b AS (SELECT term, round(CAST(d6 AS DOUBLE)/1000000.0, 6) AS dcg,
+         |    round(CAST(i6 AS DOUBLE)/1000000.0, 6) AS idcg FROM a)
+         |SELECT term, dcg, idcg, round(dcg / idcg, 6) AS ndcg
+         |FROM b ORDER BY term""".stripMargin,
 
     "cdc_chunks" ->
       s"""WITH $cdcCte

@@ -332,6 +332,18 @@ object StreamingOps {
   def gopherGateStream(docs: DataFrame): DataFrame =
     graft.operators.TextAnalysis.gopherRules(docs)
 
+  /** Content-defined chunking applied per micro-batch (foreachBatch face,
+    * like nearDupIngest): chunk boundaries are a pure function of each
+    * document's own characters, so every batch chunks independently with
+    * zero state, and stream union == batch run by construction (the spec
+    * proves it against the oracled cdc_chunks relation). The per-doc lag
+    * window inside cdcChunks is why this is a foreachBatch face, not a
+    * stream transform — window functions aren't streamable, but the
+    * batch plan is legal on each materialized micro-batch.
+    */
+  def cdcChunkBatch(docs: DataFrame): DataFrame =
+    graft.operators.Retrieval.cdcChunks(docs)
+
   /** Stream-static enrichment join: the static dim is broadcast to every
     * task — no stream shuffle, no state. The dim is re-resolved per
     * micro-batch, so slowly-changing dims refresh on their own.

@@ -242,6 +242,25 @@ class DedupSpec extends SparkSpecBase {
     assert(gate.filter(_._2).keySet === expect)
   }
 
+  test("dedup_threshold_curve: monotone arms anchored to the exact pair relation") {
+    val rows = Dedup.queries("dedup_threshold_curve")(spark, sfDir).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    Graft.releaseCaches(spark)
+    assert(rows.map(_._1).toSeq == Dedup.ThresholdLadder)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._2 >= b._2 && a._3 >= b._3,
+          "pair and doc counts must be non-increasing in the threshold")
+      case _ =>
+    }
+    // base arm == ground truth at the loosest threshold
+    assert(rows.head._2 == groundTruthPairs(Dedup.ThresholdLadder.min).size)
+    rows.foreach { case (_, p, docs) =>
+      assert(p == 0 && docs == 0 || (docs >= 2 && docs <= 2 * p),
+        "each pair touches two docs; each affected doc needs a pair")
+    }
+  }
+
   test("dedup_rate_by_source_pair: canonical cells partition the pair relation") {
     val cells = Dedup.queries("dedup_rate_by_source_pair")(spark, sfDir).collect()
     Graft.releaseCaches(spark)

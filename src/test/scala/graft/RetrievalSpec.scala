@@ -201,6 +201,31 @@ class RetrievalSpec extends SparkSpecBase {
     assert(out(3L) == ((" tail stays here......", 29L)))
   }
 
+  test("retrieval_ndcg: ideal dominates, ndcg in (0,1], driver-side recompute agrees") {
+    val rows = q("retrieval_ndcg").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dcg, idcg, ndcg) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(idcg >= dcg - 1e-9, "ideal ranking maximizes DCG")
+      assert(ndcg > 0.0 && ndcg <= 1.0 + 1e-9)
+    }
+    // independent recompute from the scores relation for every term
+    val scores = q("bm25_scores").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2).toInt, r.getDouble(4)))
+    rows.foreach { r =>
+      val term = r.getString(0)
+      val ts = scores.filter(_._1 == term)
+      def dcgOf(ranked: Seq[Int]): Double =
+        ranked.take(10).zipWithIndex.map { case (tf, i) =>
+          math.round(tf / (math.log(i + 2.0) / math.log(2.0)) * 1e6)
+        }.sum / 1e6
+      val sys = ts.sortBy(x => (-x._4, x._2)).map(_._3)
+      val ideal = ts.sortBy(x => (-x._3, x._2)).map(_._3)
+      assert(math.abs(r.getDouble(1) - dcgOf(sys)) < 1e-5, s"$term dcg")
+      assert(math.abs(r.getDouble(2) - dcgOf(ideal)) < 1e-5, s"$term idcg")
+    }
+  }
+
   test("cdc chunks: lossless reconstruction and content-defined shift robustness") {
     import spark.implicits._
     // reconstruction: per doc, chunks are contiguous and concatenate to text

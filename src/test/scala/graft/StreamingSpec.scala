@@ -733,6 +733,35 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("cdcChunkBatch over micro-batches == batch cdc_chunks (stateless per doc)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    val acc = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val q = in.toDF.toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        acc.synchronized {
+          acc ++= StreamingOps.cdcChunkBatch(batch).collect().map(_.toSeq)
+        }
+        ()
+      }
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(docs.take(docs.length / 3): _*)
+      q.processAllAvailable()
+      in.addData(docs.drop(docs.length / 3): _*)
+      q.processAllAvailable()
+      val want = graft.operators.Retrieval
+        .queries("cdc_chunks")(spark, sfDir).collect().map(_.toSeq).toSet
+      assert(acc.toSet == want,
+        "chunks accumulated across micro-batches must equal the oracled batch relation")
+    } finally q.stop()
+  }
+
   test("gopherGateStream == batch quality_gopher_rules on streamed fixture docs") {
     val s = spark
     import s.implicits._
