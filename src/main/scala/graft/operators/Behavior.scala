@@ -69,6 +69,31 @@ object Behavior {
         .orderBy("stage")
     },
 
+    // Stage-transition latency: how long converting users take between
+    // funnel stages — the p50/p90 conversion-lag report product teams
+    // read next to the stage totals. Gaps are exact epoch-micro deltas
+    // per converting user (two inner joins of the already-shrinking stage
+    // frames); quantiles interpolate over those exact longs, grouped at
+    // the 2-row transition grain.
+    "funnel_latency" -> { (s, d) =>
+      val (v, c, p) = funnel(s, d)
+      val vc = c.join(v, "user_id")
+        .select(lit("1_view_to_click").as("transition"),
+          (unix_micros(col("tc")) - unix_micros(col("tv"))).as("gap_us"))
+      val cp = p.join(c, "user_id")
+        .select(lit("2_click_to_purchase").as("transition"),
+          (unix_micros(col("tp")) - unix_micros(col("tc"))).as("gap_us"))
+      vc.union(cp)
+        .groupBy("transition")
+        .agg(count(lit(1)).as("n_users"),
+          round(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY gap_us)") / 1e6, 6)
+            .as("median_gap_s"),
+          round(expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY gap_us)") / 1e6, 6)
+            .as("p90_gap_s"),
+          round(max(col("gap_us")).cast("double") / 1e6, 6).as("max_gap_s"))
+        .orderBy("transition")
+    },
+
     // Cohort retention: users grouped by first-active day; how many of
     // each cohort were active again `offset_days` later.
     "retention_cohorts" -> { (s, d) =>
@@ -155,6 +180,21 @@ object Behavior {
          |UNION ALL SELECT '2_click', count(*) FROM c
          |UNION ALL SELECT '3_purchase', count(*) FROM p
          |ORDER BY stage""".stripMargin,
+
+    "funnel_latency" ->
+      s"""WITH $funnelCtes,
+         |g AS (SELECT '1_view_to_click' AS transition,
+         |    epoch_us(c.tc) - epoch_us(v.tv) AS gap_us
+         |  FROM c JOIN v USING (user_id)
+         |  UNION ALL
+         |  SELECT '2_click_to_purchase',
+         |    epoch_us(p.tp) - epoch_us(c.tc)
+         |  FROM p JOIN c USING (user_id))
+         |SELECT transition, count(*) AS n_users,
+         |  round(quantile_cont(gap_us, 0.5) / 1e6, 6) AS median_gap_s,
+         |  round(quantile_cont(gap_us, 0.9) / 1e6, 6) AS p90_gap_s,
+         |  round(CAST(max(gap_us) AS DOUBLE) / 1e6, 6) AS max_gap_s
+         |FROM g GROUP BY transition ORDER BY transition""".stripMargin,
 
     "retention_cohorts" ->
       """WITH act AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),

@@ -78,6 +78,28 @@ object Profile {
         .orderBy("event_type", "day", "vb")
     },
 
+    // Benford's-law audit of the order totals — the classic fabricated-
+    // numbers screen: naturally-grown magnitudes follow P(d) = log10(1 +
+    // 1/d) for the leading digit; synthetic or tampered columns don't.
+    // One map-side digit extraction + a 9-row aggregate; observed vs
+    // expected frequencies per digit (TPC-H prices are uniform-ish, so
+    // the fixture SHOULD deviate — the audit detecting that is the spec).
+    "benford_prices" -> { (s, d) =>
+      val digit = substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+        .cast("int")
+      val n = orders(s, d).agg(count(lit(1)).as("n_total"))
+      orders(s, d)
+        .select(digit.as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(n))
+        .select(col("digit"), col("n"),
+          round(col("n").cast("double") / col("n_total").cast("double"), 6)
+            .as("obs_frac"),
+          round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6)
+            .as("benford_frac"))
+        .orderBy("digit")
+    },
+
     // One-row release-risk summary: class counts, rows in small classes,
     // the at-risk fraction, and the worst sensitive-diversity among the
     // classes that DO meet k (l-diversity can fail even where k holds).
@@ -179,6 +201,15 @@ object Profile {
            |    THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
            |FROM $child c""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY fk")),
+
+    "benford_prices" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS INTEGER) AS digit FROM orders),
+        |n AS (SELECT count(*) AS n_total FROM orders)
+        |SELECT digit, count(*) AS n,
+        |  round(CAST(count(*) AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS obs_frac,
+        |  round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford_frac
+        |FROM d CROSS JOIN n GROUP BY digit, n_total ORDER BY digit""".stripMargin,
 
     "kanon_classes" ->
       s"""SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,

@@ -91,4 +91,32 @@ class BehaviorSpec extends SparkSpecBase {
       assert(r.getLong(1) == perType(t) - groups(t))
     }
   }
+
+  test("funnel_latency: transition counts equal stage totals; gaps strictly positive") {
+    import graft.operators.Behavior
+    val lat = Behavior.queries("funnel_latency")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(4))).toMap
+    val stages = Behavior.queries("funnel_stages")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(lat.keySet == Set("1_view_to_click", "2_click_to_purchase"))
+    // every click-stage user has a view->click gap; same for purchases
+    assert(lat("1_view_to_click")._1 == stages("2_click"))
+    assert(lat("2_click_to_purchase")._1 == stages("3_purchase"))
+    lat.values.foreach { case (_, med, mx) =>
+      assert(med > 0.0 && mx >= med, "strictly-ordered funnel gaps are positive")
+    }
+  }
+
+  test("benford_prices: full digit support, frequencies reconcile and sum to one") {
+    import graft.operators.Profile
+    val rows = Profile.queries("benford_prices")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1 to 9))
+    val nOrders = graft.Tables.orders(spark, sfDir).count()
+    assert(rows.map(_._2).sum == nOrders, "digit counts partition the orders")
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4,
+      "Benford expected frequencies are a distribution")
+  }
 }
