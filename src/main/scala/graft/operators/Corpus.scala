@@ -87,6 +87,12 @@ object Corpus {
   /** Term count for the term_burstiness dispersion profile. */
   val BurstTopK = 20
 
+  /** Probe-window cap for pii_spans: no supported PII value exceeds this,
+    * and the cap turns the per-position suffix copy (O(doc²) bytes) into
+    * a constant-width window.
+    */
+  val PiiMaxLen = 64
+
   // ------------------------------------------------------------------ pii
 
   // Patterns stay inside the RE2 ∩ java.util.regex common subset (no
@@ -698,6 +704,54 @@ object Corpus {
         .orderBy("source")
     },
 
+    // Span-level PII detection: the maximal character REGIONS a redaction
+    // pass must blank, per kind — pii_redact rewrites the text; this
+    // returns the offsets (what a selective-redaction or audit-overlay
+    // pipeline needs). Every position is probed with an ANCHORED regex
+    // (Spark has no all-match-offsets primitive; the anchored probe is
+    // the dup_exact_spans cost model — each position once, fails fast);
+    // suffix starts of one PII value land at adjacent positions and
+    // chain-merge into a single maximal region via the same island
+    // windows dup_exact_spans uses (partitioned by doc — bounded).
+    // Region start = leftmost anchored hit; end = furthest match end.
+    "pii_spans" -> { (s, d) =>
+      val kinds = Seq(("email", EmailRe), ("ssn", SsnRe), ("phone", PhoneRe))
+      // sound first-char prefilters (any match of the kind MUST start with
+      // a char passing its gate), so the expensive anchored regex runs at
+      // a fraction of positions — a pure pre-filter, results unchanged
+      val c1 = expr("substring(t, p, 1)")
+      val gates = Map(
+        "email" -> c1.rlike("[a-z0-9._%+-]"),
+        "ssn" -> c1.rlike("[0-9]"),
+        "phone" -> (c1 === "+"))
+      val hits = documents(s, d)
+        .select(col("doc_id"), withPlantedPii.as("t"))
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(1), length(col("t")))).as("p"))
+        .select(col("doc_id"), col("p"), explode(array(kinds.map { case (k, re) =>
+          struct(lit(k).as("kind"),
+            when(gates(k),
+              length(regexp_extract(expr(s"substring(t, p, $PiiMaxLen)"),
+                s"^($re)", 0)))
+              .otherwise(0).as("len")) }: _*)).as("h"))
+        .select(col("doc_id"), col("h.kind").as("kind"), col("p"), col("h.len").as("len"))
+        .where(col("len") > 0)
+      val wPrev = Window.partitionBy("doc_id", "kind").orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.partitionBy("doc_id", "kind").orderBy("p")
+      hits
+        .withColumn("brk",
+          when(col("p") > coalesce(max(col("p") + col("len")).over(wPrev), lit(-1)), 1L)
+            .otherwise(0L))
+        .withColumn("isle", sum("brk").over(wRun))
+        .groupBy("doc_id", "kind", "isle")
+        .agg(min("p").as("span_start"),
+          (max(col("p") + col("len")) - min(col("p"))).cast("long").as("span_len"),
+          count(lit(1)).as("n_anchored_hits"))
+        .select("doc_id", "kind", "span_start", "span_len", "n_anchored_hits")
+        .orderBy("doc_id", "kind", "span_start")
+    },
+
     // Term burstiness: variance-to-mean ratio (index of dispersion) of
     // per-document counts for the top-BurstTopK corpus terms. VMR ≈ 1 is
     // Poisson scatter (function words); VMR >> 1 is clumpy, topical usage
@@ -1082,6 +1136,30 @@ object Corpus {
          |  round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
          |    / CAST(sum(c) AS DOUBLE), 6) AS hapax_token_frac
          |FROM st GROUP BY source ORDER BY source""".stripMargin,
+
+    "pii_spans" -> {
+      val arms = Seq(("email", EmailRe), ("ssn", SsnRe), ("phone", PhoneRe))
+        .map { case (k, re) =>
+          s"""SELECT doc_id, '$k' AS kind, p,
+             |  len(regexp_extract(substr(t, CAST(p AS INTEGER), $PiiMaxLen), '^($re)'))
+             |    AS len FROM pos""".stripMargin }
+        .mkString("\nUNION ALL\n")
+      s"""WITH pp AS (SELECT doc_id, ${plantedPiiSql} AS t FROM documents),
+         |pos AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS p FROM pp),
+         |hits AS (SELECT * FROM ($arms) WHERE len > 0),
+         |b AS (SELECT doc_id, kind, p, len,
+         |    CASE WHEN p > coalesce(max(p + len) OVER (PARTITION BY doc_id, kind
+         |        ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         |      THEN 1 ELSE 0 END AS brk
+         |  FROM hits),
+         |i AS (SELECT *, sum(brk) OVER (PARTITION BY doc_id, kind
+         |    ORDER BY p ROWS UNBOUNDED PRECEDING) AS isle FROM b)
+         |SELECT doc_id, kind, CAST(min(p) AS INTEGER) AS span_start,
+         |  CAST(max(p + len) - min(p) AS BIGINT) AS span_len,
+         |  count(*) AS n_anchored_hits
+         |FROM i GROUP BY doc_id, kind, isle
+         |ORDER BY doc_id, kind, span_start""".stripMargin
+    },
 
     "term_burstiness" ->
       s"""WITH dt AS (SELECT tok, doc_id, count(*) AS c FROM (

@@ -293,6 +293,38 @@ class CorpusSpec extends SparkSpecBase {
     }
   }
 
+  test("pii_spans: every region extracts to a full PII match; counts equal pii_redact") {
+    val spans = Corpus.queries("pii_spans")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    assert(spans.nonEmpty)
+    val redact = Corpus.queries("pii_redact")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    val byKind = spans.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byKind("email") == redact.values.map(_._1).sum,
+      "one email region per regex match")
+    assert(byKind("ssn") == redact.values.map(_._2).sum)
+    assert(byKind("phone") == redact.values.map(_._3).sum)
+    // the offsets really point at PII: extract each region and match fully
+    val res = Map(
+      "email" -> ("^" + Corpus.EmailRe + "$").r,
+      "ssn" -> ("^" + Corpus.SsnRe + "$").r,
+      "phone" -> ("^" + Corpus.PhoneRe + "$").r)
+    val docsPii = graft.Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.expr(
+          "concat(text, " +
+            "CASE WHEN doc_id % 3 = 0 THEN concat(' contact user', CAST(doc_id AS STRING), '@mail.example.com') ELSE '' END, " +
+            "CASE WHEN doc_id % 4 = 0 THEN concat(' call +1-555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0')) ELSE '' END, " +
+            "CASE WHEN doc_id % 5 = 0 THEN concat(' ssn 123-45-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0')) ELSE '' END)")
+          .as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    spans.foreach { case (id, kind, start, len) =>
+      val sub = docsPii(id).substring(start - 1, start - 1 + len.toInt)
+      assert(res(kind).findFirstIn(sub).contains(sub),
+        s"doc $id $kind region [$start,+$len) = '$sub' is not a full match")
+    }
+  }
+
   test("vocab_hapax_rate: counts reconcile with an independent per-source tally") {
     val rows = Corpus.queries("vocab_hapax_rate")(spark, sfDir).collect()
     assert(rows.nonEmpty)
