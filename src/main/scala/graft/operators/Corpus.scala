@@ -707,35 +707,59 @@ object Corpus {
     // Span-level PII detection: the maximal character REGIONS a redaction
     // pass must blank, per kind — pii_redact rewrites the text; this
     // returns the offsets (what a selective-redaction or audit-overlay
-    // pipeline needs). Every position is probed with an ANCHORED regex
-    // (Spark has no all-match-offsets primitive; the anchored probe is
-    // the dup_exact_spans cost model — each position once, fails fast);
-    // suffix starts of one PII value land at adjacent positions and
-    // chain-merge into a single maximal region via the same island
-    // windows dup_exact_spans uses (partitioned by doc — bounded).
-    // Region start = leftmost anchored hit; end = furthest match end.
+    // pipeline needs). Candidate starts come from ANCHOR characters each
+    // pattern provably contains — '@' for email (at start+locallen, and
+    // locallen ≤ 59 under the 64-char probe window: the domain needs ≥5
+    // chars), the first '-' for SSN (always at start+3), '+' for phone
+    // (at start exactly) — so the anchored probe regex runs at a few
+    // positions per planted value instead of EVERY corpus position
+    // (1.5M probes × 3 kinds → ~100k; 8.2 s → sub-second at sf0.1).
+    // The probe itself is unchanged, so the hit set — including the
+    // suffix starts that land at adjacent positions and chain-merge into
+    // one maximal region via the island windows (partitioned by doc —
+    // bounded) — is byte-identical to the all-positions scan the DuckDB
+    // oracle still runs. Region start = leftmost anchored hit; end =
+    // furthest match end.
     "pii_spans" -> { (s, d) =>
-      val kinds = Seq(("email", EmailRe), ("ssn", SsnRe), ("phone", PhoneRe))
-      // sound first-char prefilters (any match of the kind MUST start with
-      // a char passing its gate), so the expensive anchored regex runs at
-      // a fraction of positions — a pure pre-filter, results unchanged
-      val c1 = expr("substring(t, p, 1)")
-      val gates = Map(
-        "email" -> c1.rlike("[a-z0-9._%+-]"),
-        "ssn" -> c1.rlike("[0-9]"),
-        "phone" -> (c1 === "+"))
-      val hits = documents(s, d)
-        .select(col("doc_id"), withPlantedPii.as("t"))
+      val docs = documents(s, d).select(col("doc_id"), withPlantedPii.as("t"))
+      // ONE pass finds every anchor occurrence: split on the 3-char class;
+      // the i-th separator sits at the running sum of (chunk len + 1), and
+      // the anchor's identity is recovered as the char AT that position.
+      // Rows per doc = occurrences + 1 — the per-doc window is bounded.
+      val w = Window.partitionBy("doc_id").orderBy("i")
+      val anchors = docs
         .select(col("doc_id"), col("t"),
-          explode(sequence(lit(1), length(col("t")))).as("p"))
-        .select(col("doc_id"), col("p"), explode(array(kinds.map { case (k, re) =>
-          struct(lit(k).as("kind"),
-            when(gates(k),
-              length(regexp_extract(expr(s"substring(t, p, $PiiMaxLen)"),
-                s"^($re)", 0)))
-              .otherwise(0).as("len")) }: _*)).as("h"))
-        .select(col("doc_id"), col("h.kind").as("kind"), col("p"), col("h.len").as("len"))
+          posexplode(split(col("t"), "[@+-]", -1)).as(Seq("i", "chunk")))
+        .withColumn("q", sum(length(col("chunk")) + 1).over(w).cast("int"))
+        .where(col("q") <= length(col("t")))
+        .withColumn("ch", expr("substring(t, q, 1)"))
+      // candidate (kind, start) list per anchor; email probes every start
+      // within local-part reach of its '@' (locallen ≤ 59 under the
+      // 64-char window: the domain needs ≥ 5 chars)
+      val cands = anchors
+        .select(col("doc_id"), col("t"), explode(
+          when(col("ch") === "+",
+            array(struct(lit("phone").as("kind"), col("q").as("p"))))
+          .when(col("ch") === "-" && col("q") >= 4,
+            array(struct(lit("ssn").as("kind"), (col("q") - 3).as("p"))))
+          .when(col("ch") === "@" && col("q") >= 2,
+            transform(
+              sequence(greatest(lit(1), col("q") - 59), col("q") - 1),
+              p => struct(lit("email").as("kind"), p.as("p"))))
+          .otherwise(array().cast("array<struct<kind:string,p:int>>"))).as("c"))
+        .select(col("doc_id"), col("t"),
+          col("c.kind").as("kind"), col("c.p").as("p"))
+        // two '@'s within 59 chars generate a position twice — dedup so the
+        // hit multiset stays identical to the all-positions scan
+        .dropDuplicates("doc_id", "kind", "p")
+      val probeRe = Map("email" -> EmailRe, "ssn" -> SsnRe, "phone" -> PhoneRe)
+      val hits = cands
+        .withColumn("len", coalesce(probeRe.foldLeft(lit(null).cast("int")) {
+          case (acc, (k, re)) => when(col("kind") === k,
+            length(regexp_extract(expr(s"substring(t, p, $PiiMaxLen)"),
+              s"^($re)", 0))).otherwise(acc) }, lit(0)))
         .where(col("len") > 0)
+        .select(col("doc_id"), col("kind"), col("p"), col("len"))
       val wPrev = Window.partitionBy("doc_id", "kind").orderBy("p")
         .rowsBetween(Window.unboundedPreceding, -1)
       val wRun = Window.partitionBy("doc_id", "kind").orderBy("p")
