@@ -490,6 +490,36 @@ object Graph {
       bfsLevels(seed, e.select("src", "dst"), BfsRounds)
         .select(col("id").as("node"), col("level"))
         .orderBy("level", "node")
+    },
+
+    // Degree assortativity (Newman's r): Pearson correlation of the
+    // degrees at the two endpoints of every edge — hub-to-hub wiring
+    // (r > 0, social graphs) vs hub-to-leaf (r < 0, word co-occurrence /
+    // infrastructure). The symmetric edge list makes the x and y moments
+    // equal, so r = (mΣxy − (Σx)²) / (mΣx² − (Σx)²) over exact integer
+    // sums; the moments are one agg over edges joined twice against the
+    // vocab-sized degree table (broadcastable at any corpus scale), and
+    // the only float math is the final division — shared digit-for-digit
+    // with the oracle.
+    "graph_assortativity" -> { (s, d) =>
+      val e = cooccurEdges(documents(s, d).select("doc_id", "text"))
+        .select("src", "dst").persist()
+      val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      val m = e
+        .join(deg.select(col("src").as("_a"), col("deg").as("dx")),
+          col("src") === col("_a"))
+        .join(deg.select(col("src").as("_b"), col("deg").as("dy")),
+          col("dst") === col("_b"))
+        .agg(count(lit(1)).as("m"),
+          sum(col("dx")).as("sx"),
+          sum(col("dx") * col("dx")).as("sx2"),
+          sum(col("dx") * col("dy")).as("sxy"))
+      val mD = col("m").cast("double")
+      val sxD = col("sx").cast("double")
+      m.select(col("m"), col("sx"), col("sx2"), col("sxy"),
+        round((mD * col("sxy").cast("double") - sxD * sxD) /
+          (mD * col("sx2").cast("double") - sxD * sxD), 6)
+          .as("assortativity"))
     }
   )
 
@@ -595,6 +625,21 @@ object Graph {
       s"""WITH $graphCtes
          |SELECT src AS node, count(*) AS degree, CAST(sum(w) AS BIGINT) AS wdegree
          |FROM edges GROUP BY src ORDER BY wdegree DESC, node""".stripMargin,
+
+    "graph_assortativity" ->
+      s"""WITH $graphCtes,
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |j AS (SELECT a.deg AS dx, b.deg AS dy
+         |  FROM edges e JOIN deg a ON e.src = a.src JOIN deg b ON e.dst = b.src),
+         |mm AS (SELECT count(*) AS m, CAST(sum(dx) AS BIGINT) AS sx,
+         |    CAST(sum(dx*dx) AS BIGINT) AS sx2,
+         |    CAST(sum(dx*dy) AS BIGINT) AS sxy FROM j)
+         |SELECT m, sx, sx2, sxy,
+         |  round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |    / (CAST(m AS DOUBLE) * CAST(sx2 AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS assortativity
+         |FROM mm""".stripMargin,
 
     "graph_triangles" ->
       s"""WITH $graphCtes,

@@ -192,6 +192,25 @@ object SqlFunctions {
           |ORDER BY n.n_name""".stripMargin)
     },
 
+    // LATERAL with a correlated ORDER BY + LIMIT body — the stronger
+    // decorrelation case (per-key top-k expressed as a dependent
+    // subquery, not a window): Catalyst rewrites it into a join + ranked
+    // window rather than a per-outer-row nested loop, so it scales like
+    // q_topk_per_segment. Restricted to one nation to keep the bench-side
+    // row volume flat.
+    "q_lateral_topk" -> { (s, d) =>
+      customer(s, d).createOrReplaceTempView("g_customer_lt")
+      orders(s, d).createOrReplaceTempView("g_orders_lt")
+      s.sql(
+        """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+          |FROM g_customer_lt c,
+          |LATERAL (SELECT o_orderkey, o_totalprice FROM g_orders_lt o
+          |         WHERE o.o_custkey = c.c_custkey
+          |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+          |WHERE c.c_nationkey = 7
+          |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
+    },
+
     // Correlated EXISTS with an inequality inside (decorrelated semi join
     // with a non-trivial condition).
     "q_correlated_exists" -> { (s, d) =>
@@ -819,6 +838,15 @@ object SqlFunctions {
         |LATERAL (SELECT max(c_acctbal) AS top_bal FROM customer c
         |         WHERE c.c_nationkey = n.n_nationkey) t
         |ORDER BY n.n_name""".stripMargin,
+
+    "q_lateral_topk" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |WHERE c.c_nationkey = 7
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin,
 
     "q_correlated_exists" ->
       """SELECT s_suppkey, s_name FROM supplier s

@@ -186,7 +186,37 @@ object TimeSeries {
     // engines. The day grain bounds the windowed relation at |days| rows
     // regardless of corpus size; the single-partition window is safe for
     // the same reason as eval_auc's (Learn.scala byScore note).
-    "ts_cusum" -> { (s, d) => cusumOf(dailyEventCounts(events(s, d))) }
+    "ts_cusum" -> { (s, d) => cusumOf(dailyEventCounts(events(s, d))) },
+
+    // Autocorrelation function of the daily ingest-volume series at lags
+    // 1..7 — the seasonality screen (a weekly cycle shows as an acf(7)
+    // spike) run before trusting any day-grain drift monitor. Pearson r
+    // between the series and its k-shifted self over the OVERLAPPING days
+    // only: the series explodes into (lag, day+lag) probes equi-joined
+    // back against itself — day-grain bounded relation, never a window —
+    // and all five moments are exact integer sums; the one double
+    // expression is shared digit-for-digit with the oracle.
+    "ts_autocorr" -> { (s, d) =>
+      val dly = dailyEventCounts(events(s, d))
+      val probes = dly
+        .select(col("day"), col("n_ev").as("a"),
+          explode(array((1 to 7).map(lit): _*)).as("lag"))
+        .select(col("lag"), expr("date_add(day, lag)").as("day2"), col("a"))
+      val j = probes.join(
+        dly.select(col("day").as("day2"), col("n_ev").as("b")), "day2")
+      def d2(c: org.apache.spark.sql.Column) = c.cast("double")
+      j.groupBy("lag")
+        .agg(count(lit(1)).as("n"), sum("a").as("sa"), sum("b").as("sb"),
+          sum(col("a") * col("a")).as("saa"),
+          sum(col("b") * col("b")).as("sbb"),
+          sum(col("a") * col("b")).as("sab"))
+        .select(col("lag"), col("n"),
+          round((d2(col("n")) * d2(col("sab")) - d2(col("sa")) * d2(col("sb"))) /
+            sqrt((d2(col("n")) * d2(col("saa")) - d2(col("sa")) * d2(col("sa"))) *
+              (d2(col("n")) * d2(col("sbb")) - d2(col("sb")) * d2(col("sb")))), 6)
+            .as("acf"))
+        .orderBy("lag")
+    }
   )
 
   /** Per-day global event counts — works verbatim on a STREAMING events
@@ -326,6 +356,27 @@ object TimeSeries {
         |  FROM c)
         |SELECT CAST(day AS VARCHAR) AS day, n_ev, cusum_up, cusum_down,
         |  cusum_up = max(cusum_up) OVER () AS is_peak_shift
-        |FROM s ORDER BY day""".stripMargin
+        |FROM s ORDER BY day""".stripMargin,
+
+    "ts_autocorr" ->
+      """WITH dly AS (SELECT ts::DATE AS day, count(*) AS n_ev
+        |  FROM events GROUP BY 1),
+        |pr AS (SELECT lag, day + CAST(lag AS INTEGER) AS day2, n_ev AS a
+        |  FROM dly CROSS JOIN (SELECT unnest(range(1, 8)) AS lag)),
+        |j AS (SELECT pr.lag, pr.a, d2.n_ev AS b
+        |  FROM pr JOIN dly d2 ON pr.day2 = d2.day),
+        |m AS (SELECT lag, count(*) AS n,
+        |    CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb,
+        |    CAST(sum(a*a) AS BIGINT) AS saa, CAST(sum(b*b) AS BIGINT) AS sbb,
+        |    CAST(sum(a*b) AS BIGINT) AS sab
+        |  FROM j GROUP BY lag)
+        |SELECT CAST(lag AS INTEGER) AS lag, n,
+        |  round((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+        |      - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+        |    / sqrt((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+        |        - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+        |        - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6) AS acf
+        |FROM m ORDER BY lag""".stripMargin
   )
 }

@@ -200,4 +200,22 @@ class GraphSpec extends SparkSpecBase {
       assert(mem.keys.map(cc).toSet.size == 1, s"community spans components: $mem")
     }
   }
+
+  test("graph_assortativity: r in [-1,1]; moments reconcile with independent degree join") {
+    val r = Graph.queries("graph_assortativity")(spark, sfDir).collect()
+    assert(r.length == 1)
+    val (m, sx, sx2, sxy, a) =
+      (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2), r(0).getLong(3), r(0).getDouble(4))
+    assert(a >= -1.0 - 1e-9 && a <= 1.0 + 1e-9)
+    // independent recomputation from the raw co-occurrence edges
+    val e = Graph.cooccurEdges(Tables.documents(spark, sfDir).select("doc_id", "text"))
+      .select("src", "dst").collect().map(x => (x.getString(0), x.getString(1)))
+    val deg = e.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(m == e.length)
+    assert(sx == e.map(p => deg(p._1).toLong).sum)
+    assert(sx2 == e.map(p => { val d = deg(p._1).toLong; d * d }).sum)
+    assert(sxy == e.map(p => deg(p._1).toLong * deg(p._2).toLong).sum)
+    // symmetric edge list: swapping endpoints leaves every moment unchanged
+    assert(e.map(p => deg(p._2).toLong).sum == sx)
+  }
 }

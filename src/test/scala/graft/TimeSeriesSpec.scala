@@ -79,4 +79,20 @@ class TimeSeriesSpec extends SparkSpecBase {
     assert(rows.map(_.toSeq).toSeq ==
       TimeSeries.queries("ts_decay_scores")(spark, sfDir).collect().map(_.toSeq).toSeq)
   }
+
+  test("ts_autocorr: lags 1..7, |acf| <= 1, pair counts match the shifted overlap") {
+    val rows = TimeSeries.queries("ts_autocorr")(spark, sfDir).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 7))
+    rows.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
+    // the pair count at lag k is exactly |{d : d and d+k both present}|
+    val days = Tables.events(spark, sfDir)
+      .select(org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("ts")).as("day"))
+      .distinct().collect().map(_.getDate(0).toLocalDate).toSet
+    rows.foreach { r =>
+      val k = r.getInt(0)
+      assert(r.getLong(1) == days.count(d => days.contains(d.plusDays(k))),
+        s"overlap count at lag $k")
+    }
+  }
 }
