@@ -151,6 +151,50 @@ object Behavior {
             .as("p90_gap_s"),
           round(max(col("gap_us")).cast("double") / 1e6, 6).as("max_gap_s"))
         .orderBy("event_type")
+    },
+
+    // SFT-style conversation assembly — the chat-template render step of
+    // an instruction-data pipeline, run on the event stream as a stand-in
+    // transcript: per user, events become role-tagged turns (ordered by
+    // (ts, event_id) — a total order), ADJACENT SAME-ROLE turns merge
+    // (the standard chat-prep consolidation move) via an island window,
+    // and the conversation renders to a single delimited string with a
+    // length-cap truncation flag. Scale shape: one shuffle on user_id
+    // that the turn window, the turn merge and the final render all
+    // reuse; per-user windows are bounded by per-user activity (the
+    // repo-wide sessionization precedent). Within-group order is made
+    // deterministic by sorting the collected (sort-key, text) structs —
+    // the collect_list is per-turn / per-conversation sized, never
+    // corpus-sized.
+    "chat_render" -> { (s, d) =>
+      val ev = events(s, d).select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type").isin("click", "view", "signup"), "user")
+          .otherwise("assistant").as("role"),
+        concat(col("event_type"), lit(" k="),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1)).as("content"))
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val turns = ev
+        .withColumn("brk",
+          when(lag("role", 1).over(w).isNull ||
+            lag("role", 1).over(w) =!= col("role"), 1L).otherwise(0L))
+        .withColumn("turn", sum("brk").over(w))
+      val merged = turns.groupBy("user_id", "turn")
+        .agg(min("role").as("role"), count(lit(1)).as("n_ev"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"),
+              col("content")))),
+            x => x.getField("content")), " ").as("c"))
+      merged.groupBy("user_id")
+        .agg(sum("n_ev").as("n_events"), count(lit(1)).as("n_turns"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("turn"),
+              concat(col("role"), lit(": "), col("c")).as("line")))),
+            x => x.getField("line")), " <eot> ").as("rendered"))
+        .select(col("user_id"), col("n_events"), col("n_turns"),
+          length(col("rendered")).as("n_chars"),
+          substring(col("rendered"), 1, 300).as("rendered_head"),
+          (length(col("rendered")) > 300).as("truncated"))
+        .orderBy("user_id")
     }
   )
 
@@ -225,6 +269,31 @@ object Behavior {
         |  round(quantile_cont(gap_us, 0.9) / 1e6, 6) AS p90_gap_s,
         |  round(CAST(max(gap_us) AS DOUBLE) / 1e6, 6) AS max_gap_s
         |FROM g WHERE gap_us IS NOT NULL
-        |GROUP BY event_type ORDER BY event_type""".stripMargin
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "chat_render" ->
+      """WITH ev AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type IN ('click', 'view', 'signup')
+        |         THEN 'user' ELSE 'assistant' END AS role,
+        |    event_type || ' k=' || regexp_extract(props, '"k": (\d+)', 1)
+        |      AS content
+        |  FROM events),
+        |b AS (SELECT *, CASE WHEN lag(role) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id)
+        |      IS DISTINCT FROM role THEN 1 ELSE 0 END AS brk FROM ev),
+        |t AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS turn FROM b),
+        |m AS (SELECT user_id, turn, min(role) AS role, count(*) AS n_ev,
+        |    string_agg(content, ' ' ORDER BY ts, event_id) AS c
+        |  FROM t GROUP BY 1, 2),
+        |r AS (SELECT user_id, CAST(sum(n_ev) AS BIGINT) AS n_events,
+        |    count(*) AS n_turns,
+        |    string_agg(role || ': ' || c, ' <eot> ' ORDER BY turn) AS rendered
+        |  FROM m GROUP BY 1)
+        |SELECT user_id, n_events, n_turns,
+        |  CAST(len(rendered) AS INTEGER) AS n_chars,
+        |  substr(rendered, 1, 300) AS rendered_head,
+        |  len(rendered) > 300 AS truncated
+        |FROM r ORDER BY user_id""".stripMargin
   )
 }

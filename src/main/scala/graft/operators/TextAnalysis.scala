@@ -447,8 +447,100 @@ object TextAnalysis {
           .as("norm_key"))
         .agg(count(lit(1)).as("n_variants"), min(col("id")).as("keep_id"))
         .orderBy("norm_key")
+    },
+
+    // Unicode-script profile — the script-mix screen that catches
+    // mislabeled/mixed-script documents before language-keyed routing
+    // (fasttext-style langid misfires exactly on these). The fixture text
+    // is pure ASCII, so — like the PII battery — deterministic Cyrillic /
+    // CJK / Greek snippets are planted on doc_id-keyed slices and the
+    // profile must find exactly them. Counts are length-minus-stripped
+    // per char-class (replace-all in BOTH engines); dominant script is the
+    // first maximal count under a fixed priority order. Pure per-row
+    // projection — no shuffle at any scale.
+    "text_script_profile" -> { (s, d) =>
+      val t = withPlantedScripts
+      def cnt(re: String) =
+        length(t) - length(regexp_replace(t, re, ""))
+      val (nl, nc, nj, ng) = (cnt(LatinClass), cnt(CyrillicClass),
+        cnt(CjkClass), cnt(GreekClass))
+      val mx = greatest(nl, nc, nj, ng)
+      documents(s, d).select(col("doc_id"),
+          length(t).as("n_chars"), nl.as("n_latin"), nc.as("n_cyrillic"),
+          nj.as("n_cjk"), ng.as("n_greek"),
+          when(nl === mx, "latin").when(nc === mx, "cyrillic")
+            .when(nj === mx, "cjk").otherwise("greek").as("dominant_script"))
+        .orderBy("doc_id")
+    },
+
+    // Per-source roll-up of the same profile: the corpus-level script mix
+    // (bounded at sources × 4 rows).
+    "script_mix_by_source" -> { (s, d) =>
+      val t = withPlantedScripts
+      def cnt(re: String) =
+        length(t) - length(regexp_replace(t, re, ""))
+      val (nl, nc, nj, ng) = (cnt(LatinClass), cnt(CyrillicClass),
+        cnt(CjkClass), cnt(GreekClass))
+      val mx = greatest(nl, nc, nj, ng)
+      documents(s, d).select(col("source"),
+          when(nl === mx, "latin").when(nc === mx, "cyrillic")
+            .when(nj === mx, "cjk").otherwise("greek").as("dominant_script"))
+        .groupBy("source", "dominant_script")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("source", "dominant_script")
     }
   )
+
+  // Unicode char classes shared by the script-profile queries — literal
+  // BMP ranges (not \p{script=...}: Java and RE2 spell script names
+  // differently; explicit ranges mean the SAME pattern string runs in
+  // both engines).
+  private val LatinClass = "[A-Za-z]"
+  private val CyrillicClass = "[Ѐ-ӿ]"
+  private val CjkClass = "[一-鿿]"
+  private val GreekClass = "[Ͱ-Ͽ]"
+
+  /** Planted multiscript docs on doc_id-keyed slices (fixture text is
+    * pure ASCII — same non-vacuous-verification move as the PII battery):
+    * the planted slices keep a short Latin prefix but are DOMINATED by
+    * the planted script, so the dominant-script argmax is exercised on
+    * every branch, not vacuously 'latin'.
+    */
+  private def withPlantedScripts: Column = {
+    val id = col("doc_id")
+    val pre = substring(col("text"), 1, 20)
+    when(id % 8 === 1, concat(pre, repeat(lit(" привет мир данных"), 8)))
+      .when(id % 8 === 2, concat(pre, repeat(lit(" 你好世界数据集"), 8)))
+      .when(id % 8 === 3, concat(pre, repeat(lit(" γεια σου κόσμε"), 8)))
+      .otherwise(col("text"))
+  }
+
+  private def withPlantedScriptsSql: String =
+    """(CASE WHEN doc_id % 8 = 1 THEN substr(text, 1, 20) || repeat(' привет мир данных', 8)
+      |      WHEN doc_id % 8 = 2 THEN substr(text, 1, 20) || repeat(' 你好世界数据集', 8)
+      |      WHEN doc_id % 8 = 3 THEN substr(text, 1, 20) || repeat(' γεια σου κόσμε', 8)
+      |      ELSE text END)"""
+      .stripMargin.replace("\n", " ")
+
+  /** DuckDB mirror of the script-profile projection (shared by both
+    * script queries' oracles).
+    */
+  private def scriptProfileCte: String = {
+    def cnt(cls: String) =
+      s"CAST(len(t) - len(regexp_replace(t, '$cls', '', 'g')) AS INTEGER)"
+    val (nl, nc, nj, ng) = (cnt(LatinClass), cnt(CyrillicClass),
+      cnt(CjkClass), cnt(GreekClass))
+    s"""sp AS (SELECT doc_id, source, CAST(len(t) AS INTEGER) AS n_chars,
+       |  $nl AS n_latin, $nc AS n_cyrillic, $nj AS n_cjk, $ng AS n_greek
+       |  FROM (SELECT doc_id, source, $withPlantedScriptsSql AS t
+       |        FROM documents)),
+       |dom AS (SELECT *,
+       |  CASE WHEN n_latin = greatest(n_latin, n_cyrillic, n_cjk, n_greek) THEN 'latin'
+       |       WHEN n_cyrillic = greatest(n_latin, n_cyrillic, n_cjk, n_greek) THEN 'cyrillic'
+       |       WHEN n_cjk = greatest(n_latin, n_cyrillic, n_cjk, n_greek) THEN 'cjk'
+       |       ELSE 'greek' END AS dominant_script
+       |  FROM sp)""".stripMargin
+  }
 
   /** Per-doc character-distribution Shannon entropy for any (doc_id,
     * text) DataFrame — see the text_char_entropy query comment for the
@@ -745,7 +837,18 @@ object TextAnalysis {
       s"""WITH $normValuesSqlCte
          |SELECT lower(strip_accents(s)) AS norm_key, count(*) AS n_variants,
          |  CAST(min(id) AS BIGINT) AS keep_id
-         |FROM v GROUP BY 1 ORDER BY norm_key""".stripMargin
+         |FROM v GROUP BY 1 ORDER BY norm_key""".stripMargin,
+
+    "text_script_profile" ->
+      s"""WITH $scriptProfileCte
+         |SELECT doc_id, n_chars, n_latin, n_cyrillic, n_cjk, n_greek,
+         |  dominant_script
+         |FROM dom ORDER BY doc_id""".stripMargin,
+
+    "script_mix_by_source" ->
+      s"""WITH $scriptProfileCte
+         |SELECT source, dominant_script, count(*) AS n_docs
+         |FROM dom GROUP BY 1, 2 ORDER BY source, dominant_script""".stripMargin
   )
 
   /** Oracle VALUES mirroring [[normFixture]] — combining marks built via

@@ -119,4 +119,25 @@ class BehaviorSpec extends SparkSpecBase {
     assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4,
       "Benford expected frequencies are a distribution")
   }
+
+  test("chat_render: turn merge is maximal; counts reconcile; truncation honest") {
+    val rows = graft.operators.Behavior.queries("chat_render")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val nEvents = Tables.events(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum == nEvents, "every event lands in a turn")
+    rows.foreach { r =>
+      val (nEv, nTurns) = (r.getLong(1), r.getLong(2))
+      val (nChars, head, trunc) = (r.getInt(3), r.getString(4), r.getBoolean(5))
+      assert(nTurns >= 1 && nTurns <= nEv)
+      assert(trunc == (nChars > 300))
+      assert(head.length <= 300 && (trunc || head.length == nChars))
+      // adjacent rendered turns always alternate roles (the merge is maximal)
+      val roles = head.split(" <eot> ", -1).toSeq.dropRight(if (trunc) 1 else 0)
+        .map(_.takeWhile(_ != ':'))
+      roles.sliding(2).foreach {
+        case Seq(a, b) => assert(a != b, s"unmerged adjacent turns: $roles")
+        case _ =>
+      }
+    }
+  }
 }

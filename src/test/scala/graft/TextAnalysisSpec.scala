@@ -274,4 +274,27 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(r(0).getString(0) == "Caf\u00e9" && r(0).getString(1) == "Cafe")
     assert(r(1).isNullAt(0) && r(1).isNullAt(1))
   }
+
+  test("text_script_profile: planted slices are dominated by their script; counts partition") {
+    val rows = graft.operators.TextAnalysis.queries("text_script_profile")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val (n, nl, nc, nj, ng, dom) = (r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5), r.getString(6))
+      assert(nl + nc + nj + ng <= n)
+      val expected = (id % 8) match {
+        case 1 => "cyrillic"; case 2 => "cjk"; case 3 => "greek"; case _ => "latin"
+      }
+      assert(dom == expected, s"doc $id expected $expected got $dom")
+      // dominance is real, not a tie artifact, on the planted slices
+      if (id % 8 == 1) assert(nc > nl && nc > nj && nc > ng)
+      if (id % 8 == 2) assert(nj > nl && nj > nc && nj > ng)
+      if (id % 8 == 3) assert(ng > nl && ng > nc && ng > nj)
+    }
+    // the per-source rollup reconciles with the per-doc profile
+    val mix = graft.operators.TextAnalysis.queries("script_mix_by_source")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(mix.values.sum == rows.length)
+  }
 }
