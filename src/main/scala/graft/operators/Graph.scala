@@ -516,10 +516,14 @@ object Graph {
           sum(col("dx") * col("dy")).as("sxy"))
       val mD = col("m").cast("double")
       val sxD = col("sx").cast("double")
+      val num = mD * col("sxy").cast("double") - sxD * sxD
+      val den = mD * col("sx2").cast("double") - sxD * sxD
+      // a REGULAR graph (the saturated fixture co-occurrence graph at
+      // larger SF is complete: every degree equal) has zero degree
+      // variance — assortativity is undefined; NULL, not a 0/0 error
       m.select(col("m"), col("sx"), col("sx2"), col("sxy"),
-        round((mD * col("sxy").cast("double") - sxD * sxD) /
-          (mD * col("sx2").cast("double") - sxD * sxD), 6)
-          .as("assortativity"))
+        when(den === 0.0, lit(null).cast("double"))
+          .otherwise(round(num / den, 6)).as("assortativity"))
     }
   )
 
@@ -635,10 +639,12 @@ object Graph {
          |    CAST(sum(dx*dx) AS BIGINT) AS sx2,
          |    CAST(sum(dx*dy) AS BIGINT) AS sxy FROM j)
          |SELECT m, sx, sx2, sxy,
-         |  round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |  CASE WHEN CAST(m AS DOUBLE) * CAST(sx2 AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0 THEN NULL
+         |  ELSE round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
          |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
          |    / (CAST(m AS DOUBLE) * CAST(sx2 AS DOUBLE)
-         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS assortativity
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) END AS assortativity
          |FROM mm""".stripMargin,
 
     "graph_triangles" ->

@@ -204,9 +204,14 @@ class GraphSpec extends SparkSpecBase {
   test("graph_assortativity: r in [-1,1]; moments reconcile with independent degree join") {
     val r = Graph.queries("graph_assortativity")(spark, sfDir).collect()
     assert(r.length == 1)
-    val (m, sx, sx2, sxy, a) =
-      (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2), r(0).getLong(3), r(0).getDouble(4))
-    assert(a >= -1.0 - 1e-9 && a <= 1.0 + 1e-9)
+    val (m, sx, sx2, sxy) =
+      (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2), r(0).getLong(3))
+    // NULL only for a degree-regular graph (zero variance); else in [-1,1]
+    if (!r(0).isNullAt(4)) {
+      val a = r(0).getDouble(4)
+      assert(a >= -1.0 - 1e-9 && a <= 1.0 + 1e-9)
+      assert(m * sx2 - sx * sx != 0)
+    } else assert(m * sx2 == sx * sx)
     // independent recomputation from the raw co-occurrence edges
     val e = Graph.cooccurEdges(Tables.documents(spark, sfDir).select("doc_id", "text"))
       .select("src", "dst").collect().map(x => (x.getString(0), x.getString(1)))
