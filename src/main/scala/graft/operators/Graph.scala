@@ -492,6 +492,41 @@ object Graph {
         .orderBy("level", "node")
     },
 
+    // Newman modularity Q of the LPA partition over the near-dup graph —
+    // the standard partition-quality score (how much intra-community
+    // weight exceeds the random-graph expectation). With the symmetric
+    // (double-counted) edge list of total weight W, Q = Σ_c I_c/W −
+    // Σ_c S_c²/W²; both Σ terms fold to ONE exact long each
+    // (community-sized aggs), so the only float math is two divisions
+    // and a subtraction — no cross-community float accumulation whose
+    // order could differ between engines. Long S_c² is exact while
+    // community strengths stay < 2^31.5 — beyond that, scale the weights
+    // (the moments pipeline is unchanged).
+    "graph_modularity" -> { (s, d) =>
+      val e = nearDupEdges(s, d)
+        .select(col("src"), col("dst"), col("w").cast("long").as("w"))
+        .persist()
+      val labels = labelPropagation(e, LpRounds)
+      val wTot = e.agg(sum("w").as("w_total"))
+      val intra = e
+        .join(labels.select(col("id").as("src"), col("lab").as("ca")), "src")
+        .join(labels.select(col("id").as("dst"), col("lab").as("cb")), "dst")
+        .agg(sum(when(col("ca") === col("cb"), col("w")).otherwise(0L))
+          .as("sum_intra"))
+      val strength = e.groupBy("src").agg(sum("w").as("st"))
+      val commStats = strength
+        .join(labels.select(col("id").as("src"), col("lab")), "src")
+        .groupBy("lab").agg(sum("st").as("sc"))
+        .agg(count(lit(1)).as("n_communities"),
+          sum(col("sc") * col("sc")).as("sum_s2"))
+      val wD = col("w_total").cast("double")
+      commStats.crossJoin(broadcast(wTot)).crossJoin(broadcast(intra))
+        .select(col("n_communities"), col("w_total"), col("sum_intra"),
+          col("sum_s2"),
+          round(col("sum_intra").cast("double") / wD -
+            col("sum_s2").cast("double") / (wD * wD), 6).as("modularity"))
+    },
+
     // Degree assortativity (Newman's r): Pearson correlation of the
     // degrees at the two endpoints of every edge — hub-to-hub wiring
     // (r > 0, social graphs) vs hub-to-leaf (r < 0, word co-occurrence /
@@ -624,6 +659,26 @@ object Graph {
     "graph_lp_sizes" -> lpSql(
       s"""SELECT lab AS community, count(*) AS n_members FROM l$LpRounds
          |GROUP BY lab ORDER BY n_members DESC, community""".stripMargin),
+
+    // continues lpSql's WITH chain (leading comma) with the modularity
+    // moments over the self-loop-free lpb edge list
+    "graph_modularity" -> lpSql(
+      s""", st AS (SELECT src, CAST(sum(w) AS BIGINT) AS s FROM lpb GROUP BY src),
+         |sc AS (SELECT l.lab, CAST(sum(st.s) AS BIGINT) AS sc
+         |  FROM st JOIN l$LpRounds l ON st.src = l.id GROUP BY l.lab),
+         |wt AS (SELECT CAST(sum(w) AS BIGINT) AS w_total FROM lpb),
+         |ii AS (SELECT CAST(sum(CASE WHEN la.lab = lb.lab THEN w ELSE 0 END)
+         |    AS BIGINT) AS sum_intra
+         |  FROM lpb JOIN l$LpRounds la ON lpb.src = la.id
+         |           JOIN l$LpRounds lb ON lpb.dst = lb.id),
+         |ss AS (SELECT count(*) AS n_communities,
+         |    CAST(sum(sc*sc) AS BIGINT) AS sum_s2 FROM sc)
+         |SELECT n_communities, w_total, sum_intra, sum_s2,
+         |  round(CAST(sum_intra AS DOUBLE) / CAST(w_total AS DOUBLE)
+         |    - CAST(sum_s2 AS DOUBLE)
+         |      / (CAST(w_total AS DOUBLE) * CAST(w_total AS DOUBLE)), 6)
+         |    AS modularity
+         |FROM ss CROSS JOIN wt CROSS JOIN ii""".stripMargin),
 
     "graph_degree_stats" ->
       s"""WITH $graphCtes

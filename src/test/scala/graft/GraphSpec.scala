@@ -223,4 +223,27 @@ class GraphSpec extends SparkSpecBase {
     // symmetric edge list: swapping endpoints leaves every moment unchanged
     assert(e.map(p => deg(p._2).toLong).sum == sx)
   }
+
+  test("graph_modularity: Q in [-0.5, 1]; moments reconcile with the LPA assignment") {
+    val r = Graph.queries("graph_modularity")(spark, sfDir).collect()
+    assert(r.length == 1)
+    val (nc, w, intra, s2) =
+      (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2), r(0).getLong(3))
+    val q = r(0).getDouble(4)
+    assert(q >= -0.5 - 1e-9 && q <= 1.0 + 1e-9)
+    assert(intra <= w && s2 >= 0)
+    // independent recomputation from the raw pair graph + the lp query
+    val e = Graph.nearDupEdges(spark, sfDir)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val lab = Graph.queries("graph_lp_communities")(spark, sfDir)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(w == e.map(_._3).sum)
+    assert(intra == e.filter(t => lab(t._1) == lab(t._2)).map(_._3).sum)
+    val strength = e.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val sc = strength.groupBy(kv => lab(kv._1)).view.mapValues(_.values.sum)
+    assert(nc == sc.size)
+    assert(s2 == sc.values.map(v => v * v).sum)
+    val expQ = intra.toDouble / w - s2.toDouble / (w.toDouble * w.toDouble)
+    assert(math.abs(q - math.rint(expQ * 1e6) / 1e6) < 1e-9)
+  }
 }
