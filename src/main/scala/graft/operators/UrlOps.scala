@@ -84,16 +84,16 @@ object UrlOps {
   // library-wide dialect rule), applied to the URL string only — both
   // engines' regexp_extract return "" on no match, which the CASE guards
   // turn into typed NULLs where a component is genuinely absent.
-  private val SchemeRe = "^([a-z][a-z0-9+.-]*)://"
-  private val HostPortRe = "^[a-z][a-z0-9+.-]*://([^/?#]*)"
-  private val PathRe = "^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)"
-  private val QueryRe = "\\?([^#]*)"
-  private val FragRe = "#(.*)$"
+  private[graft] val SchemeRe = "^([a-z][a-z0-9+.-]*)://"
+  private[graft] val HostPortRe = "^[a-z][a-z0-9+.-]*://([^/?#]*)"
+  private[graft] val PathRe = "^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)"
+  private[graft] val QueryRe = "\\?([^#]*)"
+  private[graft] val FragRe = "#(.*)$"
   // registrable domain: last 3 labels under a 2-level public suffix
   // (a stand-in slice of the public-suffix list), else last 2
-  private val Reg3Re = "([a-z0-9-]+\\.(?:co|ac)\\.uk)$"
-  private val Reg2Re = "([a-z0-9-]+\\.[a-z]+)$"
-  private val TldRe = "\\.([a-z]+)$"
+  private[graft] val Reg3Re = "([a-z0-9-]+\\.(?:co|ac)\\.uk)$"
+  private[graft] val Reg2Re = "([a-z0-9-]+\\.[a-z]+)$"
+  private[graft] val TldRe = "\\.([a-z]+)$"
 
   /** (doc_id, url, host, reg_domain) — the projection the cap/dedup
     * queries build on.

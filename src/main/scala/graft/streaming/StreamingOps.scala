@@ -316,6 +316,64 @@ object StreamingOps {
       }
   }
 
+  case class ChatEvent(user: Long, ts: Timestamp, eventId: Long,
+                       etype: String, props: String)
+  // public: the state-store encoder's generated code constructs it
+  case class ChatState(nEvents: Long, nTurns: Long, lastRole: String,
+                       rendered: String)
+  case class ChatRow(user_id: Long, n_events: Long, n_turns: Long,
+                     n_chars: Int, rendered_head: String, truncated: Boolean)
+
+  /** Streaming face of the batch `chat_render` conversation assembly:
+    * per-user turn state (event count, turn count, last role, rendered
+    * string) updated INCREMENTALLY — an arriving event either extends
+    * the current turn (same role: append to the tail of the render) or
+    * opens a new one (`<eot>` + new role prefix), which is exactly the
+    * batch query's adjacent-same-role island merge replayed one event at
+    * a time. Emits the user's updated row every batch (Update mode).
+    *
+    * Ordering contract: within a batch the group's rows are sorted by
+    * (event-time micros, event_id) before folding; ACROSS batches the
+    * stream must deliver each user's events in that order (the
+    * log-replay/ingest ordering) — the same assumption the frozen-model
+    * deploy faces make, and what the equivalence test feeds. State is
+    * one conversation per user; at scale the render tail is the bounded
+    * artifact (truncation head is what downstream reads).
+    */
+  def chatTurnStream(events: Dataset[ChatEvent]): Dataset[ChatRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val kRe = "\"k\": (\\d+)".r
+    def micros(t: Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    events
+      .groupByKey(_.user)
+      .flatMapGroupsWithState[ChatState, ChatRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[ChatEvent], state: GroupState[ChatState]) =>
+          val fresh = rows.toSeq.sortBy(e => (micros(e.ts), e.eventId))
+          val st0 = state.getOption.getOrElse(ChatState(0L, 0L, "", ""))
+          val st = fresh.foldLeft(st0) { (acc, e) =>
+            val role =
+              if (Set("click", "view", "signup")(e.etype)) "user"
+              else "assistant"
+            val k = kRe.findFirstMatchIn(e.props).map(_.group(1)).getOrElse("")
+            val content = s"${e.etype} k=$k"
+            if (acc.nEvents == 0L)
+              ChatState(1L, 1L, role, s"$role: $content")
+            else if (role == acc.lastRole)
+              acc.copy(nEvents = acc.nEvents + 1L,
+                rendered = acc.rendered + " " + content)
+            else
+              ChatState(acc.nEvents + 1L, acc.nTurns + 1L, role,
+                acc.rendered + " <eot> " + role + ": " + content)
+          }
+          state.update(st)
+          Iterator(ChatRow(user, st.nEvents, st.nTurns, st.rendered.length,
+            st.rendered.take(300), st.rendered.length > 300))
+      }
+  }
+
   /** Streaming quality filter + token stats over a text stream — the
     * streaming face of TextAnalysis.stats (stateless, pure projection; at
     * scale this is the map stage of a continuous ingest pipeline).

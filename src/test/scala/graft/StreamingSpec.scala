@@ -933,4 +933,41 @@ class StreamingSpec extends SparkSpecBase {
       assert(acc.synchronized(acc.toSet) === batch)
     } finally q.stop()
   }
+
+  test("chatTurnStream incremental render == batch chat_render after the final batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val batch = graft.operators.Behavior.queries("chat_render")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getString(4), r.getBoolean(5))).toSet
+
+    // feed events in the global (ts, event_id) order — each user's
+    // subsequence arrives in order, the streaming face's contract
+    val evRows = Tables.events(spark, sfDir)
+      .select("user_id", "ts", "event_id", "event_type", "props")
+      .orderBy("ts", "event_id").collect()
+      .map(r => StreamingOps.ChatEvent(r.getLong(0), r.getTimestamp(1),
+        r.getLong(2), r.getString(3), r.getString(4)))
+    val in = MemoryStream[StreamingOps.ChatEvent]
+    val out = StreamingOps.chatTurnStream(in.toDS())
+    val q = out.writeStream.format("memory").queryName("chat_turns")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // uneven chops: turn merges must span micro-batch boundaries
+      val (a, rest) = evRows.splitAt(13)
+      val (b, c) = rest.splitAt(evRows.length / 2)
+      in.addData(a.toSeq); q.processAllAvailable()
+      in.addData(b.toSeq); q.processAllAvailable()
+      in.addData(c.toSeq); q.processAllAvailable()
+      // update-mode memory sink appends every revision; keep each user's
+      // final one (max n_events)
+      val fin = spark.sql("SELECT * FROM chat_turns").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
+          r.getString(4), r.getBoolean(5)))
+        .groupBy(_._1).values.map(_.maxBy(_._2)).toSet
+      assert(fin === batch)
+    } finally q.stop()
+  }
 }
