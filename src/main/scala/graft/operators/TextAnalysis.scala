@@ -449,6 +449,30 @@ object TextAnalysis {
         .orderBy("norm_key")
     },
 
+    // Word-blocklist screen (the C4/Dolma "bad words" filter): per-doc
+    // blocked-token count and fraction against a term list, with the
+    // keep/drop flag a pipeline thresholds on. The list rides a BROADCAST
+    // left join against the exploded token stream (not an isin literal:
+    // a production blocklist is 10k+ terms — list-sized broadcast, one
+    // map-side-combined per-doc aggregate, no extra shuffle beyond the
+    // doc_id combine).
+    "quality_blocklist" -> { (s, d) =>
+      import s.implicits._
+      val bl = broadcast(Blocklist.toDF("btok"))
+      documents(s, d)
+        .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+        .join(bl, col("tok") === col("btok"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("btok").isNotNull, 1L).otherwise(0L)).as("n_blocked"))
+        .select(col("doc_id"), col("n_tokens"), col("n_blocked"),
+          round(col("n_blocked").cast("double") / col("n_tokens").cast("double"), 6)
+            .as("blocked_frac"),
+          (col("n_blocked").cast("double") / col("n_tokens").cast("double") >
+            BlockThreshold).as("drop_doc"))
+        .orderBy("doc_id")
+    },
+
     // Unicode-script profile — the script-mix screen that catches
     // mislabeled/mixed-script documents before language-keyed routing
     // (fasttext-style langid misfires exactly on these). The fixture text
@@ -490,6 +514,14 @@ object TextAnalysis {
         .orderBy("source", "dominant_script")
     }
   )
+
+  /** Blocklist terms (stand-in for a production bad-words list) and the
+    * drop threshold on the blocked-token fraction. Mixed corpus
+    * frequencies on purpose: 'slow'/'hash' are common (docs straddle the
+    * threshold), 'dup' is rare (exercises the zero path).
+    */
+  val Blocklist = Seq("slow", "dup", "hash")
+  val BlockThreshold = 0.08
 
   // Unicode char classes shared by the script-profile queries — literal
   // BMP ranges (not \p{script=...}: Java and RE2 spell script names
@@ -838,6 +870,22 @@ object TextAnalysis {
          |SELECT lower(strip_accents(s)) AS norm_key, count(*) AS n_variants,
          |  CAST(min(id) AS BIGINT) AS keep_id
          |FROM v GROUP BY 1 ORDER BY norm_key""".stripMargin,
+
+    "quality_blocklist" -> {
+      val bl = Blocklist.map(t => s"('$t')").mkString(", ")
+      s"""WITH bl(btok) AS (VALUES $bl),
+         |tk AS (SELECT doc_id, unnest(${toksSql("text")}) AS tok FROM documents),
+         |m AS (SELECT doc_id, count(*) AS n_tokens,
+         |    CAST(sum(CASE WHEN btok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_blocked
+         |  FROM tk LEFT JOIN bl ON tk.tok = bl.btok GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, n_blocked,
+         |  round(CAST(n_blocked AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+         |    AS blocked_frac,
+         |  CAST(n_blocked AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         |    > $BlockThreshold AS drop_doc
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
 
     "text_script_profile" ->
       s"""WITH $scriptProfileCte

@@ -297,4 +297,21 @@ class TextAnalysisSpec extends SparkSpecBase {
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(mix.values.sum == rows.length)
   }
+
+  test("quality_blocklist: fractions reconcile with an independent token count; flag is exact") {
+    val rows = graft.operators.TextAnalysis.queries("quality_blocklist")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val bl = graft.operators.TextAnalysis.Blocklist.toSet
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val (id, n, nb) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val toks = docs(id).toLowerCase.split("\\s+").toSeq
+      assert(n == toks.length)
+      assert(nb == toks.count(bl), s"doc $id blocked count")
+      assert(r.getBoolean(4) == (nb.toDouble / n > graft.operators.TextAnalysis.BlockThreshold))
+    }
+    // both flag branches occur on the fixture (non-vacuous threshold)
+    assert(rows.exists(_.getBoolean(4)) && rows.exists(!_.getBoolean(4)))
+  }
 }
