@@ -66,6 +66,50 @@ object Pipeline {
           expr("percentile(n_tokens, 0.9)").as("p90_tokens"),
           min("n_tokens").cast("double").as("min_tokens"),
           max("n_tokens").cast("double").as("max_tokens"))
+    },
+
+    // Web-curation funnel — the PROVENANCE+content gate composition a
+    // crawl pipeline runs before the dedup stages above, built from the
+    // library's own oracled steps and reported as cumulative survivor
+    // counts: well-formed URL -> registrable-domain cap -> word blocklist
+    // -> Latin-dominant script routing. Each flag is a per-doc projection
+    // or one bounded agg (cap = GroupTopK-shape ranking, blocklist =
+    // broadcast left join), joined back on doc_id — no stage rescans
+    // another stage's work.
+    "pipeline_web_curation" -> { (s, d) =>
+      graft.Graft.init(s)
+      val docs = documents(s, d).select("doc_id", "source", "text")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("reg_domain").orderBy(col("k"), col("doc_id"))
+      val urlFlags = UrlOps.withDomain(docs.select("doc_id", "source"))
+        .withColumn("k",
+          TextHash.h60(concat(lit("urlcap"), col("doc_id").cast("string"))))
+        .withColumn("rn", row_number().over(w))
+        .select(col("doc_id"), (col("host") =!= "").as("url_ok"),
+          (col("rn") <= UrlOps.DomainCap).as("cap_ok"))
+      val bl = {
+        import s.implicits._
+        broadcast(TextAnalysis.Blocklist.toDF("btok"))
+      }
+      val blFlags = docs
+        .select(col("doc_id"), explode(TextHash.toks(col("text"))).as("tok"))
+        .join(bl, col("tok") === col("btok"), "left")
+        .groupBy("doc_id")
+        .agg((sum(when(col("btok").isNotNull, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double")).as("frac"))
+        .select(col("doc_id"),
+          (!(col("frac") > TextAnalysis.BlockThreshold)).as("bl_ok"))
+      val scFlags = docs.select(col("doc_id"),
+        (TextAnalysis.dominantScript === "latin").as("sc_ok"))
+      urlFlags.join(blFlags, "doc_id").join(scFlags, "doc_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("url_ok"), 1L).otherwise(0L)).as("after_url"),
+          sum(when(col("url_ok") && col("cap_ok"), 1L).otherwise(0L))
+            .as("after_cap"),
+          sum(when(col("url_ok") && col("cap_ok") && col("bl_ok"), 1L)
+            .otherwise(0L)).as("after_blocklist"),
+          sum(when(col("url_ok") && col("cap_ok") && col("bl_ok") &&
+            col("sc_ok"), 1L).otherwise(0L)).as("after_script"))
     }
   )
 
@@ -97,6 +141,36 @@ object Pipeline {
          |  min(n_tokens) AS min_tokens,
          |  max(n_tokens) AS max_tokens
          |FROM (SELECT CAST(len(${TextHash.toksSql("d.text")}) AS DOUBLE) AS n_tokens
-         |      FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM clean))""".stripMargin
+         |      FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM clean))""".stripMargin,
+
+    "pipeline_web_curation" -> {
+      val bl = TextAnalysis.Blocklist.map(t => s"('$t')").mkString(", ")
+      s"""WITH ${UrlOps.withDomainSql},
+         |kk AS (SELECT doc_id, reg_domain, host,
+         |  ${TextHash.h60Sql("'urlcap' || CAST(doc_id AS VARCHAR)")} AS k FROM wd),
+         |rr AS (SELECT doc_id, host,
+         |  row_number() OVER (PARTITION BY reg_domain ORDER BY k, doc_id) AS rn
+         |  FROM kk),
+         |uf AS (SELECT doc_id, host <> '' AS url_ok,
+         |  rn <= ${UrlOps.DomainCap} AS cap_ok FROM rr),
+         |bl(btok) AS (VALUES $bl),
+         |tk AS (SELECT doc_id, unnest(${TextHash.toksSql("text")}) AS tok
+         |  FROM documents),
+         |bf AS (SELECT doc_id,
+         |  NOT (CAST(sum(CASE WHEN btok IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) > ${TextAnalysis.BlockThreshold}) AS bl_ok
+         |  FROM tk LEFT JOIN bl ON tk.tok = bl.btok GROUP BY doc_id),
+         |${TextAnalysis.scriptProfileCte},
+         |sf AS (SELECT doc_id, dominant_script = 'latin' AS sc_ok FROM dom)
+         |SELECT count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN url_ok THEN 1 ELSE 0 END) AS BIGINT) AS after_url,
+         |  CAST(sum(CASE WHEN url_ok AND cap_ok THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS after_cap,
+         |  CAST(sum(CASE WHEN url_ok AND cap_ok AND bl_ok THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS after_blocklist,
+         |  CAST(sum(CASE WHEN url_ok AND cap_ok AND bl_ok AND sc_ok THEN 1
+         |    ELSE 0 END) AS BIGINT) AS after_script
+         |FROM uf JOIN bf USING (doc_id) JOIN sf USING (doc_id)""".stripMargin
+    }
   )
 }

@@ -515,6 +515,19 @@ object TextAnalysis {
     }
   )
 
+  /** Dominant-script argmax over the planted-multiscript text — shared by
+    * the script queries and the web-curation pipeline's routing gate.
+    */
+  private[operators] def dominantScript: Column = {
+    val t = withPlantedScripts
+    def cnt(re: String) = length(t) - length(regexp_replace(t, re, ""))
+    val (nl, nc, nj, ng) = (cnt(LatinClass), cnt(CyrillicClass),
+      cnt(CjkClass), cnt(GreekClass))
+    val mx = greatest(nl, nc, nj, ng)
+    when(nl === mx, "latin").when(nc === mx, "cyrillic")
+      .when(nj === mx, "cjk").otherwise("greek")
+  }
+
   /** Blocklist terms (stand-in for a production bad-words list) and the
     * drop threshold on the blocked-token fraction. Mixed corpus
     * frequencies on purpose: 'slow'/'hash' are common (docs straddle the
@@ -527,10 +540,10 @@ object TextAnalysis {
   // BMP ranges (not \p{script=...}: Java and RE2 spell script names
   // differently; explicit ranges mean the SAME pattern string runs in
   // both engines).
-  private val LatinClass = "[A-Za-z]"
-  private val CyrillicClass = "[Ѐ-ӿ]"
-  private val CjkClass = "[一-鿿]"
-  private val GreekClass = "[Ͱ-Ͽ]"
+  private[operators] val LatinClass = "[A-Za-z]"
+  private[operators] val CyrillicClass = "[Ѐ-ӿ]"
+  private[operators] val CjkClass = "[一-鿿]"
+  private[operators] val GreekClass = "[Ͱ-Ͽ]"
 
   /** Planted multiscript docs on doc_id-keyed slices (fixture text is
     * pure ASCII — same non-vacuous-verification move as the PII battery):
@@ -538,7 +551,7 @@ object TextAnalysis {
     * the planted script, so the dominant-script argmax is exercised on
     * every branch, not vacuously 'latin'.
     */
-  private def withPlantedScripts: Column = {
+  private[operators] def withPlantedScripts: Column = {
     val id = col("doc_id")
     val pre = substring(col("text"), 1, 20)
     when(id % 8 === 1, concat(pre, repeat(lit(" привет мир данных"), 8)))
@@ -547,7 +560,7 @@ object TextAnalysis {
       .otherwise(col("text"))
   }
 
-  private def withPlantedScriptsSql: String =
+  private[operators] def withPlantedScriptsSql: String =
     """(CASE WHEN doc_id % 8 = 1 THEN substr(text, 1, 20) || repeat(' привет мир данных', 8)
       |      WHEN doc_id % 8 = 2 THEN substr(text, 1, 20) || repeat(' 你好世界数据集', 8)
       |      WHEN doc_id % 8 = 3 THEN substr(text, 1, 20) || repeat(' γεια σου κόσμε', 8)
@@ -557,7 +570,7 @@ object TextAnalysis {
   /** DuckDB mirror of the script-profile projection (shared by both
     * script queries' oracles).
     */
-  private def scriptProfileCte: String = {
+  private[operators] def scriptProfileCte: String = {
     def cnt(cls: String) =
       s"CAST(len(t) - len(regexp_replace(t, '$cls', '', 'g')) AS INTEGER)"
     val (nl, nc, nj, ng) = (cnt(LatinClass), cnt(CyrillicClass),

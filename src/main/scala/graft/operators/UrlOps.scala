@@ -98,7 +98,7 @@ object UrlOps {
   /** (doc_id, url, host, reg_domain) — the projection the cap/dedup
     * queries build on.
     */
-  private def withDomain(docs: DataFrame): DataFrame = {
+  private[operators] def withDomain(docs: DataFrame): DataFrame = {
     val hp = regexp_extract(col("url"), HostPortRe, 1)
     val host = regexp_extract(hp, "^([^:]*)", 1)
     val r3 = regexp_extract(host, Reg3Re, 1)
@@ -108,7 +108,7 @@ object UrlOps {
       .withColumn("reg_domain", when(r3 =!= "", r3).otherwise(r2))
   }
 
-  private def withDomainSql: String =
+  private[operators] def withDomainSql: String =
     s"""u AS (SELECT doc_id, $synthUrlSql AS url FROM documents),
        |h AS (SELECT doc_id, url,
        |  regexp_extract(regexp_extract(url, '$HostPortRe', 1), '^([^:]*)', 1)

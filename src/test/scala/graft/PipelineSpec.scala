@@ -54,4 +54,27 @@ class PipelineSpec extends SparkSpecBase {
       .collect().map(_.getLong(0)).toSet
     assert(out === Set(5L))
   }
+
+  test("pipeline_web_curation: cumulative funnel reconciles with the individual gates") {
+    val r = graft.operators.Pipeline.queries("pipeline_web_curation")(spark, sfDir).head()
+    val (n, u, c, b, sc) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(n >= u && u >= c && c >= b && b >= sc && sc >= 0, "monotone funnel")
+    assert(n == Tables.documents(spark, sfDir).count())
+    // stage 1+2 against the url queries: docs in the cap set with a
+    // non-empty domain == after_cap (the cap ranks malformed docs too,
+    // but url_ok excludes them from the cumulative count)
+    val kept = graft.operators.UrlOps.queries("url_domain_caps")(spark, sfDir)
+      .collect().map(x => (x.getLong(0), x.getString(1)))
+    assert(kept.count(_._2.nonEmpty) == c)
+    // stage 3 against quality_blocklist's own flag on the capped survivors
+    val keptSet = kept.filter(_._2.nonEmpty).map(_._1).toSet
+    val blOk = graft.operators.TextAnalysis.queries("quality_blocklist")(spark, sfDir)
+      .collect().filter(x => !x.getBoolean(4)).map(_.getLong(0)).toSet
+    assert(keptSet.count(blOk) == b)
+    // stage 4 against the script profile
+    val latin = graft.operators.TextAnalysis.queries("text_script_profile")(spark, sfDir)
+      .collect().filter(_.getString(6) == "latin").map(_.getLong(0)).toSet
+    assert(keptSet.filter(blOk).count(latin) == sc)
+  }
 }
