@@ -95,6 +95,26 @@ object UrlOps {
   private[graft] val Reg2Re = "([a-z0-9-]+\\.[a-z]+)$"
   private[graft] val TldRe = "\\.([a-z]+)$"
 
+  /** Canonical form of a URL column: lowercase host, https default port
+    * and one trailing slash stripped, utm_* tracking params and the
+    * fragment dropped — the normalization `url_normalize_dedup` groups on
+    * and the streaming canonical-dedup gate keys its state on (pure
+    * per-row expression, reusable on batch or stream).
+    */
+  def canonicalUrl(url: Column): Column = {
+    val hostPart = regexp_extract(url, HostPortRe, 1)
+    val q0 = regexp_extract(url, QueryRe, 1)
+    // strip utm_ params: interior '&utm_x=y' first, then a leading
+    // 'utm_x=y&' / lone 'utm_x=y' (replace-all in BOTH engines)
+    val q1 = regexp_replace(regexp_replace(q0, "&utm_[^&]*", ""),
+      "^utm_[^&]*&?", "")
+    val path0 = regexp_extract(url, PathRe, 1)
+    concat(lit("https://"),
+      regexp_replace(lower(hostPart), ":443$", ""),
+      regexp_replace(path0, "/$", ""),
+      when(q1 =!= "", concat(lit("?"), q1)).otherwise(""))
+  }
+
   /** (doc_id, url, host, reg_domain) — the projection the cap/dedup
     * queries build on.
     */
@@ -203,18 +223,7 @@ object UrlOps {
           .otherwise(concat(lit("?id="), base.cast("string"))),
         when(odd, "#top").otherwise(""))
       val raw = documents(s, d).select(col("doc_id"), rawUrl.as("url"))
-      val hostPart = regexp_extract(col("url"), HostPortRe, 1)
-      val q0 = regexp_extract(col("url"), QueryRe, 1)
-      // strip utm_ params: interior '&utm_x=y' first, then a leading
-      // 'utm_x=y&' / lone 'utm_x=y' (replace-all in BOTH engines)
-      val q1 = regexp_replace(regexp_replace(q0, "&utm_[^&]*", ""),
-        "^utm_[^&]*&?", "")
-      val path0 = regexp_extract(col("url"), PathRe, 1)
-      val canon = concat(lit("https://"),
-        regexp_replace(lower(hostPart), ":443$", ""),
-        regexp_replace(path0, "/$", ""),
-        when(q1 =!= "", concat(lit("?"), q1)).otherwise(""))
-      raw.withColumn("canon_url", canon)
+      raw.withColumn("canon_url", canonicalUrl(col("url")))
         .groupBy("canon_url")
         .agg(count(lit(1)).as("n_variants"),
           min("doc_id").as("doc_a"), max("doc_id").as("doc_b"))

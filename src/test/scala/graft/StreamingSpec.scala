@@ -970,4 +970,49 @@ class StreamingSpec extends SparkSpecBase {
       assert(fin === batch)
     } finally q.stop()
   }
+
+  test("streaming canonical-URL dedup: variant pairs collapse to one survivor each") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.operators.UrlOps
+    // the batch query's planted variant-pair groups are the ground truth
+    val batchGroups = UrlOps.queries("url_normalize_dedup")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap // canon -> keeper
+    // feed both variants of every pair through the canonicalize+dedup gate
+    val raw = Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("doc_id")).collect().map(_.getLong(0))
+      .sorted.map { id =>
+        val b = id - id % 2
+        val host0 = Seq("", "www.", "cdn.", "blog.")((b % 4).toInt) +
+          Seq("example.com", "data.org", "files.net", "archive.co.uk",
+            "mirror.ac.uk")((b % 5).toInt)
+        val odd = id % 2 == 1
+        val url = "https://" + (if (odd) host0.toUpperCase else host0) +
+          (if (odd) ":443" else "") + "/p/doc" + b + (if (odd) "/" else "") +
+          (if (odd) s"?utm_source=feed&id=$b&utm_campaign=x" else s"?id=$b") +
+          (if (odd) "#top" else "")
+        (new Timestamp(1700000000000L + id), id, url)
+      }
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamingOps.dedupStreamByContent(
+      in.toDF.toDF("ts", "doc_id", "url")
+        .withColumn("canon", UrlOps.canonicalUrl(col("url"))),
+      "ts", "canon", "1 hour")
+    val q = out.writeStream.format("memory").queryName("url_gate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (a, b) = raw.splitAt(raw.length / 3)
+      in.addData(a.toSeq); q.processAllAvailable()
+      in.addData(b.toSeq); q.processAllAvailable()
+      val survivors = spark.sql("SELECT canon, doc_id FROM url_gate").collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+      // exactly one survivor per canonical group, and it is the batch
+      // keeper (min doc_id = first-arriving variant in doc_id order)
+      assert(survivors.length == batchGroups.size)
+      survivors.foreach { case (canon, id) =>
+        assert(batchGroups(canon) == id, s"$canon keeper")
+      }
+    } finally q.stop()
+  }
 }
