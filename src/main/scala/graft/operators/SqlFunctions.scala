@@ -211,6 +211,32 @@ object SqlFunctions {
           |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
     },
 
+    // GROUP BY ALL (the infer-grouping-keys SQL surface both engines
+    // added in 2023) — every non-aggregate select item becomes a key.
+    "q_group_by_all" -> { (s, d) =>
+      orders(s, d).createOrReplaceTempView("g_orders_gba")
+      s.sql(
+        """SELECT o_orderpriority, year(o_orderdate) AS yr,
+          |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+          |FROM g_orders_gba
+          |GROUP BY ALL
+          |ORDER BY o_orderpriority, yr""".stripMargin)
+    },
+
+    // SQL UNPIVOT syntax (the q_stack companion: same wide->long
+    // reshape through the dedicated relational operator instead of the
+    // stack() generator).
+    "q_unpivot_sql" -> { (s, d) =>
+      nation(s, d).createOrReplaceTempView("g_nation_up")
+      s.sql(
+        """SELECT n_regionkey, metric, v
+          |FROM (SELECT n_regionkey, count(*) AS n_nations,
+          |        min(n_nationkey) AS min_k, max(n_nationkey) AS max_k
+          |      FROM g_nation_up GROUP BY n_regionkey)
+          |UNPIVOT (v FOR metric IN (n_nations, min_k, max_k))
+          |ORDER BY n_regionkey, metric""".stripMargin)
+    },
+
     // Correlated EXISTS with an inequality inside (decorrelated semi join
     // with a non-trivial condition).
     "q_correlated_exists" -> { (s, d) =>
@@ -838,6 +864,22 @@ object SqlFunctions {
         |LATERAL (SELECT max(c_acctbal) AS top_bal FROM customer c
         |         WHERE c.c_nationkey = n.n_nationkey) t
         |ORDER BY n.n_name""".stripMargin,
+
+    "q_group_by_all" ->
+      """SELECT o_orderpriority, CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY ALL
+        |ORDER BY o_orderpriority, yr""".stripMargin,
+
+    "q_unpivot_sql" ->
+      """SELECT n_regionkey, metric, CAST(v AS BIGINT) AS v
+        |FROM (UNPIVOT (SELECT n_regionkey, count(*) AS n_nations,
+        |          CAST(min(n_nationkey) AS BIGINT) AS min_k,
+        |          CAST(max(n_nationkey) AS BIGINT) AS max_k
+        |        FROM nation GROUP BY n_regionkey)
+        |      ON n_nations, min_k, max_k INTO NAME metric VALUE v)
+        |ORDER BY n_regionkey, metric""".stripMargin,
 
     "q_lateral_topk" ->
       """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
