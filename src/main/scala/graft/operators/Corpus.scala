@@ -48,6 +48,9 @@ object Corpus {
     */
   val ChunkTokens = 256L
 
+  /** Candidate context lengths for `pack_efficiency_ladder`. */
+  val PackLadder = Seq(128L, 512L, 2048L)
+
   /** Inference batch size for the padding-efficiency planner (small enough
     * that every fixture source spans several batches).
     */
@@ -283,6 +286,45 @@ object Corpus {
           floor((col("tok_before") + col("n_tok") - 1) / lit(ChunkTokens.toDouble)))
         .withColumn("n_chunks", col("chunk_end") - col("chunk_start") + 1)
         .orderBy("source", "doc_id")
+    },
+
+    // Packing-efficiency planner: padding waste of ONE-DOC-PER-SEQUENCE
+    // batching (each doc padded to a multiple of the context length;
+    // over-long docs split first) vs CONCAT-AND-PACK (pack_chunks'
+    // strategy — only each shard's final chunk is padded), across a
+    // ladder of candidate context lengths. The comparison that picks a
+    // trainer context/packing strategy before paying for tokenization at
+    // corpus scale. Closed-form integer arithmetic — one pass over the
+    // per-doc token counts exploded by the 3-length ladder, one
+    // per-(L, source) agg for the shard tails; waste fractions are the
+    // only divisions.
+    "pack_efficiency_ladder" -> { (s, d) =>
+      val nt = documents(s, d)
+        .select(col("source"), size(toks(col("text"))).cast("long").as("n_tok"))
+      val ladder = nt.select(col("source"), col("n_tok"),
+        explode(array(PackLadder.map(lit): _*)).as("ctx"))
+      // naive: per doc, ceil(n/L)*L − n  (integer ceil via (n+L−1) div L)
+      val naive = ladder.groupBy("ctx")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("total_tokens"),
+          sum(expr("(n_tok + ctx - 1) DIV ctx") * col("ctx") - col("n_tok"))
+            .as("naive_pad"))
+      // packed: per (L, shard), ceil(sum(n)/L)*L − sum(n) — only the
+      // shard tail pads
+      val packed = ladder.groupBy("ctx", "source")
+        .agg(sum("n_tok").as("st"))
+        .groupBy("ctx")
+        .agg(sum(expr("(st + ctx - 1) DIV ctx") * col("ctx") - col("st"))
+          .as("packed_pad"))
+      naive.join(packed, "ctx")
+        .select(col("ctx"), col("n_docs"), col("total_tokens"),
+          col("naive_pad"), col("packed_pad"),
+          round(col("naive_pad").cast("double") /
+            (col("total_tokens") + col("naive_pad")).cast("double"), 6)
+            .as("naive_waste_frac"),
+          round(col("packed_pad").cast("double") /
+            (col("total_tokens") + col("packed_pad")).cast("double"), 6)
+            .as("packed_waste_frac"))
+        .orderBy("ctx")
     },
 
     // Chunk-level utilization: explode each doc's chunk span, compute the
@@ -928,6 +970,29 @@ object Corpus {
          |SELECT source, chunk_id, count(*) AS n_docs,
          |  CAST(sum(tok_in_chunk) AS BIGINT) AS n_tokens
          |FROM y GROUP BY source, chunk_id ORDER BY source, chunk_id""".stripMargin,
+
+    "pack_efficiency_ladder" ->
+      s"""WITH $tokCte,
+         |nt AS (SELECT source, CAST(len(tt) AS BIGINT) AS n_tok FROM tok),
+         |l AS (SELECT source, n_tok, unnest([${PackLadder.mkString(", ")}]) AS ctx
+         |  FROM nt),
+         |nv AS (SELECT ctx, count(*) AS n_docs,
+         |    CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+         |    CAST(sum(((n_tok + ctx - 1) // ctx) * ctx - n_tok) AS BIGINT)
+         |      AS naive_pad
+         |  FROM l GROUP BY ctx),
+         |sh2 AS (SELECT ctx, source, CAST(sum(n_tok) AS BIGINT) AS st
+         |  FROM l GROUP BY ctx, source),
+         |pk AS (SELECT ctx, CAST(sum(((st + ctx - 1) // ctx) * ctx - st)
+         |    AS BIGINT) AS packed_pad
+         |  FROM sh2 GROUP BY ctx)
+         |SELECT CAST(ctx AS BIGINT) AS ctx, n_docs, total_tokens,
+         |  naive_pad, packed_pad,
+         |  round(CAST(naive_pad AS DOUBLE)
+         |    / CAST(total_tokens + naive_pad AS DOUBLE), 6) AS naive_waste_frac,
+         |  round(CAST(packed_pad AS DOUBLE)
+         |    / CAST(total_tokens + packed_pad AS DOUBLE), 6) AS packed_waste_frac
+         |FROM nv JOIN pk USING (ctx) ORDER BY ctx""".stripMargin,
 
     "contamination_check" ->
       s"""WITH $shCte,

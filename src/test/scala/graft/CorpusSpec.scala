@@ -405,4 +405,22 @@ class CorpusSpec extends SparkSpecBase {
     assert(sums.max - sums.min <= maxDoc,
       s"spread ${sums.max - sums.min} exceeds max doc weight $maxDoc")
   }
+
+  test("pack_efficiency_ladder: waste math reconciles; packing strictly beats naive") {
+    val rows = Corpus.queries("pack_efficiency_ladder")(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == graft.operators.Corpus.PackLadder)
+    val byDoc = graft.Tables.documents(spark, sfDir).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).toLowerCase.split("\\s+").length.toLong))
+    rows.foreach { r =>
+      val (l, nDocs, tot, naive, packed) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nDocs == byDoc.length && tot == byDoc.map(_._2).sum)
+      def ceil(n: Long) = (n + l - 1) / l
+      assert(naive == byDoc.map { case (_, n) => ceil(n) * l - n }.sum)
+      assert(packed == byDoc.groupBy(_._1).values
+        .map { ds => val st = ds.map(_._2).sum; ceil(st) * l - st }.sum)
+      assert(packed < naive, "concat-packing must beat one-doc-per-sequence")
+      assert(r.getDouble(5) > r.getDouble(6))
+    }
+  }
 }
