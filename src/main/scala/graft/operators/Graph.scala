@@ -499,9 +499,10 @@ object Graph {
     // Σ_c S_c²/W²; both Σ terms fold to ONE exact long each
     // (community-sized aggs), so the only float math is two divisions
     // and a subtraction — no cross-community float accumulation whose
-    // order could differ between engines. Long S_c² is exact while
-    // community strengths stay < 2^31.5 — beyond that, scale the weights
-    // (the moments pipeline is unchanged).
+    // order could differ between engines. Overflow precondition is on
+    // the AGGREGATE: Σ_c S_c² ≤ (Σ_c S_c)·max_c S_c = 2W·max_c S_c, so
+    // sum_s2 stays in a long while 2W · max community strength < 2^63 —
+    // beyond that, scale the weights (the moments pipeline is unchanged).
     "graph_modularity" -> { (s, d) =>
       val e = nearDupEdges(s, d)
         .select(col("src"), col("dst"), col("w").cast("long").as("w"))

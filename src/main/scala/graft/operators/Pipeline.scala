@@ -79,26 +79,19 @@ object Pipeline {
     "pipeline_web_curation" -> { (s, d) =>
       graft.Graft.init(s)
       val docs = documents(s, d).select("doc_id", "source", "text")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("reg_domain").orderBy(col("k"), col("doc_id"))
-      val urlFlags = UrlOps.withDomain(docs.select("doc_id", "source"))
-        .withColumn("k",
-          TextHash.h60(concat(lit("urlcap"), col("doc_id").cast("string"))))
-        .withColumn("rn", row_number().over(w))
+      // every stage flag comes from the SHARED helper its standalone
+      // query uses (UrlOps.domainCapRank, TextAnalysis.blocklistCounts /
+      // dominantScript) — a salt, tiebreak or threshold change cannot
+      // desynchronize the funnel from the queries the spec reconciles
+      // it against
+      val urlFlags = UrlOps.domainCapRank(docs.select("doc_id", "source"))
         .select(col("doc_id"), (col("host") =!= "").as("url_ok"),
           (col("rn") <= UrlOps.DomainCap).as("cap_ok"))
-      val bl = {
-        import s.implicits._
-        broadcast(TextAnalysis.Blocklist.toDF("btok"))
-      }
-      val blFlags = docs
-        .select(col("doc_id"), explode(TextHash.toks(col("text"))).as("tok"))
-        .join(bl, col("tok") === col("btok"), "left")
-        .groupBy("doc_id")
-        .agg((sum(when(col("btok").isNotNull, 1L).otherwise(0L)).cast("double") /
-          count(lit(1)).cast("double")).as("frac"))
+      val blFlags = TextAnalysis
+        .blocklistCounts(s, docs.select("doc_id", "text"))
         .select(col("doc_id"),
-          (!(col("frac") > TextAnalysis.BlockThreshold)).as("bl_ok"))
+          (!(col("n_blocked").cast("double") / col("n_tokens").cast("double") >
+            TextAnalysis.BlockThreshold)).as("bl_ok"))
       val scFlags = docs.select(col("doc_id"),
         (TextAnalysis.dominantScript === "latin").as("sc_ok"))
       urlFlags.join(blFlags, "doc_id").join(scFlags, "doc_id")
@@ -143,23 +136,15 @@ object Pipeline {
          |FROM (SELECT CAST(len(${TextHash.toksSql("d.text")}) AS DOUBLE) AS n_tokens
          |      FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM clean))""".stripMargin,
 
-    "pipeline_web_curation" -> {
-      val bl = TextAnalysis.Blocklist.map(t => s"('$t')").mkString(", ")
-      s"""WITH ${UrlOps.withDomainSql},
-         |kk AS (SELECT doc_id, reg_domain, host,
-         |  ${TextHash.h60Sql("'urlcap' || CAST(doc_id AS VARCHAR)")} AS k FROM wd),
-         |rr AS (SELECT doc_id, host,
-         |  row_number() OVER (PARTITION BY reg_domain ORDER BY k, doc_id) AS rn
-         |  FROM kk),
+    "pipeline_web_curation" ->
+      s"""WITH ${UrlOps.domainCapRankSql},
          |uf AS (SELECT doc_id, host <> '' AS url_ok,
          |  rn <= ${UrlOps.DomainCap} AS cap_ok FROM rr),
-         |bl(btok) AS (VALUES $bl),
-         |tk AS (SELECT doc_id, unnest(${TextHash.toksSql("text")}) AS tok
-         |  FROM documents),
+         |${TextAnalysis.blocklistCountsSql},
          |bf AS (SELECT doc_id,
-         |  NOT (CAST(sum(CASE WHEN btok IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-         |    / CAST(count(*) AS DOUBLE) > ${TextAnalysis.BlockThreshold}) AS bl_ok
-         |  FROM tk LEFT JOIN bl ON tk.tok = bl.btok GROUP BY doc_id),
+         |  NOT (CAST(n_blocked AS DOUBLE)
+         |    / CAST(n_tokens AS DOUBLE) > ${TextAnalysis.BlockThreshold}) AS bl_ok
+         |  FROM bcnt),
          |${TextAnalysis.scriptProfileCte},
          |sf AS (SELECT doc_id, dominant_script = 'latin' AS sc_ok FROM dom)
          |SELECT count(*) AS n_docs,
@@ -171,6 +156,5 @@ object Pipeline {
          |  CAST(sum(CASE WHEN url_ok AND cap_ok AND bl_ok AND sc_ok THEN 1
          |    ELSE 0 END) AS BIGINT) AS after_script
          |FROM uf JOIN bf USING (doc_id) JOIN sf USING (doc_id)""".stripMargin
-    }
   )
 }

@@ -457,14 +457,7 @@ object TextAnalysis {
     // map-side-combined per-doc aggregate, no extra shuffle beyond the
     // doc_id combine).
     "quality_blocklist" -> { (s, d) =>
-      import s.implicits._
-      val bl = broadcast(Blocklist.toDF("btok"))
-      documents(s, d)
-        .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
-        .join(bl, col("tok") === col("btok"), "left")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"),
-          sum(when(col("btok").isNotNull, 1L).otherwise(0L)).as("n_blocked"))
+      blocklistCounts(s, documents(s, d).select("doc_id", "text"))
         .select(col("doc_id"), col("n_tokens"), col("n_blocked"),
           round(col("n_blocked").cast("double") / col("n_tokens").cast("double"), 6)
             .as("blocked_frac"),
@@ -486,29 +479,23 @@ object TextAnalysis {
       val t = withPlantedScripts
       def cnt(re: String) =
         length(t) - length(regexp_replace(t, re, ""))
-      val (nl, nc, nj, ng) = (cnt(LatinClass), cnt(CyrillicClass),
-        cnt(CjkClass), cnt(GreekClass))
-      val mx = greatest(nl, nc, nj, ng)
+      // counts are output columns; the argmax itself is the SHARED
+      // dominantScript helper (codegen subexpression elimination folds
+      // the duplicated count expressions), so the tie-break priority
+      // lives in exactly one place
       documents(s, d).select(col("doc_id"),
-          length(t).as("n_chars"), nl.as("n_latin"), nc.as("n_cyrillic"),
-          nj.as("n_cjk"), ng.as("n_greek"),
-          when(nl === mx, "latin").when(nc === mx, "cyrillic")
-            .when(nj === mx, "cjk").otherwise("greek").as("dominant_script"))
+          length(t).as("n_chars"), cnt(LatinClass).as("n_latin"),
+          cnt(CyrillicClass).as("n_cyrillic"), cnt(CjkClass).as("n_cjk"),
+          cnt(GreekClass).as("n_greek"),
+          dominantScript.as("dominant_script"))
         .orderBy("doc_id")
     },
 
     // Per-source roll-up of the same profile: the corpus-level script mix
     // (bounded at sources × 4 rows).
     "script_mix_by_source" -> { (s, d) =>
-      val t = withPlantedScripts
-      def cnt(re: String) =
-        length(t) - length(regexp_replace(t, re, ""))
-      val (nl, nc, nj, ng) = (cnt(LatinClass), cnt(CyrillicClass),
-        cnt(CjkClass), cnt(GreekClass))
-      val mx = greatest(nl, nc, nj, ng)
-      documents(s, d).select(col("source"),
-          when(nl === mx, "latin").when(nc === mx, "cyrillic")
-            .when(nj === mx, "cjk").otherwise("greek").as("dominant_script"))
+      documents(s, d)
+        .select(col("source"), dominantScript.as("dominant_script"))
         .groupBy("source", "dominant_script")
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("source", "dominant_script")
@@ -535,6 +522,34 @@ object TextAnalysis {
     */
   val Blocklist = Seq("slow", "dup", "hash")
   val BlockThreshold = 0.08
+
+  /** (doc_id, n_tokens, n_blocked) — blocklist hit counts via the
+    * broadcast left join, the ONE definition `quality_blocklist` and the
+    * web-curation funnel both count with.
+    */
+  private[operators] def blocklistCounts(s: SparkSession,
+                                         docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val bl = broadcast(Blocklist.toDF("btok"))
+    docs.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .join(bl, col("tok") === col("btok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("btok").isNotNull, 1L).otherwise(0L)).as("n_blocked"))
+  }
+
+  /** CTE chain ending in `bcnt(doc_id, n_tokens, n_blocked)` — the DuckDB
+    * mirror of [[blocklistCounts]].
+    */
+  private[operators] def blocklistCountsSql: String = {
+    val bl = Blocklist.map(t => s"('$t')").mkString(", ")
+    s"""bl(btok) AS (VALUES $bl),
+       |tk AS (SELECT doc_id, unnest(${toksSql("text")}) AS tok FROM documents),
+       |bcnt AS (SELECT doc_id, count(*) AS n_tokens,
+       |    CAST(sum(CASE WHEN btok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_blocked
+       |  FROM tk LEFT JOIN bl ON tk.tok = bl.btok GROUP BY doc_id)""".stripMargin
+  }
 
   // Unicode char classes shared by the script-profile queries — literal
   // BMP ranges (not \p{script=...}: Java and RE2 spell script names
@@ -884,21 +899,14 @@ object TextAnalysis {
          |  CAST(min(id) AS BIGINT) AS keep_id
          |FROM v GROUP BY 1 ORDER BY norm_key""".stripMargin,
 
-    "quality_blocklist" -> {
-      val bl = Blocklist.map(t => s"('$t')").mkString(", ")
-      s"""WITH bl(btok) AS (VALUES $bl),
-         |tk AS (SELECT doc_id, unnest(${toksSql("text")}) AS tok FROM documents),
-         |m AS (SELECT doc_id, count(*) AS n_tokens,
-         |    CAST(sum(CASE WHEN btok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-         |      AS n_blocked
-         |  FROM tk LEFT JOIN bl ON tk.tok = bl.btok GROUP BY doc_id)
+    "quality_blocklist" ->
+      s"""WITH $blocklistCountsSql
          |SELECT doc_id, n_tokens, n_blocked,
          |  round(CAST(n_blocked AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
          |    AS blocked_frac,
          |  CAST(n_blocked AS DOUBLE) / CAST(n_tokens AS DOUBLE)
          |    > $BlockThreshold AS drop_doc
-         |FROM m ORDER BY doc_id""".stripMargin
-    },
+         |FROM bcnt ORDER BY doc_id""".stripMargin,
 
     "text_script_profile" ->
       s"""WITH $scriptProfileCte

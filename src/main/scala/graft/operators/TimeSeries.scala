@@ -205,16 +205,21 @@ object TimeSeries {
       val j = probes.join(
         dly.select(col("day").as("day2"), col("n_ev").as("b")), "day2")
       def d2(c: org.apache.spark.sql.Column) = c.cast("double")
-      j.groupBy("lag")
+      val agg = j.groupBy("lag")
         .agg(count(lit(1)).as("n"), sum("a").as("sa"), sum("b").as("sb"),
           sum(col("a") * col("a")).as("saa"),
           sum(col("b") * col("b")).as("sbb"),
           sum(col("a") * col("b")).as("sab"))
-        .select(col("lag"), col("n"),
-          round((d2(col("n")) * d2(col("sab")) - d2(col("sa")) * d2(col("sb"))) /
-            sqrt((d2(col("n")) * d2(col("saa")) - d2(col("sa")) * d2(col("sa"))) *
-              (d2(col("n")) * d2(col("sbb")) - d2(col("sb")) * d2(col("sb")))), 6)
-            .as("acf"))
+      val varA = d2(col("n")) * d2(col("saa")) - d2(col("sa")) * d2(col("sa"))
+      val varB = d2(col("n")) * d2(col("sbb")) - d2(col("sb")) * d2(col("sb"))
+      // a CONSTANT overlapping series has zero variance — the correlation
+      // is undefined; NULL in both engines, not a 0/0 NaN/inf divergence
+      // (same guard as graph_assortativity)
+      agg.select(col("lag"), col("n"),
+          when(varA * varB === 0.0, lit(null).cast("double"))
+            .otherwise(round(
+              (d2(col("n")) * d2(col("sab")) - d2(col("sa")) * d2(col("sb"))) /
+                sqrt(varA * varB), 6)).as("acf"))
         .orderBy("lag")
     }
   )
@@ -369,14 +374,18 @@ object TimeSeries {
         |    CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb,
         |    CAST(sum(a*a) AS BIGINT) AS saa, CAST(sum(b*b) AS BIGINT) AS sbb,
         |    CAST(sum(a*b) AS BIGINT) AS sab
-        |  FROM j GROUP BY lag)
+        |  FROM j GROUP BY lag),
+        |v AS (SELECT lag, n, sa, sb, sab,
+        |    CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+        |      - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) AS va,
+        |    CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+        |      - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) AS vb
+        |  FROM m)
         |SELECT CAST(lag AS INTEGER) AS lag, n,
-        |  round((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+        |  CASE WHEN va * vb = 0 THEN NULL
+        |  ELSE round((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
         |      - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
-        |    / sqrt((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
-        |        - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
-        |      * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
-        |        - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6) AS acf
-        |FROM m ORDER BY lag""".stripMargin
+        |    / sqrt(va * vb), 6) END AS acf
+        |FROM v ORDER BY lag""".stripMargin
   )
 }

@@ -100,6 +100,13 @@ object UrlOps {
     * fragment dropped — the normalization `url_normalize_dedup` groups on
     * and the streaming canonical-dedup gate keys its state on (pure
     * per-row expression, reusable on batch or stream).
+    *
+    * The scheme is DELIBERATELY rewritten to https (the https-upgrade
+    * canonicalization: http://x and https://x are the same fetch target
+    * for dedup purposes). An UNPARSEABLE input (no scheme://host —
+    * HostPortRe fails) canonicalizes to ITSELF: every extractor returns
+    * '' there, and collapsing all malformed refs onto one constant key
+    * would make the dedup gate drop every malformed doc after the first.
     */
   def canonicalUrl(url: Column): Column = {
     val hostPart = regexp_extract(url, HostPortRe, 1)
@@ -109,10 +116,11 @@ object UrlOps {
     val q1 = regexp_replace(regexp_replace(q0, "&utm_[^&]*", ""),
       "^utm_[^&]*&?", "")
     val path0 = regexp_extract(url, PathRe, 1)
-    concat(lit("https://"),
-      regexp_replace(lower(hostPart), ":443$", ""),
-      regexp_replace(path0, "/$", ""),
-      when(q1 =!= "", concat(lit("?"), q1)).otherwise(""))
+    when(hostPart === "", url)
+      .otherwise(concat(lit("https://"),
+        regexp_replace(lower(hostPart), ":443$", ""),
+        regexp_replace(path0, "/$", ""),
+        when(q1 =!= "", concat(lit("?"), q1)).otherwise("")))
   }
 
   /** (doc_id, url, host, reg_domain) — the projection the cap/dedup
@@ -128,15 +136,40 @@ object UrlOps {
       .withColumn("reg_domain", when(r3 =!= "", r3).otherwise(r2))
   }
 
+  /** (doc_id, host, reg_domain, rn) — the deterministic per-domain cap
+    * rank (salted-md5 order through the GroupTopK-shape window), the ONE
+    * definition `url_domain_caps` and the web-curation funnel both rank
+    * with (a salt/tiebreak change can't desynchronize them).
+    */
+  private[operators] def domainCapRank(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("reg_domain").orderBy(col("k"), col("doc_id"))
+    withDomain(docs)
+      .withColumn("k",
+        h60(concat(lit("urlcap"), col("doc_id").cast("string"))))
+      .withColumn("rn", row_number().over(w))
+      .select("doc_id", "host", "reg_domain", "rn")
+  }
+
+  /** CTE chain ending in `rr(doc_id, host, reg_domain, rn)` — the DuckDB
+    * mirror of [[domainCapRank]].
+    */
+  private[operators] def domainCapRankSql: String =
+    s"""$withDomainSql,
+       |kk AS (SELECT doc_id, reg_domain, host,
+       |  ${h60Sql("'urlcap' || CAST(doc_id AS VARCHAR)")} AS k FROM wd),
+       |rr AS (SELECT doc_id, host, reg_domain,
+       |  row_number() OVER (PARTITION BY reg_domain ORDER BY k, doc_id) AS rn
+       |  FROM kk)""".stripMargin
+
   private[operators] def withDomainSql: String =
     s"""u AS (SELECT doc_id, $synthUrlSql AS url FROM documents),
        |h AS (SELECT doc_id, url,
        |  regexp_extract(regexp_extract(url, '$HostPortRe', 1), '^([^:]*)', 1)
        |    AS host FROM u),
        |wd AS (SELECT doc_id, url, host,
-       |  CASE WHEN regexp_extract(host, '${Reg3Re.replace("\\", "\\")}', 1) <> ''
-       |       THEN regexp_extract(host, '${Reg3Re}', 1)
-       |       ELSE regexp_extract(host, '${Reg2Re}', 1) END AS reg_domain
+       |  CASE WHEN regexp_extract(host, '$Reg3Re', 1) <> ''
+       |       THEN regexp_extract(host, '$Reg3Re', 1)
+       |       ELSE regexp_extract(host, '$Reg2Re', 1) END AS reg_domain
        |  FROM h)""".stripMargin
 
   // ------------------------------------------------------------- queries
@@ -176,11 +209,7 @@ object UrlOps {
     // sorts, its full partition.
     "url_domain_caps" -> { (s, d) =>
       graft.Graft.init(s) // injects RewriteGroupTopK (idempotent)
-      val w = Window.partitionBy("reg_domain")
-        .orderBy(col("k"), col("doc_id"))
-      withDomain(documents(s, d).select("doc_id", "source"))
-        .withColumn("k", h60(concat(lit("urlcap"), col("doc_id").cast("string"))))
-        .withColumn("rn", row_number().over(w))
+      domainCapRank(documents(s, d).select("doc_id", "source"))
         .where(col("rn") <= DomainCap)
         .select(col("doc_id"), col("reg_domain"))
         .orderBy("doc_id")
@@ -256,13 +285,8 @@ object UrlOps {
          |FROM p ORDER BY doc_id""".stripMargin,
 
     "url_domain_caps" ->
-      s"""WITH $withDomainSql,
-         |k AS (SELECT doc_id, reg_domain,
-         |  ${h60Sql("'urlcap' || CAST(doc_id AS VARCHAR)")} AS k FROM wd),
-         |r AS (SELECT doc_id, reg_domain,
-         |  row_number() OVER (PARTITION BY reg_domain ORDER BY k, doc_id) AS rn
-         |  FROM k)
-         |SELECT doc_id, reg_domain FROM r WHERE rn <= $DomainCap
+      s"""WITH $domainCapRankSql
+         |SELECT doc_id, reg_domain FROM rr WHERE rn <= $DomainCap
          |ORDER BY doc_id""".stripMargin,
 
     "url_domain_cap_stats" ->

@@ -318,9 +318,13 @@ object StreamingOps {
 
   case class ChatEvent(user: Long, ts: Timestamp, eventId: Long,
                        etype: String, props: String)
-  // public: the state-store encoder's generated code constructs it
+  // public: the state-store encoder's generated code constructs it.
+  // State is O(1) per user: the render is tracked as (first-300-chars
+  // head, total length) — appends only ever extend the tail, so
+  // (head + suffix).take(300) maintains the exact prefix without ever
+  // holding the full conversation string in the state store.
   case class ChatState(nEvents: Long, nTurns: Long, lastRole: String,
-                       rendered: String)
+                       head: String, totalLen: Long)
   case class ChatRow(user_id: Long, n_events: Long, n_turns: Long,
                      n_chars: Int, rendered_head: String, truncated: Boolean)
 
@@ -336,9 +340,11 @@ object StreamingOps {
     * (event-time micros, event_id) before folding; ACROSS batches the
     * stream must deliver each user's events in that order (the
     * log-replay/ingest ordering) — the same assumption the frozen-model
-    * deploy faces make, and what the equivalence test feeds. State is
-    * one conversation per user; at scale the render tail is the bounded
-    * artifact (truncation head is what downstream reads).
+    * deploy faces make, and what the equivalence test feeds. State per
+    * user is O(1): counts + last role + the 300-char render head +
+    * total length — never the full conversation string (appends only
+    * ever extend the tail, so `(head + suffix).take(300)` maintains the
+    * exact prefix without holding the render).
     */
   def chatTurnStream(events: Dataset[ChatEvent]): Dataset[ChatRow] = {
     val spark = events.sparkSession
@@ -352,25 +358,23 @@ object StreamingOps {
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[ChatEvent], state: GroupState[ChatState]) =>
           val fresh = rows.toSeq.sortBy(e => (micros(e.ts), e.eventId))
-          val st0 = state.getOption.getOrElse(ChatState(0L, 0L, "", ""))
+          val st0 = state.getOption.getOrElse(ChatState(0L, 0L, "", "", 0L))
           val st = fresh.foldLeft(st0) { (acc, e) =>
             val role =
               if (Set("click", "view", "signup")(e.etype)) "user"
               else "assistant"
             val k = kRe.findFirstMatchIn(e.props).map(_.group(1)).getOrElse("")
             val content = s"${e.etype} k=$k"
-            if (acc.nEvents == 0L)
-              ChatState(1L, 1L, role, s"$role: $content")
-            else if (role == acc.lastRole)
-              acc.copy(nEvents = acc.nEvents + 1L,
-                rendered = acc.rendered + " " + content)
-            else
-              ChatState(acc.nEvents + 1L, acc.nTurns + 1L, role,
-                acc.rendered + " <eot> " + role + ": " + content)
+            val (suffix, turns) =
+              if (acc.nEvents == 0L) (s"$role: $content", 1L)
+              else if (role == acc.lastRole) (" " + content, acc.nTurns)
+              else (" <eot> " + role + ": " + content, acc.nTurns + 1L)
+            ChatState(acc.nEvents + 1L, turns, role,
+              (acc.head + suffix).take(300), acc.totalLen + suffix.length)
           }
           state.update(st)
-          Iterator(ChatRow(user, st.nEvents, st.nTurns, st.rendered.length,
-            st.rendered.take(300), st.rendered.length > 300))
+          Iterator(ChatRow(user, st.nEvents, st.nTurns, st.totalLen.toInt,
+            st.head, st.totalLen > 300))
       }
   }
 

@@ -86,4 +86,22 @@ class UrlOpsSpec extends SparkSpecBase {
     assert(plan.contains("GroupTopK"),
       "row_number<=cap over the domain partition must ride GroupTopK")
   }
+
+  test("canonicalUrl: unparseable inputs canonicalize to themselves, never one shared key") {
+    val s2 = spark
+    import s2.implicits._
+    val ins = Seq("/relative/doc19", "/relative/doc38", "not a url at all",
+      "HTTP://Host.Example.com:443/a/?utm_x=1&id=2#frag")
+    val out = ins.toDF("url")
+      .select(graft.operators.UrlOps.canonicalUrl(org.apache.spark.sql.functions.col("url")))
+      .collect().map(_.getString(0))
+    assert(out(0) == ins(0) && out(1) == ins(1) && out(2) == ins(2),
+      "malformed inputs must be identity-canonical (distinct keys)")
+    // uppercase scheme is not recognized by the lowercase-scheme grammar
+    // either -> identity; a parseable lowercase equivalent normalizes
+    val norm = Seq("http://host.example.com:443/a/?utm_x=1&id=2#frag").toDF("url")
+      .select(graft.operators.UrlOps.canonicalUrl(org.apache.spark.sql.functions.col("url")))
+      .head().getString(0)
+    assert(norm == "https://host.example.com/a?id=2", s"got $norm")
+  }
 }
