@@ -104,4 +104,38 @@ class UrlOpsSpec extends SparkSpecBase {
       .head().getString(0)
     assert(norm == "https://host.example.com/a?id=2", s"got $norm")
   }
+
+  test("canonicalUrl is idempotent and leaves no tracking residue") {
+    val s2 = spark
+    import s2.implicits._
+    import org.apache.spark.sql.functions.col
+    // generated mix: well-formed with every feature combination + malformed
+    val urls = (0 until 200).map { i =>
+      if (i % 9 == 0) s"relative/or/garbage-$i"
+      else {
+        val scheme = Seq("http", "https", "ftp")(i % 3)
+        val host = Seq("A.Example.COM", "www.data.org", "x.co.uk")(i % 3)
+        val port = Seq("", ":443", ":8080")(i % 3)
+        val path = Seq("", "/p", "/p/q/")(i % 3)
+        val q = Seq("", "?utm_a=1", "?utm_a=1&id=2&utm_b=3", s"?id=$i")(i % 4)
+        val f = Seq("", "#top")(i % 2)
+        s"$scheme://$host$port$path$q$f"
+      }
+    }
+    val canon = urls.toDF("url")
+      .select(graft.operators.UrlOps.canonicalUrl(col("url")).as("c"))
+    val once = canon.collect().map(_.getString(0))
+    val twice = canon.select(graft.operators.UrlOps.canonicalUrl(col("c")))
+      .collect().map(_.getString(0))
+    assert(once.sameElements(twice), "canonicalization must be idempotent")
+    once.zip(urls).foreach { case (c, u) =>
+      if (u.contains("://")) {
+        assert(!c.contains("utm_"), s"$u -> $c keeps tracking params")
+        assert(!c.contains("#"), s"$u -> $c keeps a fragment")
+        assert(!c.contains(":443"), s"$u -> $c keeps the default port")
+        val host = c.stripPrefix("https://").takeWhile(ch => ch != '/' && ch != '?')
+        assert(host == host.toLowerCase, s"$u -> $c host not lowercased")
+      } else assert(c == u, "malformed stays identity")
+    }
+  }
 }
