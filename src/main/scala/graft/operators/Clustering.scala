@@ -199,17 +199,20 @@ object Clustering {
     // global window runs over |clusters| rows — bounded); the draw is the
     // md5 key, so the sample is deterministic and oracle-able.
     "cluster_balanced_rates" -> { (s, d) =>
-      clusterRates(s, d)
+      clusterRates(lloyd(s, d)._1)
         .select(col("cid").as("cluster"), col("n_c"),
           round(col("rate"), 6).as("rate"), col("thresh"))
         .orderBy("cluster")
     },
 
+    // ONE Lloyd training chain serves both the assignment and the rates
+    // (clusterRates takes the assignment — re-training inside it would
+    // double the dominant cost of this query for identical centroids).
     "cluster_balanced_sample" -> { (s, d) =>
       val (assign, _) = lloyd(s, d)
       val draw = h60(concat(lit(CbsSalt), col("vec_id").cast("string"))) % 1000000L
       assign.select(col("vec_id"), col("cid"))
-        .join(broadcast(clusterRates(s, d).select("cid", "thresh")), "cid")
+        .join(broadcast(clusterRates(assign).select("cid", "thresh")), "cid")
         .where(draw < col("thresh"))
         .select(col("vec_id"), col("cid").as("cluster"))
         .orderBy("vec_id")
@@ -220,15 +223,16 @@ object Clustering {
   val CbsFrac = 0.5
   private val CbsSalt = "cbs1:"
 
-  /** (cid, n_c, rate, thresh) — the mixtureRates shape over trained
+  /** (cid, n_c, rate, thresh) from a Lloyd ASSIGNMENT (callers train once
+    * and thread the result in) — the mixtureRates shape over trained
     * cluster ids: w_c = sqrt(n_c/N) rounded 9 dp, W = exact decimal sum,
     * rate_c = min(1, (w_c/W)·(frac·N)/n_c), thresh = floor(rate·1e6).
     */
-  private def clusterRates(s: SparkSession, d: String): DataFrame = {
+  private def clusterRates(assign: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val wAll = Window.partitionBy(lit(1))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    lloyd(s, d)._1.groupBy("cid").agg(count(lit(1)).as("n_c"))
+    assign.groupBy("cid").agg(count(lit(1)).as("n_c"))
       .withColumn("n_total", sum("n_c").over(wAll))
       .withColumn("w",
         round(sqrt(col("n_c").cast("double") / col("n_total").cast("double")), 9))

@@ -101,6 +101,20 @@ object Corpus {
   // Patterns stay inside the RE2 ∩ java.util.regex common subset (no
   // lookaround/backrefs) so Spark and DuckDB match identically.
   val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+
+  /** Minimum chars [[EmailRe]]'s post-'@' part can match: `[a-z0-9.-]+`
+    * ≥ 1, the literal '.', `[a-z]{2,}` ≥ 2 — 4 total. Changing EmailRe
+    * changes this; [[EmailMaxLookback]] follows automatically.
+    */
+  val EmailMinDomainLen = 4
+
+  /** Max local-part length between an email match's start and its '@'
+    * that still fits the [[PiiMaxLen]] probe window: local + '@'(1) +
+    * domain(≥ [[EmailMinDomainLen]]) ≤ PiiMaxLen. Currently 59 — the
+    * exact zero-margin bound, derived so loosening PiiMaxLen or EmailRe
+    * can't silently desynchronize the anchor lookback from the window.
+    */
+  val EmailMaxLookback = PiiMaxLen - 1 - EmailMinDomainLen
   val SsnRe = "\\d{3}-\\d{2}-\\d{4}"
   val PhoneRe = "\\+1-555-\\d{4}"
 
@@ -244,6 +258,69 @@ object Corpus {
        |  FROM w CROSS JOIN ww)""".stripMargin
 
   // -------------------------------------------------------------- queries
+
+  /** Anchored span-scan body of `pii_spans` over a (doc_id, t) frame —
+    * factored out so the boundary spec can feed adversarial docs (e.g. a
+    * local part of exactly [[EmailMaxLookback]] chars) through the same
+    * plan the production query runs.
+    *
+    * ONE pass finds every anchor occurrence: split on the 3-char class;
+    * the i-th separator sits at the running sum of (chunk len + 1), and
+    * the anchor's identity is recovered as the char AT that position.
+    * Rows per doc = occurrences + 1 — the per-doc window is bounded.
+    */
+  def piiSpansFrom(docs: DataFrame): DataFrame = {
+      val w = Window.partitionBy("doc_id").orderBy("i")
+      val anchors = docs
+        .select(col("doc_id"), col("t"),
+          posexplode(split(col("t"), "[@+-]", -1)).as(Seq("i", "chunk")))
+        .withColumn("q", sum(length(col("chunk")) + 1).over(w).cast("int"))
+        .where(col("q") <= length(col("t")))
+        .withColumn("ch", expr("substring(t, q, 1)"))
+      // candidate (kind, start) list per anchor; email probes every start
+      // within local-part reach of its '@' (locallen ≤ EmailMaxLookback
+      // under the PiiMaxLen window: the domain needs ≥ EmailMinDomainLen
+      // chars after the '@')
+      val cands = anchors
+        .select(col("doc_id"), col("t"), explode(
+          when(col("ch") === "+",
+            array(struct(lit("phone").as("kind"), col("q").as("p"))))
+          .when(col("ch") === "-" && col("q") >= 4,
+            array(struct(lit("ssn").as("kind"), (col("q") - 3).as("p"))))
+          .when(col("ch") === "@" && col("q") >= 2,
+            transform(
+              sequence(greatest(lit(1), col("q") - EmailMaxLookback),
+                col("q") - 1),
+              p => struct(lit("email").as("kind"), p.as("p"))))
+          .otherwise(array().cast("array<struct<kind:string,p:int>>"))).as("c"))
+        .select(col("doc_id"), col("t"),
+          col("c.kind").as("kind"), col("c.p").as("p"))
+        // two '@'s within lookback reach generate a position twice — dedup
+        // so the hit multiset stays identical to the all-positions scan
+        .dropDuplicates("doc_id", "kind", "p")
+      val probeRe = Map("email" -> EmailRe, "ssn" -> SsnRe, "phone" -> PhoneRe)
+      val hits = cands
+        .withColumn("len", coalesce(probeRe.foldLeft(lit(null).cast("int")) {
+          case (acc, (k, re)) => when(col("kind") === k,
+            length(regexp_extract(expr(s"substring(t, p, $PiiMaxLen)"),
+              s"^($re)", 0))).otherwise(acc) }, lit(0)))
+        .where(col("len") > 0)
+        .select(col("doc_id"), col("kind"), col("p"), col("len"))
+      val wPrev = Window.partitionBy("doc_id", "kind").orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.partitionBy("doc_id", "kind").orderBy("p")
+      hits
+        .withColumn("brk",
+          when(col("p") > coalesce(max(col("p") + col("len")).over(wPrev), lit(-1)), 1L)
+            .otherwise(0L))
+        .withColumn("isle", sum("brk").over(wRun))
+        .groupBy("doc_id", "kind", "isle")
+        .agg(min("p").as("span_start"),
+          (max(col("p") + col("len")) - min(col("p"))).cast("long").as("span_len"),
+          count(lit(1)).as("n_anchored_hits"))
+        .select("doc_id", "kind", "span_start", "span_len", "n_anchored_hits")
+        .orderBy("doc_id", "kind", "span_start")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TF-IDF top-3 terms per document. tf aggregates on (doc_id, term)
@@ -751,8 +828,9 @@ object Corpus {
     // returns the offsets (what a selective-redaction or audit-overlay
     // pipeline needs). Candidate starts come from ANCHOR characters each
     // pattern provably contains — '@' for email (at start+locallen, and
-    // locallen ≤ 59 under the 64-char probe window: the domain needs ≥5
-    // chars), the first '-' for SSN (always at start+3), '+' for phone
+    // locallen ≤ EmailMaxLookback under the PiiMaxLen probe window: the
+    // domain needs ≥ EmailMinDomainLen chars after the '@'), the first
+    // '-' for SSN (always at start+3), '+' for phone
     // (at start exactly) — so the anchored probe regex runs at a few
     // positions per planted value instead of EVERY corpus position
     // (1.5M probes × 3 kinds → ~100k; 8.2 s → sub-second at sf0.1).
@@ -763,60 +841,10 @@ object Corpus {
     // oracle still runs. Region start = leftmost anchored hit; end =
     // furthest match end.
     "pii_spans" -> { (s, d) =>
-      val docs = documents(s, d).select(col("doc_id"), withPlantedPii.as("t"))
-      // ONE pass finds every anchor occurrence: split on the 3-char class;
-      // the i-th separator sits at the running sum of (chunk len + 1), and
-      // the anchor's identity is recovered as the char AT that position.
-      // Rows per doc = occurrences + 1 — the per-doc window is bounded.
-      val w = Window.partitionBy("doc_id").orderBy("i")
-      val anchors = docs
-        .select(col("doc_id"), col("t"),
-          posexplode(split(col("t"), "[@+-]", -1)).as(Seq("i", "chunk")))
-        .withColumn("q", sum(length(col("chunk")) + 1).over(w).cast("int"))
-        .where(col("q") <= length(col("t")))
-        .withColumn("ch", expr("substring(t, q, 1)"))
-      // candidate (kind, start) list per anchor; email probes every start
-      // within local-part reach of its '@' (locallen ≤ 59 under the
-      // 64-char window: the domain needs ≥ 5 chars)
-      val cands = anchors
-        .select(col("doc_id"), col("t"), explode(
-          when(col("ch") === "+",
-            array(struct(lit("phone").as("kind"), col("q").as("p"))))
-          .when(col("ch") === "-" && col("q") >= 4,
-            array(struct(lit("ssn").as("kind"), (col("q") - 3).as("p"))))
-          .when(col("ch") === "@" && col("q") >= 2,
-            transform(
-              sequence(greatest(lit(1), col("q") - 59), col("q") - 1),
-              p => struct(lit("email").as("kind"), p.as("p"))))
-          .otherwise(array().cast("array<struct<kind:string,p:int>>"))).as("c"))
-        .select(col("doc_id"), col("t"),
-          col("c.kind").as("kind"), col("c.p").as("p"))
-        // two '@'s within 59 chars generate a position twice — dedup so the
-        // hit multiset stays identical to the all-positions scan
-        .dropDuplicates("doc_id", "kind", "p")
-      val probeRe = Map("email" -> EmailRe, "ssn" -> SsnRe, "phone" -> PhoneRe)
-      val hits = cands
-        .withColumn("len", coalesce(probeRe.foldLeft(lit(null).cast("int")) {
-          case (acc, (k, re)) => when(col("kind") === k,
-            length(regexp_extract(expr(s"substring(t, p, $PiiMaxLen)"),
-              s"^($re)", 0))).otherwise(acc) }, lit(0)))
-        .where(col("len") > 0)
-        .select(col("doc_id"), col("kind"), col("p"), col("len"))
-      val wPrev = Window.partitionBy("doc_id", "kind").orderBy("p")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val wRun = Window.partitionBy("doc_id", "kind").orderBy("p")
-      hits
-        .withColumn("brk",
-          when(col("p") > coalesce(max(col("p") + col("len")).over(wPrev), lit(-1)), 1L)
-            .otherwise(0L))
-        .withColumn("isle", sum("brk").over(wRun))
-        .groupBy("doc_id", "kind", "isle")
-        .agg(min("p").as("span_start"),
-          (max(col("p") + col("len")) - min(col("p"))).cast("long").as("span_len"),
-          count(lit(1)).as("n_anchored_hits"))
-        .select("doc_id", "kind", "span_start", "span_len", "n_anchored_hits")
-        .orderBy("doc_id", "kind", "span_start")
+      piiSpansFrom(
+        documents(s, d).select(col("doc_id"), withPlantedPii.as("t")))
     },
+
 
     // Term burstiness: variance-to-mean ratio (index of dispersion) of
     // per-document counts for the top-BurstTopK corpus terms. VMR ≈ 1 is

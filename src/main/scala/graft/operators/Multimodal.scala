@@ -10,12 +10,18 @@ import TextHash._
   * with typed metadata, flowing through decode -> feature-extract ->
   * downstream (dedup / similarity) stages.
   *
-  * The decode step is a STUB: this container has no image/audio codecs, so
-  * `fakeDecodeFeatures` derives a deterministic feature vector from the
-  * bytes themselves (md5-seeded). Swap [[fakeDecodeFeatures]] for a real
-  * decoder (JNI/onnx on executors, or mapInPandas in PySpark) without
-  * touching anything else — the schema, partitioning, and batch shape are
-  * the real, tested plumbing.
+  * Two decode tiers:
+  *   - REAL decode: [[Ppm]] is a genuine binary-PPM (P6) image codec; the
+  *     `mm_decode_*`/`mm_phash_*` queries synthesize per-doc PPM blobs
+  *     (pixels planted from doc_id arithmetic — FIXTURES.md §4 — so the
+  *     DuckDB oracle reproduces the decoded stats in closed form), decode
+  *     them bytes→pixels in one `mapPartitions` pass, and run perceptual
+  *     average/difference hashes on the pixels.
+  *   - Pseudo-features: `fakeDecodeFeatures` derives a deterministic
+  *     md5-seeded feature vector straight from the bytes — the stand-in
+  *     for a learned ENCODER (embedding model), which no container codec
+  *     can supply. The similarity/dedup compositions downstream of it are
+  *     encoder-agnostic: swap in onnx per-partition and nothing changes.
   *
   * Scale notes: media bytes never hit the driver; every stage is a per-row
   * projection or a mapPartitions over executor-local batches. Binary
@@ -156,40 +162,180 @@ object Multimodal {
         .where(col("n") > 1)
         .select(col("keep_id"), col("n"))
         .orderBy("keep_id")
+    },
+
+    // REAL decode end-to-end: synthetic PPM blobs -> header parse ->
+    // raster -> per-image dims + exact integer gray stats + perceptual
+    // hashes, all in ONE mapPartitions pass (bytes read once, never on the
+    // driver). The oracle reproduces every column in closed form from the
+    // doc_id-planted pixel function — if the parser mis-slices the raster
+    // by even one byte, every hash diverges.
+    "mm_decode_stats" -> { (s, d) =>
+      decodeStats(ppmTable(s, d)).toDF()
+        .select(col("media_id"), col("width"), col("height"), col("n_pixels"),
+          col("gray_sum"),
+          round(col("gray_sum").cast("double") / col("n_pixels").cast("double"), 6)
+            .as("gray_mean"),
+          col("ahash"), col("dhash"))
+        .orderBy("media_id")
+    },
+
+    // Perceptual near-dup over DECODED pixels: dHash signatures banded
+    // into DHashBands 6-bit chunks; candidate pairs must share image
+    // geometry AND ≥1 band chunk (equi-join — never all-pairs; pigeonhole
+    // makes the banding LOSSLESS for hamming ≤ HamMax < #bands), then
+    // verify exact hamming via bit_count(xor). The planted dup groups
+    // surface as hamming-0 (same parity) and hamming-1 (the perturbed
+    // channel) pairs. At 100 TB the same plan holds: the band chunk is
+    // the shuffle key and each bucket is collision-bounded.
+    "mm_phash_dedup" -> { (s, d) =>
+      val stats = decodeStats(ppmTable(s, d)).toDF()
+        .select("media_id", "width", "height", "dhash")
+        .localCheckpoint() // decoded once; both join sides read the blocks
+      val banded = stats.select(col("media_id"), col("width"), col("height"),
+        col("dhash"),
+        explode(array((0 until DHashBands).map(i =>
+          struct(lit(i).as("band"),
+            expr(s"shiftright(dhash, ${i * DHashBandBits}) & ${(1 << DHashBandBits) - 1}")
+              .as("chunk"))): _*)).as("bc"))
+        .select(col("media_id"), col("width"), col("height"), col("dhash"),
+          col("bc.band").as("band"), col("bc.chunk").as("chunk"))
+      banded.as("a").join(banded.as("b"),
+          col("a.width") === col("b.width") &&
+            col("a.height") === col("b.height") &&
+            col("a.band") === col("b.band") &&
+            col("a.chunk") === col("b.chunk") &&
+            col("a.media_id") < col("b.media_id"))
+        .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+          col("a.dhash").as("da"), col("b.dhash").as("db"))
+        .distinct()
+        .withColumn("hamming", expr("cast(bit_count(da ^ db) as int)"))
+        .where(col("hamming") <= HamMax)
+        .select("media_a", "media_b", "hamming")
+        .orderBy("media_a", "media_b")
     }
   )
 
   case class MediaRow(media_id: Long, bytes: Array[Byte])
-  case class MediaFeatures(media_id: Long, features: Array[Double])
 
-  /** STUB decode kernel (JVM side): md5-seeded pseudo-features. A real
-    * implementation would decode pixels/samples here (and is where a
-    * native/onnx library gets called once per executor-local batch).
+  /** Per-image decode output: dimensions, exact integer gray statistics,
+    * and the two perceptual bit-signatures.
     */
-  def stubDecode(bytes: Array[Byte]): Array[Double] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val h = md.digest(bytes)
-    Array.tabulate(FeatureDim) { j =>
-      val b = java.util.Arrays.copyOfRange(h, j, j + 8)
-      (java.nio.ByteBuffer.wrap(b).getLong % 1000L) / 1000.0
+  case class MediaStats(media_id: Long, width: Int, height: Int,
+                        n_pixels: Int, gray_sum: Long, ahash: Long, dhash: Long)
+
+  // ------------------------------------------------------ real PPM decode
+
+  /** Seed base for planted duplicate-image groups — outside the doc_id
+    * range so dup seeds never collide with a real doc's seed.
+    */
+  val PpmDupSeedBase = 1000000L
+
+  /** Seed for doc `id`'s synthetic image: every 4th doc shares a group
+    * seed (geometry AND pixels), the rest are unique — the planted
+    * near-dup structure `mm_phash_dedup` must find.
+    */
+  def ppmSeed(id: Long): Long =
+    if (id % 4 == 0) PpmDupSeedBase + (id / 4) % DupGroups else id
+
+  /** Pixel-0 override for dup docs: alternating group members get pixel 0
+    * forced to gray 0 vs gray 255 — a GUARANTEED flip of dHash bit 0
+    * (bit0 = gray(1)>gray(0): against 0 it is set whenever gray(1)>0,
+    * against 255 it is never set), and ONLY that bit can flip (pixel 0
+    * enters exactly one dHash comparison). The planted groups therefore
+    * contain both hamming-0 (same parity) and hamming-1 (cross-parity)
+    * pairs: "near"-dup is non-vacuous, not exact-dup in disguise.
+    * Returns -1 for non-dup docs (no override).
+    */
+  def ppmPert(id: Long): Int =
+    if (id % 4 == 0) 255 * ((id / 4) % 2).toInt else -1
+
+  /** Synthesize the doc's PPM blob: w = 8+seed%2, h = 5+seed%3 (≤ 9×7 —
+    * small by design, but big enough that dHash carries 35-56 bits: at
+    * ≤ 30 bits the hamming-2 ball covers so much of the signature space
+    * that accidental pairs drown the planted ones — measured 205k pairs
+    * at sf0.1 with 4..7×3..5 images); grayscale r=g=b, pixel p value =
+    * h60("ppm:" + seed + ":" + p) mod 256 — the repo's md5-based
+    * cross-engine hash, so pixels are FULLY mixed per (seed, pixel).
+    * Additive/polynomial pixel functions were measured and rejected:
+    * the seed enters them as a constant gray offset, which preserves
+    * almost every gradient sign mod wraps, so different seeds land
+    * within hamming 2 of each other and the pair relation explodes
+    * (188-638k accidental pairs at sf0.1; ~planted-only with md5).
+    * Same closed form the oracle uses.
+    */
+  def synthPpmBlob(id: Long): Array[Byte] = {
+    val seed = ppmSeed(id); val pert = ppmPert(id)
+    val w = (8 + seed % 2).toInt; val h = (5 + seed % 3).toInt
+    val rgb = new Array[Byte](w * h * 3)
+    var p = 0
+    while (p < w * h) {
+      val v =
+        if (p == 0 && pert >= 0) pert
+        else (h60Jvm(s"ppm:$seed:$p") % 256).toInt
+      var c = 0
+      while (c < 3) { rgb(3 * p + c) = v.toByte; c += 1 }
+      p += 1
     }
+    Ppm.encode(Ppm.Image(w, h, 255, rgb))
   }
 
-  /** Batch-shaped decode over executor-local partitions — the Scala analog
-    * of `mapInPandas`: one iterator per partition, rows never collected to
-    * the driver, output schema fixed by the `MediaFeatures` encoder. Heavy
-    * per-batch init (codec/model load) belongs at the top of the
-    * mapPartitions closure, amortized across the partition.
+  /** JVM mirror of [[TextHash.h60]] (first 15 md5 hex chars as a long) for
+    * the synth kernel, which runs inside mapPartitions, not as a Column.
     */
-  def decodePartitioned(ds: org.apache.spark.sql.Dataset[MediaRow])
-      : org.apache.spark.sql.Dataset[MediaFeatures] = {
+  def h60Jvm(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  private val synthPpmUdf = udf(synthPpmBlob _)
+
+  /** (media_id, bytes) of synthetic PPM images — binary blobs flowing
+    * through the plan exactly like `spark.read.format("binaryFile")` rows.
+    */
+  def ppmTable(s: SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[MediaRow] = {
+    import s.implicits._
+    documents(s, d)
+      .select(col("doc_id").as("media_id"),
+        synthPpmUdf(col("doc_id")).as("bytes"))
+      .as[MediaRow]
+  }
+
+  /** REAL batch-shaped decode over executor-local partitions — the Scala
+    * analog of `mapInPandas`: one iterator per partition, rows never
+    * collected to the driver, output schema fixed by the `MediaStats`
+    * encoder. Heavy per-partition init (a native codec handle, an onnx
+    * session) belongs at the top of the closure, amortized across the
+    * partition; [[Ppm.decode]] needs none.
+    */
+  def decodeStats(ds: org.apache.spark.sql.Dataset[MediaRow])
+      : org.apache.spark.sql.Dataset[MediaStats] = {
     val spark = ds.sparkSession
     import spark.implicits._
     ds.mapPartitions { rows =>
-      // per-partition init happens here (e.g. codec handle) — STUB: none
-      rows.map(r => MediaFeatures(r.media_id, stubDecode(r.bytes)))
+      rows.map { r =>
+        val img = Ppm.decode(r.bytes)
+        val g = Ppm.gray(img)
+        var tot = 0L; var i = 0
+        while (i < g.length) { tot += g(i); i += 1 }
+        MediaStats(r.media_id, img.width, img.height, g.length, tot,
+          Ppm.aHash(img), Ppm.dHash(img))
+      }
     }
   }
+
+  /** dHash band layout for the LSH-style candidate join: 7 bands × 8 bits
+    * cover the fixture's ≤ 56 dHash bits; two signatures within hamming
+    * distance [[HamMax]] < #bands must agree on ≥ 1 whole band
+    * (pigeonhole), so banding loses no pair the verify step would keep.
+    */
+  val DHashBands = 7
+  val DHashBandBits = 8
+  /** Max hamming distance for a verified near-dup pair. */
+  val HamMax = 2
 
   val oracles: Map[String, String] = Map(
     "mm_meta_stats" ->
@@ -237,6 +383,61 @@ object Multimodal {
          |  FROM documents),
          |f AS (SELECT media_id, ${fakeDecodeSql("bytes")} AS f FROM m)
          |SELECT min(media_id) AS keep_id, count(*) AS n
-         |FROM f GROUP BY f HAVING count(*) > 1 ORDER BY keep_id""".stripMargin
+         |FROM f GROUP BY f HAVING count(*) > 1 ORDER BY keep_id""".stripMargin,
+
+    "mm_decode_stats" ->
+      s"""WITH $ppmHashCtes
+         |SELECT media_id, width, height, CAST(n AS INTEGER) AS n_pixels,
+         |  gray_sum,
+         |  round(CAST(gray_sum AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gray_mean,
+         |  ahash, dhash
+         |FROM hh ORDER BY media_id""".stripMargin,
+
+    "mm_phash_dedup" ->
+      s"""WITH $ppmHashCtes,
+         |bands AS (SELECT media_id, width, height, dhash, b.band,
+         |    (dhash >> (b.band * $DHashBandBits)) & ${(1 << DHashBandBits) - 1} AS chunk
+         |  FROM hh CROSS JOIN (SELECT unnest(range(0, $DHashBands)) AS band) b),
+         |cand AS (SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+         |    a.dhash AS da, b.dhash AS db
+         |  FROM bands a JOIN bands b ON a.width = b.width AND a.height = b.height
+         |    AND a.band = b.band AND a.chunk = b.chunk AND a.media_id < b.media_id)
+         |SELECT media_a, media_b, CAST(bit_count(xor(da, db)) AS INTEGER) AS hamming
+         |FROM cand WHERE bit_count(xor(da, db)) <= $HamMax
+         |ORDER BY media_a, media_b""".stripMargin
   )
+
+  /** CTE chain mirroring [[synthPpmBlob]] + the [[Ppm]] kernels in closed
+    * form — seed/pert → dims → per-pixel integer gray list → exact sums →
+    * aHash/dHash (1-based list indexing; `1::BIGINT << p` keeps the bit
+    * ops in 64-bit integers). Defines `hh(media_id, width, height, n,
+    * gray_sum, ahash, dhash)`.
+    */
+  private def ppmHashCtes: String =
+    s"""m AS (SELECT doc_id AS media_id,
+       |    CASE WHEN doc_id % 4 = 0
+       |         THEN $PpmDupSeedBase + (doc_id // 4) % $DupGroups
+       |         ELSE doc_id END AS seed,
+       |    CASE WHEN doc_id % 4 = 0 THEN 255 * ((doc_id // 4) % 2)
+       |         ELSE -1 END AS pert
+       |  FROM documents),
+       |dm AS (SELECT media_id, CAST(8 + seed % 2 AS INTEGER) AS width,
+       |    CAST(5 + seed % 3 AS INTEGER) AS height, seed, pert FROM m),
+       |gl AS (SELECT media_id, width, height, width * height AS n,
+       |    list_transform(range(0, width * height), p ->
+       |      CASE WHEN p = 0 AND pert >= 0 THEN pert
+       |           ELSE ${h60Sql("'ppm:' || CAST(seed AS VARCHAR) || ':' || CAST(p AS VARCHAR)")} % 256
+       |      END) AS gr
+       |  FROM dm),
+       |gs AS (SELECT media_id, width, height, n, gr,
+       |    CAST(list_sum(gr) AS BIGINT) AS gray_sum FROM gl),
+       |hh AS (SELECT media_id, width, height, n, gray_sum,
+       |    CAST(list_sum(list_transform(range(0, n), p ->
+       |      CASE WHEN gr[p + 1] * n >= gray_sum
+       |           THEN 1::BIGINT << p ELSE 0::BIGINT END)) AS BIGINT) AS ahash,
+       |    CAST(list_sum(list_transform(range(0, (width - 1) * height), q ->
+       |      CASE WHEN gr[(q // (width - 1)) * width + (q % (width - 1)) + 2] >
+       |                gr[(q // (width - 1)) * width + (q % (width - 1)) + 1]
+       |           THEN 1::BIGINT << q ELSE 0::BIGINT END)) AS BIGINT) AS dhash
+       |  FROM gs)""".stripMargin
 }

@@ -217,7 +217,9 @@ object SqlFunctions {
       orders(s, d).createOrReplaceTempView("g_orders_gba")
       s.sql(
         """SELECT o_orderpriority, year(o_orderdate) AS yr,
-          |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+          |  count(*) AS n,
+          |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+          |       AS DOUBLE) AS total
           |FROM g_orders_gba
           |GROUP BY ALL
           |ORDER BY o_orderpriority, yr""".stripMargin)
@@ -867,7 +869,9 @@ object SqlFunctions {
 
     "q_group_by_all" ->
       """SELECT o_orderpriority, CAST(year(o_orderdate) AS INTEGER) AS yr,
-        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |  count(*) AS n,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+        |       AS DOUBLE) AS total
         |FROM orders
         |GROUP BY ALL
         |ORDER BY o_orderpriority, yr""".stripMargin,

@@ -119,7 +119,9 @@ object UrlOps {
     when(hostPart === "", url)
       .otherwise(concat(lit("https://"),
         regexp_replace(lower(hostPart), ":443$", ""),
-        regexp_replace(path0, "/$", ""),
+        // "/+$": ALL trailing slashes, so canonical(canonical(u)) ==
+        // canonical(u) holds for "//"-terminated paths too
+        regexp_replace(path0, "/+$", ""),
         when(q1 =!= "", concat(lit("?"), q1)).otherwise("")))
   }
 
@@ -315,7 +317,7 @@ object UrlOps {
          |c AS (SELECT doc_id,
          |  'https://' ||
          |  regexp_replace(lower(regexp_extract(url, '$HostPortRe', 1)), ':443$$', '') ||
-         |  regexp_replace(regexp_extract(url, '$PathRe', 1), '/$$', '') ||
+         |  regexp_replace(regexp_extract(url, '$PathRe', 1), '/+$$', '') ||
          |  CASE WHEN regexp_replace(regexp_replace(
          |         regexp_extract(url, '\\?([^#]*)', 1), '&utm_[^&]*', '', 'g'),
          |         '^utm_[^&]*&?', '', 'g') <> ''

@@ -325,6 +325,64 @@ class CorpusSpec extends SparkSpecBase {
     }
   }
 
+  test("piiSpansFrom boundary: local part of exactly EmailMaxLookback chars " +
+    "is found; anchored scan == all-positions scan") {
+    val s2 = spark
+    import s2.implicits._
+    import Corpus.{EmailMaxLookback, PiiMaxLen}
+    // zero-margin email: local + '@' + minimal 4-char domain == PiiMaxLen
+    val zeroMargin = ("a" * EmailMaxLookback) + "@m.ab"
+    assert(zeroMargin.length == PiiMaxLen)
+    val docs = Seq(
+      (1L, s"hello $zeroMargin world"),
+      // local one past the lookback: the window can't fit the full email,
+      // so the leftmost surviving start is one char in — both scans must
+      // agree on that too
+      (2L, ("b" * (EmailMaxLookback + 1)) + "@m.ab tail"),
+      (3L, "no pii of any kind"),
+      (4L, "ssn 123-45-6789 then +1-555-0042 end")
+    ).toDF("doc_id", "t")
+    val got = Corpus.piiSpansFrom(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3),
+        r.getLong(4))).toSet
+    // brute-force all-positions oracle with the identical probe window
+    val res = Map("email" -> Corpus.EmailRe, "ssn" -> Corpus.SsnRe,
+      "phone" -> Corpus.PhoneRe).view.mapValues(re => ("^(" + re + ")").r)
+    val texts = Seq(
+      (1L, s"hello $zeroMargin world"),
+      (2L, ("b" * (EmailMaxLookback + 1)) + "@m.ab tail"),
+      (3L, "no pii of any kind"),
+      (4L, "ssn 123-45-6789 then +1-555-0042 end"))
+    val expected = texts.flatMap { case (id, t) =>
+      res.flatMap { case (kind, r) =>
+        val hits = (1 to t.length).flatMap { p =>
+          val win = t.substring(p - 1, math.min(t.length, p - 1 + PiiMaxLen))
+          r.findPrefixMatchOf(win).map(m => (p, m.matched.length))
+        }
+        // island merge: break when p is past every previous match end
+        var out = List.empty[(Long, String, Int, Long, Long)]
+        var cur = List.empty[(Int, Int)]
+        def flush(): Unit = if (cur.nonEmpty) {
+          val st = cur.map(_._1).min
+          val en = cur.map { case (p, l) => p + l }.max
+          out ::= ((id, kind, st, (en - st).toLong, cur.length.toLong))
+          cur = Nil
+        }
+        hits.foreach { case (p, l) =>
+          if (cur.nonEmpty && p > cur.map { case (q, m) => q + m }.max) flush()
+          cur ::= ((p, l))
+        }
+        flush()
+        out
+      }
+    }.toSet
+    assert(got == expected,
+      s"anchored != all-positions:\n got=$got\n exp=$expected")
+    // the zero-margin planted email is present, full length, at 'hello '+1
+    assert(got.exists { case (id, k, st, ln, _) =>
+      id == 1L && k == "email" && st == 7 && ln == PiiMaxLen.toLong })
+  }
+
   test("vocab_hapax_rate: counts reconcile with an independent per-source tally") {
     val rows = Corpus.queries("vocab_hapax_rate")(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -116,7 +116,9 @@ class UrlOpsSpec extends SparkSpecBase {
         val scheme = Seq("http", "https", "ftp")(i % 3)
         val host = Seq("A.Example.COM", "www.data.org", "x.co.uk")(i % 3)
         val port = Seq("", ":443", ":8080")(i % 3)
-        val path = Seq("", "/p", "/p/q/")(i % 3)
+        // includes multi-slash tails: "/p//" must canonicalize in ONE
+        // pass (the "/+$" strip), or idempotence breaks
+        val path = Seq("", "/p", "/p/q/", "/p//", "/p/q///")(i % 5)
         val q = Seq("", "?utm_a=1", "?utm_a=1&id=2&utm_b=3", s"?id=$i")(i % 4)
         val f = Seq("", "#top")(i % 2)
         s"$scheme://$host$port$path$q$f"
