@@ -43,6 +43,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * Writes are one file per task — the data path is never funneled
   * through the driver (commit messages carry PATHS, not rows).
   *
+  * The STREAMING face ([[GraftLinesStreamingWrite]]) runs the same staged
+  * protocol per epoch with deterministic promote names as the idempotence
+  * key — exactly-once under kill/restart/epoch-replay (SourcesSpec).
+  *
   * Schema is fixed at `value: string` (the rawest text-shard format).
   * Options: `path` (output root, required).
   */
@@ -85,7 +89,7 @@ class GraftLinesTable(root: String) extends Table with SupportsRead
   override def schema(): StructType = GraftLines.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new GraftLinesScan(root)
@@ -207,6 +211,9 @@ class GraftLinesWriteBuilder(root: String) extends WriteBuilder with SupportsTru
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new GraftLinesBatchWrite(root, truncateFirst)
+    override def toStreaming
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new GraftLinesStreamingWrite(root)
   }
 }
 
@@ -243,16 +250,76 @@ class GraftLinesBatchWrite(root: String, truncateFirst: Boolean) extends BatchWr
   }
 }
 
+/** Streaming face of the sink: the SAME staged-2PC protocol, keyed by
+  * epoch. Task writers stage to epoch-private files; the driver's
+  * per-epoch commit promotes them to DETERMINISTIC names
+  * `part-e<epoch>-<partition>.txt`. Exactly-once across failures falls
+  * out of two properties:
+  *
+  *   1. Nothing is visible until the driver commits the epoch (staging is
+  *      invisible to the reader), so a kill mid-epoch leaves no partial
+  *      output — the restarted query replans the batch from the
+  *      checkpointed offsets and re-stages.
+  *   2. Epoch REPLAY (restart after a commit that didn't reach the
+  *      checkpoint WAL) re-promotes onto the same target names with an
+  *      atomic replace — the deterministic name is the idempotence key, so
+  *      a twice-committed epoch lands once, byte-identical, never
+  *      appended twice. A replayed commit whose staging is already gone
+  *      but whose targets exist is a no-op (the earlier promote won).
+  *
+  * Per-epoch abort deletes only that epoch's staged files — concurrent
+  * epochs' staging (continuous-mode style pipelining) is untouched.
+  */
+class GraftLinesStreamingWrite(root: String)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : StreamingDataWriterFactory = {
+    Files.createDirectories(GraftLines.stagingDir(root))
+    // top-level class: the factory ships to executors and must not drag
+    // this (non-serializable) driver-side object into the closure
+    new GraftLinesStreamingWriterFactory(root)
+  }
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: LinesCommitMessage => m }.foreach { m =>
+      val staged = Paths.get(m.stagingPath)
+      val target = Paths.get(root, f"part-e$epochId-${m.partitionId}%05d.txt")
+      if (Files.exists(staged))
+        Files.move(staged, target, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+      else if (!Files.exists(target))
+        throw new IOException(
+          s"graftlines epoch $epochId part ${m.partitionId}: " +
+            "staged file lost before promote")
+    }
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: LinesCommitMessage => m }
+      .foreach(m => Files.deleteIfExists(Paths.get(m.stagingPath)))
+}
+
+class GraftLinesStreamingWriterFactory(root: String)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new GraftLinesWriter(root, partitionId, taskId, s"e$epochId-")
+}
+
 class GraftLinesWriterFactory(root: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftLinesWriter(root, partitionId, taskId)
 }
 
-class GraftLinesWriter(root: String, partitionId: Int, taskId: Long)
+class GraftLinesWriter(root: String, partitionId: Int, taskId: Long,
+                       prefix: String = "")
   extends DataWriter[InternalRow] {
 
   private val staged: Path =
-    GraftLines.stagingDir(root).resolve(s"part-$partitionId-$taskId.tmp")
+    GraftLines.stagingDir(root).resolve(s"${prefix}part-$partitionId-$taskId.tmp")
   private lazy val out: BufferedWriter =
     Files.newBufferedWriter(staged, StandardCharsets.UTF_8)
   private var rows = 0L

@@ -191,6 +191,18 @@ object Sources {
       .where(col("doc_id") < 25L)
       .orderBy("doc_id")
 
+  /** Custom DSv2 source, limit/TopN-pushdown face: ORDER BY doc_id LIMIT n
+    * reaches the scan as a pushed TopN, which the generator answers in
+    * closed form — [lo, lo+n) of the filter-narrowed range, never the
+    * remainder (SourcesSpec locks the scan's output-rows metric at n).
+    */
+  def synthLimitPushdown(s: SparkSession, d: String): DataFrame =
+    synthRead(s)
+      .select("doc_id", "lang", "n_tokens")
+      .where(col("doc_id") >= 100L)
+      .orderBy("doc_id")
+      .limit(10)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_csv_roundtrip" -> csvRoundtrip,
     "src_json_roundtrip" -> jsonRoundtrip,
@@ -203,7 +215,8 @@ object Sources {
     "src_synth_agg_pushdown" -> synthAggPushdown,
     "src_synth_catalog_sql" -> synthCatalogSql,
     "src_catalog_function" -> catalogFunctionHash,
-    "src_synth_rows" -> synthRows
+    "src_synth_rows" -> synthRows,
+    "src_synth_limit_pushdown" -> synthLimitPushdown
   )
 
   val oracles: Map[String, String] = Map(
@@ -255,7 +268,12 @@ object Sources {
          |  array_to_string(list_transform(range(0, CAST(n_tokens AS INTEGER)),
          |    i -> 'tok' || CAST(${h60i("'t:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")} % ${SynthDocs.Vocab} AS VARCHAR)), ' ') AS text
          |  FROM x WHERE doc_id < 25)
-         |SELECT doc_id, lang, text, n_tokens FROM t ORDER BY doc_id""".stripMargin
+         |SELECT doc_id, lang, text, n_tokens FROM t ORDER BY doc_id""".stripMargin,
+
+    "src_synth_limit_pushdown" ->
+      s"""WITH $synthCtes
+         |SELECT doc_id, lang, n_tokens FROM x WHERE doc_id >= 100
+         |ORDER BY doc_id LIMIT 10""".stripMargin
   )
 
   /** h60 over an expression (same construction as TextHash.h60Sql, local

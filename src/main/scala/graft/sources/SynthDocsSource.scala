@@ -6,7 +6,7 @@ import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
@@ -31,6 +31,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - `SupportsPushDownRequiredColumns`: only requested columns are
   *     materialized (text generation — the expensive field — is skipped
   *     entirely when pruned away).
+  *   - `SupportsPushDownLimit` / `SupportsPushDownTopN`: LIMIT n (and
+  *     ORDER BY doc_id LIMIT n, either direction) narrow the generated id
+  *     range in closed form — the remainder is never produced.
   *   - Rows are split into `slices` independent id-range partitions, so
   *     parallelism scales like any other scan.
   *
@@ -98,7 +101,7 @@ class SynthDocsTable(rows: Long, slices: Int, maxPerTrigger: Long)
 
 class SynthDocsScanBuilder(rows: Long, slices: Int, maxPerTrigger: Long = 1000L)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var lo: Long = 0L
   private var hi: Long = rows // exclusive
@@ -106,6 +109,8 @@ class SynthDocsScanBuilder(rows: Long, slices: Int, maxPerTrigger: Long = 1000L)
   private var required: StructType = SynthDocs.schema
   private var residualLeft = false
   private var aggPushed: Option[Seq[AggregateFunc]] = None
+  /** Accepted LIMIT/TopN: (n, descending). */
+  private var limitPushed: Option[(Int, Boolean)] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // Comparison values arrive as whatever boxed numeric the literal was
@@ -171,8 +176,44 @@ class SynthDocsScanBuilder(rows: Long, slices: Int, maxPerTrigger: Long = 1000L)
       true
     }
 
+  /** LIMIT n absorbed by the generator: ids are produced in order, so the
+    * first n ids of the (filter-narrowed) range ARE a valid LIMIT answer —
+    * the remainder is never generated (`LIMIT 10` over a trillion-row
+    * synthetic table generates 10 rows). Declined when a residual filter
+    * survives: the post-scan filter could drop rows, and a pre-narrowed
+    * range would then under-produce. Reported PARTIAL (Spark keeps its
+    * global limit): full pushdown would also be correct for the plain
+    * range reader, but this scan can still be thinned AFTER planning by
+    * the runtime-filtering face, and partial keeps every composition safe
+    * by construction.
+    */
+  override def pushLimit(limit: Int): Boolean =
+    aggPushed.isEmpty && !residualLeft && limit >= 0 && {
+      limitPushed = Some((limit, false))
+      true
+    }
+
+  override def isPartiallyPushed: Boolean = true
+
+  /** ORDER BY doc_id [ASC|DESC] LIMIT n in closed form on the id range:
+    * ascending keeps [lo, lo+n), descending keeps [hi−n, hi). Any other
+    * sort key declines — the generator's remaining columns are
+    * hash-valued, so their TopN needs a real scan anyway.
+    */
+  override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean =
+    aggPushed.isEmpty && !residualLeft && limit >= 0 &&
+      orders.length == 1 && docIdRef(orders.head.expression()) && {
+        limitPushed = Some((limit,
+          orders.head.direction() == SortDirection.DESCENDING))
+        true
+      }
+
   override def build(): Scan = {
-    val (a, b) = (math.max(lo, 0L), math.max(hi, math.max(lo, 0L)))
+    var (a, b) = (math.max(lo, 0L), math.max(hi, math.max(lo, 0L)))
+    limitPushed.foreach {
+      case (n, false) => b = math.min(b, a + n)
+      case (n, true) => a = math.max(a, b - n)
+    }
     aggPushed match {
       case Some(aggs) => new SynthDocsAggScan(a, b, aggs)
       case None => new SynthDocsScan(a, b, slices, required, maxPerTrigger)

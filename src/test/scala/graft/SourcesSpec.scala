@@ -123,6 +123,56 @@ class SourcesSpec extends SparkSpecBase {
     assert(df.rdd.getNumPartitions == 7)
   }
 
+  test("synth DSv2: pushed TopN/LIMIT narrows the generator to n rows") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case q: QueryStageExec => allNodes(q.plan)
+      case other => other.children.flatMap(allNodes)
+    })
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      val n = df.collect().length // execute first, then read the metric
+      allNodes(df.queryExecution.executedPlan)
+        .filter(l => l.nodeName.contains("BatchScan")
+          && l.toString.contains("SynthDocs")
+          && l.metrics.contains("numOutputRows"))
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    def synth = spark.read.format("graft.sources.SynthDocsSource")
+      .option("rows", "2000").option("slices", "4").load()
+
+    // ascending TopN composed with a pushed range filter: [100, 110) only
+    val asc = synth.select("doc_id", "n_tokens")
+      .where(col("doc_id") >= 100L).orderBy("doc_id").limit(10)
+    assert(asc.collect().map(_.getLong(0)).toSeq == (100L until 110L))
+    assert(scanRows(asc) == 10L, "generator must produce exactly n rows")
+
+    // descending TopN: the scan keeps the TAIL of the range
+    val desc = synth.select("doc_id").orderBy(col("doc_id").desc).limit(5)
+    assert(desc.collect().map(_.getLong(0)).toSeq
+      == Seq(1999L, 1998L, 1997L, 1996L, 1995L))
+    assert(scanRows(desc) == 5L)
+
+    // plain LIMIT (no order): n rows generated, n returned
+    assert(scanRows(synth.select("doc_id").limit(7)) == 7L)
+
+    // TopN on a non-id column must DECLINE — full scan, correct answer
+    val byLang = synth.select("doc_id", "lang").orderBy(col("lang"), col("doc_id")).limit(3)
+    val got = byLang.collect()
+    assert(got.length == 3 && got.forall(_.getString(1) == "de"),
+      s"lang TopN answer wrong: ${got.mkString(",")}")
+    assert(scanRows(byLang) == 2000L, "non-id TopN must not narrow the scan")
+
+    // a residual (non-id) filter must also decline the limit: narrowing
+    // the range first would under-produce after the post-scan filter
+    val resid = synth.select("doc_id", "lang")
+      .where(col("lang") === "en").orderBy("doc_id").limit(4)
+    val ids = resid.collect().map(_.getLong(0))
+    assert(ids.length == 4 && scanRows(resid) == 2000L,
+      "residual-filter LIMIT must scan the full range")
+  }
+
   test("graftlines sink: staged commit promotes shards, stamps _SUCCESS, cleans staging") {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
@@ -287,5 +337,109 @@ class SourcesSpec extends SparkSpecBase {
     }
     assert(spark.sql("SELECT count(*) FROM graft_cat.lines.delspec")
       .head.getLong(0) == before)
+  }
+
+  test("graftlines streaming write: interrupted run resumes from checkpoint " +
+    "exactly-once; epoch shards are deterministic") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.streaming.Trigger
+    val out = Files.createTempDirectory("graft_lines_stream_").toString
+    val cp = Files.createTempDirectory("graft_lines_stream_cp_").toString
+    def src = spark.readStream.format("graft.sources.SynthDocsSource")
+      .option("rows", "2000").option("slices", "4").option("maxPerTrigger", "600")
+      .load().select(col("text").as("value"))
+    // phase 1: run continuously, stop as soon as a batch has committed —
+    // an interruption at an arbitrary point in the epoch sequence
+    val q1 = src.writeStream.format("graft.sources.GraftLinesSource")
+      .option("path", out).option("checkpointLocation", cp)
+      .trigger(Trigger.ProcessingTime("5 milliseconds")).start()
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while ((q1.lastProgress == null || q1.lastProgress.batchId < 1) &&
+      System.nanoTime() < deadline) Thread.sleep(20)
+    q1.stop(); q1.awaitTermination()
+    // phase 2: restart from the same checkpoint, drain the rest
+    val q2 = src.writeStream.format("graft.sources.GraftLinesSource")
+      .option("path", out).option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    // read-back equals the batch projection — no loss, no duplicates
+    val got = spark.read.format("graft.sources.GraftLinesSource")
+      .option("path", out).load().collect().map(_.getString(0)).sorted.toSeq
+    val expected = spark.read.format("graft.sources.SynthDocsSource")
+      .option("rows", "2000").load()
+      .select("text").collect().map(_.getString(0)).sorted.toSeq
+    assert(got == expected, s"stream read-back diverged: got ${got.length} " +
+      s"rows vs ${expected.length}")
+    // multiple epochs really ran, and shard names are epoch-keyed
+    val epochs = Files.list(Paths.get(out)).iterator.asScala
+      .map(_.getFileName.toString)
+      .collect { case n if n.startsWith("part-e") => n.drop(6).takeWhile(_.isDigit) }
+      .toSet
+    assert(epochs.size >= 2, s"expected >=2 epochs, saw $epochs")
+    // no staging garbage after a clean drain
+    val st = graft.sources.GraftLines.stagingDir(out)
+    assert(!Files.isDirectory(st) ||
+      Files.list(st).iterator.asScala.isEmpty, "staging must be drained")
+  }
+
+  test("graftlines streaming write: epoch replay re-commits idempotently; " +
+    "task abort leaves nothing") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val out = Files.createTempDirectory("graft_lines_replay_").toString
+    val sw = new graft.sources.GraftLinesStreamingWrite(out)
+    val fac = sw.createStreamingWriterFactory(null)
+    def stage(taskId: Long, rows: Seq[String]) = {
+      val w = fac.createWriter(0, taskId, 42L)
+      rows.foreach(r => w.write(InternalRow(UTF8String.fromString(r))))
+      w.commit()
+    }
+    val msg = stage(1L, Seq("alpha", "beta"))
+    sw.commit(42L, Array(msg))
+    val target = Paths.get(out, "part-e42-00000.txt")
+    assert(Files.readAllLines(target).asScala.toSeq == Seq("alpha", "beta"))
+    // replay WITHOUT re-staging (staging was consumed): promote is a no-op
+    sw.commit(42L, Array(msg))
+    assert(Files.readAllLines(target).asScala.toSeq == Seq("alpha", "beta"))
+    // replay WITH re-staging (restarted query re-ran the epoch's tasks):
+    // deterministic name -> atomic replace, never an appended duplicate
+    sw.commit(42L, Array(stage(7L, Seq("alpha", "beta"))))
+    assert(Files.readAllLines(target).asScala.toSeq == Seq("alpha", "beta"))
+    assert(graft.sources.GraftLines.dataFiles(out).size == 1)
+    // task abort: staged file deleted, nothing promoted
+    val w = fac.createWriter(1, 9L, 43L)
+    w.write(InternalRow(UTF8String.fromString("doomed")))
+    w.abort()
+    sw.abort(43L, Array.empty)
+    assert(graft.sources.GraftLines.dataFiles(out).size == 1,
+      "aborted epoch must not surface data")
+    val staged = graft.sources.GraftLines.stagingDir(out)
+    assert(Files.list(staged).iterator.asScala.isEmpty, "staging not cleaned")
+  }
+
+  test("graftlines streaming write: end-to-end through the catalog table") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.GraftCatalog
+    spark.conf.set("spark.sql.catalog.graft_cat",
+      classOf[GraftCatalog].getName)
+    val root = java.nio.file.Paths.get(s"${GraftCatalog.linesRoot}/streamcat")
+    if (java.nio.file.Files.isDirectory(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator.asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists)
+    }
+    val cp = java.nio.file.Files.createTempDirectory("graft_cat_stream_cp_").toString
+    val q = spark.readStream.format("graft.sources.SynthDocsSource")
+      .option("rows", "300").option("maxPerTrigger", "100")
+      .load().select(col("text").as("value"))
+      .writeStream.option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .toTable("graft_cat.lines.streamcat")
+    q.awaitTermination()
+    assert(spark.sql("SELECT count(*) n FROM graft_cat.lines.streamcat")
+      .head.getLong(0) == 300L)
   }
 }
