@@ -481,7 +481,42 @@ object RewriteMaxSelfJoin extends Rule[LogicalPlan] with PredicateHelper {
       .forall(x => isJoinColNotNull(x._1))
     if (!mappedANotNullOk || !filtersPNotNullOk) return None
 
+    // A null-COUNTING aggregate (count(*)/count(lit)) is the one family
+    // whose value changes when null rows of the compared column are
+    // dropped from its input. If the AGG side alone filtered them
+    // (onlyA IsNotNull on pv), the window input below can't mirror it
+    // without also changing the probe rows — decline, keep the join.
+    val countsNullRows = aggFn match {
+      case c: Count => c.children.forall(_.foldable)
+      case _ => false
+    }
+    if (countsNullRows && mappedA.zip(canonA).exists(x =>
+        onlyA.contains(x._2) && (x._1 match {
+          case IsNotNull(a: Attribute) => a.exprId == pv.exprId
+          case _ => false
+        }))) return None
+
     // ---- build: one pass over the probe side ----
+    // The window must aggregate over exactly the AGG side's rows. The
+    // probe side usually carries join-implied IsNotNull filters the agg
+    // side lacks (InferFiltersFromConstraints derives isnotnull(pv) /
+    // isnotnull(key) from the null-rejecting join equality): STRIP those
+    // below the window and let the keep filter re-impose them above.
+    // Harmless for max/min/sum/count(col) (they ignore nulls), REQUIRED
+    // for count(*): leaving isnotnull(pv) below shrinks every partition
+    // count by its null-pv rows (caught by RewriteFuzzSpec differential).
+    val onlyPSet = onlyP.toSet
+    def stripProbeOnlyNotNulls(p: LogicalPlan): LogicalPlan = p match {
+      case pr @ logical.Project(pl, child) if pl.forall(_.isInstanceOf[Attribute]) =>
+        pr.copy(child = stripProbeOnlyNotNulls(child))
+      case logical.Filter(cond, child) =>
+        val kept = splitConjunctivePredicates(cond).filterNot(c =>
+          onlyPSet.contains(c.canonicalized) && isJoinColNotNull(c))
+        val nc = stripProbeOnlyNotNulls(child)
+        if (kept.isEmpty) nc else logical.Filter(kept.reduce(And(_, _)), nc)
+      case other => other
+    }
+    val winChild = stripProbeOnlyNotNulls(probe)
     val frame = SpecifiedWindowFrame(RowFrame, UnboundedPreceding, UnboundedFollowing)
     // the aggregate function itself, rebased onto probe-side attributes
     // (keeps evalMode/type behavior identical to the original)
@@ -491,7 +526,7 @@ object RewriteMaxSelfJoin extends Rule[LogicalPlan] with PredicateHelper {
     val wAlias = Alias(
       WindowExpression(fn.toAggregateExpression(),
         WindowSpecDefinition(partCols, Nil, frame)), "_graft_grpext")()
-    val win = logical.Window(Seq(wAlias), partCols, Nil, probe, None)
+    val win = logical.Window(Seq(wAlias), partCols, Nil, winChild, None)
     val keep = (EqualTo(pv, wAlias.toAttribute) +:
       partCols.collect { case a if a.nullable => IsNotNull(a) })
       .reduce(And(_, _))

@@ -78,6 +78,13 @@ case class GroupTopKNode(
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
   override def maxRows: Option[Long] = child.maxRows
+  /** ≤ k rows per key survive — see [[PlanStats]] for why `stats` (not
+    * `computeStats`) is the override point and where the distinct-key
+    * estimate comes from. 8 extra bytes for the appended rank column.
+    */
+  override def stats: logical.Statistics =
+    PlanStats.bounded(child.stats,
+      PlanStats.distinctKeys(groupExprs, child.stats).map(_ * k), 8)
   override protected def withNewChildInternal(newChild: LogicalPlan): GroupTopKNode =
     copy(child = newChild)
 }

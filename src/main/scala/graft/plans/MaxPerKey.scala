@@ -73,6 +73,13 @@ case class MaxPerKeyNode(
   override def output: Seq[Attribute] = child.output :+ outAttr
   override def producedAttributes: AttributeSet = AttributeSet(outAttr)
   override def maxRows: Option[Long] = child.maxRows
+  /** ~1 row per key survives (extreme ties excepted) — see [[PlanStats]]
+    * for the override point and the distinct-key estimate source. 8 extra
+    * bytes for the appended extreme column.
+    */
+  override def stats: logical.Statistics =
+    PlanStats.bounded(child.stats,
+      PlanStats.distinctKeys(groupExprs, child.stats), 8)
   override protected def withNewChildInternal(newChild: LogicalPlan): MaxPerKeyNode =
     copy(child = newChild)
 }

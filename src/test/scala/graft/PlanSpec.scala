@@ -226,6 +226,78 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("GroupTopK/MaxPerKey stats: k-bounded row estimate unlocks a broadcast " +
+    "join the child's size would veto; kill-switched results identical") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    Graft.init(spark)
+    spark.sql("DROP TABLE IF EXISTS graft_stats_docs")
+    // a previous JVM's metastore is gone but its warehouse directory can
+    // survive, and CREATE validates the location — clear it first
+    val wh = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      "graft_stats_docs")
+    if (java.nio.file.Files.isDirectory(wh)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(wh).iterator.asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists)
+    }
+    Tables.documents(spark, sfDir).select("doc_id", "source")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable("graft_stats_docs")
+    spark.sql("ANALYZE TABLE graft_stats_docs COMPUTE STATISTICS FOR COLUMNS doc_id, source")
+    val confs = Seq(
+      "spark.sql.cbo.enabled" -> "true",
+      // below the base table's size, far above k x distinct(source)
+      "spark.sql.autoBroadcastJoinThreshold" -> "2048")
+    val prior = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val base = spark.table("graft_stats_docs")
+      def topk = base
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy("doc_id")))
+        .where(col("rn") <= 2)
+      def maxk = base
+        .withColumn("mx", max("doc_id").over(Window.partitionBy("source")))
+        .where(col("doc_id") === col("mx"))
+      val probe = spark.table("graft_stats_docs").select(col("doc_id").as("d2"))
+      def joinOf(small: DataFrame) =
+        probe.join(small, col("d2") === col("doc_id"))
+
+      // sanity: the base table itself is NOT broadcastable at this threshold
+      assert(base.queryExecution.optimizedPlan.stats.sizeInBytes > 2048,
+        "fixture too small to prove anything")
+
+      for ((small, node) <- Seq((topk, "GroupTopK"), (maxk, "MaxPerKey"))) {
+        val j = joinOf(small)
+        val p = j.queryExecution.executedPlan.toString
+        assert(p.contains(node), s"rewrite did not fire:\n$p")
+        assert(p.contains("BroadcastHashJoin"),
+          s"$node stats did not unlock the broadcast:\n$p")
+        assert(!p.contains("SortMergeJoin"), s"shuffle join survived:\n$p")
+      }
+
+      // kill-switched (window path): identical rows — the stats change
+      // affects the plan, never the answer
+      def rows(df: DataFrame) =
+        df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+      val onT = rows(joinOf(topk)); val onM = rows(joinOf(maxk))
+      spark.conf.set("spark.graft.groupTopK.enabled", "false")
+      spark.conf.set("spark.graft.maxPerKey.enabled", "false")
+      try {
+        assert(rows(joinOf(topk)) == onT, "topk kill-switch parity broken")
+        assert(rows(joinOf(maxk)) == onM, "maxPerKey kill-switch parity broken")
+      } finally {
+        spark.conf.unset("spark.graft.groupTopK.enabled")
+        spark.conf.unset("spark.graft.maxPerKey.enabled")
+      }
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("dedup_minhash signature aggregation is map-side combined") {
     val p = plan("dedup_minhash_pairs")
     val nPartial = p.linesIterator.count(_.contains("HashAggregate"))

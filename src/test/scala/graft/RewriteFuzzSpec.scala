@@ -1,0 +1,256 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Differential fuzz for the whole rewrite pipeline (SURVEY §5 tier-1
+  * property testing applied to the Catalyst rules): generate hundreds of
+  * random query SHAPES per rule family — band predicates, self-join
+  * extremes, row_number filters, max-per-key filters, and mixed
+  * compositions — execute each with every kill switch ON and OFF, and
+  * assert row-for-row equality. RuleSpec proves pairwise composition on
+  * hand-picked queries; this sweeps the shape space the hand-picked set
+  * can't cover (random widths incl. 0, strict vs non-strict bounds,
+  * BETWEEN vs offset forms, multi-key partitions, min/sum/count extremes,
+  * null-bearing order columns, k = 1 edges).
+  *
+  * Deterministically seeded: every draw comes from ScalaCheck generators
+  * advanced from a FIXED `Seed`, so a failure reproduces exactly.
+  *
+  * Vacuity guard: the generator marks each shape `mustFire` when the
+  * rule's documented guards say it qualifies, and the harness asserts the
+  * rewrite really fired for every such shape — a fuzz suite whose
+  * rewrites silently stopped matching would otherwise pass forever.
+  * Deliberate decline shapes (zero-width bands, probe-side filters) stay
+  * in the sweep with mustFire = false: their correctness IS the on == off
+  * equality.
+  */
+class RewriteFuzzSpec extends SparkSpecBase {
+
+  private val ShapesPerFamily = 200
+
+  /** Deterministic sample stream from a fixed seed. */
+  private def sample[A](g: Gen[A], seed: Long, n: Int): Seq[A] = {
+    var s = Seed(seed)
+    (0 until n).map { _ =>
+      val a = g.pureApply(Gen.Parameters.default, s)
+      s = s.next
+      a
+    }
+  }
+
+  /** Small fixture with the adversarial ingredients the rules must hold
+    * under: low-cardinality keys (ties everywhere), NULL values, negative
+    * values, duplicate whole rows, and a unique id for deterministic
+    * rank tie-breaks.
+    */
+  private lazy val fuzzTable: String = {
+    val rnd = new scala.util.Random(0xC0FFEE)
+    val rows = (0 until 120).map { i =>
+      Row(
+        i.toLong,
+        rnd.nextInt(5),
+        if (rnd.nextInt(10) == 0) null
+        else java.lang.Long.valueOf(rnd.nextInt(21).toLong - 5L),
+        java.lang.Long.valueOf(rnd.nextInt(50).toLong),
+        rnd.nextInt(3))
+    } ++ Seq( // duplicate whole rows (multiplicity must survive rewrites)
+      Row(120L, 1, java.lang.Long.valueOf(7L), java.lang.Long.valueOf(9L), 0),
+      Row(121L, 1, java.lang.Long.valueOf(7L), java.lang.Long.valueOf(9L), 0))
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("k", IntegerType, nullable = false),
+      StructField("v", LongType, nullable = true),
+      StructField("w", LongType, nullable = false),
+      StructField("g2", IntegerType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), schema)
+      .createOrReplaceTempView("fuzz_t")
+    "fuzz_t"
+  }
+
+  private val AllSwitches = Seq(
+    "spark.graft.bandJoin.enabled", "spark.graft.maxJoinElim.enabled",
+    "spark.graft.groupTopK.enabled", "spark.graft.maxPerKey.enabled")
+
+  private def rows(sql: String): Seq[String] =
+    spark.sql(sql).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+
+  /** Run every shape with rewrites ON, asserting each shape the generator
+    * marked `mustFire` really fired its rewrite (per-shape, not a
+    * fraction: a rule that silently stops matching any sub-shape fails
+    * here), then all again with every kill switch OFF, and demand
+    * equality shape by shape. Shapes with mustFire = false are the
+    * generator's DELIBERATE decline cases (guards like band width >= 1 or
+    * probe-side filters breaking sameResult) — their correctness is the
+    * on == off equality.
+    */
+  private def differential(family: String, shapes: Seq[(String, Boolean)],
+                           fired: DataFrame => Boolean): Unit = {
+    Graft.init(spark)
+    assert(shapes.count(_._2) * 2 >= shapes.length,
+      s"$family generator drifted: most shapes are decline cases")
+    val on = shapes.zipWithIndex.map { case ((q, mustFire), i) =>
+      val df = spark.sql(q)
+      if (mustFire) assert(fired(df),
+        s"$family shape #$i did not fire its rewrite:\n$q\n${physical(df)}")
+      rows(q)
+    }
+    AllSwitches.foreach(k => spark.conf.set(k, "false"))
+    try shapes.zip(on).zipWithIndex.foreach { case (((q, _), want), i) =>
+      val got = rows(q)
+      assert(got == want,
+        s"$family shape #$i diverged (rewrites on vs off):\n$q\n" +
+          s"on=${want.take(5)}...\noff=${got.take(5)}...")
+    } finally AllSwitches.foreach(spark.conf.unset)
+  }
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  // ------------------------------------------------------------ families
+
+  test(s"band-join fuzz: $ShapesPerFamily random band shapes, on == off") {
+    val t = fuzzTable
+    val gen: Gen[(String, Boolean)] = for {
+      w1 <- Gen.chooseNum(0L, 3L)
+      w2 <- Gen.chooseNum(0L, 3L)
+      form <- Gen.chooseNum(0, 4)
+      idGuard <- Gen.oneOf(true, false)
+    } yield {
+      val band = form match {
+        case 0 => s"abs(a.v - b.v) <= $w1"
+        case 1 => s"abs(a.v - b.v) < ${w1 + 1}"
+        case 2 => s"(a.v - b.v) BETWEEN ${-w1} AND $w2"
+        case 3 => s"a.v <= b.v + $w1 AND a.v >= b.v - $w2"
+        case _ => s"(a.v - b.v) <= $w1 AND (b.v - a.v) <= $w2"
+      }
+      // the rule's documented width >= 1 guard: a zero-width band is an
+      // equality in disguise and DECLINES (still correct, just unrewritten)
+      val width = form match {
+        case 0 | 1 => w1
+        case _ => math.max(w1, w2)
+      }
+      val guard = if (idGuard) " AND a.id < b.id" else ""
+      (s"SELECT a.id AS ia, b.id AS ib, a.v AS va, b.v AS vb " +
+        s"FROM $t a JOIN $t b ON $band$guard", width >= 1)
+    }
+    differential("bandJoin", sample(gen, 101L, ShapesPerFamily),
+      df => {
+        val p = physical(df)
+        !p.contains("CartesianProduct") && !p.contains("NestedLoop")
+      })
+  }
+
+  test(s"max-self-join fuzz: $ShapesPerFamily random extreme shapes, on == off") {
+    val t = fuzzTable
+    val gen: Gen[(String, Boolean)] = for {
+      agg <- Gen.oneOf("max(v)", "min(v)", "sum(v)", "count(v)", "count(*)")
+      twoKeys <- Gen.oneOf(true, false)
+      projectMx <- Gen.oneOf(true, false)
+      preFilter <- Gen.chooseNum(0, 5) // 4/6 clean, 2/6 decline cases
+    } yield {
+      val keys = if (twoKeys) "k, g2" else "k"
+      val on = (if (twoKeys) "t.k = m.k AND t.g2 = m.g2" else "t.k = m.k") +
+        " AND t.v = m.mx"
+      val proj = if (projectMx) "t.id, t.k, t.v, m.mx" else "t.id, t.k, t.v"
+      // a probe-side filter pushes below the join, the two sides stop
+      // being sameResult-equal, and the rewrite (correctly) declines —
+      // keep such shapes in the sweep as decline cases
+      val where = preFilter match {
+        case 4 => " WHERE t.w >= 10"
+        case 5 => " WHERE t.id % 2 = 0"
+        case _ => ""
+      }
+      (s"SELECT $proj FROM $t t JOIN " +
+        s"(SELECT $keys, $agg AS mx FROM $t GROUP BY $keys) m ON $on$where",
+        preFilter <= 3)
+    }
+    differential("maxSelfJoin", sample(gen, 202L, ShapesPerFamily),
+      df => !df.queryExecution.optimizedPlan.toString.contains("Join"))
+  }
+
+  test(s"group-top-k fuzz: $ShapesPerFamily random row_number filters, on == off") {
+    val t = fuzzTable
+    val gen: Gen[(String, Boolean)] = for {
+      k <- Gen.chooseNum(1, 4)
+      twoKeys <- Gen.oneOf(true, false)
+      ordCol <- Gen.oneOf("v DESC NULLS LAST", "v ASC NULLS FIRST", "w DESC")
+      strict <- Gen.oneOf(true, false)
+      keepRank <- Gen.oneOf(true, false)
+    } yield {
+      val part = if (twoKeys) "k, g2" else "k"
+      val pred = if (strict) s"rn < ${k + 1}" else s"rn <= $k"
+      val outer = if (keepRank) "*" else "id, k, v"
+      (s"SELECT $outer FROM (SELECT id, k, g2, v, w, " +
+        s"row_number() OVER (PARTITION BY $part ORDER BY $ordCol, id) AS rn " +
+        s"FROM $t) WHERE $pred", true)
+    }
+    differential("groupTopK", sample(gen, 303L, ShapesPerFamily),
+      df => physical(df).contains("GroupTopK"))
+  }
+
+  test(s"max-per-key fuzz: $ShapesPerFamily random extreme-window filters, on == off") {
+    val t = fuzzTable
+    val gen: Gen[(String, Boolean)] = for {
+      fn <- Gen.oneOf("max", "min")
+      twoKeys <- Gen.oneOf(true, false)
+      postFilter <- Gen.chooseNum(0, 2)
+    } yield {
+      val part = if (twoKeys) "k, g2" else "k"
+      val post = postFilter match {
+        case 0 => ""
+        case 1 => " AND w >= 5"
+        case _ => " AND id % 3 = 0"
+      }
+      (s"SELECT id, k, v FROM (SELECT id, k, g2, v, w, " +
+        s"$fn(v) OVER (PARTITION BY $part) AS mx FROM $t) " +
+        s"WHERE v = mx$post", true)
+    }
+    differential("maxPerKey", sample(gen, 404L, ShapesPerFamily),
+      df => physical(df).contains("MaxPerKey"))
+  }
+
+  test(s"mixed-composition fuzz: $ShapesPerFamily random rule stacks, on == off") {
+    val t = fuzzTable
+    val gen: Gen[(String, Boolean)] = for {
+      template <- Gen.chooseNum(0, 2)
+      k <- Gen.chooseNum(1, 3)
+      agg <- Gen.oneOf("max(v)", "min(v)")
+      w <- Gen.chooseNum(1L, 2L) // width >= 1: template 1's band must fire
+    } yield (template match {
+      case 0 =>
+        // self-join extreme collapsed, then row_number <= k on top
+        s"""SELECT * FROM (
+           |  SELECT t.id, t.k, t.v, row_number() OVER (
+           |    PARTITION BY t.k ORDER BY t.w DESC, t.id) AS rn
+           |  FROM $t t JOIN (SELECT k, $agg AS mx FROM $t GROUP BY k) m
+           |    ON t.k = m.k AND t.v = m.mx)
+           |WHERE rn <= $k""".stripMargin
+      case 1 =>
+        // band join feeding a per-key extreme filter
+        s"""SELECT id, kk, s FROM (
+           |  SELECT p.id, p.kk, p.s, max(p.s) OVER (PARTITION BY p.kk) AS mx
+           |  FROM (SELECT a.id, a.k AS kk, a.v + b.v AS s
+           |        FROM $t a JOIN $t b ON abs(a.v - b.v) <= $w) p)
+           |WHERE s = mx""".stripMargin
+      case _ =>
+        // top-k per key over a max-per-key survivor set
+        s"""SELECT * FROM (
+           |  SELECT id, k, v, row_number() OVER (
+           |    PARTITION BY k ORDER BY id) AS rn
+           |  FROM (SELECT id, k, g2, v, max(w) OVER (PARTITION BY g2) AS mw, w
+           |        FROM $t) WHERE w = mw)
+           |WHERE rn <= $k""".stripMargin
+    }, true)
+    differential("mixed", sample(gen, 505L, ShapesPerFamily),
+      df => {
+        val p = physical(df)
+        (p.contains("GroupTopK") || p.contains("MaxPerKey")) &&
+          !p.contains("CartesianProduct") && !p.contains("NestedLoop")
+      })
+  }
+}
