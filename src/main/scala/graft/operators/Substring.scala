@@ -47,6 +47,19 @@ object Substring {
   /** Pairs reported by `dup_span_pairs`. */
   val TopPairs = 50
 
+  /** Minimum distinct shared grams for a LOSSLESS provenance pair. */
+  val MinSharedGrams = 3L
+
+  /** Audited-slice modulus for `dup_span_pairs_lossless`: lossless
+    * provenance enumerates every qualifying pair, and the TRUE pair set
+    * over a boilerplate-heavy corpus is near-quadratic in the corpus (the
+    * answer's size, not an algorithmic artifact) — so the lossless query
+    * audits a doc_id slice (the suspected-leak set / benchmark side in a
+    * real pipeline) rather than the whole corpus. The ALGORITHM is
+    * slice-size-agnostic; the slice bounds the answer.
+    */
+  val ProvSliceMod = 10L
+
   /** (doc_id, i, h): EVERY character position i (1-based) with the 64-bit
     * hash of its [[ExactLen]]-gram. The per-doc array is built map-side
     * and exploded — only (doc_id, int, 8-byte hash) rows ever shuffle,
@@ -63,6 +76,65 @@ object Substring {
 
   private def exactGrams(s: SparkSession, d: String): DataFrame =
     exactGramsOf(documents(s, d).select("doc_id", "text"))
+
+  /** df-CAPPED provenance pairs (doc_a, doc_b, n_shared): shared-gram
+    * counts restricted to grams in 2..[[PairDfCap]] docs — no gram bucket
+    * can go quadratic, at the documented cost of missing pairs whose
+    * every shared gram is boilerplate-frequent (the lossless variant
+    * exists for those).
+    */
+  def spanPairsCapped(docs: DataFrame): DataFrame = {
+    val byDoc = exactGramsOf(docs).select("doc_id", "h").distinct()
+    val wH = Window.partitionBy("h")
+    val filt = byDoc.withColumn("nd", count(lit(1)).over(wH))
+      .where(col("nd").between(2, PairDfCap))
+      .select("doc_id", "h")
+    filt.as("a").join(filt.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** LOSSLESS provenance pairs (doc_a, doc_b, n_shared): every doc pair
+    * sharing >= `minShared` distinct [[ExactLen]]-grams, with NO df cap —
+    * heavily duplicated (boilerplate) spans still attribute. The quadratic
+    * candidate bucket is avoided by the AllPairs prefix filter ported from
+    * [[Dedup.prefixJaccardPairs]]: per doc, grams sort by ascending global
+    * (df, h) and only the first |set| − minShared + 1 enter the candidate
+    * join — any pair with overlap >= minShared MUST collide inside both
+    * prefixes (pigeonhole under the shared total order), so candidate
+    * generation loses nothing; exact shared counts are then recomputed on
+    * the full gram sets of the candidates only. df = 1 grams are dropped
+    * before the sort (they can join no pair), which is what makes the
+    * prefixes short on a mostly-unique corpus.
+    */
+  def spanPairsLossless(docs: DataFrame, minShared: Long): DataFrame = {
+    val e = exactGramsOf(docs).select("doc_id", "h").distinct().persist()
+    val dfs = e.groupBy("h").agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2)
+    val docT = e.join(dfs, "h")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ts"),
+        count(lit(1)).as("ng"))
+    val pref = docT
+      .where(col("ng") >= minShared)
+      .select(col("doc_id"),
+        explode(slice(col("ts"), lit(1),
+          (col("ng") - lit(minShared) + 1).cast("int"))).as("pt"))
+      .select(col("doc_id"), col("pt.h").as("h"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(e.as("fa"), col("doc_a") === col("fa.doc_id"))
+      .join(e.as("fb"),
+        col("doc_b") === col("fb.doc_id") && col("fa.h") === col("fb.h"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
 
   /** Distinct gram-hash set of `docs` — the frozen benchmark-side state
     * the contamination gate checks against (public: the streaming spec
@@ -246,16 +318,21 @@ object Substring {
     // bucket survives), and the remaining gram-bucketed self-join emits
     // pairs. Top-TopPairs under the total order (n_shared desc, a, b).
     "dup_span_pairs" -> { (s, d) =>
-      val byDoc = exactGrams(s, d).select("doc_id", "h").distinct()
-      val wH = Window.partitionBy("h")
-      val filt = byDoc.withColumn("nd", count(lit(1)).over(wH))
-        .where(col("nd").between(2, PairDfCap))
-        .select("doc_id", "h")
-      filt.as("a").join(filt.as("b"),
-          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(count(lit(1)).as("n_shared"))
+      spanPairsCapped(documents(s, d).select("doc_id", "text"))
+        .orderBy(desc("n_shared"), col("doc_a"), col("doc_b"))
+        .limit(TopPairs)
+    },
+
+    // LOSSLESS provenance over the audited slice: every pair sharing
+    // >= MinSharedGrams distinct grams, NO df cap — the pair the capped
+    // query provably misses (all shared grams above PairDfCap) is found
+    // here (SubstringSpec adversary). Candidates via the AllPairs prefix
+    // filter; see spanPairsLossless.
+    "dup_span_pairs_lossless" -> { (s, d) =>
+      spanPairsLossless(
+        documents(s, d).select("doc_id", "text")
+          .where(col("doc_id") % ProvSliceMod === 0),
+        MinSharedGrams)
         .orderBy(desc("n_shared"), col("doc_a"), col("doc_b"))
         .limit(TopPairs)
     },
@@ -372,6 +449,22 @@ object Substring {
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
          |FROM fd a JOIN fd b ON a.h = b.h AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 ORDER BY n_shared DESC, doc_a, doc_b
+         |LIMIT $TopPairs""".stripMargin,
+
+    // naive all-pairs over the audited slice: small enough for the oracle,
+    // and by definition the lossless ground truth the prefix filter must
+    // reproduce exactly
+    "dup_span_pairs_lossless" ->
+      s"""WITH g AS (SELECT doc_id,
+         |    unnest(generate_series(1, length(text) - ${ExactLen - 1})) AS i, text
+         |  FROM documents
+         |  WHERE length(text) >= $ExactLen AND doc_id % $ProvSliceMod = 0),
+         |gr AS (SELECT doc_id, substr(text, CAST(i AS INTEGER), $ExactLen) AS h FROM g),
+         |bd AS (SELECT DISTINCT doc_id, h FROM gr)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         |FROM bd a JOIN bd b ON a.h = b.h AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= $MinSharedGrams
+         |ORDER BY n_shared DESC, doc_a, doc_b
          |LIMIT $TopPairs""".stripMargin,
 
     "dup_span_top" ->

@@ -140,6 +140,69 @@ class RetrievalSpec extends SparkSpecBase {
     assert(pairs == Map((6L, 7L) -> 41L, (1L, 2L) -> 11L), s"pairs: $pairs")
   }
 
+  test("dup_span_pairs_lossless adversary: the df-capped version provably " +
+    "misses the boilerplate-only pair; the prefix-filtered one does not") {
+    val s2 = spark
+    import s2.implicits._
+    val L = Substring.ExactLen
+    def filler(c: Char, n: Int): String =
+      (0 until n).map(i => f"$c${c.toInt * 31 + i}%04d").mkString
+    // one 25-char span shared by TEN docs: each of its 6 grams has df = 10
+    // > PairDfCap = 8, so the capped query drops every shared gram and
+    // reports NOTHING for these docs
+    val boiler = "BOILERPLATE25CHARSSHARED0" // 25 chars -> 6 L-grams
+    assert(boiler.length == 25)
+    val nDocs = 10
+    val docs = (1 to nDocs).map { i =>
+      val c = ('a' + i).toChar
+      (i.toLong, filler(c, 6) + boiler + filler(('A' + i).toChar, 6))
+    } :+ (99L, filler('z', 16)) // unique doc, appears in no pair
+    val dir = java.nio.file.Files.createTempDirectory("lossless_pairs").toString
+    docs.map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val raw = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+
+    val capped = Substring.spanPairsCapped(raw).collect()
+    assert(capped.isEmpty,
+      s"capped query must miss the df>${Substring.PairDfCap} pair: " +
+        capped.take(3).mkString(","))
+
+    val lossless = Substring
+      .spanPairsLossless(raw, Substring.MinSharedGrams).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    Graft.releaseCaches(spark)
+    val expectedPairs = (for {
+      a <- 1 to nDocs; b <- (a + 1) to nDocs
+    } yield (a.toLong, b.toLong) -> (boiler.length - L + 1).toLong).toMap
+    assert(lossless == expectedPairs,
+      s"lossless must find ALL ${expectedPairs.size} pairs with " +
+        s"n_shared = ${boiler.length - L + 1}; got ${lossless.size}")
+  }
+
+  test("dup_span_pairs_lossless equals brute force on the real fixture slice") {
+    val slice = Tables.documents(spark, sfDir)
+      .where(col("doc_id") % Substring.ProvSliceMod === 0)
+      .select("doc_id", "text")
+    val got = Substring
+      .spanPairsLossless(slice, Substring.MinSharedGrams).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    Graft.releaseCaches(spark)
+    // driver-side brute force over the slice (small by construction)
+    val L = Substring.ExactLen
+    val texts = slice.collect().map(r => r.getLong(0) -> r.getString(1))
+    val sets = texts.map { case (id, t) =>
+      id -> (0 to t.length - L).map(i => t.substring(i, i + L)).toSet
+    }
+    val want = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      n = (sa intersect sb).size.toLong if n >= Substring.MinSharedGrams
+    } yield (a, b) -> n).toMap
+    assert(want.nonEmpty, "fixture slice must produce pairs (vacuous otherwise)")
+    assert(got == want)
+  }
+
   test("dup spans: ratio law, planted duplicate detected via fixture repeats") {
     val prof = qs("dup_span_profile").collect()
     prof.foreach { r =>
