@@ -263,8 +263,14 @@ object TextAnalysis {
             .as("nll"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tok"),
-          round(sum(col("nll").cast(DecimalType(18, 6))).cast("double") /
-            count(lit(1)).cast("double"), 6).as("mean_nll"))
+          sum(round(col("nll") * 1e6).cast("long")).as("s6"))
+        // exact integer half-up mean at 6 dp: round(sum/n) as
+        // (2·s6 + n) div (2·n) — a double `round(sum/count, 6)` lands on
+        // half-boundaries where the engines' doubles disagree (bigram
+        // sibling diverged by 1e-6 on one sf0.1 row)
+        .select(col("doc_id"), col("n_tok"),
+          (expr("(2 * s6 + n_tok) div (2 * n_tok)").cast("double") / 1e6)
+            .as("mean_nll"))
         .orderBy("doc_id")
     },
 
@@ -380,8 +386,11 @@ object TextAnalysis {
             (col("c_ctx") + col("v")).cast("double")), 6).as("nll"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bi"),
-          round(sum(col("nll").cast(DecimalType(18, 6))).cast("double") /
-            count(lit(1)).cast("double"), 6).as("mean_nll"))
+          sum(round(col("nll") * 1e6).cast("long")).as("s6"))
+        // see text_unigram_nll: exact integer half-up mean at 6 dp
+        .select(col("doc_id"), col("n_bi"),
+          (expr("(2 * s6 + n_bi) div (2 * n_bi)").cast("double") / 1e6)
+            .as("mean_nll"))
         .orderBy("doc_id")
     },
 
@@ -805,8 +814,8 @@ object TextAnalysis {
          |  round(-ln(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE)), 6) AS nll
          |  FROM tok JOIN v USING (tok) CROSS JOIN n)
          |SELECT doc_id, count(*) AS n_tok,
-         |  round(CAST(sum(CAST(nll AS DECIMAL(18,6))) AS DOUBLE)
-         |    / CAST(count(*) AS DOUBLE), 6) AS mean_nll
+         |  CAST((2 * sum(CAST(round(nll * 1000000) AS BIGINT)) + count(*))
+         |    // (2 * count(*)) AS DOUBLE) / 1000000.0 AS mean_nll
          |FROM t2 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "dsir_weights" ->
@@ -851,8 +860,8 @@ object TextAnalysis {
          |      AS nll
          |  FROM bi JOIN pair USING (bg) JOIN ctx USING (w1) CROSS JOIN v)
          |SELECT doc_id, count(*) AS n_bi,
-         |  round(CAST(sum(CAST(nll AS DECIMAL(18,6))) AS DOUBLE)
-         |    / CAST(count(*) AS DOUBLE), 6) AS mean_nll
+         |  CAST((2 * sum(CAST(round(nll * 1000000) AS BIGINT)) + count(*))
+         |    // (2 * count(*)) AS DOUBLE) / 1000000.0 AS mean_nll
          |FROM ev GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_char_entropy" ->

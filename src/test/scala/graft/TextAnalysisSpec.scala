@@ -133,10 +133,10 @@ class TextAnalysisSpec extends SparkSpecBase {
     val n = cnt.values.sum.toDouble
     def rnd(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     docs.foreach { case (id, t) =>
-      // mirror the engine exactly: 6-dp terms, exact decimal sum, ONE
-      // double division, round 6
-      val terms = t.map(tok => BigDecimal(rnd(-math.log(cnt(tok) / n))))
-      val want = rnd(terms.sum.toDouble / t.size.toDouble)
+      // mirror the engine exactly: 6-dp terms, exact integer micro-unit
+      // sum, integer half-up mean (no double division anywhere)
+      val s6 = t.map(tok => math.round(rnd(-math.log(cnt(tok) / n)) * 1e6)).sum
+      val want = ((2 * s6 + t.size) / (2L * t.size)).toDouble / 1e6
       val (nTok, meanNll) = got(id)
       assert(nTok == t.size)
       assert(math.abs(want - meanNll) < 1e-9, s"doc $id: want $want got $meanNll")
@@ -192,10 +192,10 @@ class TextAnalysisSpec extends SparkSpecBase {
       if (bs.isEmpty) assert(!got.contains(id), s"doc $id has no bigram events")
       else {
         // mirror the engine: 6-dp add-one-smoothed conditional NLL terms,
-        // exact decimal sum, ONE double division, round 6
-        val terms = bs.map(b => BigDecimal(rnd(-math.log(
-          (cPair(b) + 1).toDouble / (cCtx(b._1) + v).toDouble))))
-        val want = rnd(terms.sum.toDouble / bs.size.toDouble)
+        // exact integer micro-unit sum, integer half-up mean
+        val s6 = bs.map(b => math.round(rnd(-math.log(
+          (cPair(b) + 1).toDouble / (cCtx(b._1) + v).toDouble)) * 1e6)).sum
+        val want = ((2 * s6 + bs.size) / (2L * bs.size)).toDouble / 1e6
         val (nBi, meanNll) = got(id)
         assert(nBi == bs.size)
         assert(math.abs(want - meanNll) < 1e-9, s"doc $id: want $want got $meanNll")
