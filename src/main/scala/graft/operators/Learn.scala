@@ -97,8 +97,14 @@ object Learn {
         (col(wj) + lit(Lr) * (col(gj).cast("double") / lit(Fix))
           / col("n").cast("double")).as(wj)
       w = grads.select(upd("w0", "g0"), upd("w1", "g1"),
-        upd("w2", "g2"), upd("w3", "g3")).localCheckpoint()
+        upd("w2", "g2"), upd("w3", "g3"))
     }
+    // NO per-round localCheckpoint here, unlike the corpus-sized iterative
+    // kernels: the state is ONE row of 4 doubles, so the nested 10-round
+    // plan is tiny, and each round's broadcast exchange materializes its
+    // subtree exactly once inside the single final action — checkpointing
+    // added 2 scheduled jobs per round (checkpoint + re-broadcast) for no
+    // lineage benefit (measured: train-family queries ~2x slower with it)
     (w, x)
   }
 
