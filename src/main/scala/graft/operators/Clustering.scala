@@ -21,10 +21,10 @@ import TextHash._
   *      min(struct(dist2, cid)) — the corpus is never shuffled, only the
   *      k-row aggregate stream.
   *   2. update: posexplode to (cid, dim, value), one map-side-combined
-  *      sum/count per (cid, dim) — k·dim output rows — then reassembled
-  *      into centroid arrays. No collect(): centroids stay a DataFrame
-  *      end-to-end; localCheckpoint truncates the per-round lineage (the
-  *      same planner-blowup fix as Components.connectedComponents).
+  *      sum/count per (cid, dim) — k·dim output rows shipped to the
+  *      driver and reassembled into centroid arrays there (MLlib KMeans'
+  *      own per-iteration collect of O(k·dim) center state — model state,
+  *      never corpus rows).
   *
   * Cross-engine determinism (everything hash-matches DuckDB):
   *   - centroid means go through FIXED-POINT accumulation: each component
@@ -60,14 +60,25 @@ object Clustering {
     */
   def lloyd(s: SparkSession, d: String, rounds: Int = Rounds): (DataFrame, DataFrame) = {
     graft.Graft.init(s)
+    import s.implicits._
     val e = embeddings(s, d).select(col("vec_id"), toDouble(col("embedding")).as("x"))
-    val x2 = e.withColumn("xx", dot(col("x"), col("x")))
-    var cents = e.where(col("vec_id") < K)
-      .select(col("vec_id").as("cid"), col("x").as("c"))
-      .localCheckpoint()
+    // Persist the parsed corpus once: every round's assignment job (and
+    // the caller's downstream passes) re-reads this frame.
+    val x2 = e.withColumn("xx", dot(col("x"), col("x"))).persist()
+    // Centroids are O(k·dim) MODEL STATE and live on the DRIVER between
+    // rounds — the shape of Spark MLlib's own KMeans, which collects the
+    // k·dim center sums every iteration. Per round ONE distributed job
+    // runs (assign + fixed-point per-dim sums, map-side combined); only
+    // k·dim scaled longs come back, never corpus rows. The previous
+    // 1-row-DataFrame-state formulation paid a localCheckpoint job plus a
+    // growing nested-plan analysis per round for the same arithmetic.
+    var cents: Seq[(Long, Seq[Double])] = x2.where(col("vec_id") < K)
+      .select(col("vec_id"), col("x"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+    def centsDf: DataFrame = cents.toDF("cid", "c")
     var assign: DataFrame = null
     for (_ <- 1 to rounds) {
-      val cc = cents.select(col("cid"), col("c"), dot(col("c"), col("c")).as("cc"))
+      val cc = centsDf.select(col("cid"), col("c"), dot(col("c"), col("c")).as("cc"))
       assign = x2.crossJoin(broadcast(cc))
         .withColumn("dist2", col("xx") - lit(2.0) * dot(col("x"), col("c")) + col("cc"))
         .groupBy("vec_id")
@@ -75,18 +86,28 @@ object Clustering {
         // every row in the group carries the same x
         .agg(min(struct(col("dist2"), col("cid"))).as("m"), first(col("x")).as("x"))
         .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist2").as("dist2"), col("x"))
+      // Fixed-point update: exact scaled-long sums per (cid, dim) in the
+      // cluster, two IEEE double divisions per component on the driver —
+      // token-for-token the Catalyst arithmetic of the distributed-state
+      // formulation ((s9 / n) / Fix), so centroids stay bit-identical to
+      // the unrolled DuckDB oracle.
       cents = assign
         .select(col("cid"), posexplode(col("x")).as(Seq("pos", "v")))
         .withColumn("v9", round(col("v") * lit(Fix)).cast("long"))
         .groupBy("cid", "pos")
         .agg(sum("v9").as("s9"), count(lit(1)).as("n"))
-        .withColumn("cj", col("s9").cast("double") / col("n").cast("double") / lit(Fix))
-        .groupBy("cid")
-        .agg(collect_list(struct(col("pos"), col("cj"))).as("pc"))
-        .select(col("cid"), transform(array_sort(col("pc")), t => t.getField("cj")).as("c"))
-        .localCheckpoint()
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          (cid, rows.sortBy(_.getInt(1)).toSeq
+            .map(r => r.getLong(2).toDouble / r.getLong(3).toDouble / Fix))
+        }
+        .toSeq.sortBy(_._1)
     }
-    (assign, cents)
+    // The returned assignment is the one computed against the PRE-update
+    // centroids of the last round (matching the unrolled oracle); persist
+    // it — semdedup/balanced-sample callers consume it 2-3 times.
+    (assign.persist(), centsDf)
   }
 
   /** Within-cluster exact cosine pairs (cos ≥ [[SemThreshold]], 6-dp

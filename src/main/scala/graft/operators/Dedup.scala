@@ -611,6 +611,9 @@ object Dedup {
     val banded = base.select(col("vec_id"),
       posexplode(array((0 until Similarity.PairBands)
         .map(b => Similarity.pairBandKey(col("e"), b)): _*)).as(Seq("band", "key")))
+      // both sides of the self-join below read this — without the persist
+      // each side re-runs the bands × hyperplanes × dim projection
+      .persist()
     // A pair can collide in several bands -> distinct before verification.
     val cand = banded.as("x")
       .join(banded.as("y"),

@@ -21,8 +21,9 @@ import TextHash._
   *     contribution is rounded to 1e-6 and summed as exact scaled longs
   *     (double sums are partition-order-dependent; integer sums are
   *     associative), then one double division per weight;
-  *   - zero collect(): weights stay a DataFrame across iterations,
-  *     localCheckpoint truncates per-round lineage;
+  *   - the only driver round-trip is the per-round 4-value gradient SUM —
+  *     O(1) model state, never corpus rows (MLlib GradientDescent's
+  *     treeAggregate shape);
   *   - features are exact int/int divisions of count statistics, so both
   *     engines compute bit-identical feature vectors.
   *
@@ -79,32 +80,43 @@ object Learn {
     * frame (w0..w3) and the feature frame (for scoring).
     */
   def train(s: SparkSession, d: String, iters: Int = Iters): (DataFrame, DataFrame) = {
-    val x = features(s, d)
-    var w = s.range(1).select(lit(0.0).as("w0"), lit(0.0).as("w1"),
-      lit(0.0).as("w2"), lit(0.0).as("w3"))
+    // Persist the feature frame: each GD round's gradient aggregate is its
+    // own job (the next round's broadcast depends on it), so without the
+    // cache every round re-scans the parquet and re-tokenizes the corpus —
+    // 10 tokenization passes for a 10-round train, plus an 11th in the
+    // caller's scoring pass. The cached frame is 5 numeric columns (no
+    // text), corpus-partitioned, spillable; the bench releases it after
+    // the query (caller-owned cache lifecycle, Bench.scala).
+    val x = features(s, d).persist()
+    // Model state lives on the DRIVER between rounds — the treeAggregate
+    // pattern of Spark MLlib's own GradientDescent (one O(1) gradient
+    // aggregate shipped back per round, weights folded driver-side,
+    // re-broadcast as literals). This is NOT a corpus collect: the row
+    // fetched per round is the 4-value gradient SUM — constant-size model
+    // state, the same bytes a broadcast-DataFrame formulation would ship,
+    // minus that formulation's growing nested-plan re-analysis (measured:
+    // the 1-row-DataFrame weight chain cost ~2 s/query in plan/codegen at
+    // sf0.1 because round r's plan embeds rounds 1..r-1 as broadcast
+    // subqueries). Gradients stay exact scaled-long sums, and the weight
+    // update below replays the Catalyst double arithmetic token-for-token
+    // (w + ((Lr * (g/Fix)) / n)), so trained weights are bit-identical to
+    // the distributed-state formulation and the unrolled DuckDB oracle.
+    var w0, w1, w2, w3 = 0.0
     for (_ <- 1 to iters) {
-      val z = col("w0") + col("w1") * col("x1") + col("w2") * col("x2") +
-        col("w3") * col("x3")
+      val z = lit(w0) + lit(w1) * col("x1") + lit(w2) * col("x2") +
+        lit(w3) * col("x3")
       val resid = col("y") - sigmoid(z)
       def g(xj: Column) = sum(round(resid * xj * lit(Fix)).cast("long"))
-      val grads = x.crossJoin(broadcast(w))
-        .agg(g(lit(1.0)).as("g0"), g(col("x1")).as("g1"),
-          g(col("x2")).as("g2"), g(col("x3")).as("g3"),
-          count(lit(1)).as("n"),
-          first(col("w0")).as("w0"), first(col("w1")).as("w1"),
-          first(col("w2")).as("w2"), first(col("w3")).as("w3"))
-      def upd(wj: String, gj: String) =
-        (col(wj) + lit(Lr) * (col(gj).cast("double") / lit(Fix))
-          / col("n").cast("double")).as(wj)
-      w = grads.select(upd("w0", "g0"), upd("w1", "g1"),
-        upd("w2", "g2"), upd("w3", "g3"))
+      val r = x.agg(g(lit(1.0)).as("g0"), g(col("x1")).as("g1"),
+        g(col("x2")).as("g2"), g(col("x3")).as("g3"),
+        count(lit(1)).as("n")).head()
+      val n = r.getLong(4).toDouble
+      def upd(wj: Double, gj: Long): Double = wj + Lr * (gj.toDouble / Fix) / n
+      w0 = upd(w0, r.getLong(0)); w1 = upd(w1, r.getLong(1))
+      w2 = upd(w2, r.getLong(2)); w3 = upd(w3, r.getLong(3))
     }
-    // NO per-round localCheckpoint here, unlike the corpus-sized iterative
-    // kernels: the state is ONE row of 4 doubles, so the nested 10-round
-    // plan is tiny, and each round's broadcast exchange materializes its
-    // subtree exactly once inside the single final action — checkpointing
-    // added 2 scheduled jobs per round (checkpoint + re-broadcast) for no
-    // lineage benefit (measured: train-family queries ~2x slower with it)
+    val w = s.range(1).select(lit(w0).as("w0"), lit(w1).as("w1"),
+      lit(w2).as("w2"), lit(w3).as("w3"))
     (w, x)
   }
 
@@ -137,9 +149,7 @@ object Learn {
     // rank-sum of positives is sum(pos * (2*cum_before + cnt + 1)) over
     // distinct scores, so both engines divide the same exact longs.
     "eval_auc" -> { (s, d) =>
-      val win = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, -1)
-      byScore(s, d)
-        .withColumn("cum_before", coalesce(sum(col("cnt")).over(win), lit(0L)))
+      Ranking.globalCumSum(byScore(s, d), Seq(col("p")), col("cnt"), "cum_before")
         .agg(
           sum(col("pos") * (lit(2L) * col("cum_before") + col("cnt") + lit(1L)))
             .as("rank2"),

@@ -225,11 +225,22 @@ object Similarity {
     * that lose every member drop out, mirrored by the oracle.
     */
   private def pqTrain(blocks: DataFrame): DataFrame = {
-    var cents = blocks.where(col("vec_id") < PqK)
+    val s = blocks.sparkSession
+    import s.implicits._
+    // Codebooks are O(blocks·k·sub) MODEL STATE held on the DRIVER between
+    // rounds (the Clustering.lloyd driver-fold shape — MLlib KMeans' own
+    // per-iteration center collect): each round runs ONE distributed job
+    // whose result is blocks·k·sub fixed-point longs, never corpus rows.
+    // Driver arithmetic replays the Catalyst terms token-for-token
+    // ((s9 / n) / 1e9) — codebooks stay bit-identical to the oracle CTEs.
+    var cents: Seq[(Int, Long, Seq[Double])] = blocks.where(col("vec_id") < PqK)
       .select(col("b"), col("vec_id").as("cid"), col("xs").as("c"))
-      .localCheckpoint()
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    def centsDf: DataFrame = cents.toDF("b", "cid", "c")
     for (_ <- 1 to PqTrainRounds) {
-      val cc = cents.select(col("b"), col("cid"), col("c"),
+      val cc = centsDf.select(col("b"), col("cid"), col("c"),
         dot(col("c"), col("c")).as("cc"))
       cents = blocks.join(broadcast(cc), Seq("b"))
         .withColumn("dist2",
@@ -242,15 +253,15 @@ object Similarity {
         .withColumn("v9", round(col("v") * lit(1e9)).cast("long"))
         .groupBy("b", "cid", "pos")
         .agg(sum("v9").as("s9"), count(lit(1)).as("n"))
-        .withColumn("cj",
-          col("s9").cast("double") / col("n").cast("double") / lit(1e9))
-        .groupBy("b", "cid")
-        .agg(collect_list(struct(col("pos"), col("cj"))).as("pc"))
-        .select(col("b"), col("cid"),
-          transform(array_sort(col("pc")), t => t.getField("cj")).as("c"))
-        .localCheckpoint()
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getLong(1)))
+        .map { case ((b, cid), rows) =>
+          (b, cid, rows.sortBy(_.getInt(2)).toSeq
+            .map(r => r.getLong(3).toDouble / r.getLong(4).toDouble / 1e9))
+        }
+        .toSeq.sortBy(t => (t._1, t._2))
     }
-    cents
+    centsDf
   }
 
   /** (vec_id, b, code, d2): per-block argmin against the FINAL trained
@@ -729,6 +740,7 @@ object Similarity {
       val assigned = dists.groupBy("vec_id")
         .agg(min(struct(col("dist2"), col("cid"))).as("m"), first(col("x")).as("x"))
         .select(col("vec_id"), col("m.cid").as("cell"), col("x"))
+        .persist() // consumed by the residual build AND the code join
       val res = assigned
         .join(broadcast(coarse.select(col("cid").as("cell"), col("c"))), "cell")
         .select(col("vec_id"), zip_with(col("x"), col("c"), (a, b) => a - b).as("x"))
