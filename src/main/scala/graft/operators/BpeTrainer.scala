@@ -79,18 +79,21 @@ object BpeTrainer {
           .as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum("cnt").as("total"))
-      val best = pairs.orderBy(desc("total"), asc("a"), asc("b")).limit(1)
-        .localCheckpoint()
-      // a degenerate corpus can run out of pairs before Merges rounds —
-      // stop instead of cross-joining against an empty best (which would
-      // silently empty the word relation). isEmpty is free here: best is
-      // already a materialized 1-or-0-row checkpoint.
-      if (best.isEmpty) { exhausted = true }
+      // The selected merge is ONE row of model state — fetch it to the
+      // driver (the Learn/Clustering driver-fold shape) instead of
+      // checkpointing a 1-row frame and cross-joining it back; a
+      // degenerate corpus that runs out of pairs stops the loop here.
+      val bestRows = pairs.orderBy(desc("total"), asc("a"), asc("b"))
+        .limit(1).collect()
+      if (bestRows.isEmpty) { exhausted = true }
       else {
-      merges :+= best.select(lit(r).as("round"), col("a"), col("b"),
-        concat(col("a"), col("b")).as("merged"), col("total").as("support"))
-      words = words.crossJoin(broadcast(best))
-        .select(col("word"), col("cnt"), foldOnce(col("sym")).as("sym"))
+      val (ma, mb, mTotal) =
+        (bestRows(0).getString(0), bestRows(0).getString(1), bestRows(0).getLong(2))
+      merges :+= s.range(1).select(lit(r).as("round"), lit(ma).as("a"),
+        lit(mb).as("b"), lit(ma + mb).as("merged"), lit(mTotal).as("support"))
+      words = words
+        .select(col("word"), col("cnt"),
+          foldOnceAB(col("sym"), lit(ma), lit(mb)).as("sym"))
         .localCheckpoint()
       }
     }
@@ -111,13 +114,18 @@ object BpeTrainer {
   /** One application of the training fold for the (a, b) columns in
     * scope — shared verbatim by the trainer loop and [[applyMerges]].
     */
-  private def foldOnce(sym: Column): Column =
+  private def foldOnce(sym: Column): Column = foldOnceAB(sym, col("a"), col("b"))
+
+  /** [[foldOnce]] with explicit merge-pair columns — the trainer passes
+    * the round's collected pair as literals.
+    */
+  private def foldOnceAB(sym: Column, a: Column, b: Column): Column =
     aggregate(split(sym, Sep), lit(""),
       (acc, sChar) =>
         when(acc === "", sChar)
-          .when((acc === col("a") ||
-              acc.endsWith(concat(lit(Sep), col("a")))) && sChar === col("b"),
-            concat(substring_index_tail(acc, col("a")), col("a"), col("b")))
+          .when((acc === a ||
+              acc.endsWith(concat(lit(Sep), a))) && sChar === b,
+            concat(substring_index_tail(acc, a), a, b))
           .otherwise(concat(acc, lit(Sep), sChar)))
 
   /** Apply a FROZEN merge table to any `word` relation with the exact
