@@ -35,7 +35,8 @@ class EntrySpec extends SparkSpecBase {
     // set SWEEP_NOWL=1 to disable the whitelist and list every global
     // window (how this inventory was produced)
     val bounded: Map[String, String] = if (sys.env.contains("SWEEP_NOWL")) Map.empty else Map(
-      "eval_auc" -> "rank window over DISTINCT 6-dp sigmoid scores: ≤ 1e6+1 rows",
+      // eval_auc came OFF this list in round 7: its cumulative-count window
+      // now rides Ranking.globalCumSum (structurally bounded via _pid)
       "q_skyline_parts" -> "phase-2 pass over the union of 32 shard-local skylines (frontier-sized)",
       "sample_mixture" -> "mixtureRates window over the |sources|-row per-source aggregate",
       "sample_mixture_stats" -> "same |sources|-row mixtureRates aggregate",
