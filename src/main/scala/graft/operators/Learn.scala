@@ -317,11 +317,18 @@ object Learn {
   private[graft] def nbModel(s: SparkSession, d: String): NbModel = {
     val tok = documents(s, d)
       .select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("tok"))
+    // ONE pass over the corpus token stream builds cc; the per-class
+    // totals and the vocabulary size then derive from cc itself — a
+    // (class×vocab)-sized model relation — instead of re-tokenizing the
+    // corpus once per statistic (n_c = Σ cnt per class; every distinct
+    // token appears in some class row). Persisted: three consumers.
+    val cc = tok.groupBy(col("lang").as("cls"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist()
     NbModel(
-      cc = tok.groupBy(col("lang").as("cls"), col("tok"))
-        .agg(count(lit(1)).as("cnt")),
-      ctot = tok.groupBy(col("lang").as("cls")).agg(count(lit(1)).as("n_c")),
-      v = tok.agg(countDistinct("tok").as("v")),
+      cc = cc,
+      ctot = cc.groupBy("cls").agg(sum("cnt").as("n_c")),
+      v = cc.agg(countDistinct("tok").as("v")),
       pri = documents(s, d).groupBy(col("lang").as("cls"))
         .agg(count(lit(1)).as("n_docs"))
         .crossJoin(broadcast(documents(s, d).agg(count(lit(1)).as("n_all"))))
