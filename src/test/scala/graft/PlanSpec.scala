@@ -462,12 +462,15 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), s"interval join went all-pairs:\n$p")
   }
 
-  test("bpe_merges: rounds materialize via localCheckpoint — the final plan reads checkpointed state") {
+  test("bpe_merges: training runs during construction — the result plan is pure literal rounds") {
     val p = plan("bpe_merges")
     // training ran round-by-round during plan construction (the iterative-
-    // kernel discipline); the result plan is a union over the checkpointed
-    // 1-row best frames, not a re-derivation of the merge loop
-    assert(p.contains("Scan ExistingRDD"), s"expected checkpointed rounds:\n$p")
+    // kernel discipline); each round's selected pair was driver-folded, so
+    // the result plan is a union of literal 1-row projections — no corpus
+    // scan, no checkpoint scan, no join at all
+    assert(!p.contains("Scan parquet"), s"merges plan should not rescan the corpus:\n$p")
+    assert(!p.contains("Join"), s"merges plan should be literal rounds, not joins:\n$p")
+    assert(p.contains("Union"), s"expected the per-round union of literal merges:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
 
