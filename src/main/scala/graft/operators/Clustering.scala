@@ -212,6 +212,41 @@ object Clustering {
         .orderBy("cluster")
     },
 
+    // Simplified silhouette per trained cluster (Hartigan's centroid
+    // variant: a = distance to OWN trained centroid, b = distance to the
+    // nearest OTHER — O(n·k) against broadcast model state, never the
+    // O(n²) pairwise silhouette): the partition-quality audit you run
+    // before trusting learned clusters as blocking keys at 100 TB.
+    // sil = (b−a)/max(a,b) on 0-clamped sqrt distances; per-cluster means
+    // through 1e-6 fixed-point sums (order-independent), ties (dist2, cid)
+    // as everywhere in this file.
+    "cluster_silhouette" -> { (s, d) =>
+      val (_, cents) = lloyd(s, d)
+      val cc = cents.select(col("cid"), col("c"), dot(col("c"), col("c")).as("cc"))
+      val e = embeddings(s, d).select(col("vec_id"), toDouble(col("embedding")).as("x"))
+        .withColumn("xx", dot(col("x"), col("x")))
+      e.crossJoin(broadcast(cc))
+        .withColumn("dist2", greatest(
+          col("xx") - lit(2.0) * dot(col("x"), col("c")) + col("cc"), lit(0.0)))
+        .groupBy("vec_id")
+        .agg(sort_array(collect_list(struct(col("dist2"), col("cid")))).as("ds"))
+        .select(
+          col("ds").getItem(0).getField("cid").as("cluster"),
+          sqrt(col("ds").getItem(0).getField("dist2")).as("a"),
+          sqrt(col("ds").getItem(1).getField("dist2")).as("b"))
+        .select(col("cluster"),
+          when(greatest(col("a"), col("b")) === 0.0, lit(0.0))
+            .otherwise((col("b") - col("a")) / greatest(col("a"), col("b")))
+            .as("sil"))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(round(col("sil") * lit(DistFix)).cast("long")).as("s6"))
+        .select(col("cluster"), col("n_vecs"),
+          round(col("s6").cast("double") / lit(DistFix) / col("n_vecs").cast("double"), 6)
+            .as("mean_sil"))
+        .orderBy("cluster")
+    },
+
     // Temperature-balanced sampling over LEARNED domains: the
     // source-mixture math (sqrt temperature, alpha = 0.5) applied to the
     // trained k-means clusters instead of source labels — the
@@ -362,6 +397,29 @@ object Clustering {
          |SELECT s1.cid AS cluster, n_vecs, round(${dotSql("c.c", "c.c", Dim)}, 6) AS centroid_norm2,
          |  CAST(s6 AS DOUBLE) / CAST(n_vecs AS DOUBLE) / 1000000.0 AS mean_dist2
          |FROM s1 JOIN c$Rounds c ON s1.cid = c.cid ORDER BY cluster""".stripMargin,
+
+    "cluster_silhouette" ->
+      s"""WITH ${lloydCtes(Rounds)},
+         |bx AS (SELECT vec_id, x, ${dotSql("x", "x", Dim)} AS xx FROM e),
+         |dd AS (SELECT v.vec_id, c.cid,
+         |    greatest(v.xx - 2 * ${dotSql("v.x", "c.c", Dim)}
+         |      + ${dotSql("c.c", "c.c", Dim)}, 0) AS dist2
+         |  FROM bx v CROSS JOIN c$Rounds c),
+         |r AS (SELECT vec_id, cid, dist2,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+         |  FROM dd),
+         |ab AS (SELECT o.vec_id, o.cid AS cluster,
+         |    sqrt(o.dist2) AS a, sqrt(n.dist2) AS b
+         |  FROM (SELECT * FROM r WHERE rn = 1) o
+         |  JOIN (SELECT * FROM r WHERE rn = 2) n USING (vec_id)),
+         |ss AS (SELECT cluster,
+         |    CASE WHEN greatest(a, b) = 0 THEN 0.0
+         |         ELSE (b - a) / greatest(a, b) END AS sil
+         |  FROM ab)
+         |SELECT cluster, count(*) AS n_vecs,
+         |  round(CAST(sum(CAST(round(sil * 1e6) AS BIGINT)) AS DOUBLE)
+         |    / 1e6 / count(*), 6) AS mean_sil
+         |FROM ss GROUP BY cluster ORDER BY cluster""".stripMargin,
 
     "cluster_balanced_rates" ->
       s"""WITH ${lloydCtes(Rounds)},

@@ -148,6 +148,21 @@ object Components {
     // one — plus the cluster size. This is the corpus a training pipeline
     // actually emits after near-dedup. Both window functions share one
     // shuffle on component_id.
+    // Dedup-and-upweight: keep the min-id representative of every
+    // near-dup component, carrying the component size as a training
+    // weight (log(1 + members)) — the alternative to discarding
+    // duplicates when multiplicity is itself signal (a popularity
+    // prior). Component-count-sized output; rides the same CC relation
+    // as dedup_components.
+    "dedup_keep_weights" -> { (s, d) =>
+      nearDupComponents(s, d)
+        .groupBy("component_id")
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_members"))
+        .select(col("doc_id"), col("n_members"),
+          round(log(lit(1.0) + col("n_members").cast("double")), 6).as("weight"))
+        .orderBy("doc_id")
+    },
+
     "dedup_cluster_keep" -> { (s, d) =>
       val docs = documents(s, d).select("doc_id", "text")
       val quality = TextAnalysis.stats(docs).select("doc_id", "quality_score")
@@ -252,6 +267,15 @@ object Components {
     "dedup_components" ->
       s"""WITH RECURSIVE $ccCtes
          |SELECT doc_id, component_id FROM cc ORDER BY doc_id""".stripMargin,
+
+    "dedup_keep_weights" ->
+      s"""WITH RECURSIVE $ccCtes
+         |SELECT min_doc AS doc_id, n_members,
+         |  round(ln(1.0 + n_members), 6) AS weight
+         |FROM (SELECT component_id, min(doc_id) AS min_doc,
+         |        count(*) AS n_members
+         |      FROM cc GROUP BY 1)
+         |ORDER BY doc_id""".stripMargin,
 
     "dedup_cluster_keep" ->
       s"""WITH RECURSIVE $ccCtes,

@@ -48,6 +48,19 @@ object Sources {
     s.read.schema(src.schema).json(out).orderBy("s_suppkey")
   }
 
+  /** Built-in XML source (Spark 4 absorbed spark-xml into spark-sql):
+    * nation rows as <nation> elements. Explicit schema on read-back —
+    * the same inference-trap rule as CSV/JSON; text fields with XML
+    * metacharacters survive via entity escaping.
+    */
+  def xmlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = tmpDir("nation_xml")
+    val src = nation(s, d)
+    src.write.mode(SaveMode.Overwrite).option("rowTag", "nation").xml(out)
+    s.read.schema(src.schema).option("rowTag", "nation").xml(out)
+      .orderBy("n_nationkey")
+  }
+
   def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
     val out = tmpDir("nation_orc")
     val src = nation(s, d)
@@ -210,6 +223,7 @@ object Sources {
     "src_text_roundtrip" -> textRoundtrip,
     "src_lines_roundtrip" -> linesRoundtrip,
     "src_partitioned_parquet" -> partitionedParquet,
+    "src_xml_roundtrip" -> xmlRoundtrip,
     "src_bucketed_join" -> bucketedJoin,
     "src_synth_pushdown" -> synthPushdown,
     "src_synth_agg_pushdown" -> synthAggPushdown,
@@ -227,6 +241,8 @@ object Sources {
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
     "src_orc_roundtrip" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
+    "src_xml_roundtrip" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
     "src_text_roundtrip" ->
       "SELECT text AS value FROM documents ORDER BY text",

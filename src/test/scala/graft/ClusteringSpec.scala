@@ -12,7 +12,10 @@ class ClusteringSpec extends SparkSpecBase {
 
   /** Local reference: same fixed-point arithmetic, plain loops. */
   private def localLloyd(vecs: Array[(Long, Array[Double])], k: Int, rounds: Int)
-    : Map[Long, Long] = {
+    : Map[Long, Long] = localLloydFull(vecs, k, rounds)._1
+
+  private def localLloydFull(vecs: Array[(Long, Array[Double])], k: Int, rounds: Int)
+    : (Map[Long, Long], Map[Long, Array[Double]]) = {
     def dot(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { s += a(i) * b(i); i += 1 }
@@ -37,7 +40,7 @@ class ClusteringSpec extends SparkSpecBase {
         }
       }
     }
-    assign
+    (assign, cents)
   }
 
   test("kmeans matches the sequential reference on the fixture") {
@@ -67,6 +70,43 @@ class ClusteringSpec extends SparkSpecBase {
     val b = Clustering.queries("kmeans_assign")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(a == b)
+  }
+
+  test("cluster_silhouette matches a sequential reference bit-for-bit") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def r6(x: Double): Double =
+      new JBD(x).setScale(6, RoundingMode.HALF_UP).doubleValue()
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val (_, cents) = localLloydFull(vecs, Clustering.K, Clustering.Rounds)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var t = 0.0; var i = 0
+      while (i < a.length) { t += a(i) * b(i); i += 1 }
+      t
+    }
+    // per vector: clamped dist2 to every FINAL centroid, (dist2, cid) order
+    val per = vecs.map { case (_, x) =>
+      val ds = cents.toSeq
+        .map { case (cid, c) =>
+          (math.max(dot(x, x) - 2.0 * dot(x, c) + dot(c, c), 0.0), cid)
+        }
+        .sortBy { case (d, cid) => (d, cid) }
+      val a = math.sqrt(ds(0)._1); val b = math.sqrt(ds(1)._1)
+      val sil = if (math.max(a, b) == 0.0) 0.0 else (b - a) / math.max(a, b)
+      (ds(0)._2, sil)
+    }
+    val want = per.groupBy(_._1).map { case (cid, rows) =>
+      val s6 = rows.map(r => math.round(r._2 * 1e6)).sum
+      (cid, rows.length.toLong, r6(s6.toDouble / 1e6 / rows.length.toDouble))
+    }.toSeq.sortBy(_._1)
+    val got = Clustering.queries("cluster_silhouette")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want)
+    // non-vacuous: a meaningful spread, every value in the legal range
+    assert(got.forall { case (_, _, m) => m > -1.0 && m < 1.0 })
+    assert(got.map(_._3).distinct.length > 1, "silhouette means all equal — degenerate fixture")
   }
 
   test("ann_ivf_trained_topk: valid ranks, exact cosines, useful recall vs brute force") {
