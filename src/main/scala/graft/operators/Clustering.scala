@@ -241,9 +241,16 @@ object Clustering {
         .groupBy("cluster")
         .agg(count(lit(1)).as("n_vecs"),
           sum(round(col("sil") * lit(DistFix)).cast("long")).as("s6"))
+        // exact integer half-up mean at 6 dp (the LM-NLL discipline: a
+        // double round(sum/count, 6) lands on half-boundaries where the
+        // engines disagree). sil can be NEGATIVE, and Spark `div`
+        // truncates where DuckDB `//` floors — shifting by +1e6 per row
+        // keeps the numerator non-negative (sil ≥ −1), where the two
+        // operators agree; the shift is an exact integer in 1e-6 units,
+        // so it cancels after the division.
         .select(col("cluster"), col("n_vecs"),
-          round(col("s6").cast("double") / lit(DistFix) / col("n_vecs").cast("double"), 6)
-            .as("mean_sil"))
+          ((expr("(2 * (s6 + n_vecs * 1000000) + n_vecs) div (2 * n_vecs)")
+            - lit(1000000L)).cast("double") / lit(DistFix)).as("mean_sil"))
         .orderBy("cluster")
     },
 
@@ -417,8 +424,9 @@ object Clustering {
          |         ELSE (b - a) / greatest(a, b) END AS sil
          |  FROM ab)
          |SELECT cluster, count(*) AS n_vecs,
-         |  round(CAST(sum(CAST(round(sil * 1e6) AS BIGINT)) AS DOUBLE)
-         |    / 1e6 / count(*), 6) AS mean_sil
+         |  CAST((2 * (sum(CAST(round(sil * 1e6) AS BIGINT))
+         |             + count(*) * 1000000) + count(*))
+         |       // (2 * count(*)) - 1000000 AS DOUBLE) / 1000000.0 AS mean_sil
          |FROM ss GROUP BY cluster ORDER BY cluster""".stripMargin,
 
     "cluster_balanced_rates" ->

@@ -110,6 +110,10 @@ object Learn {
       val r = x.agg(g(lit(1.0)).as("g0"), g(col("x1")).as("g1"),
         g(col("x2")).as("g2"), g(col("x3")).as("g3"),
         count(lit(1)).as("n")).head()
+      // empty corpus: sum() over zero rows is null — keep w = 0 instead
+      // of extracting a primitive from a null gradient
+      if (r.getLong(4) == 0L) return (s.range(1).select(lit(w0).as("w0"),
+        lit(w1).as("w1"), lit(w2).as("w2"), lit(w3).as("w3")), x)
       val n = r.getLong(4).toDouble
       def upd(wj: Double, gj: Long): Double = wj + Lr * (gj.toDouble / Fix) / n
       w0 = upd(w0, r.getLong(0)); w1 = upd(w1, r.getLong(1))

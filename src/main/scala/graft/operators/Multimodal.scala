@@ -235,8 +235,16 @@ object Multimodal {
     * seed (geometry AND pixels), the rest are unique — the planted
     * near-dup structure `mm_phash_dedup` must find.
     */
-  def ppmSeed(id: Long): Long =
+  def ppmSeed(id: Long): Long = {
+    // The dup-seed namespace is only disjoint while doc ids stay below
+    // the base — fail LOUDLY if a larger fixture ever violates that
+    // (silent reuse would contaminate the planted near-dup structure:
+    // doc base+g would synthesize pixel-for-pixel dup group g's image).
+    // The oracle carries the same guard (error() in ppmHashCtes).
+    require(id < PpmDupSeedBase,
+      s"doc_id $id >= PpmDupSeedBase ($PpmDupSeedBase): raise the base")
     if (id % 4 == 0) PpmDupSeedBase + (id / 4) % DupGroups else id
+  }
 
   /** Pixel-0 override for dup docs: alternating group members get pixel 0
     * forced to gray 0 vs gray 255 — a GUARANTEED flip of dHash bit 0
@@ -422,7 +430,9 @@ object Multimodal {
     */
   private def ppmHashCtes: String =
     s"""m AS (SELECT doc_id AS media_id,
-       |    CASE WHEN doc_id % 4 = 0
+       |    CASE WHEN doc_id >= $PpmDupSeedBase
+       |         THEN CAST(error('doc_id exceeds PpmDupSeedBase') AS BIGINT)
+       |         WHEN doc_id % 4 = 0
        |         THEN $PpmDupSeedBase + (doc_id // 4) % $DupGroups
        |         ELSE doc_id END AS seed,
        |    CASE WHEN doc_id % 4 = 0 THEN 255 * ((doc_id // 4) % 2)

@@ -194,8 +194,8 @@ object Similarity {
   // vectors explode into (vec_id, b, slice) block rows once, centroids
   // key on (b, cid), assignment is a broadcast join on b — so a round
   // costs one corpus scan regardless of PqBlocks, and per-round state is
-  // codebook-sized (8×16 sub-vectors, localCheckpoint'd like every
-  // iterative kernel). Centroid updates use the same 1e-9 fixed-point
+  // codebook-sized (8×16 sub-vectors, driver-folded between rounds — see
+  // pqTrain). Centroid updates use the same 1e-9 fixed-point
   // sums as Clustering.lloyd so the unrolled DuckDB training CTEs are
   // bit-identical.
   // ------------------------------------------------------------------

@@ -481,20 +481,22 @@ object RewriteMaxSelfJoin extends Rule[LogicalPlan] with PredicateHelper {
       .forall(x => isJoinColNotNull(x._1))
     if (!mappedANotNullOk || !filtersPNotNullOk) return None
 
-    // A null-COUNTING aggregate (count(*)/count(lit)) is the one family
-    // whose value changes when null rows of the compared column are
-    // dropped from its input. If the AGG side alone filtered them
-    // (onlyA IsNotNull on pv), the window input below can't mirror it
-    // without also changing the probe rows — decline, keep the join.
-    val countsNullRows = aggFn match {
-      case c: Count => c.children.forall(_.foldable)
-      case _ => false
-    }
-    if (countsNullRows && mappedA.zip(canonA).exists(x =>
-        onlyA.contains(x._2) && (x._1 match {
-          case IsNotNull(a: Attribute) => a.exprId == pv.exprId
-          case _ => false
-        }))) return None
+    // An AGG-side-only IsNotNull on the compared column pv is sound only
+    // when the aggregate's own input IS pv: null-ignoring aggs (max/min/
+    // sum/count(col)) drop those rows from their input themselves, so the
+    // window over the unfiltered probe computes the same value. If the
+    // aggregate reads a DIFFERENT column (max(x) compared via y — e.g.
+    // with constraint propagation off, so the probe side never gained the
+    // inferred isnotnull), or no column at all (count(*)/count(lit)),
+    // dropping pv-null rows changed its input multiset — decline, keep
+    // the join.
+    val aggSideDropsPvRows = mappedA.zip(canonA).exists(x =>
+      onlyA.contains(x._2) && (x._1 match {
+        case IsNotNull(a: Attribute) => a.exprId == pv.exprId
+        case _ => false
+      }))
+    if (aggSideDropsPvRows &&
+        (fnRefs.isEmpty || fnRefs.exists(_.exprId != pv.exprId))) return None
 
     // ---- build: one pass over the probe side ----
     // The window must aggregate over exactly the AGG side's rows. The

@@ -73,13 +73,27 @@ case class MaxPerKeyNode(
   override def output: Seq[Attribute] = child.output :+ outAttr
   override def producedAttributes: AttributeSet = AttributeSet(outAttr)
   override def maxRows: Option[Long] = child.maxRows
-  /** ~1 row per key survives (extreme ties excepted) — see [[PlanStats]]
-    * for the override point and the distinct-key estimate source. 8 extra
-    * bytes for the appended extreme column.
+  /** Tie-aware survivor estimate: every row TYING its group's extreme
+    * survives, so distinct-keys alone is NOT a bound (a constant value
+    * column keeps the whole child — claiming |keys| rows there could
+    * flip a downstream join to broadcasting a near-child-sized relation).
+    * Estimate survivors ≈ rows · keys / pairs, where pairs = ndv of
+    * (key, value): rows/pairs is the average multiplicity of one
+    * (key, value) combination, i.e. the expected tie count at the
+    * extreme. Exact at both poles — unique values → keys; constant value
+    * per key → rows — and never below keys. No pair ndv ⇒ fall back to
+    * the child's statistics (conservative). 8 extra bytes for the
+    * appended extreme column.
     */
-  override def stats: logical.Statistics =
-    PlanStats.bounded(child.stats,
-      PlanStats.distinctKeys(groupExprs, child.stats), 8)
+  override def stats: logical.Statistics = {
+    val cs = child.stats
+    val bound = (PlanStats.distinctKeys(groupExprs, cs),
+        PlanStats.distinctKeys(groupExprs :+ value, cs), cs.rowCount) match {
+      case (Some(k), Some(p), Some(n)) if p > 0 => Some(((n * k) / p).max(k))
+      case _ => None
+    }
+    PlanStats.bounded(cs, bound, 8)
+  }
   override protected def withNewChildInternal(newChild: LogicalPlan): MaxPerKeyNode =
     copy(child = newChild)
 }

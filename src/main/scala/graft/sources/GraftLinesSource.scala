@@ -213,7 +213,7 @@ class GraftLinesWriteBuilder(root: String) extends WriteBuilder with SupportsTru
     override def toBatch: BatchWrite = new GraftLinesBatchWrite(root, truncateFirst)
     override def toStreaming
       : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      new GraftLinesStreamingWrite(root)
+      new GraftLinesStreamingWrite(root, truncateFirst)
   }
 }
 
@@ -270,7 +270,7 @@ class GraftLinesBatchWrite(root: String, truncateFirst: Boolean) extends BatchWr
   * Per-epoch abort deletes only that epoch's staged files — concurrent
   * epochs' staging (continuous-mode style pipelining) is untouched.
   */
-class GraftLinesStreamingWrite(root: String)
+class GraftLinesStreamingWrite(root: String, truncateFirst: Boolean)
   extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
@@ -283,7 +283,18 @@ class GraftLinesStreamingWrite(root: String)
   }
 
   override def commit(epochId: Long,
-                      messages: Array[WriterCommitMessage]): Unit =
+                      messages: Array[WriterCommitMessage]): Unit = {
+    // Complete-output-mode contract (Spark calls WriteBuilder.truncate()
+    // before toStreaming): each epoch REPLACES the visible snapshot, so
+    // drop every data file not named for THIS epoch before promoting.
+    // Replay-idempotent: re-committing epoch N re-deletes older epochs
+    // (already gone) and re-promotes N's deterministic names.
+    if (truncateFirst) {
+      val keep = f"part-e$epochId-"
+      GraftLines.dataFiles(root)
+        .filterNot(_.getFileName.toString.startsWith(keep))
+        .foreach(Files.delete)
+    }
     messages.collect { case m: LinesCommitMessage => m }.foreach { m =>
       val staged = Paths.get(m.stagingPath)
       val target = Paths.get(root, f"part-e$epochId-${m.partitionId}%05d.txt")
@@ -295,6 +306,7 @@ class GraftLinesStreamingWrite(root: String)
           s"graftlines epoch $epochId part ${m.partitionId}: " +
             "staged file lost before promote")
     }
+  }
 
   override def abort(epochId: Long,
                      messages: Array[WriterCommitMessage]): Unit =

@@ -73,9 +73,6 @@ class ClusteringSpec extends SparkSpecBase {
   }
 
   test("cluster_silhouette matches a sequential reference bit-for-bit") {
-    import java.math.{BigDecimal => JBD, RoundingMode}
-    def r6(x: Double): Double =
-      new JBD(x).setScale(6, RoundingMode.HALF_UP).doubleValue()
     val vecs = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
       .collect()
@@ -99,7 +96,11 @@ class ClusteringSpec extends SparkSpecBase {
     }
     val want = per.groupBy(_._1).map { case (cid, rows) =>
       val s6 = rows.map(r => math.round(r._2 * 1e6)).sum
-      (cid, rows.length.toLong, r6(s6.toDouble / 1e6 / rows.length.toDouble))
+      val n = rows.length.toLong
+      // same exact integer half-up mean (offset keeps the numerator
+      // non-negative) as the query and the oracle
+      val mOff = (2L * (s6 + n * 1000000L) + n) / (2L * n)
+      (cid, n, (mOff - 1000000L).toDouble / 1e6)
     }.toSeq.sortBy(_._1)
     val got = Clustering.queries("cluster_silhouette")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq

@@ -118,6 +118,48 @@ class MaxJoinElimSpec extends SparkSpecBase {
       "rule fired across non-equal subtrees")
   }
 
+  test("guard: agg-side-only IsNotNull on the compared column + foreign agg input must NOT rewrite") {
+    setup()
+    import spark.implicits._
+    // Review scenario: the agg side drops y-null rows (y = the compared
+    // column) but aggregates a DIFFERENT column x, and constraint
+    // propagation is off so the probe side never gains the inferred
+    // isnotnull(y). A window over the unfiltered probe would compute
+    // max(x)=10 (from the y-null row) instead of the join's 5.
+    // parquet-backed, not a LocalRelation: ConvertToLocalRelation would
+    // fold the agg-side filter into the relation and break the rule's
+    // subtree-equality precondition before the guard is ever reached
+    val tmp = java.nio.file.Files.createTempDirectory("mje_nullable").toString
+    Seq((1L, 10.0, Option.empty[Double]), (1L, 5.0, Some(10.0)))
+      .toDF("k", "x", "y").write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).createOrReplaceTempView("g_mje_nullable")
+    val q =
+      """SELECT t.k, t.x, t.y, m.mx
+        |FROM g_mje_nullable t
+        |JOIN (SELECT k, max(x) AS mx FROM g_mje_nullable
+        |      WHERE y IS NOT NULL GROUP BY k) m
+        |  ON t.k = m.k AND t.y = m.mx""".stripMargin
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    try {
+      val df = spark.sql(q)
+      assert(df.queryExecution.optimizedPlan.toString.contains("Join"),
+        "rule fired with an agg-side-only pv filter and a foreign agg input")
+      assert(df.collect().isEmpty, "join semantics: no row's y equals max(x)=5")
+      // positive control — same shape but the aggregate input IS the
+      // compared column: max/min ignore its nulls, so the rewrite stays on
+      val ok = spark.sql(
+        """SELECT t.k, t.x, t.y, m.mx
+          |FROM g_mje_nullable t
+          |JOIN (SELECT k, max(y) AS mx FROM g_mje_nullable
+          |      WHERE y IS NOT NULL GROUP BY k) m
+          |  ON t.k = m.k AND t.y = m.mx""".stripMargin)
+      assert(!ok.queryExecution.optimizedPlan.toString.contains("Join"),
+        "sound same-column case should still rewrite")
+      assert(ok.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+        Seq((1L, 5.0)))
+    } finally spark.conf.unset("spark.sql.constraintPropagation.enabled")
+  }
+
   test("count-extreme: rows matching their group's count rewrite with parity") {
     setup()
     val s2 = spark

@@ -390,7 +390,7 @@ class SourcesSpec extends SparkSpecBase {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.unsafe.types.UTF8String
     val out = Files.createTempDirectory("graft_lines_replay_").toString
-    val sw = new graft.sources.GraftLinesStreamingWrite(out)
+    val sw = new graft.sources.GraftLinesStreamingWrite(out, false)
     val fac = sw.createStreamingWriterFactory(null)
     def stage(taskId: Long, rows: Seq[String]) = {
       val w = fac.createWriter(0, taskId, 42L)
@@ -418,6 +418,36 @@ class SourcesSpec extends SparkSpecBase {
       "aborted epoch must not surface data")
     val staged = graft.sources.GraftLines.stagingDir(out)
     assert(Files.list(staged).iterator.asScala.isEmpty, "staging not cleaned")
+  }
+
+  test("graftlines streaming write: Complete-mode truncate replaces the snapshot per epoch") {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val out = Files.createTempDirectory("graft_lines_trunc_").toString
+    // truncateFirst = what Spark's WriteBuilder.truncate() sets for
+    // outputMode("complete"): every epoch's commit REPLACES the visible
+    // snapshot instead of accumulating epochs
+    val sw = new graft.sources.GraftLinesStreamingWrite(out, true)
+    val fac = sw.createStreamingWriterFactory(null)
+    def stage(epoch: Long, taskId: Long, rows: Seq[String]) = {
+      val w = fac.createWriter(0, taskId, epoch)
+      rows.foreach(r => w.write(InternalRow(UTF8String.fromString(r))))
+      w.commit()
+    }
+    def visible(): Seq[String] = graft.sources.GraftLines.dataFiles(out)
+      .flatMap(p => Files.readAllLines(p).asScala).sorted.toSeq
+    sw.commit(1L, Array(stage(1L, 1L, Seq("s1a", "s1b"))))
+    assert(visible() == Seq("s1a", "s1b"))
+    sw.commit(2L, Array(stage(2L, 2L, Seq("s2"))))
+    assert(visible() == Seq("s2"), "epoch 2 must replace epoch 1's snapshot")
+    assert(graft.sources.GraftLines.dataFiles(out)
+      .forall(_.getFileName.toString.startsWith("part-e2-")))
+    // epoch replay stays idempotent under truncate: same snapshot, once
+    sw.commit(2L, Array(stage(2L, 9L, Seq("s2"))))
+    assert(visible() == Seq("s2"))
+    assert(graft.sources.GraftLines.dataFiles(out).size == 1)
   }
 
   test("graftlines streaming write: end-to-end through the catalog table") {
