@@ -58,16 +58,33 @@ class RewriteFuzzSpec extends SparkSpecBase {
         rnd.nextInt(3))
     } ++ Seq( // duplicate whole rows (multiplicity must survive rewrites)
       Row(120L, 1, java.lang.Long.valueOf(7L), java.lang.Long.valueOf(9L), 0),
-      Row(121L, 1, java.lang.Long.valueOf(7L), java.lang.Long.valueOf(9L), 0))
+      Row(121L, 1, java.lang.Long.valueOf(7L), java.lang.Long.valueOf(9L), 0),
+      // adversarial pair for the agg-side-filter family: in key 9, the
+      // group's max(w) row has NULL v, and another row's v equals the
+      // UNFILTERED max — so `max(w) ... WHERE v IS NOT NULL` joined on
+      // t.v = m.mx returns nothing while an unguarded window form would
+      // keep id 201 (falsification-checked: the pre-guard rule fails on
+      // this shape; random draws alone never landed w's max inside v's
+      // range)
+      Row(200L, 9, null, java.lang.Long.valueOf(7L), 0),
+      Row(201L, 9, java.lang.Long.valueOf(7L), java.lang.Long.valueOf(5L), 0))
     val schema = StructType(Seq(
       StructField("id", LongType, nullable = false),
       StructField("k", IntegerType, nullable = false),
       StructField("v", LongType, nullable = true),
       StructField("w", LongType, nullable = false),
       StructField("g2", IntegerType, nullable = false)))
+    // PARQUET-backed, not an RDD/LocalRelation: column pruning over a
+    // non-pruning relation inserts a Project between agg-side filters and
+    // the relation, which structurally declines the self-join rewrites —
+    // the fuzz would sweep shapes the rules can never fire on (found via
+    // falsification: the pre-guard rule passed an RDD-backed killer shape
+    // it demonstrably fails on over parquet)
+    val tmp = java.nio.file.Files.createTempDirectory("fuzz_t_").toString
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 4), schema)
-      .createOrReplaceTempView("fuzz_t")
+      .write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).createOrReplaceTempView("fuzz_t")
     "fuzz_t"
   }
 
@@ -171,6 +188,54 @@ class RewriteFuzzSpec extends SparkSpecBase {
     }
     differential("maxSelfJoin", sample(gen, 202L, ShapesPerFamily),
       df => !df.queryExecution.optimizedPlan.toString.contains("Join"))
+  }
+
+  test(s"max-self-join AGG-SIDE-filter fuzz: $ShapesPerFamily shapes, " +
+    "on == off under constraint-prop on AND off") {
+    // The shape family the round-7 review found unguarded: the agg side
+    // alone filters rows (incl. IsNotNull on the compared column v) while
+    // aggregating v or a DIFFERENT column w. With constraint propagation
+    // ON the probe gains the inferred isnotnull and many shapes soundly
+    // fire; with it OFF the asymmetric-filter guards must decline.
+    // mustFire is undecidable here without replicating the guard chain,
+    // so this family is pure differential: on == off is the contract.
+    val t = fuzzTable
+    Graft.init(spark)
+    val gen: Gen[(String, Boolean)] = for {
+      aggCol <- Gen.oneOf("v", "w")
+      fn <- Gen.oneOf("max", "min", "sum", "count")
+      filt <- Gen.oneOf("", " WHERE v IS NOT NULL", " WHERE w >= 10",
+        " WHERE v IS NOT NULL AND w >= 10")
+      cp <- Gen.oneOf(true, false)
+    } yield (s"SELECT t.k, t.v, t.w FROM $t t JOIN " +
+      s"(SELECT k, $fn($aggCol) AS mx FROM $t$filt GROUP BY k) m " +
+      "ON t.k = m.k AND t.v = m.mx", cp)
+    // corner shapes pinned on top of the random draws: the exact
+    // killer combination (max of a FOREIGN column + agg-side IsNotNull
+    // on v + constraint-prop off) must be in every run — the 200 random
+    // draws can miss the 1/64 combination entirely
+    val pinned = Seq("", " WHERE v IS NOT NULL", " WHERE w >= 10",
+      " WHERE v IS NOT NULL AND w >= 10").map { filt =>
+      // projection reads exactly the agg side's column set {k, v, w}:
+      // an extra probe-only column (id) would asymmetrically prune the
+      // two parquet scans and structurally decline the rule before the
+      // filter guard is ever consulted
+      (s"SELECT t.k, t.v, t.w FROM $t t JOIN " +
+        s"(SELECT k, max(w) AS mx FROM $t$filt GROUP BY k) m " +
+        "ON t.k = m.k AND t.v = m.mx", false)
+    }
+    (pinned ++ sample(gen, 303L, ShapesPerFamily)).zipWithIndex.foreach {
+      case ((q, cp), i) =>
+        spark.conf.set("spark.sql.constraintPropagation.enabled", cp.toString)
+        try {
+          val on = rows(q)
+          AllSwitches.foreach(k => spark.conf.set(k, "false"))
+          val off = try rows(q) finally AllSwitches.foreach(spark.conf.unset)
+          assert(on == off,
+            s"agg-side-filter shape #$i diverged (constraintProp=$cp):\n$q\n" +
+              s"on=${on.take(5)}...\noff=${off.take(5)}...")
+        } finally spark.conf.unset("spark.sql.constraintPropagation.enabled")
+    }
   }
 
   test(s"group-top-k fuzz: $ShapesPerFamily random row_number filters, on == off") {
