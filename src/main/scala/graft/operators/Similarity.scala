@@ -174,6 +174,14 @@ object Similarity {
   /** Stage-1 shortlist size for the two-stage rerank search. */
   val RpShortlist = 25
 
+  /** Matryoshka-style prefix truncations audited by `ann_truncate_recall`:
+    * top-k search over only the FIRST d dimensions (the storage/compute
+    * cascade modern embedding models are trained to support — Kusupati et
+    * al., "Matryoshka Representation Learning", NeurIPS 2022). Unlike the
+    * JL projection above, truncation needs no matrix multiply at all.
+    */
+  val TruncDims: Seq[Int] = Seq(8, 16, 32)
+
   /** [projected dim][input dim], seed 7, 6-dp literals like [[planes]]. */
   lazy val rpPlanes: Array[Array[Double]] = {
     val r = new scala.util.Random(7)
@@ -404,6 +412,36 @@ object Similarity {
       recallOf("multi_probe", queries("ann_lsh_multiprobe_topk")(s, d))
         .unionByName(recallOf("single_probe", queries("ann_lsh_topk")(s, d)))
         .orderBy("variant")
+    },
+
+    // Recall@K when searching over only the first d dims (d in TruncDims)
+    // vs the full-dim exact scan — the measurement that decides how far a
+    // Matryoshka-style truncation cascade can cut the stage-1 cost before
+    // re-ranking. Each variant is the same broadcast-query brute scan on a
+    // prefix slice; the corpus streams once per variant and the full-dim
+    // ground truth is computed once and persisted across the three
+    // variants (caller releases via Graft.releaseCaches).
+    "ann_truncate_recall" -> { (s, d) =>
+      val b = base(s, d)
+      def topkAt(dims: Int): DataFrame = {
+        val t = b.select(col("vec_id"), slice(col("e"), 1, dims).as("e"))
+          .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+        val q = t.where(col("vec_id") < QuerySet)
+          .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
+        val c = t.select(col("vec_id").as("cand_id"), col("e").as("ce"),
+          col("nrm").as("cn"))
+        ranked(broadcast(q).join(c, col("q_id") =!= col("cand_id")))
+          .select("q_id", "cand_id")
+      }
+      val exact = topkAt(Dim).persist()
+      def recallOf(dims: Int): DataFrame =
+        exact.join(topkAt(dims), Seq("q_id", "cand_id"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+          .crossJoin(broadcast(exact.agg(count(lit(1)).as("total"))))
+          .select(lit(dims.toLong).as("dims"), col("hits"), col("total"),
+            round(col("hits").cast("double") / col("total").cast("double"), 6)
+              .as("recall"))
+      TruncDims.map(recallOf).reduce(_ unionByName _).orderBy("dims")
     },
 
     // CORPUS-WIDE kNN graph, LSH-blocked: every vector's top-k cosine
@@ -965,6 +1003,34 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "ann_cosine_topk" -> rankedSql(bucketed = false),
     "ann_lsh_topk" -> rankedSql(bucketed = true),
+
+    // dotSql over the first d elements of the full array == dot of the
+    // sliced prefix (same left-to-right accumulation)
+    "ann_truncate_recall" -> {
+      val dimsAll = TruncDims :+ Dim
+      val ctes = dimsAll.map { dm =>
+        s"""t$dm AS (SELECT vec_id, embedding AS e,
+           |    sqrt(${dotSql("embedding", "embedding", dm)}) AS nrm FROM embeddings),
+           |p$dm AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+           |    round(${dotSql("q.e", "c.e", dm)} / (q.nrm * c.nrm), 6) AS cos
+           |  FROM t$dm q JOIN t$dm c ON q.vec_id <> c.vec_id
+           |  WHERE q.vec_id < $QuerySet),
+           |r$dm AS (SELECT q_id, cand_id FROM (SELECT q_id, cand_id,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rnk
+           |  FROM p$dm) WHERE rnk <= $K)""".stripMargin
+      }.mkString(",\n")
+      val rows = TruncDims.map { dm =>
+        s"""SELECT CAST($dm AS BIGINT) AS dims,
+           |  (SELECT count(*) FROM r$Dim ex WHERE EXISTS
+           |    (SELECT 1 FROM r$dm t WHERE t.q_id = ex.q_id AND t.cand_id = ex.cand_id))
+           |    AS hits,
+           |  (SELECT count(*) FROM r$Dim) AS total""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $ctes
+         |SELECT dims, hits, total,
+         |  round(CAST(hits AS DOUBLE) / CAST(total AS DOUBLE), 6) AS recall
+         |FROM ($rows) ORDER BY dims""".stripMargin
+    },
 
     "ann_lsh_multiprobe_topk" ->
       s"""$multiProbeCtes
