@@ -36,6 +36,11 @@ object Similarity {
   /** Query subset for the fixtures: first 10 vectors. */
   val QuerySet = 10
 
+  /** Hard negatives packed per contrastive training example. */
+  val NegK = 3
+  /** Examples per contrastive batch. */
+  val BatchB = 32
+
   /** Deterministic hyperplanes, rounded to 6 dp so the SQL literal parses
     * back to the exact same double.
     */
@@ -336,6 +341,33 @@ object Similarity {
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
       .orderBy("q_id", "rnk")
+  }
+
+  /** (anchor_id, pos_id, pos_cos, negs, n_negs): the contrastive example
+    * assembly shared by `contrastive_examples` and `contrastive_batches`.
+    * The kNN graph feeds both the positive and negative branches, so it
+    * persists (caller releases via Graft.releaseCaches).
+    */
+  private def contrastiveExamples(s: SparkSession, d: String): DataFrame = {
+    val lab = embeddings(s, d).select(col("vec_id"), col("label"))
+    val g = knnGraph(s, d)
+      .join(lab.select(col("vec_id").as("q_id"), col("label").as("ql")), "q_id")
+      .join(lab.select(col("vec_id").as("cand_id"), col("label").as("cl")), "cand_id")
+      .persist()
+    val wq = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
+    val pos = g.where(col("ql") === col("cl"))
+      .withColumn("pr", row_number().over(wq)).where(col("pr") === 1)
+      .select(col("q_id").as("anchor_id"), col("cand_id").as("pos_id"),
+        col("cos").as("pos_cos"))
+    val neg = g.where(col("ql") =!= col("cl"))
+      .withColumn("nr", row_number().over(wq)).where(col("nr") <= NegK)
+      .groupBy("q_id")
+      .agg(concat_ws(",",
+          transform(array_sort(collect_list(struct(col("nr"), col("cand_id")))),
+            x => x.getField("cand_id").cast("string"))).as("negs"),
+        count(lit(1)).as("n_negs"))
+      .withColumnRenamed("q_id", "anchor_id")
+    pos.join(neg, "anchor_id")
   }
 
   /** LSH-blocked corpus kNN edges (q_id, cand_id, cos, rnk ≤ K) — every
@@ -719,6 +751,43 @@ object Similarity {
         .orderBy("label")
     },
 
+    // Contrastive training EXAMPLES, corpus-wide: every vector whose
+    // bucketed top-K neighborhood contains BOTH a same-label neighbor
+    // (the positive: best same-label by cosine) and >= 1 different-label
+    // neighbor (up to NegK hard negatives, packed rank-ordered) becomes
+    // an (anchor, positive, negatives) training row — the assembly step
+    // between hard-negative mining and an InfoNCE-style trainer. Rides
+    // the LSH-bucketed kNN graph (no all-pairs), label join is
+    // corpus-keyed; everything downstream is anchor-keyed.
+    "contrastive_examples" -> { (s, d) =>
+      contrastiveExamples(s, d).orderBy("anchor_id")
+    },
+
+    // Deterministic BATCH PACKING of those examples with an in-batch
+    // false-negative audit: examples shuffle by md5 draw (corpus_shuffle
+    // discipline), pack BatchB per batch by distributed global rank
+    // (never a single-task global window), and each batch reports member
+    // collisions — a vector appearing twice in one batch (as two
+    // anchors' shared neighbor) is exactly the in-batch-negatives bug
+    // that silently corrupts a contrastive objective at scale.
+    "contrastive_batches" -> { (s, d) =>
+      val ex = contrastiveExamples(s, d)
+        .withColumn("skey",
+          graft.operators.TextHash.h60(
+            concat(lit("cb:"), col("anchor_id").cast("string"))))
+      Ranking.globalRank(ex, Seq(col("skey"), col("anchor_id")))
+        .withColumn("batch_id", expr(s"(rank - 1) div $BatchB"))
+        .select(col("batch_id"), col("anchor_id"),
+          explode(concat(array(col("anchor_id"), col("pos_id")),
+            transform(split(col("negs"), ","), _.cast("long")))).as("member"))
+        .groupBy("batch_id")
+        .agg(countDistinct("anchor_id").as("n_examples"),
+          count(lit(1)).as("n_slots"),
+          countDistinct("member").as("n_distinct"))
+        .withColumn("n_collisions", col("n_slots") - col("n_distinct"))
+        .orderBy("batch_id")
+    },
+
     // JL projection audit: per-vector 16-dim projection (fixed-point
     // token string — never a raw-double string, whose formatting differs
     // across engines) plus the norm-preservation ratio
@@ -903,6 +972,30 @@ object Similarity {
   /** Corpus×corpus bucketed ranking CTEs for the kNN-graph oracles (the
     * no-QuerySet-filter sibling of [[rankedSql]]).
     */
+  /** Oracle CTEs ending in `ex(anchor_id, pos_id, pos_cos, negs, n_negs)`,
+    * mirroring [[contrastiveExamples]].
+    */
+  private def contrastiveSqlCtes: String =
+    s"""$knnGraphSqlCtes,
+       |g AS (SELECT q_id, cand_id, cos FROM r WHERE rnk <= $K),
+       |gl AS (SELECT g.q_id, g.cand_id, g.cos, qe.label AS ql, ce.label AS cl
+       |  FROM g JOIN embeddings qe ON g.q_id = qe.vec_id
+       |  JOIN embeddings ce ON g.cand_id = ce.vec_id),
+       |pos AS (SELECT q_id AS anchor_id, cand_id AS pos_id, cos AS pos_cos FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY q_id
+       |     ORDER BY cos DESC, cand_id) AS pr
+       |   FROM gl WHERE ql = cl) WHERE pr = 1),
+       |neg AS (SELECT q_id AS anchor_id,
+       |    string_agg(CAST(cand_id AS VARCHAR), ',' ORDER BY nr) AS negs,
+       |    count(*) AS n_negs
+       |  FROM (SELECT * FROM
+       |    (SELECT *, row_number() OVER (PARTITION BY q_id
+       |       ORDER BY cos DESC, cand_id) AS nr
+       |     FROM gl WHERE ql <> cl) WHERE nr <= $NegK)
+       |  GROUP BY q_id),
+       |ex AS (SELECT pos.anchor_id, pos_id, pos_cos, negs, n_negs
+       |  FROM pos JOIN neg USING (anchor_id))""".stripMargin
+
   private def knnGraphSqlCtes: String =
     s"""$baseSqlCte,
        |b2 AS (SELECT vec_id, e, nrm, ${bucketSql("e")} AS bkt FROM base),
@@ -1222,6 +1315,27 @@ object Similarity {
          |  FROM p)
          |SELECT q_id, cand_id, cos, rnk FROM r WHERE rnk <= $K
          |ORDER BY q_id, rnk""".stripMargin,
+
+    "contrastive_examples" ->
+      s"""$contrastiveSqlCtes
+         |SELECT anchor_id, pos_id, pos_cos, negs, n_negs
+         |FROM ex ORDER BY anchor_id""".stripMargin,
+
+    "contrastive_batches" ->
+      s"""$contrastiveSqlCtes,
+         |rk AS (SELECT *, ${h60Sql("'cb:' || CAST(anchor_id AS VARCHAR)")} AS skey
+         |  FROM ex),
+         |rr AS (SELECT *, row_number() OVER (ORDER BY skey, anchor_id) AS rnk2
+         |  FROM rk),
+         |mm AS (SELECT (rnk2 - 1) // $BatchB AS batch_id, anchor_id,
+         |    unnest(list_concat([anchor_id, pos_id],
+         |      list_transform(string_split(negs, ','),
+         |        x -> CAST(x AS BIGINT)))) AS member
+         |  FROM rr)
+         |SELECT batch_id, count(DISTINCT anchor_id) AS n_examples,
+         |  count(*) AS n_slots, count(DISTINCT member) AS n_distinct,
+         |  count(*) - count(DISTINCT member) AS n_collisions
+         |FROM mm GROUP BY batch_id ORDER BY batch_id""".stripMargin,
 
     "knn_label_eval" ->
       s"""$knnGraphSqlCtes,

@@ -188,6 +188,35 @@ object TimeSeries {
     // the same reason as eval_auc's (Learn.scala byScore note).
     "ts_cusum" -> { (s, d) => cusumOf(dailyEventCounts(events(s, d))) },
 
+    // Robust monotone-trend screen on the daily ingest-volume series:
+    // Mann-Kendall S / tau-a (is volume drifting?) and the Theil-Sen
+    // estimator (how fast, in events/day?) — the non-parametric pair a
+    // pipeline monitor prefers over OLS because a single spiky day cannot
+    // drag either statistic. Both run over the day-PAIR relation
+    // (a.day < b.day), which is day-grain bounded (|days|² rows — ~10⁵
+    // for years of data — regardless of corpus size, same argument as
+    // ts_autocorr's probe join). S is an exact integer sum of explicit
+    // CASE comparisons; the slope median is percentile_cont over IEEE
+    // divisions shared digit-for-digit with the oracle (interpolation
+    // parity precedent: anomaly_iqr).
+    "ts_trend" -> { (s, d) =>
+      dailyEventCounts(events(s, d)).createOrReplaceTempView("g_tr_daily")
+      s.sql(
+        """WITH p AS (SELECT a.n_ev AS va, b.n_ev AS vb,
+          |    datediff(b.day, a.day) AS dd
+          |  FROM g_tr_daily a JOIN g_tr_daily b ON a.day < b.day)
+          |SELECT (SELECT count(*) FROM g_tr_daily) AS n_days,
+          |  count(*) AS n_pairs,
+          |  CAST(sum(CASE WHEN vb > va THEN 1 WHEN vb < va THEN -1 ELSE 0 END)
+          |    AS BIGINT) AS mk_s,
+          |  round(CAST(sum(CASE WHEN vb > va THEN 1 WHEN vb < va THEN -1 ELSE 0 END)
+          |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mk_tau,
+          |  round(percentile_cont(0.5) WITHIN GROUP
+          |    (ORDER BY CAST(vb - va AS DOUBLE) / CAST(dd AS DOUBLE)), 6)
+          |    AS ts_slope
+          |FROM p""".stripMargin)
+    },
+
     // Autocorrelation function of the daily ingest-volume series at lags
     // 1..7 — the seasonality screen (a weekly cycle shows as an acf(7)
     // spike) run before trusting any day-grain drift monitor. Pearson r
@@ -362,6 +391,22 @@ object TimeSeries {
         |SELECT CAST(day AS VARCHAR) AS day, n_ev, cusum_up, cusum_down,
         |  cusum_up = max(cusum_up) OVER () AS is_peak_shift
         |FROM s ORDER BY day""".stripMargin,
+
+    "ts_trend" ->
+      """WITH dly AS (SELECT ts::DATE AS day, count(*) AS n_ev
+        |  FROM events GROUP BY 1),
+        |p AS (SELECT a.n_ev AS va, b.n_ev AS vb,
+        |    date_diff('day', a.day, b.day) AS dd
+        |  FROM dly a JOIN dly b ON a.day < b.day)
+        |SELECT (SELECT count(*) FROM dly) AS n_days,
+        |  count(*) AS n_pairs,
+        |  CAST(sum(CASE WHEN vb > va THEN 1 WHEN vb < va THEN -1 ELSE 0 END)
+        |    AS BIGINT) AS mk_s,
+        |  round(CAST(sum(CASE WHEN vb > va THEN 1 WHEN vb < va THEN -1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mk_tau,
+        |  round(quantile_cont(CAST(vb - va AS DOUBLE) / CAST(dd AS DOUBLE), 0.5), 6)
+        |    AS ts_slope
+        |FROM p""".stripMargin,
 
     "ts_autocorr" ->
       """WITH dly AS (SELECT ts::DATE AS day, count(*) AS n_ev
