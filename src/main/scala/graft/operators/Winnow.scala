@@ -69,20 +69,30 @@ object Winnow {
 
   /** (doc_id, i, sk): every full-window position i (gram positions are
     * 1-based; windows need i >= WinnowW) with min-selection key sk over
-    * the window ending at i. Built map-side: gram hashing is a per-row
-    * array transform, the window is per-doc.
+    * the window ending at i. Gram hashing is one per-row array transform;
+    * the sliding min is a per-doc ROWS window. A fully map-side array
+    * formulation (mins as a second transform over slices of the key
+    * array) was MEASURED SLOWER (10.7 s vs ~3 s at sf0.1): Catalyst
+    * collapses the projections and inlines the md5 key-array expression
+    * into the sliding-min lambda, recomputing it per window — the same
+    * O(n·w) inlining trap TextHash.shingleRows documents.
     */
   private[operators] def selections(docs: DataFrame): DataFrame = {
     val wWin = Window.partitionBy("doc_id").orderBy("i")
       .rowsBetween(-(WinnowW - 1), 0)
     docs
       .where(length(col("text")).between(GuaranteeLen, PosMax))
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, length(text) - ${GramLen - 1}), i -> " +
-          s"named_struct('i', i, 'sk', " +
-          s"(CAST(conv(substring(md5(substring(text, i, $GramLen)), 1, 15), 16, 10) AS BIGINT)" +
-          s" % $HashMod) * $PosCard + ($PosMax - i)))")).as("g"))
-      .select(col("doc_id"), col("g.i").as("i"), col("g.sk").as("sk"))
+      // positions explode FIRST so the md5 key runs as a top-level
+      // codegen'd expression; a transform(...) lambda computing the key
+      // inside the array is interpreted per element (measured slower).
+      // The generator and the key projection fuse into one codegen stage,
+      // so the duplicated text column never materializes.
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - (GramLen - 1))).as("i"))
+      .select(col("doc_id"), col("i"),
+        (pmod(conv(substring(md5(col("text").substr(col("i"), lit(GramLen))), 1, 15),
+          16, 10).cast("long"), lit(HashMod)) * PosCard + (lit(PosMax) - col("i")))
+          .as("sk"))
       .withColumn("skm", min("sk").over(wWin))
       .where(col("i") >= WinnowW)
       .select(col("doc_id"), col("i"), col("skm").as("sk"))
@@ -97,6 +107,48 @@ object Winnow {
       .select(col("doc_id"),
         (lit(PosMax) - pmod(col("sk"), lit(PosCard))).as("pos"),
         expr(s"sk div $PosCard").as("fph"))
+
+  /** (doc_id, fph): each doc's distinct fingerprint hashes (two
+    * selections of the same gram text at different positions collapse to
+    * one fph).
+    */
+  def docFps(docs: DataFrame): DataFrame =
+    fingerprintsOf(docs).select("doc_id", "fph").distinct()
+
+  /** The frozen reference index a winnow ingestion gate probes: distinct
+    * (ref_id, fph) fingerprint postings, with fingerprints in more than
+    * [[FpDfCap]] distinct reference docs dropped (boilerplate — they carry
+    * no per-doc provenance and would make hot fph buckets quadratic).
+    */
+  def referenceIndex(refDocs: DataFrame): DataFrame = {
+    val fp = docFps(refDocs).select(col("doc_id").as("ref_id"), col("fph"))
+    val wF = Window.partitionBy("fph")
+    fp.withColumn("nd", count(lit(1)).over(wF))
+      .where(col("nd") <= FpDfCap)
+      .select("ref_id", "fph")
+  }
+
+  /** Docs in `docs` sharing at least `minShared` distinct winnowing
+    * fingerprints WITH A SINGLE reference doc in `refIdx` (a
+    * [[referenceIndex]] relation) — pair-grain containment, not corpus
+    * membership: on a small-vocabulary corpus most individual grams exist
+    * SOMEWHERE in any large reference, so per-pair shared counts are what
+    * separate a genuine quote/copy from shared vocabulary (measured on the
+    * fixture: background best-pair ~9-14 shared fingerprints, true
+    * overlaps 70-115). Each doc's fingerprints depend only on its own
+    * text, so a streaming gate applies this per micro-batch and matches
+    * the batch answer exactly (StreamingSpec proves it). At 100 TB the
+    * index is precomputed and fph-bucketed; the probe side joins on the
+    * 8-byte key and the df cap bounds every bucket.
+    */
+  def winnowMatchesAgainst(docs: DataFrame, refIdx: DataFrame,
+                           minShared: Long): DataFrame =
+    docFps(docs)
+      .join(refIdx, "fph")
+      .groupBy("doc_id", "ref_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .select("doc_id").distinct()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Per-doc fingerprint profile: windows examined, fingerprints kept,
@@ -118,8 +170,7 @@ object Winnow {
     // fingerprint bucket goes quadratic. Any pair sharing a >=
     // GuaranteeLen-char run of non-boilerplate text appears.
     "wn_overlap_pairs" -> { (s, d) =>
-      val fp = fingerprintsOf(documents(s, d).select("doc_id", "text"))
-        .select("doc_id", "fph").distinct()
+      val fp = docFps(documents(s, d).select("doc_id", "text"))
       val wF = Window.partitionBy("fph")
       val filt = fp.withColumn("nd", count(lit(1)).over(wF))
         .where(col("nd").between(2, FpDfCap))

@@ -188,6 +188,39 @@ object StreamingOps {
     spark.read.parquet(s"$outDir/batch=*").count()
   }
 
+  /** Streaming winnow-overlap ingestion gate — the MOSS-fingerprint face
+    * of [[nearDupIngest]]: each micro-batch's documents are fingerprinted
+    * (Winnow.fingerprintsOf) and docs sharing >= `minShared` fingerprints
+    * with the FROZEN reference index `refFps` are dropped. Unlike the
+    * MinHash gate's probabilistic recall, the winnowing guarantee is
+    * deterministic: any doc sharing a >= Winnow.GuaranteeLen-char run with
+    * the reference fingerprints it in EVERY batch split, so stream ==
+    * batch holds by construction (StreamingSpec proves it). Same
+    * idempotent overwrite-per-batch-directory retry discipline.
+    */
+  def winnowIngest(spark: SparkSession, srcDir: String,
+                   schema: org.apache.spark.sql.types.StructType,
+                   refIdx: DataFrame, minShared: Long, checkpointDir: String,
+                   outDir: String): Long = {
+    val q = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val hit = graft.operators.Winnow.winnowMatchesAgainst(
+          batch.select("doc_id", "text"), refIdx, minShared)
+        batch.join(hit, Seq("doc_id"), "left_anti")
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        graft.Graft.releaseCaches(spark)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$outDir/batch=*").count()
+  }
+
   case class FunnelEvent(user: String, ts: Timestamp, etype: String)
   case class FunnelPath(user: String, tViewUs: Option[Long],
                         tClickUs: Option[Long], tPurchaseUs: Option[Long])

@@ -166,6 +166,37 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("winnowIngest: streamed survivors equal the batch winnow-overlap answer") {
+    import graft.operators.Winnow
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val allIds = docs.collect().map(_.getLong(0)).toSet
+    val probe = docs.where(col("doc_id") % 5 =!= 0)
+    val probeIds = allIds.filter(_ % 5 != 0)
+    val refIdx = Winnow.referenceIndex(docs.where(col("doc_id") % 5 === 0))
+      .localCheckpoint()
+    // pair-grain threshold well above the measured shared-vocabulary
+    // background (~9-14 shared fingerprints per best pair on this fixture)
+    val minShared = 24L
+    // batch ground truth: fingerprints depend only on each doc's own text,
+    // so micro-batch boundaries cannot change the hit set
+    val dropped = Winnow.winnowMatchesAgainst(probe, refIdx, minShared)
+      .collect().map(_.getLong(0)).toSet
+    Graft.releaseCaches(spark)
+    assert(dropped.nonEmpty, "fixture near-dup twins must overlap the reference")
+    assert(dropped.size < probeIds.size, "gate must not drop everything")
+
+    val tmp = java.nio.file.Files.createTempDirectory("winnow").toString
+    probe.repartition(3).write.parquet(s"$tmp/src")
+    val n = StreamingOps.winnowIngest(spark, s"$tmp/src", probe.schema,
+      refIdx, minShared, s"$tmp/ck", s"$tmp/out")
+    val survivors = spark.read.parquet(s"$tmp/out/batch=*")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == (probeIds -- dropped),
+      s"extra: ${(survivors -- (probeIds -- dropped)).take(3)}; " +
+        s"missing: ${((probeIds -- dropped) -- survivors).take(3)}")
+    assert(n == survivors.size.toLong)
+  }
+
   test("nearDupIngest: streamed survivors equal the batch cross-set minhash answer") {
     import graft.operators.Dedup
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
