@@ -90,8 +90,8 @@ object Winnow {
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(1), length(col("text")) - (GramLen - 1))).as("i"))
       .select(col("doc_id"), col("i"),
-        (pmod(conv(substring(md5(col("text").substr(col("i"), lit(GramLen))), 1, 15),
-          16, 10).cast("long"), lit(HashMod)) * PosCard + (lit(PosMax) - col("i")))
+        (pmod(h60(col("text").substr(col("i"), lit(GramLen))), lit(HashMod))
+          * PosCard + (lit(PosMax) - col("i")))
           .as("sk"))
       .withColumn("skm", min("sk").over(wWin))
       .where(col("i") >= WinnowW)
@@ -110,10 +110,13 @@ object Winnow {
 
   /** (doc_id, fph): each doc's distinct fingerprint hashes (two
     * selections of the same gram text at different positions collapse to
-    * one fph).
+    * one fph). Drops the position field BEFORE the distinct so the
+    * hash-grain dedup is ONE aggregation exchange ([[fingerprintsOf]]
+    * would pay a (doc_id, sk)-grain distinct first, then need a second).
     */
   def docFps(docs: DataFrame): DataFrame =
-    fingerprintsOf(docs).select("doc_id", "fph").distinct()
+    selections(docs)
+      .select(col("doc_id"), expr(s"sk div $PosCard").as("fph")).distinct()
 
   /** The frozen reference index a winnow ingestion gate probes: distinct
     * (ref_id, fph) fingerprint postings, with fingerprints in more than

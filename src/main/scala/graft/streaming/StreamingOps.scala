@@ -168,16 +168,33 @@ object StreamingOps {
   def nearDupIngest(spark: SparkSession, srcDir: String,
                     schema: org.apache.spark.sql.types.StructType,
                     refSigs: DataFrame, checkpointDir: String,
-                    outDir: String): Long = {
+                    outDir: String): Long =
+    gatedIngest(spark, srcDir, schema, checkpointDir, outDir) { batch =>
+      graft.operators.Dedup.minhashMatchesAgainst(
+        batch.select("doc_id", "text"), refSigs)
+    }
+
+  /** Shared ingestion-gate mechanics for [[nearDupIngest]] /
+    * [[winnowIngest]]: drain `srcDir` with `Trigger.AvailableNow`,
+    * anti-join each micro-batch against `hits(batch)` (doc_ids to drop),
+    * OVERWRITE the batch's own `batch=<id>` subdirectory (idempotent on
+    * retry — a replayed batch rewrites the same files instead of
+    * appending), and count survivors. The final read passes the KNOWN
+    * `schema`: a gate that drops every document leaves only _SUCCESS
+    * markers, and schema inference over that glob would throw instead of
+    * returning 0.
+    */
+  private def gatedIngest(spark: SparkSession, srcDir: String,
+                          schema: org.apache.spark.sql.types.StructType,
+                          checkpointDir: String, outDir: String)
+                         (hits: DataFrame => DataFrame): Long = {
     val q = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val dup = graft.operators.Dedup.minhashMatchesAgainst(
-          batch.select("doc_id", "text"), refSigs)
-        batch.join(dup, Seq("doc_id"), "left_anti")
+        batch.join(hits(batch), Seq("doc_id"), "left_anti")
           .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         graft.Graft.releaseCaches(spark)
       }
@@ -185,7 +202,7 @@ object StreamingOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(s"$outDir/batch=*").count()
+    spark.read.schema(schema).parquet(s"$outDir/batch=*").count()
   }
 
   /** Streaming winnow-overlap ingestion gate — the MOSS-fingerprint face
@@ -201,25 +218,11 @@ object StreamingOps {
   def winnowIngest(spark: SparkSession, srcDir: String,
                    schema: org.apache.spark.sql.types.StructType,
                    refIdx: DataFrame, minShared: Long, checkpointDir: String,
-                   outDir: String): Long = {
-    val q = spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(srcDir)
-      .writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val hit = graft.operators.Winnow.winnowMatchesAgainst(
-          batch.select("doc_id", "text"), refIdx, minShared)
-        batch.join(hit, Seq("doc_id"), "left_anti")
-          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-        graft.Graft.releaseCaches(spark)
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.read.parquet(s"$outDir/batch=*").count()
-  }
+                   outDir: String): Long =
+    gatedIngest(spark, srcDir, schema, checkpointDir, outDir) { batch =>
+      graft.operators.Winnow.winnowMatchesAgainst(
+        batch.select("doc_id", "text"), refIdx, minShared)
+    }
 
   case class FunnelEvent(user: String, ts: Timestamp, etype: String)
   case class FunnelPath(user: String, tViewUs: Option[Long],

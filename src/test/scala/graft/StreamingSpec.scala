@@ -197,6 +197,23 @@ class StreamingSpec extends SparkSpecBase {
     assert(n == survivors.size.toLong)
   }
 
+  test("winnowIngest: all-dropped batches return 0, not a schema-inference failure") {
+    import graft.operators.Winnow
+    // every probe doc IS the reference, so each shares all its own
+    // fingerprints (>= 1) and the gate drops everything: the survivor
+    // glob holds only _SUCCESS markers
+    val docs = spark.createDataFrame(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "pack my box with five dozen liquor jugs right now")
+    )).toDF("doc_id", "text")
+    val refIdx = Winnow.referenceIndex(docs).localCheckpoint()
+    val tmp = java.nio.file.Files.createTempDirectory("winnow0").toString
+    docs.write.parquet(s"$tmp/src")
+    val n = StreamingOps.winnowIngest(spark, s"$tmp/src", docs.schema,
+      refIdx, 1L, s"$tmp/ck", s"$tmp/out")
+    assert(n == 0L)
+  }
+
   test("nearDupIngest: streamed survivors equal the batch cross-set minhash answer") {
     import graft.operators.Dedup
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
