@@ -931,8 +931,70 @@ object Corpus {
             (col("n_types").cast("double") * (col("sxx9").cast("double") / 1e9) -
               (col("sx9").cast("double") / 1e9) * (col("sx9").cast("double") / 1e9)),
             6).as("zipf_slope"))
+    },
+
+    // Heaps'-law fit: vocabulary growth V(N) ~ k*N^beta reading the corpus
+    // in doc_id order (natural text: beta ~ 0.4-0.6; beta near 1 flags
+    // unbounded novelty — IDs/noise; near 0 a closed template vocabulary).
+    // Zipf's dual, and the curve that predicts how a tokenizer's OOV rate
+    // decays as the corpus grows. Fit at TWO type grains so the fixture
+    // exercises both regimes non-vacuously: word types (the fixture's
+    // closed 31-word vocabulary saturates -> beta ~ 0) and word-3-gram
+    // types (a combinatorially open space that keeps growing -> beta well
+    // away from 0) — the token-vs-shingle gap itself is the
+    // template-corpus diagnostic. A classically SEQUENTIAL statistic made
+    // distributed: a type's first-occurrence doc is just min(doc_id) over
+    // the occurrence stream (no global scan order needed), per-doc
+    // occurrence and new-type counts prefix-sum through
+    // Ranking.globalCumSum (doc-grain relation, never one task), and the
+    // log-log OLS moments accumulate with vocab_zipf_slope's 1e-9
+    // fixed-point DECIMAL(38,0) discipline.
+    "vocab_heaps_slope" -> { (s, d) =>
+      val docs = documents(s, d).select("doc_id", "text")
+      val tokStream = docs.select(col("doc_id"), explode(toks(col("text"))).as("ty"))
+      val shStream = shingleRows(docs).select(col("doc_id"), col("sh").as("ty"))
+      heapsFit(shStream, "shingle3").unionAll(heapsFit(tokStream, "token"))
+        .orderBy("grain")
     }
   )
+
+  /** One Heaps'-law OLS fit over a (doc_id, ty) type-occurrence stream;
+    * docs with no occurrences at this grain (< 3 tokens for shingles)
+    * contribute no curve point, mirrored in the oracle.
+    */
+  private def heapsFit(stream: DataFrame, grain: String): DataFrame = {
+    val nt = stream.groupBy("doc_id").agg(count(lit(1)).as("n_occ"))
+    val nu = stream.groupBy("ty").agg(min("doc_id").as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("new_types"))
+    val doc = nt.join(nu, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_occ"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+    // globalCumSum is an EXCLUSIVE prefix; add the row's own value
+    val c1 = Ranking.globalCumSum(doc, Seq(asc("doc_id")), col("n_occ"), "nd0")
+    val c2 = Ranking.globalCumSum(c1, Seq(asc("doc_id")), col("new_types"), "vd0")
+    val curve = c2.select(
+      (col("nd0") + col("n_occ")).as("nd"),
+      (col("vd0") + col("new_types")).as("vd"))
+    val x = log(col("nd").cast("double"))
+    val y = log(col("vd").cast("double"))
+    val t = curve.select(col("nd"), col("vd"),
+      round(x * 1e9).cast("long").as("x9"),
+      round(y * 1e9).cast("long").as("y9"),
+      round(x * y * 1e9).cast("long").as("xy9"),
+      round(x * x * 1e9).cast("long").as("xx9"))
+    val dec = DecimalType(38, 0)
+    t.agg(count(lit(1)).as("n_docs"),
+        max("nd").as("total_units"), max("vd").as("vocab_size"),
+        sum(col("x9").cast(dec)).as("sx9"), sum(col("y9").cast(dec)).as("sy9"),
+        sum(col("xy9").cast(dec)).as("sxy9"), sum(col("xx9").cast(dec)).as("sxx9"))
+      .select(lit(grain).as("grain"), col("n_docs"), col("total_units"),
+        col("vocab_size"),
+        round((col("n_docs").cast("double") * (col("sxy9").cast("double") / 1e9) -
+          (col("sx9").cast("double") / 1e9) * (col("sy9").cast("double") / 1e9)) /
+          (col("n_docs").cast("double") * (col("sxx9").cast("double") / 1e9) -
+            (col("sx9").cast("double") / 1e9) * (col("sx9").cast("double") / 1e9)),
+          6).as("heaps_beta"))
+  }
 
   private def shardAssignBalanced(s: SparkSession, d: String): DataFrame = {
     val base = documents(s, d)
@@ -1333,8 +1395,52 @@ object Corpus {
          |    / (CAST(n AS DOUBLE) * (CAST(sxx9 AS DOUBLE)/1e9)
          |      - (CAST(sx9 AS DOUBLE)/1e9) * (CAST(sx9 AS DOUBLE)/1e9)), 6)
          |    AS zipf_slope
-         |FROM m""".stripMargin
+         |FROM m""".stripMargin,
+
+    "vocab_heaps_slope" ->
+      s"""WITH tt AS (SELECT doc_id, ${toksSql("text")} AS tt FROM documents),
+         |${heapsChain("tk", s"SELECT doc_id, unnest(${toksSql("text")}) AS ty FROM documents")},
+         |${heapsChain("sh", s"SELECT doc_id, unnest(${shingles3Sql("tt")}) AS ty FROM tt")}
+         |SELECT * FROM (
+         |  ${heapsArm("tk", "token")}
+         |  UNION ALL
+         |  ${heapsArm("sh", "shingle3")}
+         |) ORDER BY grain""".stripMargin
   )
+
+  /** Oracle CTE chain for one Heaps'-law grain (prefix `p`), mirroring
+    * [[heapsFit]] term for term over the `src` (doc_id, ty) stream.
+    */
+  private def heapsChain(p: String, src: String): String =
+    s"""${p}s AS ($src),
+       |${p}nt AS (SELECT doc_id, count(*) AS n_occ FROM ${p}s GROUP BY 1),
+       |${p}nu AS (SELECT fd AS doc_id, count(*) AS new_types FROM
+       |    (SELECT ty, min(doc_id) AS fd FROM ${p}s GROUP BY 1) GROUP BY 1),
+       |${p}dg AS (SELECT a.doc_id, a.n_occ, coalesce(b.new_types, 0) AS new_types
+       |  FROM ${p}nt a LEFT JOIN ${p}nu b ON a.doc_id = b.doc_id),
+       |${p}cs AS (SELECT CAST(sum(n_occ) OVER w AS BIGINT) AS nd,
+       |    CAST(sum(new_types) OVER w AS BIGINT) AS vd FROM ${p}dg
+       |  WINDOW w AS (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |${p}r AS (SELECT nd, vd, ln(CAST(nd AS DOUBLE)) AS x,
+       |    ln(CAST(vd AS DOUBLE)) AS y FROM ${p}cs),
+       |${p}t AS (SELECT nd, vd, CAST(round(x*1e9) AS BIGINT) AS x9,
+       |    CAST(round(y*1e9) AS BIGINT) AS y9,
+       |    CAST(round(x*y*1e9) AS BIGINT) AS xy9,
+       |    CAST(round(x*x*1e9) AS BIGINT) AS xx9 FROM ${p}r),
+       |${p}m AS (SELECT count(*) AS n, max(nd) AS total_units,
+       |    max(vd) AS vocab_size, sum(CAST(x9 AS HUGEINT)) AS sx9,
+       |    sum(CAST(y9 AS HUGEINT)) AS sy9, sum(CAST(xy9 AS HUGEINT)) AS sxy9,
+       |    sum(CAST(xx9 AS HUGEINT)) AS sxx9 FROM ${p}t)""".stripMargin
+
+  private def heapsArm(p: String, grain: String): String =
+    s"""SELECT '$grain' AS grain, n AS n_docs, total_units, vocab_size,
+       |    round((CAST(n AS DOUBLE) * (CAST(sxy9 AS DOUBLE)/1e9)
+       |        - (CAST(sx9 AS DOUBLE)/1e9) * (CAST(sy9 AS DOUBLE)/1e9))
+       |      / (CAST(n AS DOUBLE) * (CAST(sxx9 AS DOUBLE)/1e9)
+       |        - (CAST(sx9 AS DOUBLE)/1e9) * (CAST(sx9 AS DOUBLE)/1e9)), 6)
+       |      AS heaps_beta
+       |  FROM ${p}m""".stripMargin
 
   /** Oracle CTE for the serpentine token-balanced shard assignment (the
     * oracle may use a plain global window; the engine side rides
