@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -107,6 +108,50 @@ object Drift {
           round(col("dp").cast("double") / (col("nx") * col("ny")), 6)
             .as("style_cos"))
         .orderBy("source_x", "source_y")
+    },
+
+    // Exact two-sample Kolmogorov-Smirnov statistic per source:
+    // D_s = sup_x |F_s(x) - F_rest(x)| between the source's doc-length
+    // ECDF and the REST of the corpus — the exact-order-statistic member
+    // of the drift battery (KL and chi² see token/label frequencies; KS
+    // sees any shift in a numeric distribution's shape). The sup of two
+    // step functions is attained at an observed value, so evaluating
+    // every source at every DISTINCT corpus length is exact; cumulative
+    // counts ride per-source windows over a |sources| x |distinct
+    // lengths| scaffold (bounded by the length value domain, not corpus
+    // size), the rest-ECDF derives from CG(x) = sum_s CS_s(x) by one
+    // groupBy — no global window. The max picks by the exact integer
+    // cross-multiplied numerator |CS*(N-n_s) - (CG-CS)*n_s| in
+    // DECIMAL(38,0) (products overflow a long at web-scale N), dividing
+    // to double ONCE on the winner.
+    "drift_ks_length" -> { (s, d) =>
+      val dec = DecimalType(38, 0)
+      val sx = documents(s, d)
+        .select(col("source"), col("n_chars").as("x"))
+        .groupBy("source", "x").agg(count(lit(1)).as("c"))
+      val xs = sx.select("x").distinct()
+      val srcs = sx.groupBy("source").agg(sum("c").as("n_s"))
+      val tot = sx.agg(sum("c").as("n_tot"))
+      val wS = Window.partitionBy("source").orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = srcs.crossJoin(xs)
+        .join(sx, Seq("source", "x"), "left")
+        .select(col("source"), col("n_s"), col("x"),
+          coalesce(col("c"), lit(0L)).as("c"))
+        .withColumn("cs", sum("c").over(wS))
+      val cg = cum.groupBy("x").agg(sum("cs").as("cgx"))
+      cum.join(cg, "x").crossJoin(broadcast(tot))
+        .select(col("source"), col("n_s"), col("n_tot"),
+          abs(col("cs").cast(dec) * (col("n_tot") - col("n_s")) -
+            (col("cgx") - col("cs")).cast(dec) * col("n_s")).as("num"))
+        .groupBy("source")
+        .agg(first("n_s").as("n_docs"), first("n_tot").as("nt"),
+          max("num").as("mnum"))
+        .select(col("source"), col("n_docs"),
+          round(col("mnum").cast("double") /
+            (col("n_docs").cast("double") *
+              (col("nt") - col("n_docs")).cast("double")), 6).as("ks_stat"))
+        .orderBy("source")
     }
   )
 
@@ -239,6 +284,30 @@ object Drift {
         |    CAST(round((a.m - b.m)*(a.m - b.m)*1e9) AS BIGINT) AS c9
         |  FROM st a JOIN st b ON a.dim = b.dim AND a.label < b.label)
         |SELECT label_a, label_b, round(CAST(sum(c9) AS DOUBLE)/1e9, 6) AS mmd2
-        |FROM p GROUP BY 1, 2 ORDER BY label_a, label_b""".stripMargin
+        |FROM p GROUP BY 1, 2 ORDER BY label_a, label_b""".stripMargin,
+
+    "drift_ks_length" ->
+      """WITH sx AS (SELECT source, n_chars AS x, count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |xs AS (SELECT DISTINCT x FROM sx),
+        |srcs AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM sx GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tot FROM sx),
+        |sc AS (SELECT srcs.source, srcs.n_s, xs.x, coalesce(sx.c, 0) AS c
+        |  FROM srcs CROSS JOIN xs
+        |  LEFT JOIN sx ON sx.source = srcs.source AND sx.x = xs.x),
+        |cum AS (SELECT source, n_s, x,
+        |    CAST(sum(c) OVER (PARTITION BY source ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cs
+        |  FROM sc),
+        |cg AS (SELECT x, CAST(sum(cs) AS BIGINT) AS cgx FROM cum GROUP BY 1),
+        |num AS (SELECT source, n_s, n_tot,
+        |    abs(CAST(cs AS HUGEINT) * (n_tot - n_s)
+        |      - CAST(cgx - cs AS HUGEINT) * n_s) AS num
+        |  FROM cum JOIN cg USING (x) CROSS JOIN tot)
+        |SELECT source, any_value(n_s) AS n_docs,
+        |  round(CAST(max(num) AS DOUBLE)
+        |    / (CAST(any_value(n_s) AS DOUBLE)
+        |       * CAST(any_value(n_tot) - any_value(n_s) AS DOUBLE)), 6) AS ks_stat
+        |FROM num GROUP BY source ORDER BY source""".stripMargin
   )
 }
