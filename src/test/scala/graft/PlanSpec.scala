@@ -540,4 +540,16 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Expand"),
       s"the (split, tok) pre-aggregate should remove multi-distinct Expand:\n$p")
   }
+
+  test("wn_overlap_pairs: fingerprint pair join is fph-keyed, never all-pairs") {
+    val p = plan("wn_overlap_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the winnow pair join must stay an equi-join on the fingerprint hash:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"expected an fph equi-join:\n$p")
+    // the length band is a function predicate (can't push into parquet),
+    // but column pruning must: the scan reads ONLY (doc_id, text)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"documents scan should prune to doc_id+text:\n$p")
+  }
 }
