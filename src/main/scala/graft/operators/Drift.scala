@@ -126,21 +126,8 @@ object Drift {
     // to double ONCE on the winner.
     "drift_ks_length" -> { (s, d) =>
       val dec = DecimalType(38, 0)
-      val sx = documents(s, d)
-        .select(col("source"), col("n_chars").as("x"))
-        .groupBy("source", "x").agg(count(lit(1)).as("c"))
-      val xs = sx.select("x").distinct()
-      val srcs = sx.groupBy("source").agg(sum("c").as("n_s"))
-      val tot = sx.agg(sum("c").as("n_tot"))
-      val wS = Window.partitionBy("source").orderBy("x")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = srcs.crossJoin(xs)
-        .join(sx, Seq("source", "x"), "left")
-        .select(col("source"), col("n_s"), col("x"),
-          coalesce(col("c"), lit(0L)).as("c"))
-        .withColumn("cs", sum("c").over(wS))
-      val cg = cum.groupBy("x").agg(sum("cs").as("cgx"))
-      cum.join(cg, "x").crossJoin(broadcast(tot))
+      val cum = lengthEcdfScaffold(s, d)
+      cum
         .select(col("source"), col("n_s"), col("n_tot"),
           abs(col("cs").cast(dec) * (col("n_tot") - col("n_s")) -
             (col("cgx") - col("cs")).cast(dec) * col("n_s")).as("num"))
@@ -152,8 +139,61 @@ object Drift {
             (col("n_docs").cast("double") *
               (col("nt") - col("n_docs")).cast("double")), 6).as("ks_stat"))
         .orderBy("source")
+    },
+
+    // Exact 1-D Wasserstein-1 (earth-mover) distance per source on the
+    // same scaffold: W1 = integral |F_s(x) - F_rest(x)| dx = sum over
+    // consecutive distinct lengths of |CDF gap| * (next_x - x) — where KS
+    // reports the WORST pointwise CDF gap, W1 reports how much mass must
+    // move how far (the drift magnitude embedding-shift monitoring
+    // thresholds on). Same exact integer cross-multiplied numerators;
+    // the single double division happens after the full integer sum.
+    "drift_w1_length" -> { (s, d) =>
+      val dec = DecimalType(38, 0)
+      val wS = Window.partitionBy("source").orderBy("x")
+      val cum = lengthEcdfScaffold(s, d)
+        .withColumn("nx", lead("x", 1).over(wS))
+      cum
+        .where(col("nx").isNotNull)
+        .select(col("source"), col("n_s"), col("n_tot"),
+          (abs(col("cs").cast(dec) * (col("n_tot") - col("n_s")) -
+            (col("cgx") - col("cs")).cast(dec) * col("n_s")) *
+            (col("nx") - col("x"))).as("term"))
+        .groupBy("source")
+        .agg(first("n_s").as("n_docs"), first("n_tot").as("nt"),
+          sum("term").as("tsum"))
+        .select(col("source"), col("n_docs"),
+          round(col("tsum").cast("double") /
+            (col("n_docs").cast("double") *
+              (col("nt") - col("n_docs")).cast("double")), 6).as("w1_dist"))
+        .orderBy("source")
     }
   )
+
+  /** Shared ECDF scaffold for the order-statistic drift tests: one row per
+    * (source, distinct corpus length x) with the source's cumulative doc
+    * count cs, the corpus cumulative cgx, the source total n_s, and the
+    * corpus total n_tot. Size is |sources| x |distinct lengths| — bounded
+    * by the VALUE DOMAIN of the measured column, not corpus size; the
+    * rest-side CDF derives from cgx - cs, so no global window runs.
+    */
+  private def lengthEcdfScaffold(s: SparkSession, d: String): DataFrame = {
+    val sx = documents(s, d)
+      .select(col("source"), col("n_chars").as("x"))
+      .groupBy("source", "x").agg(count(lit(1)).as("c"))
+    val xs = sx.select("x").distinct()
+    val srcs = sx.groupBy("source").agg(sum("c").as("n_s"))
+    val tot = sx.agg(sum("c").as("n_tot"))
+    val wS = Window.partitionBy("source").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = srcs.crossJoin(xs)
+      .join(sx, Seq("source", "x"), "left")
+      .select(col("source"), col("n_s"), col("x"),
+        coalesce(col("c"), lit(0L)).as("c"))
+      .withColumn("cs", sum("c").over(wS))
+    val cg = cum.groupBy("x").agg(sum("cs").as("cgx"))
+    cum.join(cg, "x").crossJoin(broadcast(tot))
+  }
 
   /** (label_a, label_b, mmd2) for every label pair of a (label, embedding)
     * relation — the [[queries]] emb_drift_mmd kernel, factored for the
@@ -287,19 +327,7 @@ object Drift {
         |FROM p GROUP BY 1, 2 ORDER BY label_a, label_b""".stripMargin,
 
     "drift_ks_length" ->
-      """WITH sx AS (SELECT source, n_chars AS x, count(*) AS c
-        |  FROM documents GROUP BY 1, 2),
-        |xs AS (SELECT DISTINCT x FROM sx),
-        |srcs AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM sx GROUP BY 1),
-        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tot FROM sx),
-        |sc AS (SELECT srcs.source, srcs.n_s, xs.x, coalesce(sx.c, 0) AS c
-        |  FROM srcs CROSS JOIN xs
-        |  LEFT JOIN sx ON sx.source = srcs.source AND sx.x = xs.x),
-        |cum AS (SELECT source, n_s, x,
-        |    CAST(sum(c) OVER (PARTITION BY source ORDER BY x
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cs
-        |  FROM sc),
-        |cg AS (SELECT x, CAST(sum(cs) AS BIGINT) AS cgx FROM cum GROUP BY 1),
+      s"""WITH $ecdfCtes,
         |num AS (SELECT source, n_s, n_tot,
         |    abs(CAST(cs AS HUGEINT) * (n_tot - n_s)
         |      - CAST(cgx - cs AS HUGEINT) * n_s) AS num
@@ -308,6 +336,37 @@ object Drift {
         |  round(CAST(max(num) AS DOUBLE)
         |    / (CAST(any_value(n_s) AS DOUBLE)
         |       * CAST(any_value(n_tot) - any_value(n_s) AS DOUBLE)), 6) AS ks_stat
-        |FROM num GROUP BY source ORDER BY source""".stripMargin
+        |FROM num GROUP BY source ORDER BY source""".stripMargin,
+
+    "drift_w1_length" ->
+      s"""WITH $ecdfCtes,
+        |stp AS (SELECT source, n_s, n_tot, x, cs, cgx,
+        |    lead(x) OVER (PARTITION BY source ORDER BY x) AS nx
+        |  FROM cum JOIN cg USING (x) CROSS JOIN tot),
+        |terms AS (SELECT source, n_s, n_tot,
+        |    abs(CAST(cs AS HUGEINT) * (n_tot - n_s)
+        |      - CAST(cgx - cs AS HUGEINT) * n_s) * (nx - x) AS term
+        |  FROM stp WHERE nx IS NOT NULL)
+        |SELECT source, any_value(n_s) AS n_docs,
+        |  round(CAST(sum(term) AS DOUBLE)
+        |    / (CAST(any_value(n_s) AS DOUBLE)
+        |       * CAST(any_value(n_tot) - any_value(n_s) AS DOUBLE)), 6) AS w1_dist
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin
   )
+
+  /** Oracle CTE chain mirroring [[lengthEcdfScaffold]]. */
+  private def ecdfCtes: String =
+    """sx AS (SELECT source, n_chars AS x, count(*) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |xs AS (SELECT DISTINCT x FROM sx),
+      |srcs AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM sx GROUP BY 1),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tot FROM sx),
+      |sc AS (SELECT srcs.source, srcs.n_s, xs.x, coalesce(sx.c, 0) AS c
+      |  FROM srcs CROSS JOIN xs
+      |  LEFT JOIN sx ON sx.source = srcs.source AND sx.x = xs.x),
+      |cum AS (SELECT source, n_s, x,
+      |    CAST(sum(c) OVER (PARTITION BY source ORDER BY x
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cs
+      |  FROM sc),
+      |cg AS (SELECT x, CAST(sum(cs) AS BIGINT) AS cgx FROM cum GROUP BY 1)""".stripMargin
 }
