@@ -166,6 +166,60 @@ object UnigramLm {
     (pieces, words)
   }
 
+  /** Fixed-point log-prob penalty for a character absent from the frozen
+    * inventory (deploy-time unknown fallback; ln(1e-9) ~ -20.7 — worse
+    * than any trained piece, so unks never displace a known path).
+    */
+  val UnkLogp9: Long = math.round(math.log(1e-9) * 1e9)
+
+  /** Viterbi-encode ANY (doc_id, text) relation under a FROZEN piece
+    * inventory — the deploy-time face. Unlike training, unseen words and
+    * even unseen CHARACTERS must encode: a single char absent from the
+    * inventory becomes its own piece at the [[UnkLogp9]] penalty, so the
+    * DP always completes. Known words reproduce their training
+    * segmentation exactly (same inventory, same DP). Per-document
+    * roll-up mirrors BpeTrainer.encodeDocs; stateless given the
+    * broadcast inventory, so a stream applies it per micro-batch and
+    * matches batch exactly (StreamingSpec proves it).
+    */
+  def encodeDocs(docs: DataFrame, pieces: DataFrame): DataFrame = {
+    val words = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("word"))
+      .where(length(col("word")).between(1, MaxWordLen))
+    val wl = words.select("word").distinct()
+      .select(col("word"), length(col("word")).as("len"))
+    val spans = wl
+      .select(col("word"), col("len"),
+        explode(sequence(lit(1), col("len"))).as("j"))
+      .select(col("word"), col("len"), col("j"),
+        explode(sequence(lit(1), least(lit(MaxPieceLen), col("len") - col("j") + 1)))
+          .as("l"))
+      .select(col("word"), col("len"), col("j"), col("l"),
+        col("word").substr(col("j"), col("l")).as("c"))
+    val known = spans
+      .join(broadcast(pieces.select(col("piece"), col("logp9"))),
+        col("c") === col("piece"))
+      .select(col("word"), col("len"), col("j"), col("l"), col("logp9"))
+    val unk = spans.where(col("l") === 1)
+      .join(broadcast(pieces.select(col("piece"))),
+        col("c") === col("piece"), "left_anti")
+      .select(col("word"), col("len"), col("j"), col("l"),
+        lit(UnkLogp9).as("logp9"))
+    val seg = known.unionByName(unk)
+      .groupBy("word", "len")
+      .agg(collect_list(struct(col("j").as("j"), col("l").as("l"),
+        col("logp9").as("lp"))).as("cands"))
+      .select(col("word"), expr(viterbiExpr).as("v"))
+      .select(col("word"), size(col("v.ps")).as("n_pieces"))
+    words.join(broadcast(seg), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_pieces").as("n_subwords"),
+        sum(length(col("word"))).as("n_chars"))
+      .select(col("doc_id"), col("n_words"), col("n_subwords"),
+        round(col("n_chars").cast("double") / col("n_subwords").cast("double"), 6)
+          .as("chars_per_subword"))
+  }
+
   // -------------------------------------------------------------- queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -945,6 +945,39 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("frozen unigram-LM inventory encodes a stream identically to batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.operators.UnigramLm
+    // train once, freeze the inventory (piece table is vocabulary-sized)
+    val pieces = UnigramLm.train(spark, sfDir)._1.localCheckpoint()
+    val batch = UnigramLm
+      .encodeDocs(Tables.documents(spark, sfDir).select("doc_id", "text"), pieces)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(batch.nonEmpty)
+
+    val docRows = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    val acc = scala.collection.mutable.Set[(Long, Long, Long, Double)]()
+    val q = in.toDF.toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        acc.synchronized {
+          acc ++= UnigramLm.encodeDocs(b, pieces).collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        }
+        ()
+      }.start()
+    try {
+      val (a, b2) = docRows.splitAt(docRows.length / 2)
+      in.addData(a.toSeq); q.processAllAvailable()
+      in.addData(b2.toSeq); q.processAllAvailable()
+      assert(acc.synchronized(acc.toSet) === batch)
+    } finally q.stop()
+  }
+
   test("NB classifier scores a stream identically to batch (train-batch/deploy-stream)") {
     val s = spark
     import s.implicits._

@@ -61,6 +61,22 @@ class UnigramLmSpec extends SparkSpecBase {
     }
   }
 
+  test("deploy encoder reproduces training segmentations and survives unseen characters") {
+    import spark.implicits._
+    val (pieces, words) = UnigramLm.train(spark, sfDir)
+    val frozen = pieces.localCheckpoint()
+    // a known fixture word must encode with its training piece count;
+    // '#' never appears in the word-soup corpus, so "##" must take the
+    // unk fallback: two single-char penalty pieces
+    val w = words.select("word", "ps").collect().head
+    val docs = Seq((1L, w.getString(0)), (2L, "##")).toDF("doc_id", "text")
+    val enc = UnigramLm.encodeDocs(docs, frozen)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(enc(1L) == w.getSeq[String](1).size.toLong,
+      "known word must reproduce its training segmentation")
+    assert(enc(2L) == 2L, "unseen chars must each become one unk piece")
+  }
+
   test("empty corpus degenerates to empty artifacts, not a crash") {
     val empty = spark.range(0).selectExpr("'' as text", "id as doc_id")
     val tmp = java.nio.file.Files.createTempDirectory("ulm0").toString
