@@ -24,6 +24,9 @@ object Drift {
 
   private val Fix = 1e9
 
+  /** Equi-depth bins for the PSI drift metric (the conventional 10). */
+  val PsiBins = 10
+
   /** Per-(source, token) counts — the single corpus-wide shuffle. */
   private def srcTok(s: SparkSession, d: String): DataFrame =
     documents(s, d)
@@ -138,6 +141,42 @@ object Drift {
           round(col("mnum").cast("double") /
             (col("n_docs").cast("double") *
               (col("nt") - col("n_docs")).cast("double")), 6).as("ks_stat"))
+        .orderBy("source")
+    },
+
+    // Population Stability Index per source — the binned drift metric
+    // production scorecards threshold on (<0.1 stable, >0.25 action):
+    // doc lengths bin into [[PsiBins]] GLOBAL equi-depth deciles (ranks
+    // via Ranking.globalRank — corpus-sized, never one task), then
+    // PSI_s = sum_i (p_i - q_i) ln(p_i / q_i) of the source's bin shares
+    // p against the rest-of-corpus shares q. Empty cells take the
+    // standard 1e-6 floor IN BOTH ENGINES (PSI is undefined at zero);
+    // terms accumulate as 1e-9 fixed-point longs.
+    "drift_psi_length" -> { (s, d) =>
+      val docs = documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+      val ranked = Ranking.globalRank(docs, Seq(asc("n_chars"), asc("doc_id")))
+      val n = docs.agg(count(lit(1)).as("n_tot"))
+      val binned = ranked.crossJoin(broadcast(n))
+        .withColumn("bin", expr(s"(rank - 1) * $PsiBins DIV n_tot").cast("int"))
+      val cells = binned.groupBy("source", "bin").agg(count(lit(1)).as("c"))
+      val binTot = binned.groupBy("bin").agg(count(lit(1)).as("bt"))
+      val srcTot = binned.groupBy("source").agg(count(lit(1)).as("n_s"))
+      val grid = srcTot.crossJoin(broadcast(binTot))
+        .join(cells, Seq("source", "bin"), "left")
+        .crossJoin(broadcast(n))
+        .select(col("source"), col("bin"), col("n_s"), col("bt"), col("n_tot"),
+          coalesce(col("c"), lit(0L)).as("c"))
+      val p = when(col("c") === 0, lit(1e-6))
+        .otherwise(col("c").cast("double") / col("n_s").cast("double"))
+      val q = when(col("bt") - col("c") === 0, lit(1e-6))
+        .otherwise((col("bt") - col("c")).cast("double") /
+          (col("n_tot") - col("n_s")).cast("double"))
+      grid
+        .select(col("source"), col("n_s"),
+          round((p - q) * log(p / q) * 1e9).cast("long").as("t9"))
+        .groupBy("source")
+        .agg(first("n_s").as("n_docs"),
+          round(sum("t9").cast("double") / 1e9, 6).as("psi"))
         .orderBy("source")
     },
 
@@ -337,6 +376,33 @@ object Drift {
         |    / (CAST(any_value(n_s) AS DOUBLE)
         |       * CAST(any_value(n_tot) - any_value(n_s) AS DOUBLE)), 6) AS ks_stat
         |FROM num GROUP BY source ORDER BY source""".stripMargin,
+
+    "drift_psi_length" ->
+      s"""WITH r AS (SELECT source,
+         |    row_number() OVER (ORDER BY n_chars, doc_id) AS rank
+         |  FROM documents),
+         |n AS (SELECT count(*) AS n_tot FROM documents),
+         |b AS (SELECT source, CAST((rank - 1) * $PsiBins // n_tot AS INTEGER)
+         |    AS bin FROM r CROSS JOIN n),
+         |cells AS (SELECT source, bin, count(*) AS c FROM b GROUP BY 1, 2),
+         |bt AS (SELECT bin, CAST(count(*) AS BIGINT) AS bt FROM b GROUP BY 1),
+         |st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM b GROUP BY 1),
+         |grid AS (SELECT st.source, bt.bin, st.n_s, bt.bt, n.n_tot,
+         |    coalesce(cells.c, 0) AS c
+         |  FROM st CROSS JOIN bt
+         |  LEFT JOIN cells ON cells.source = st.source AND cells.bin = bt.bin
+         |  CROSS JOIN n),
+         |terms AS (SELECT source, n_s,
+         |    CAST(round((p - q) * ln(p / q) * 1e9) AS BIGINT) AS t9
+         |  FROM (SELECT source, n_s,
+         |      CASE WHEN c = 0 THEN 1e-6
+         |        ELSE CAST(c AS DOUBLE) / CAST(n_s AS DOUBLE) END AS p,
+         |      CASE WHEN bt - c = 0 THEN 1e-6
+         |        ELSE CAST(bt - c AS DOUBLE) / CAST(n_tot - n_s AS DOUBLE) END AS q
+         |    FROM grid))
+         |SELECT source, any_value(n_s) AS n_docs,
+         |  round(CAST(sum(t9) AS DOUBLE) / 1e9, 6) AS psi
+         |FROM terms GROUP BY source ORDER BY source""".stripMargin,
 
     "drift_w1_length" ->
       s"""WITH $ecdfCtes,
