@@ -541,6 +541,17 @@ class PlanSpec extends SparkSpecBase {
       s"the (split, tok) pre-aggregate should remove multi-distinct Expand:\n$p")
   }
 
+  test("ulm_word_encoding: training ran at construction — the plan reads the checkpointed decode") {
+    val p = plan("ulm_word_encoding")
+    // the candidate join + Viterbi decode executed during construction
+    // (iterative-kernel discipline, the bpe_merges precedent); the query
+    // plan itself is a projection over the checkpointed word table —
+    // no corpus rescan, no join, certainly no all-pairs
+    assert(!p.contains("Scan parquet"), s"encoding plan should not rescan the corpus:\n$p")
+    assert(!p.contains("Join"), s"decode already ran; expected a checkpoint read:\n$p")
+    assert(p.contains("ExistingRDD"), s"expected the checkpointed decode scan:\n$p")
+  }
+
   test("wn_overlap_pairs: fingerprint pair join is fph-keyed, never all-pairs") {
     val p = plan("wn_overlap_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
