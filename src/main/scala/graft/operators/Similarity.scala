@@ -911,6 +911,58 @@ object Similarity {
         .orderBy("vec_id")
     },
 
+    // 1-bit (sign) quantization: each dimension collapses to one bit —
+    // above or below the per-dimension corpus mean — packed into two
+    // 32-bit halves of BIGINTs (64x compression; the modern binary-
+    // embedding practice). The threshold test is EXACT integer
+    // arithmetic: bit_i = (x9_i * n > s9_i), the cross-multiplied form
+    // of x_i > mean_i with 1e-9-quantized values, in DECIMAL so
+    // web-scale n cannot overflow — no double ever enters the bit.
+    // The 64-row (n, s9) model state broadcasts as sorted arrays; the
+    // packing is a pure per-row expression (no shuffle).
+    "emb_quantize_binary" -> { (s, d) =>
+      binaryBits(s, d)
+        .select(col("vec_id"), col("bits_lo"), col("bits_hi"),
+          (expr("bit_count(bits_lo)") + expr("bit_count(bits_hi)"))
+            .cast("long").as("n_set"))
+        .orderBy("vec_id")
+    },
+
+    // Brute-force top-k under Hamming distance on the packed bits — the
+    // stage-1 scan of a binary-quantized ANN cascade: xor + popcount per
+    // candidate (two long ops) instead of a 64-term float dot product.
+    // Same broadcast-query/stream-corpus shape as ann_cosine_topk.
+    "ann_hamming_topk" -> { (s, d) =>
+      val p = binaryBits(s, d).persist()
+      val q = p.where(col("vec_id") < QuerySet)
+        .select(col("vec_id").as("q_id"), col("bits_lo").as("qlo"),
+          col("bits_hi").as("qhi"))
+      val w = Window.partitionBy("q_id").orderBy(col("hamming").asc, col("cand_id").asc)
+      broadcast(q).join(p.select(col("vec_id").as("cand_id"),
+          col("bits_lo").as("clo"), col("bits_hi").as("chi")),
+          col("q_id") =!= col("cand_id"))
+        .select(col("q_id"), col("cand_id"),
+          (expr("bit_count(qlo ^ clo)") + expr("bit_count(qhi ^ chi)"))
+            .cast("long").as("hamming"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= K)
+        .orderBy("q_id", "rnk")
+    },
+
+    // Recall@K of the 1-bit Hamming scan against the exact cosine top-k
+    // — the audit that decides whether 64x compression keeps enough
+    // neighborhood structure to serve as a cascade's cheap first stage.
+    "ann_hamming_recall" -> { (s, d) =>
+      val exact = queries("ann_cosine_topk")(s, d).select("q_id", "cand_id")
+      exact.join(queries("ann_hamming_topk")(s, d).select("q_id", "cand_id"),
+          Seq("q_id", "cand_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(broadcast(exact.agg(count(lit(1)).as("total"))))
+        .select(lit("hamming64").as("variant"), col("hits"), col("total"),
+          round(col("hits").cast("double") / col("total").cast("double"), 6)
+            .as("recall"))
+    },
+
     // Per-dimension z-score standardization — the preconditioning step
     // before k-means / LSH when dimensions have uneven spread (a
     // high-variance dimension otherwise dominates every distance). One
@@ -951,6 +1003,27 @@ object Similarity {
       .select(col("vec_id"), (col("dim0") + 1).cast("long").as("dim"),
         round(col("v") * lit(1e9)).cast("long").as("x9"))
 
+  /** (vec_id, bits_lo, bits_hi): mean-centered sign bits of the 64 dims
+    * packed into two 32-bit halves (bit i of lo = dim i+1; of hi = dim
+    * i+33). Thresholding is exact integer arithmetic against the
+    * broadcast per-dim 1e-9 sums — see emb_quantize_binary's scaladoc.
+    */
+  private def binaryBits(s: SparkSession, d: String): DataFrame = {
+    val arrs = embDims9(s, d)
+      .groupBy("dim").agg(sum(col("x9").cast("decimal(38,0)")).as("s9"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("s9")))),
+        t => t.getField("s9")).as("s9s"))
+    val n = embeddings(s, d).agg(count(lit(1)).as("n"))
+    def pack(lo: Int): Column = expr(
+      s"""aggregate(sequence(1, 32), CAST(0 AS BIGINT), (acc, i) ->
+         |  acc + IF(CAST(CAST(round(CAST(element_at(e, i + $lo) AS DOUBLE) * 1e9)
+         |        AS BIGINT) AS DECIMAL(38,0)) * n > element_at(s9s, i + $lo),
+         |    shiftleft(CAST(1 AS BIGINT), i - 1), CAST(0 AS BIGINT)))""".stripMargin)
+    embeddings(s, d).select(col("vec_id"), col("embedding").as("e"))
+      .crossJoin(broadcast(arrs)).crossJoin(broadcast(n))
+      .select(col("vec_id"), pack(0).as("bits_lo"), pack(32).as("bits_hi"))
+  }
+
   /** (dim, mean, std) with population std; exact integer moments, one
     * double division sequence at the end (identical in the oracle).
     */
@@ -964,6 +1037,28 @@ object Similarity {
       .select(col("dim"), mean.as("mean"),
         sqrt(ex2 - mean * mean).as("std"))
   }
+
+  /** CTEs mirroring [[binaryBits]], ending in `p(vec_id, bits_lo,
+    * bits_hi)`. The oracle may explode+join (no broadcast concern);
+    * the threshold stays the same exact HUGEINT cross-multiplication.
+    */
+  private def binaryBitsCtes: String =
+    s"""WITH nn AS (SELECT count(*) AS n FROM embeddings),
+       |d9 AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+       |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e9) AS BIGINT) AS x9
+       |  FROM embeddings),
+       |s9 AS (SELECT dim, sum(CAST(x9 AS HUGEINT)) AS s9 FROM d9 GROUP BY 1),
+       |bits AS (SELECT vec_id, d9.dim,
+       |    CASE WHEN CAST(d9.x9 AS HUGEINT) * nn.n > s9.s9 THEN 1 ELSE 0 END AS bit
+       |  FROM d9 JOIN s9 ON d9.dim = s9.dim CROSS JOIN nn),
+       |p AS (SELECT vec_id,
+       |    CAST(sum(CASE WHEN dim <= 32 AND bit = 1
+       |      THEN (CAST(1 AS BIGINT) << CAST(dim - 1 AS INTEGER)) ELSE 0 END)
+       |      AS BIGINT) AS bits_lo,
+       |    CAST(sum(CASE WHEN dim > 32 AND bit = 1
+       |      THEN (CAST(1 AS BIGINT) << CAST(dim - 33 AS INTEGER)) ELSE 0 END)
+       |      AS BIGINT) AS bits_hi
+       |  FROM bits GROUP BY vec_id)""".stripMargin
 
   private def baseSqlCte: String =
     s"""WITH base AS (SELECT vec_id, embedding AS e,
@@ -1436,6 +1531,51 @@ object Similarity {
          |      * ($scaleI / 255.0))))), 6) AS recon_err
          |FROM embeddings CROSS JOIN sa ORDER BY vec_id""".stripMargin
     },
+
+    "emb_quantize_binary" ->
+      s"""$binaryBitsCtes
+         |SELECT vec_id, bits_lo, bits_hi,
+         |  CAST(bit_count(bits_lo) + bit_count(bits_hi) AS BIGINT) AS n_set
+         |FROM p ORDER BY vec_id""".stripMargin,
+
+    "ann_hamming_topk" ->
+      s"""$binaryBitsCtes,
+         |q AS (SELECT vec_id AS q_id, bits_lo AS qlo, bits_hi AS qhi
+         |  FROM p WHERE vec_id < $QuerySet),
+         |pr AS (SELECT q.q_id, c.vec_id AS cand_id,
+         |    CAST(bit_count(xor(q.qlo, c.bits_lo))
+         |      + bit_count(xor(q.qhi, c.bits_hi)) AS BIGINT) AS hamming
+         |  FROM q JOIN p c ON q.q_id <> c.vec_id),
+         |r AS (SELECT q_id, cand_id, hamming,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY hamming, cand_id) AS INTEGER) AS rnk FROM pr)
+         |SELECT q_id, cand_id, hamming, rnk FROM r WHERE rnk <= $K
+         |ORDER BY q_id, rnk""".stripMargin,
+
+    "ann_hamming_recall" ->
+      s"""$binaryBitsCtes,
+         |q AS (SELECT vec_id AS q_id, bits_lo AS qlo, bits_hi AS qhi
+         |  FROM p WHERE vec_id < $QuerySet),
+         |hr AS (SELECT q_id, cand_id FROM (SELECT q.q_id, c.vec_id AS cand_id,
+         |    CAST(row_number() OVER (PARTITION BY q.q_id ORDER BY
+         |      bit_count(xor(q.qlo, c.bits_lo)) + bit_count(xor(q.qhi, c.bits_hi)),
+         |      c.vec_id) AS INTEGER) AS rnk
+         |  FROM q JOIN p c ON q.q_id <> c.vec_id) WHERE rnk <= $K),
+         |base AS (SELECT vec_id, embedding AS e,
+         |  sqrt(${dotSql("embedding", "embedding", Dim)}) AS nrm FROM embeddings),
+         |pe AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+         |  round(${dotSql("q.e", "c.e", Dim)} / (q.nrm * c.nrm), 6) AS cos
+         |  FROM base q JOIN base c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < $QuerySet),
+         |ex AS (SELECT q_id, cand_id FROM (SELECT q_id, cand_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rnk
+         |  FROM pe) WHERE rnk <= $K),
+         |tot AS (SELECT count(*) AS total FROM ex),
+         |hm AS (SELECT count(*) AS hits FROM ex
+         |  WHERE EXISTS (SELECT 1 FROM hr WHERE hr.q_id = ex.q_id AND hr.cand_id = ex.cand_id))
+         |SELECT 'hamming64' AS variant, hits, total,
+         |  round(CAST(hits AS DOUBLE) / CAST(total AS DOUBLE), 6) AS recall
+         |FROM hm, tot""".stripMargin,
 
     "emb_standardize_stats" ->
       s"""$standardizeSqlCte
