@@ -394,6 +394,46 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // Interpolated Kneser-Ney bigram NLL (fixed discount D = 0.75) — the
+    // smoothing real n-gram LMs ship with, next to text_bigram_nll's
+    // Laplace baseline: P(w2|w1) = (c(w1,w2) - D)/c(w1.) +
+    // D*N1+(w1,.)/c(w1.) * N1+(.,w2)/N1+(.,.), where the continuation
+    // probability counts in how many distinct CONTEXTS a word appears
+    // (the "Francisco problem": frequent-but-predictable words stop
+    // stealing mass). Every count is exact; each observed bigram has
+    // c >= 1 > D so the discounted term stays positive. Same exact
+    // integer half-up 6-dp mean as the other NLL queries.
+    "text_kn_bigram_nll" -> { (s, d) =>
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val bi = documents(s, d)
+        .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "tok")))
+        .withColumn("nxt", lead("tok", 1).over(w))
+        .where(col("nxt").isNotNull)
+        .select(col("doc_id"), col("tok").as("w1"), col("nxt").as("w2"))
+      val pair = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c_pair"))
+      val ctx = bi.groupBy("w1")
+        .agg(count(lit(1)).as("c_ctx"), countDistinct("w2").as("n1f"))
+      val cont = pair.groupBy("w2").agg(count(lit(1)).as("n1b"))
+      val n1t = pair.agg(count(lit(1)).as("n1t"))
+      bi.join(pair, Seq("w1", "w2"))
+        .join(broadcast(ctx), Seq("w1"))
+        .join(broadcast(cont), Seq("w2"))
+        .crossJoin(broadcast(n1t))
+        .select(col("doc_id"),
+          round(-log(
+            (col("c_pair").cast("double") - lit(0.75)) / col("c_ctx").cast("double")
+              + (lit(0.75) * col("n1f").cast("double") / col("c_ctx").cast("double"))
+                * (col("n1b").cast("double") / col("n1t").cast("double"))), 6)
+            .as("nll"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bi"),
+          sum(round(col("nll") * 1e6).cast("long")).as("s6"))
+        .select(col("doc_id"), col("n_bi"),
+          (expr("(2 * s6 + n_bi) div (2 * n_bi)").cast("double") / 1e6)
+            .as("mean_nll"))
+        .orderBy("doc_id")
+    },
+
     // Unicode canonicalization over a planted multilingual fixture (the
     // parquet corpus is ASCII, so the unicode behavior needs its own
     // VALUES table, like the regexp edge-case queries): NFC composition,
@@ -859,6 +899,31 @@ object TextAnalysis {
          |    round(-ln(CAST(c_pair + 1 AS DOUBLE) / CAST(c_ctx + v AS DOUBLE)), 6)
          |      AS nll
          |  FROM bi JOIN pair USING (bg) JOIN ctx USING (w1) CROSS JOIN v)
+         |SELECT doc_id, count(*) AS n_bi,
+         |  CAST((2 * sum(CAST(round(nll * 1000000) AS BIGINT)) + count(*))
+         |    // (2 * count(*)) AS DOUBLE) / 1000000.0 AS mean_nll
+         |FROM ev GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_kn_bigram_nll" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS tt FROM documents),
+         |bi0 AS (SELECT doc_id, unnest(CASE WHEN len(tt) >= 2
+         |    THEN list_transform(range(1, len(tt)), i -> tt[i] || ' ' || tt[i+1])
+         |    ELSE [] END) AS bg FROM t),
+         |bi AS (SELECT doc_id, split_part(bg, ' ', 1) AS w1,
+         |    split_part(bg, ' ', 2) AS w2, bg FROM bi0),
+         |pair AS (SELECT bg, count(*) AS c_pair FROM bi GROUP BY 1),
+         |ctx AS (SELECT w1, count(*) AS c_ctx, count(DISTINCT w2) AS n1f
+         |  FROM bi GROUP BY 1),
+         |cont AS (SELECT split_part(bg, ' ', 2) AS w2, count(*) AS n1b
+         |  FROM pair GROUP BY 1),
+         |n1t AS (SELECT count(*) AS n1t FROM pair),
+         |ev AS (SELECT doc_id,
+         |    round(-ln(
+         |      (CAST(c_pair AS DOUBLE) - 0.75) / CAST(c_ctx AS DOUBLE)
+         |      + (0.75 * CAST(n1f AS DOUBLE) / CAST(c_ctx AS DOUBLE))
+         |        * (CAST(n1b AS DOUBLE) / CAST(n1t AS DOUBLE))), 6) AS nll
+         |  FROM bi JOIN pair USING (bg) JOIN ctx USING (w1)
+         |    JOIN cont USING (w2) CROSS JOIN n1t)
          |SELECT doc_id, count(*) AS n_bi,
          |  CAST((2 * sum(CAST(round(nll * 1000000) AS BIGINT)) + count(*))
          |    // (2 * count(*)) AS DOUBLE) / 1000000.0 AS mean_nll
