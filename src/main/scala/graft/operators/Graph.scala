@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables._
 import TextHash.toks
@@ -85,6 +86,72 @@ object Graph {
     val und = adj.select(col("tok").as("src"), col("nxt").as("dst"))
       .union(adj.select(col("nxt").as("src"), col("tok").as("dst")))
     und.groupBy("src", "dst").agg(count(lit(1)).as("w"))
+  }
+
+  /** HITS rounds — fixed so the oracle unrolls the identical count. */
+  val HitsRounds = 6
+
+  /** DIRECTED bigram-precedence edges (token -> next token), weight =
+    * adjacency count; self-pairs dropped like [[cooccurEdges]]. Same
+    * pure-map-side zip extraction; the DIRECTION (precedence) is what
+    * makes HITS hubs differ from authorities — the undirected co-occur
+    * graph would degenerate to hub == authority.
+    */
+  def precedenceEdges(docs: DataFrame): DataFrame = {
+    val n1 = greatest(size(col("t")) - 1, lit(0))
+    docs
+      .select(toks(col("text")).as("t"))
+      .select(explode(arrays_zip(
+        slice(col("t"), lit(1), n1), slice(col("t"), lit(2), n1))).as("p"))
+      .select(col("p").getField("0").as("src"), col("p").getField("1").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+  }
+
+  /** Kleinberg's HITS over a directed weighted edge list: alternating
+    * authority (a = A^T h) and hub (h = A a) updates for [[HitsRounds]]
+    * rounds, L-infinity-normalized each half-step to [[Scale]] fixed
+    * point. Arithmetic is EXACT end-to-end: mass sums accumulate in
+    * DECIMAL(38,0) (order-free; longs would overflow at web-scale
+    * weights), and each rescale is integer (s * Scale) DIV max with the
+    * round's max — a 1-row aggregate — DRIVER-FOLDED into the next
+    * round's literal (the treeAggregate shape the trainers use), so the
+    * unrolled oracle reproduces every round bit-for-bit. Each round is
+    * one shuffle of the vocab-sized score relation against the static
+    * persisted edge list (caller releases via Graft.releaseCaches);
+    * every score stays > 0 by induction, so only-source nodes take
+    * authority 0 and only-sink nodes hub 0 through the closing outer
+    * joins.
+    */
+  def hits(edges: DataFrame, rounds: Int = HitsRounds): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    var h = nodes.select(col("node"), lit(Scale).as("h"))
+    var a = nodes.limit(0).select(col("node"), lit(0L).as("a"))
+    def rescale(raw: DataFrame, out: String): DataFrame = {
+      val mx = raw.agg(max("s")).collect()(0).getDecimal(0).toPlainString
+      raw.select(col("node"),
+          expr(s"CAST((s * $Scale) DIV $mx AS BIGINT)").as(out))
+        .localCheckpoint()
+    }
+    graft.Graft.withIterShufflePartitions(edges.sparkSession, e.count()) {
+      for (_ <- 1 to rounds) {
+        val araw = h.as("r").join(e.as("e"), col("r.node") === col("e.src"))
+          .groupBy(col("e.dst").as("node"))
+          .agg(sum(col("r.h").cast(dec) * col("e.w")).as("s"))
+        a = rescale(araw, "a")
+        val hraw = a.as("r").join(e.as("e"), col("r.node") === col("e.dst"))
+          .groupBy(col("e.src").as("node"))
+          .agg(sum(col("r.a").cast(dec) * col("e.w")).as("s"))
+        h = rescale(hraw, "h")
+      }
+    }
+    nodes.join(h, Seq("node"), "left").join(a, Seq("node"), "left")
+      .select(col("node"), coalesce(col("h"), lit(0L)).as("hub"),
+        coalesce(col("a"), lit(0L)).as("authority"))
   }
 
   /** Weighted PageRank over an edge list, scaled-integer arithmetic.
@@ -330,6 +397,16 @@ object Graph {
         .orderBy(desc("rank"), asc("node"))
     },
 
+    // HITS hubs/authorities on the DIRECTED bigram-precedence graph:
+    // authorities are words many distinctive contexts point INTO, hubs
+    // words that point into many authorities — link analysis the
+    // co-occurrence PageRank can't express (it has no direction). Edges
+    // persist; caller releases via Graft.releaseCaches.
+    "graph_hits" -> { (s, d) =>
+      hits(precedenceEdges(documents(s, d).select("doc_id", "text")))
+        .orderBy(desc("authority"), asc("node"))
+    },
+
     // Label-propagation communities of the minhash near-dup graph (the
     // token co-occurrence graph is near-complete at fixture scale, so
     // communities there are degenerate; the near-dup graph has the real
@@ -573,6 +650,44 @@ object Graph {
        |und AS (SELECT a AS src, b AS dst FROM adj UNION ALL SELECT b, a FROM adj),
        |edges AS (SELECT src, dst, count(*) AS w FROM und GROUP BY 1, 2)""".stripMargin
 
+  /** Unrolled HITS oracle: MATERIALIZED round CTEs (the lpSql lesson —
+    * un-hinted plans re-inline every round exponentially), HUGEINT mass
+    * sums, per-round max rescale mirroring [[hits]] term for term.
+    */
+  private def hitsSql: String = {
+    val head =
+      s"""WITH tok AS (SELECT doc_id, ${TextHash.toksSql("text")} AS t FROM documents),
+         |adjp AS (SELECT unnest(list_transform(range(1, len(t)),
+         |    i -> struct_pack(a := t[i], b := t[i+1]))) AS p FROM tok),
+         |edges AS MATERIALIZED (SELECT p.a AS src, p.b AS dst, count(*) AS w
+         |  FROM adjp WHERE p.a <> p.b GROUP BY 1, 2),
+         |nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+         |h0 AS (SELECT node, CAST($Scale AS BIGINT) AS h FROM nodes)""".stripMargin
+    val rounds = (1 to HitsRounds).map { k =>
+      s""",
+         |a${k}r AS MATERIALIZED (SELECT e.dst AS node,
+         |    sum(CAST(r.h AS HUGEINT) * e.w) AS s
+         |  FROM h${k - 1} r JOIN edges e ON r.node = e.src GROUP BY 1),
+         |a$k AS MATERIALIZED (SELECT node,
+         |    CAST((s * $Scale) // (SELECT max(s) FROM a${k}r) AS BIGINT) AS a
+         |  FROM a${k}r),
+         |h${k}r AS MATERIALIZED (SELECT e.src AS node,
+         |    sum(CAST(r.a AS HUGEINT) * e.w) AS s
+         |  FROM a$k r JOIN edges e ON r.node = e.dst GROUP BY 1),
+         |h$k AS MATERIALIZED (SELECT node,
+         |    CAST((s * $Scale) // (SELECT max(s) FROM h${k}r) AS BIGINT) AS h
+         |  FROM h${k}r)""".stripMargin
+    }.mkString
+    head + rounds +
+      s"""
+         |SELECT nodes.node, coalesce(h.h, 0) AS hub,
+         |  coalesce(a.a, 0) AS authority
+         |FROM nodes LEFT JOIN h$HitsRounds h ON nodes.node = h.node
+         |  LEFT JOIN a$HitsRounds a ON nodes.node = a.node
+         |ORDER BY authority DESC, nodes.node""".stripMargin
+  }
+
   private def pagerankSql: String = {
     val head =
       s"""WITH $graphCtes,
@@ -653,6 +768,8 @@ object Graph {
     "graph_textrank" -> pagerankSql,
 
     "graph_ppr_stopwords" -> pprSql,
+
+    "graph_hits" -> hitsSql,
 
     "graph_lp_communities" -> lpSql(
       s"SELECT id AS doc_id, lab AS community FROM l$LpRounds ORDER BY doc_id"),
