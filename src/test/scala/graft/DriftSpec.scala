@@ -23,6 +23,49 @@ class DriftSpec extends SparkSpecBase {
     assert(rows.map(_.toSeq).toSeq == q("drift_source_kl").collect().map(_.toSeq).toSeq)
   }
 
+  test("drift_ks/w1: engine equals a pure-Scala ECDF reference on the real fixture") {
+    // independent referee: collect (source, n_chars), compute KS and W1
+    // from first principles in plain Scala, compare to the queries
+    val docs = Tables.documents(spark, sfDir)
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = docs.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val all = docs.map(_._2)
+    def refKsW1(src: String): (Double, Double) = {
+      val s = bySrc(src)
+      val rest = docs.filter(_._1 != src).map(_._2)
+      val xs = all.distinct.sorted
+      def cdf(v: Seq[Long], x: Long) = v.count(_ <= x).toDouble / v.size
+      val gaps = xs.map(x => math.abs(cdf(s, x) - cdf(rest.toSeq, x)))
+      val ks = gaps.max
+      val w1 = xs.init.zip(xs.tail).map { case (x, nx) =>
+        math.abs(cdf(s, x) - cdf(rest.toSeq, x)) * (nx - x)
+      }.sum
+      (ks, w1)
+    }
+    val ks = q("drift_ks_length").collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val w1 = q("drift_w1_length").collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(ks.nonEmpty && ks.keySet == bySrc.keySet)
+    bySrc.keys.foreach { s =>
+      val (rk, rw) = refKsW1(s)
+      assert(math.abs(ks(s) - rk) < 1e-6, s"$s: KS ${ks(s)} vs reference $rk")
+      assert(math.abs(w1(s) - rw) < 1e-5, s"$s: W1 ${w1(s)} vs reference $rw")
+      assert(ks(s) >= 0.0 && ks(s) <= 1.0 && w1(s) >= 0.0)
+    }
+  }
+
+  test("drift_psi: non-negative, zero for a source distributed like the rest") {
+    val rows = q("drift_psi_length").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.0, s"PSI must be non-negative: $r")
+    }
+    // real per-source shifts exist in the fixture: not all PSI are 0
+    assert(rows.exists(_.getDouble(2) > 0.0))
+  }
+
   test("emb_drift_mmd: identical groups score 0, a translated group scores the exact shift") {
     import spark.implicits._
     import graft.operators.Drift
