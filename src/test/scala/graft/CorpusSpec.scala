@@ -443,6 +443,42 @@ class CorpusSpec extends SparkSpecBase {
     assert(r.getDouble(1) < 0.0, "Zipf slope must be negative on natural-ish text")
   }
 
+  test("vocab_heaps_slope equals a driver-side first-principles recompute at both grains") {
+    val rows = q("vocab_heaps_slope").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    def fit(units: Seq[Seq[String]]): (Long, Long, Long, Double) = {
+      val withU = units.filter(_.nonEmpty)
+      var seen = Set.empty[String]; var nOcc = 0L
+      val pts = withU.map { ts =>
+        nOcc += ts.size; seen ++= ts
+        (math.log(nOcc.toDouble), math.log(seen.size.toDouble))
+      }
+      val n = pts.length.toDouble
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      (pts.length.toLong, nOcc, seen.size.toLong,
+        (n * sxy - sx * sy) / (n * sxx - sx * sx))
+    }
+    val tokU = docs.map { case (_, t) => t.toLowerCase.split("\\s+").toSeq }
+    val shU = docs.map { case (_, t) =>
+      val tt = t.toLowerCase.split("\\s+").toSeq
+      if (tt.size >= 3) tt.sliding(3).map(_.mkString(" ")).toSeq else Seq.empty
+    }
+    for ((grain, u) <- Seq("token" -> tokU, "shingle3" -> shU)) {
+      val (nd, tu, vs, beta) = fit(u)
+      val (gnd, gtu, gvs, gbeta) = rows(grain)
+      assert((gnd, gtu, gvs) == ((nd, tu, vs)), s"$grain counts")
+      assert(math.abs(gbeta - beta) < 1e-5, s"$grain beta $gbeta vs reference $beta")
+    }
+    // the diagnostic itself: the closed word vocab saturates, shingles grow
+    assert(rows("token")._4 < rows("shingle3")._4)
+  }
+
   test("shard_assign_balanced: exact partition with serpentine balance bound") {
     val assign = Corpus.queries("shard_assign_balanced")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))

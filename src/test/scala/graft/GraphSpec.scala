@@ -246,4 +246,36 @@ class GraphSpec extends SparkSpecBase {
     val expQ = intra.toDouble / w - s2.toDouble / (w.toDouble * w.toDouble)
     assert(math.abs(q - math.rint(expQ * 1e6) / 1e6) < 1e-9)
   }
+
+  test("graph_hits equals a driver-side BigInt power iteration, bit-for-bit") {
+    val got = Graph.queries("graph_hits")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    Graft.releaseCaches(spark)
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val edges = texts.flatMap { t =>
+      t.toLowerCase.split("\\s+").toSeq.sliding(2)
+        .filter(p => p.length == 2 && p(0) != p(1)).map(p => (p(0), p(1)))
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nodes = edges.keys.flatMap(e => Seq(e._1, e._2)).toSet
+    val S = BigInt(Graph.Scale)
+    var h = nodes.map(_ -> S).toMap
+    var a = Map.empty[String, BigInt]
+    for (_ <- 1 to Graph.HitsRounds) {
+      val ar = edges.toSeq.groupBy(_._1._2).map { case (d, es) =>
+        d -> es.map { case ((s0, _), w) => h.getOrElse(s0, BigInt(0)) * w }.sum }
+      val am = ar.values.max
+      a = ar.map { case (k, v) => k -> v * S / am }
+      val hr = edges.toSeq.groupBy(_._1._1).map { case (s0, es) =>
+        s0 -> es.map { case ((_, d), w) => a.getOrElse(d, BigInt(0)) * w }.sum }
+      val hm = hr.values.max
+      h = hr.map { case (k, v) => k -> v * S / hm }
+    }
+    assert(nodes.nonEmpty && got.keySet == nodes)
+    nodes.foreach { nd =>
+      val (gh, ga) = got(nd)
+      assert(BigInt(gh) == h.getOrElse(nd, BigInt(0)), s"$nd hub")
+      assert(BigInt(ga) == a.getOrElse(nd, BigInt(0)), s"$nd authority")
+    }
+  }
 }

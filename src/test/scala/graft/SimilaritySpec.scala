@@ -358,4 +358,26 @@ class SimilaritySpec extends SparkSpecBase {
     assert(stats.length == dims)
     stats.foreach(r => assert(r.getDouble(2) > 0.0, "zero std dimension"))
   }
+
+  test("emb_quantize_binary matches a driver-side exact sign packing") {
+    val got = Similarity.queries("emb_quantize_binary")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    Graft.releaseCaches(spark)
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val n = embs.length
+    // Spark round() is BigDecimal HALF_UP on the double — replicate exactly
+    def r9(v: Float): Long = new java.math.BigDecimal(v.toDouble * 1e9)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    val x9 = embs.map(_._2.map(r9))
+    val s9 = Array.tabulate(64)(d => x9.map(r => BigInt(r(d))).sum)
+    val ref = embs.indices.map { i =>
+      var lo = 0L; var hi = 0L
+      for (d <- 0 until 32) if (BigInt(x9(i)(d)) * n > s9(d)) lo |= (1L << d)
+      for (d <- 32 until 64) if (BigInt(x9(i)(d)) * n > s9(d)) hi |= (1L << (d - 32))
+      (embs(i)._1, lo, hi)
+    }
+    assert(got == ref)
+  }
 }
