@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables._
 import TextHash.{toks, toksSql}
@@ -257,6 +258,35 @@ object UnigramLm {
         .orderBy("word")
     },
 
+    // The EM-improvement law, made checkable: the M-step's re-estimated
+    // probabilities are the multinomial MLE of the Viterbi paths' piece
+    // usage, so the corpus complete-data log-likelihood of those SAME
+    // paths is non-decreasing under them (Gibbs' inequality) — gain >= 0
+    // always, and its size is how far the seed counts were from the
+    // usage distribution. Both likelihoods are exact DECIMAL sums of
+    // cnt-weighted fixed-point log-probs over the identical path table;
+    // pieces the decode never used cannot appear in a path, so the EM
+    // side is total.
+    "ulm_em_gain" -> { (s, d) =>
+      val dec = DecimalType(38, 0)
+      val (pieces, words) = train(s, d)
+      val use = words.select(col("cnt"), explode(col("ps")).as("piece"))
+      val em = use.groupBy("piece").agg(sum("cnt").as("em_cnt"))
+      val emTot = em.agg(sum("em_cnt").as("em_tot"))
+      val emP = em.crossJoin(broadcast(emTot))
+        .select(col("piece"),
+          round(log(col("em_cnt").cast("double") / col("em_tot").cast("double")) * 1e9)
+            .cast("long").as("em_logp9"))
+      use
+        .join(broadcast(pieces.select(col("piece"), col("logp9"))), "piece")
+        .join(broadcast(emP), "piece")
+        .agg(sum(col("cnt").cast(dec) * col("logp9")).as("l0"),
+          sum(col("cnt").cast(dec) * col("em_logp9")).as("l1"))
+        .select(round(col("l0").cast("double") / 1e9, 6).as("ll_seed"),
+          round(col("l1").cast("double") / 1e9, 6).as("ll_em"),
+          round((col("l1") - col("l0")).cast("double") / 1e9, 6).as("em_gain"))
+    },
+
     // The tokenizer applied back to the corpus, per source: fertility
     // (subwords per word) and compression (chars per subword) — the
     // deploy-side quality roll-up, mirroring bpe_fertility so the two
@@ -349,6 +379,26 @@ object UnigramLm {
          |SELECT word, cnt, CAST(np AS BIGINT) AS n_pieces,
          |  round(CAST(score9 AS DOUBLE) / 1e9, 6) AS score, seg AS segments
          |FROM best ORDER BY word""".stripMargin,
+
+    "ulm_em_gain" ->
+      s"""WITH RECURSIVE $invCtes,
+         |$vitCtes,
+         |em AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS em_cnt
+         |  FROM bseg GROUP BY piece),
+         |emt AS (SELECT CAST(sum(em_cnt) AS BIGINT) AS em_tot FROM em),
+         |emp AS (SELECT piece,
+         |    CAST(round(ln(CAST(em_cnt AS DOUBLE) / CAST(em_tot AS DOUBLE)) * 1e9)
+         |      AS BIGINT) AS em_logp9
+         |  FROM em CROSS JOIN emt),
+         |ll AS (SELECT
+         |    sum(CAST(cnt AS HUGEINT) * p.logp9) AS l0,
+         |    sum(CAST(cnt AS HUGEINT) * emp.em_logp9) AS l1
+         |  FROM bseg JOIN pieces p ON bseg.piece = p.piece
+         |    JOIN emp ON bseg.piece = emp.piece)
+         |SELECT round(CAST(l0 AS DOUBLE) / 1e9, 6) AS ll_seed,
+         |  round(CAST(l1 AS DOUBLE) / 1e9, 6) AS ll_em,
+         |  round(CAST(l1 - l0 AS DOUBLE) / 1e9, 6) AS em_gain
+         |FROM ll""".stripMargin,
 
     "ulm_fertility" ->
       s"""WITH RECURSIVE $invCtes,

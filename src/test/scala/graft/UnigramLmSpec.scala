@@ -61,6 +61,15 @@ class UnigramLmSpec extends SparkSpecBase {
     }
   }
 
+  test("EM re-estimation never decreases the paths' complete-data likelihood (Gibbs)") {
+    val r = UnigramLm.queries("ulm_em_gain")(spark, sfDir).head()
+    assert(r.getDouble(2) >= 0.0, s"EM gain must be non-negative: $r")
+    assert(r.getDouble(2) > 0.0,
+      "fixture seed counts differ from path usage, so the gain is strictly positive")
+    assert(math.abs(r.getDouble(1) - r.getDouble(0) - r.getDouble(2)) < 2e-6,
+      "gain must reconcile with the two likelihoods")
+  }
+
   test("deploy encoder reproduces training segmentations and survives unseen characters") {
     import spark.implicits._
     val (pieces, words) = UnigramLm.train(spark, sfDir)
