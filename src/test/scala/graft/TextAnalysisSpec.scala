@@ -314,4 +314,40 @@ class TextAnalysisSpec extends SparkSpecBase {
     // both flag branches occur on the fixture (non-vacuous threshold)
     assert(rows.exists(_.getBoolean(4)) && rows.exists(!_.getBoolean(4)))
   }
+
+  test("Kneser-Ney: probabilities form a true distribution and NLL matches a driver recompute") {
+    import graft.operators.TextAnalysis
+    // collect the corpus bigram stream once
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase.split("\\s+").toSeq))
+    val bis = texts.flatMap { case (id, tt) =>
+      tt.sliding(2).filter(_.length == 2).map(p => (id, p(0), p(1))) }
+    val cPair = bis.groupBy(b => (b._2, b._3)).view.mapValues(_.length.toLong).toMap
+    val cCtx = bis.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n1f = cPair.keys.toSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n1b = cPair.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n1t = cPair.size.toLong
+    val contVocab = n1b.keySet
+    def pkn(w1: String, w2: String): Double =
+      (cPair.getOrElse((w1, w2), 0L).toDouble - 0.75).max(0.0) / cCtx(w1) +
+        (0.75 * n1f(w1) / cCtx(w1)) * (n1b.getOrElse(w2, 0L).toDouble / n1t)
+    // normalization law: for every context, P sums to exactly 1 over the
+    // continuation vocabulary — the check that catches any formula slip
+    cCtx.keys.foreach { w1 =>
+      val z = contVocab.toSeq.map(w2 => pkn(w1, w2)).sum
+      assert(math.abs(z - 1.0) < 1e-9, s"sum_w2 P_KN(w2|$w1) = $z, not 1")
+    }
+    // per-doc NLL matches the query (same rounding ladder)
+    val got = TextAnalysis.queries("text_kn_bigram_nll")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val ref = bis.groupBy(_._1).map { case (id, bs) =>
+      val s6 = bs.map { case (_, w1, w2) =>
+        math.round(math.rint(-math.log(pkn(w1, w2)) * 1e6) / 1e6 * 1e6) }.sum
+      id -> ((bs.size.toLong, ((2 * s6 + bs.size) / (2L * bs.size)).toDouble / 1e6))
+    }
+    assert(got.keySet == ref.keySet && got.nonEmpty)
+    got.foreach { case (id, (n, m)) =>
+      assert((n, m) == ref(id), s"doc $id: got ($n, $m) want ${ref(id)}") }
+  }
 }
