@@ -27,6 +27,12 @@ object Drift {
   /** Equi-depth bins for the PSI drift metric (the conventional 10). */
   val PsiBins = 10
 
+  /** Marker words for Burrows' Delta (the stylometry convention: the
+    * corpus's most frequent words, whose usage RATES are the style
+    * signal).
+    */
+  val DeltaTopM = 20
+
   /** Per-(source, token) counts — the single corpus-wide shuffle. */
   private def srcTok(s: SparkSession, d: String): DataFrame =
     documents(s, d)
@@ -110,6 +116,48 @@ object Drift {
         .select(col("source_x"), col("source_y"),
           round(col("dp").cast("double") / (col("nx") * col("ny")), 6)
             .as("style_cos"))
+        .orderBy("source_x", "source_y")
+    },
+
+    // Burrows' Delta — the classic stylometric distance (authorship
+    // attribution since Burrows 2002): z-score each source's usage RATE
+    // of the corpus's DeltaTopM most frequent words against the
+    // across-source mean/std, then Delta(a,b) = mean |z_a - z_b|.
+    // Complements source_style_cosine (char-3-gram similarity) with the
+    // word-rate-profile distance. Rates are exact integers
+    // ((c * 1e9) DIV n_s); moments accumulate exactly per word over the
+    // |sources| x M scaffold; zero-variance words carry no signal and
+    // take z = 0 in both engines.
+    "style_burrows_delta" -> { (s, d) =>
+      val dec = DecimalType(38, 0)
+      val tok = documents(s, d)
+        .select(col("source"), explode(toks(col("text"))).as("word"))
+      val topw = tok.groupBy("word").agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), asc("word")).limit(DeltaTopM).select("word")
+      val ns = tok.groupBy("source").agg(count(lit(1)).as("n_s"))
+      val csw = tok.join(broadcast(topw), "word")
+        .groupBy("source", "word").agg(count(lit(1)).as("c"))
+      val grid = ns.crossJoin(broadcast(topw))
+        .join(csw, Seq("source", "word"), "left")
+        .select(col("source"), col("word"), col("n_s"),
+          coalesce(col("c"), lit(0L)).as("c"))
+        .withColumn("f9", expr("(c * 1000000000) DIV n_s"))
+      val stats = grid.groupBy("word")
+        .agg(count(lit(1)).as("k"), sum("f9").as("sf9"),
+          sum(col("f9").cast(dec) * col("f9")).as("sff"))
+      val mean = col("sf9").cast("double") / col("k").cast("double")
+      val vr = col("sff").cast("double") / col("k").cast("double") - mean * mean
+      val zs = grid.join(broadcast(stats
+          .select(col("word"), mean.as("m"), sqrt(vr).as("sd"))), "word")
+        .select(col("source"), col("word"),
+          when(col("sd") === 0.0, lit(0.0))
+            .otherwise((col("f9").cast("double") - col("m")) / col("sd")).as("z"))
+      zs.as("a").join(zs.as("b"),
+          col("a.word") === col("b.word") && col("a.source") < col("b.source"))
+        .select(col("a.source").as("source_x"), col("b.source").as("source_y"),
+          round(abs(col("a.z") - col("b.z")) * 1e9).cast("long").as("t9"))
+        .groupBy("source_x", "source_y")
+        .agg(round(sum("t9").cast("double") / 1e9 / DeltaTopM, 6).as("delta"))
         .orderBy("source_x", "source_y")
     },
 
@@ -364,6 +412,34 @@ object Drift {
         |  FROM st a JOIN st b ON a.dim = b.dim AND a.label < b.label)
         |SELECT label_a, label_b, round(CAST(sum(c9) AS DOUBLE)/1e9, 6) AS mmd2
         |FROM p GROUP BY 1, 2 ORDER BY label_a, label_b""".stripMargin,
+
+    "style_burrows_delta" ->
+      s"""WITH tok AS (SELECT source, unnest(${toksSql("text")}) AS word
+         |  FROM documents),
+         |topw AS (SELECT word FROM (SELECT word, count(*) AS c FROM tok
+         |  GROUP BY 1 ORDER BY c DESC, word LIMIT $DeltaTopM)),
+         |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM tok GROUP BY 1),
+         |csw AS (SELECT source, tok.word, count(*) AS c FROM tok
+         |  JOIN topw ON tok.word = topw.word GROUP BY 1, 2),
+         |grid AS (SELECT ns.source, topw.word, ns.n_s,
+         |    CAST((coalesce(csw.c, 0) * 1000000000) // ns.n_s AS BIGINT) AS f9
+         |  FROM ns CROSS JOIN topw
+         |  LEFT JOIN csw ON csw.source = ns.source AND csw.word = topw.word),
+         |st AS (SELECT word, count(*) AS k, sum(CAST(f9 AS HUGEINT)) AS sf9,
+         |    sum(CAST(f9 AS HUGEINT) * f9) AS sff FROM grid GROUP BY 1),
+         |ms AS (SELECT word, CAST(sf9 AS DOUBLE) / CAST(k AS DOUBLE) AS m,
+         |    sqrt(CAST(sff AS DOUBLE) / CAST(k AS DOUBLE)
+         |      - (CAST(sf9 AS DOUBLE) / CAST(k AS DOUBLE))
+         |        * (CAST(sf9 AS DOUBLE) / CAST(k AS DOUBLE))) AS sd FROM st),
+         |zs AS (SELECT source, grid.word,
+         |    CASE WHEN sd = 0.0 THEN 0.0
+         |      ELSE (CAST(f9 AS DOUBLE) - m) / sd END AS z
+         |  FROM grid JOIN ms ON grid.word = ms.word)
+         |SELECT a.source AS source_x, b.source AS source_y,
+         |  round(CAST(sum(CAST(round(abs(a.z - b.z) * 1e9) AS BIGINT)) AS DOUBLE)
+         |    / 1e9 / $DeltaTopM, 6) AS delta
+         |FROM zs a JOIN zs b ON a.word = b.word AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY source_x, source_y""".stripMargin,
 
     "drift_ks_length" ->
       s"""WITH $ecdfCtes,
