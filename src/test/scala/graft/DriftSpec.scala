@@ -66,6 +66,44 @@ class DriftSpec extends SparkSpecBase {
     assert(rows.exists(_.getDouble(2) > 0.0))
   }
 
+  test("style_burrows_delta: matches a driver recompute; L1 metric laws hold on all triples") {
+    val got = q("style_burrows_delta").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got.nonEmpty)
+    // driver recompute from first principles
+    val tok = Tables.documents(spark, sfDir).select("source", "text").collect()
+      .flatMap(r => r.getString(1).toLowerCase.split("\\s+").map((r.getString(0), _)))
+    val top = tok.groupBy(_._2).view.mapValues(_.length).toSeq
+      .sortBy { case (w, c) => (-c, w) }.take(Drift.DeltaTopM).map(_._1)
+    val ns = tok.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val f9 = (for (s <- ns.keys; w <- top) yield {
+      val c = tok.count(t => t._1 == s && t._2 == w).toLong
+      (s, w) -> c * 1000000000L / ns(s)
+    }).toMap
+    val z = (for (w <- top) yield {
+      val vs = ns.keys.toSeq.map(s => f9((s, w)).toDouble)
+      val m = vs.sum / vs.size
+      val sd = math.sqrt(vs.map(v => v * v).sum / vs.size - m * m)
+      w -> ns.keys.map(s => s -> (if (sd == 0.0) 0.0 else (f9((s, w)) - m) / sd)).toMap
+    }).toMap
+    def ref(a: String, b: String): Double =
+      top.map(w => math.rint(math.abs(z(w)(a) - z(w)(b)) * 1e9) / 1e9).sum / Drift.DeltaTopM
+    got.foreach { case ((a, b), d) =>
+      assert(math.abs(d - math.rint(ref(a, b) * 1e6) / 1e6) < 2e-6,
+        s"($a,$b): $d vs reference ${ref(a, b)}")
+    }
+    // scaled-L1 metric laws over every source triple
+    val srcs = ns.keys.toSeq.sorted
+    def dd(a: String, b: String) =
+      if (a < b) got((a, b)) else if (b < a) got((b, a)) else 0.0
+    for (a <- srcs; b <- srcs if a < b) assert(dd(a, b) > 0.0)
+    for (a <- srcs; b <- srcs; c <- srcs if a < b && b < c) {
+      assert(dd(a, c) <= dd(a, b) + dd(b, c) + 1e-6, s"triangle $a $b $c")
+      assert(dd(a, b) <= dd(a, c) + dd(b, c) + 1e-6, s"triangle $b $a $c")
+      assert(dd(b, c) <= dd(a, b) + dd(a, c) + 1e-6, s"triangle $c $a $b")
+    }
+  }
+
   test("emb_drift_mmd: identical groups score 0, a translated group scores the exact shift") {
     import spark.implicits._
     import graft.operators.Drift
