@@ -130,27 +130,39 @@ object Drift {
     // take z = 0 in both engines.
     "style_burrows_delta" -> { (s, d) =>
       val dec = DecimalType(38, 0)
-      val tok = documents(s, d)
-        .select(col("source"), explode(toks(col("text"))).as("word"))
-      val topw = tok.groupBy("word").agg(count(lit(1)).as("c"))
+      // ONE corpus pass: every relation below derives from the
+      // (source, tok, c) shuffle srcTok already defines (persisted —
+      // three consumers; caller releases via Graft.releaseCaches)
+      val st = srcTok(s, d).persist()
+      val topw = st.groupBy(col("tok").as("word")).agg(sum("c").as("c"))
         .orderBy(desc("c"), asc("word")).limit(DeltaTopM).select("word")
-      val ns = tok.groupBy("source").agg(count(lit(1)).as("n_s"))
-      val csw = tok.join(broadcast(topw), "word")
-        .groupBy("source", "word").agg(count(lit(1)).as("c"))
+      val ns = st.groupBy("source").agg(sum("c").as("n_s"))
+      val csw = st.join(broadcast(topw), col("tok") === col("word"))
+        .select(col("source"), col("word"), col("c"))
       val grid = ns.crossJoin(broadcast(topw))
         .join(csw, Seq("source", "word"), "left")
         .select(col("source"), col("word"), col("n_s"),
           coalesce(col("c"), lit(0L)).as("c"))
-        .withColumn("f9", expr("(c * 1000000000) DIV n_s"))
+        // DECIMAL numerator: c * 1e9 overflows a long at web-scale counts
+        .withColumn("f9",
+          expr("CAST((CAST(c AS DECIMAL(38,0)) * 1000000000) DIV n_s AS BIGINT)"))
       val stats = grid.groupBy("word")
-        .agg(count(lit(1)).as("k"), sum("f9").as("sf9"),
+        .agg(count(lit(1)).cast(dec).as("k"), sum(col("f9").cast(dec)).as("sf9"),
           sum(col("f9").cast(dec) * col("f9")).as("sff"))
       val mean = col("sf9").cast("double") / col("k").cast("double")
-      val vr = col("sff").cast("double") / col("k").cast("double") - mean * mean
+      // zero variance is decided EXACTLY in integers (k*sff == sf9^2) —
+      // the double form can round to a tiny negative at large rates,
+      // turning sqrt into NaN and silently dropping the word; the
+      // greatest() clamp guards the sqrt for near-zero cases
+      val vr = greatest(
+        col("sff").cast("double") / col("k").cast("double") - mean * mean,
+        lit(0.0))
       val zs = grid.join(broadcast(stats
-          .select(col("word"), mean.as("m"), sqrt(vr).as("sd"))), "word")
+          .select(col("word"), mean.as("m"), sqrt(vr).as("sd"),
+            (col("k") * col("sff") === col("sf9") * col("sf9")).as("zerovar"))),
+          "word")
         .select(col("source"), col("word"),
-          when(col("sd") === 0.0, lit(0.0))
+          when(col("zerovar"), lit(0.0))
             .otherwise((col("f9").cast("double") - col("m")) / col("sd")).as("z"))
       zs.as("a").join(zs.as("b"),
           col("a.word") === col("b.word") && col("a.source") < col("b.source"))
@@ -422,17 +434,20 @@ object Drift {
          |csw AS (SELECT source, tok.word, count(*) AS c FROM tok
          |  JOIN topw ON tok.word = topw.word GROUP BY 1, 2),
          |grid AS (SELECT ns.source, topw.word, ns.n_s,
-         |    CAST((coalesce(csw.c, 0) * 1000000000) // ns.n_s AS BIGINT) AS f9
+         |    CAST((CAST(coalesce(csw.c, 0) AS HUGEINT) * 1000000000) // ns.n_s
+         |      AS BIGINT) AS f9
          |  FROM ns CROSS JOIN topw
          |  LEFT JOIN csw ON csw.source = ns.source AND csw.word = topw.word),
-         |st AS (SELECT word, count(*) AS k, sum(CAST(f9 AS HUGEINT)) AS sf9,
+         |st AS (SELECT word, CAST(count(*) AS HUGEINT) AS k,
+         |    sum(CAST(f9 AS HUGEINT)) AS sf9,
          |    sum(CAST(f9 AS HUGEINT) * f9) AS sff FROM grid GROUP BY 1),
          |ms AS (SELECT word, CAST(sf9 AS DOUBLE) / CAST(k AS DOUBLE) AS m,
-         |    sqrt(CAST(sff AS DOUBLE) / CAST(k AS DOUBLE)
+         |    sqrt(greatest(CAST(sff AS DOUBLE) / CAST(k AS DOUBLE)
          |      - (CAST(sf9 AS DOUBLE) / CAST(k AS DOUBLE))
-         |        * (CAST(sf9 AS DOUBLE) / CAST(k AS DOUBLE))) AS sd FROM st),
+         |        * (CAST(sf9 AS DOUBLE) / CAST(k AS DOUBLE)), 0.0)) AS sd,
+         |    k * sff = sf9 * sf9 AS zerovar FROM st),
          |zs AS (SELECT source, grid.word,
-         |    CASE WHEN sd = 0.0 THEN 0.0
+         |    CASE WHEN zerovar THEN 0.0
          |      ELSE (CAST(f9 AS DOUBLE) - m) / sd END AS z
          |  FROM grid JOIN ms ON grid.word = ms.word)
          |SELECT a.source AS source_x, b.source AS source_y,

@@ -76,16 +76,24 @@ object Graph {
     * that lands at vocab² rows. Counts are identical either way.
     */
   def cooccurEdges(docs: DataFrame): DataFrame = {
+    val adj = adjacentPairs(docs)
+    val und = adj.select(col("tok").as("src"), col("nxt").as("dst"))
+      .union(adj.select(col("nxt").as("src"), col("tok").as("dst")))
+    und.groupBy("src", "dst").agg(count(lit(1)).as("w"))
+  }
+
+  /** One (tok, nxt) row per adjacent token pair, self-pairs dropped —
+    * the shared extraction behind [[cooccurEdges]] (both directions) and
+    * [[precedenceEdges]] (directed).
+    */
+  private def adjacentPairs(docs: DataFrame): DataFrame = {
     val n1 = greatest(size(col("t")) - 1, lit(0))
-    val adj = docs
+    docs
       .select(toks(col("text")).as("t"))
       .select(explode(arrays_zip(
         slice(col("t"), lit(1), n1), slice(col("t"), lit(2), n1))).as("p"))
       .select(col("p").getField("0").as("tok"), col("p").getField("1").as("nxt"))
       .where(col("tok") =!= col("nxt"))
-    val und = adj.select(col("tok").as("src"), col("nxt").as("dst"))
-      .union(adj.select(col("nxt").as("src"), col("tok").as("dst")))
-    und.groupBy("src", "dst").agg(count(lit(1)).as("w"))
   }
 
   /** HITS rounds — fixed so the oracle unrolls the identical count. */
@@ -97,16 +105,10 @@ object Graph {
     * makes HITS hubs differ from authorities — the undirected co-occur
     * graph would degenerate to hub == authority.
     */
-  def precedenceEdges(docs: DataFrame): DataFrame = {
-    val n1 = greatest(size(col("t")) - 1, lit(0))
-    docs
-      .select(toks(col("text")).as("t"))
-      .select(explode(arrays_zip(
-        slice(col("t"), lit(1), n1), slice(col("t"), lit(2), n1))).as("p"))
-      .select(col("p").getField("0").as("src"), col("p").getField("1").as("dst"))
-      .where(col("src") =!= col("dst"))
+  def precedenceEdges(docs: DataFrame): DataFrame =
+    adjacentPairs(docs)
+      .select(col("tok").as("src"), col("nxt").as("dst"))
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
-  }
 
   /** Kleinberg's HITS over a directed weighted edge list: alternating
     * authority (a = A^T h) and hub (h = A a) updates for [[HitsRounds]]
@@ -129,13 +131,23 @@ object Graph {
       .persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    // empty graph (every doc <= 1 token): no rounds to run, and the
+    // per-round max would be NULL — return the empty frame the oracle's
+    // empty result mirrors
+    if (e.isEmpty) {
+      return nodes.select(col("node"), lit(0L).as("hub"),
+        lit(0L).as("authority"))
+    }
     var h = nodes.select(col("node"), lit(Scale).as("h"))
     var a = nodes.limit(0).select(col("node"), lit(0L).as("a"))
     def rescale(raw: DataFrame, out: String): DataFrame = {
-      val mx = raw.agg(max("s")).collect()(0).getDecimal(0).toPlainString
-      raw.select(col("node"),
-          expr(s"CAST((s * $Scale) DIV $mx AS BIGINT)").as(out))
-        .localCheckpoint()
+      // checkpoint FIRST so the half-round join+agg runs once: a collect
+      // for the max and a separate checkpoint of the projection would
+      // execute the same plan twice (no shuffle reuse across jobs)
+      val mat = raw.localCheckpoint()
+      val mx = mat.agg(max("s")).collect()(0).getDecimal(0).toPlainString
+      mat.select(col("node"),
+        expr(s"CAST((s * $Scale) DIV $mx AS BIGINT)").as(out))
     }
     graft.Graft.withIterShufflePartitions(edges.sparkSession, e.count()) {
       for (_ <- 1 to rounds) {

@@ -278,4 +278,9 @@ class GraphSpec extends SparkSpecBase {
       assert(BigInt(ga) == a.getOrElse(nd, BigInt(0)), s"$nd authority")
     }
   }
+
+  test("hits on an empty edge list returns an empty frame, not a driver NPE") {
+    val e = spark.range(0).selectExpr("'' AS src", "'' AS dst", "id AS w")
+    assert(Graph.hits(e).count() == 0L)
+  }
 }
