@@ -56,14 +56,33 @@ class DriftSpec extends SparkSpecBase {
     }
   }
 
-  test("drift_psi: non-negative, zero for a source distributed like the rest") {
+  test("drift_psi: matches a driver-side recompute; non-negative with real spread") {
     val rows = q("drift_psi_length").collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
     assert(rows.nonEmpty)
-    rows.foreach { r =>
-      assert(r.getDouble(2) >= 0.0, s"PSI must be non-negative: $r")
+    rows.values.foreach(v => assert(v >= 0.0, s"PSI must be non-negative: $v"))
+    assert(rows.values.exists(_ > 0.0))
+    // first-principles recompute: global equi-depth deciles by
+    // (n_chars, doc_id) rank, per-source shares vs rest, 1e-6 floors
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val n = docs.length
+    val binned = docs.sortBy(d => (d._3, d._1)).zipWithIndex
+      .map { case ((_, src, _), i) => (src, i.toLong * Drift.PsiBins / n) }
+    val bt = binned.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val ns = binned.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    ns.keys.foreach { src =>
+      val psi = bt.keys.toSeq.map { b =>
+        val c = binned.count(x => x._1 == src && x._2 == b).toLong
+        val p = if (c == 0) 1e-6 else c.toDouble / ns(src)
+        val q0 = if (bt(b) - c == 0) 1e-6
+          else (bt(b) - c).toDouble / (n - ns(src))
+        math.rint((p - q0) * math.log(p / q0) * 1e9) / 1e9
+      }.sum
+      assert(math.abs(rows(src) - math.rint(psi * 1e6) / 1e6) < 2e-6,
+        s"$src: ${rows(src)} vs reference $psi")
     }
-    // real per-source shifts exist in the fixture: not all PSI are 0
-    assert(rows.exists(_.getDouble(2) > 0.0))
   }
 
   test("style_burrows_delta: matches a driver recompute; L1 metric laws hold on all triples") {
