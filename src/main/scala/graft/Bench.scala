@@ -84,7 +84,10 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"load":$loads,"load_start":$loadStart,"failed":$failedJson,"sf":"$sfDir"}""")
+    // Serialize the large per-query maps FIRST and the headline fields
+    // (value/failed/load_start/sf) LAST: the driver stores only the final
+    // 2000 chars of stdout, so the gate total must live in the tail.
+    println(s"""{"metric":"total","unit":"sec","queries":$qs,"load":$loads,"value":$total,"failed":$failedJson,"load_start":$loadStart,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -19,19 +19,31 @@ import TextHash._
   * (not probabilistic, unlike MinHash) detection threshold.
   *
   * Rightmost-min selection is encoded as ONE integer key per position:
-  * selkey = (h60(gram) mod 2^44) * 2^16 + (2^16 - 1 - i), so `min(selkey)`
-  * over a window picks the smallest 44-bit hash and, on hash ties, the
-  * LARGEST position — the tie rule that makes selection shift-invariant
-  * (aligned windows in two docs sharing text pick the same relative gram).
-  * The 16-bit position field bounds docs to 65535 chars (longer docs would
-  * take a 20-bit field and a 40-bit hash); 44-bit fingerprint collisions
-  * can only over-link a pair (~2^-44 each — accepted, and identical in the
-  * oracle since both engines compute the same key).
+  * selkey = (h40(gram)) * 2^20 + (2^20 - 1 - i), so `min(selkey)` over a
+  * window picks the smallest 40-bit hash and, on hash ties, the LARGEST
+  * position — the tie rule that makes selection shift-invariant (aligned
+  * windows in two docs sharing text pick the same relative gram). The
+  * 20-bit position field covers chunks up to [[ChunkLen]] = 2^20 - 1
+  * chars; 40-bit fingerprint collisions can only over-link a pair
+  * (~2^-40 each — accepted, and identical in the oracle since both
+  * engines compute the same key).
   *
-  * 100 TB shape: gram + window selection is per-doc (partition key doc_id,
-  * window length bounded by doc length); only (doc_id, 8-byte key) rows
-  * shuffle. The pair join is fingerprint-bucketed with the same df cap
-  * discipline as [[Substring.spanPairsCapped]] — no bucket goes quadratic.
+  * NO document length excludes a doc from fingerprinting: docs longer
+  * than [[ChunkLen]] are cut into chunks at stride
+  * `chunkLen - (GuaranteeLen - 1)`, so every [[GuaranteeLen]]-char span
+  * (= every full gram window) lies entirely inside at least one chunk.
+  * Within a window the local-position order equals the global-position
+  * order, so a window shared by two overlapping chunks selects the SAME
+  * gram in both — after re-basing to global positions, the chunked
+  * fingerprint set is IDENTICAL to what an unbounded position field
+  * would produce (WinnowSpec proves set equality and the cross-seam
+  * guarantee with an artificially small chunkLen).
+  *
+  * 100 TB shape: chunking + gram + window selection is per-doc (partition
+  * keys doc_id, chunk offset; window length bounded by chunk length); only
+  * (doc_id, 8-byte key) rows shuffle. The pair join is fingerprint-bucketed
+  * with the same df cap discipline as [[Substring.spanPairsCapped]] — no
+  * bucket goes quadratic.
   */
 object Winnow {
 
@@ -50,14 +62,18 @@ object Winnow {
     */
   val GuaranteeLen: Int = WinnowW + GramLen - 1
 
-  /** Position field width: docs longer than 2^16 - 1 chars are excluded
-    * (none in the fixture; a real corpus would widen the field).
-    */
-  val PosMax = 65535L
-  private val PosCard = 65536L
+  /** Position field width: 20 bits of chunk-local position (1-based). */
+  private val PosCard = 1L << 20
+  val PosMax: Long = PosCard - 1
 
-  /** Hash field: 44 bits of h60 (44 + 16 = 60 bits < signed-64 range). */
-  private val HashMod = 1L << 44
+  /** Hash field: 40 bits of h60 (40 + 20 = 60 bits < signed-64 range). */
+  private val HashMod = 1L << 40
+
+  /** Default chunk length — the largest the 20-bit position field admits.
+    * Docs longer than this are strided into overlapping chunks (overlap
+    * GuaranteeLen - 1 chars) so the selection never drops a window.
+    */
+  val ChunkLen: Int = PosMax.toInt
 
   /** Fingerprints in more than this many distinct docs are boilerplate and
     * leave the pair join (same discipline as [[Substring.PairDfCap]]).
@@ -67,55 +83,82 @@ object Winnow {
   /** Pairs reported by `wn_overlap_pairs`. */
   val TopPairs = 50
 
-  /** (doc_id, i, sk): every full-window position i (gram positions are
-    * 1-based; windows need i >= WinnowW) with min-selection key sk over
-    * the window ending at i. Gram hashing is one per-row array transform;
-    * the sliding min is a per-doc ROWS window. A fully map-side array
-    * formulation (mins as a second transform over slices of the key
-    * array) was MEASURED SLOWER (10.7 s vs ~3 s at sf0.1): Catalyst
+  /** (doc_id, off, i, sk): every full-window chunk-local position i (gram
+    * positions are 1-based; windows need i >= WinnowW) in the chunk at
+    * char offset `off`, with min-selection key sk over the window ending
+    * at i. Gram hashing indexes the ORIGINAL text at off + i — the chunk
+    * text itself is never materialized (a substr-of-substr would copy the
+    * chunk per position once Catalyst collapses the projections). The
+    * sliding min is a per-(doc, chunk) ROWS window. A fully map-side
+    * array formulation (mins as a second transform over slices of the
+    * key array) was MEASURED SLOWER (10.7 s vs ~3 s at sf0.1): Catalyst
     * collapses the projections and inlines the md5 key-array expression
     * into the sliding-min lambda, recomputing it per window — the same
     * O(n·w) inlining trap TextHash.shingleRows documents.
     */
-  private[operators] def selections(docs: DataFrame): DataFrame = {
-    val wWin = Window.partitionBy("doc_id").orderBy("i")
+  private[operators] def selections(docs: DataFrame,
+                                    chunkLen: Int = ChunkLen): DataFrame = {
+    require(chunkLen >= GuaranteeLen && chunkLen <= PosMax,
+      s"chunkLen must be in [$GuaranteeLen, $PosMax]")
+    val stride = chunkLen - (GuaranteeLen - 1)
+    val wWin = Window.partitionBy("doc_id", "off").orderBy("i")
       .rowsBetween(-(WinnowW - 1), 0)
     docs
-      .where(length(col("text")).between(GuaranteeLen, PosMax))
-      // positions explode FIRST so the md5 key runs as a top-level
+      .where(length(col("text")) >= GuaranteeLen)
+      // chunk starts 0, stride, 2·stride, ...: every GuaranteeLen-char
+      // span [p, p+G-1] fits some chunk (the feasible-offset interval has
+      // exactly `stride` integers, so the stride grid always hits it).
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), length(col("text")) - GramLen, lit(stride)))
+          .as("off"))
+      // positions explode next so the md5 key runs as a top-level
       // codegen'd expression; a transform(...) lambda computing the key
       // inside the array is interpreted per element (measured slower).
-      // The generator and the key projection fuse into one codegen stage,
-      // so the duplicated text column never materializes.
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), length(col("text")) - (GramLen - 1))).as("i"))
-      .select(col("doc_id"), col("i"),
-        (pmod(h60(col("text").substr(col("i"), lit(GramLen))), lit(HashMod))
-          * PosCard + (lit(PosMax) - col("i")))
+      // The generators and the key projection fuse into one codegen
+      // stage, so the duplicated text column never materializes.
+      .select(col("doc_id"), col("text"), col("off"),
+        explode(sequence(lit(1),
+          least(lit(chunkLen), length(col("text")) - col("off"))
+            - (GramLen - 1))).as("i"))
+      .select(col("doc_id"), col("off"), col("i"),
+        (pmod(h60(col("text").substr(col("off") + col("i"), lit(GramLen))),
+          lit(HashMod)) * PosCard + (lit(PosMax) - col("i")))
           .as("sk"))
       .withColumn("skm", min("sk").over(wWin))
       .where(col("i") >= WinnowW)
-      .select(col("doc_id"), col("i"), col("skm").as("sk"))
+      .select(col("doc_id"), col("off"), col("i"), col("skm").as("sk"))
   }
 
-  /** The fingerprint set: (doc_id, pos, fph) — distinct selected grams,
-    * decoded back to the 1-based gram position and 44-bit hash.
+  /** [[selections]] re-based to document-global coordinates: gi = global
+    * window-end gram position, gpos = global position of the selected
+    * gram, fph = its 40-bit hash. Seam windows appear once per covering
+    * chunk but with IDENTICAL (gi, gpos, fph) — distinct-grain consumers
+    * collapse them for free.
     */
-  def fingerprintsOf(docs: DataFrame): DataFrame =
-    selections(docs)
-      .select(col("doc_id"), col("sk")).distinct()
-      .select(col("doc_id"),
-        (lit(PosMax) - pmod(col("sk"), lit(PosCard))).as("pos"),
-        expr(s"sk div $PosCard").as("fph"))
+  private[operators] def globalSelections(docs: DataFrame,
+                                          chunkLen: Int = ChunkLen): DataFrame =
+    selections(docs, chunkLen).select(
+      col("doc_id"),
+      (col("off") + col("i")).as("gi"),
+      (col("off") + lit(PosMax) - pmod(col("sk"), lit(PosCard))).as("gpos"),
+      expr(s"sk div $PosCard").as("fph"))
+
+  /** The fingerprint set: (doc_id, pos, fph) — distinct selected grams at
+    * document-global 1-based positions with their 40-bit hashes.
+    */
+  def fingerprintsOf(docs: DataFrame, chunkLen: Int = ChunkLen): DataFrame =
+    globalSelections(docs, chunkLen)
+      .select(col("doc_id"), col("gpos").as("pos"), col("fph")).distinct()
 
   /** (doc_id, fph): each doc's distinct fingerprint hashes (two
-    * selections of the same gram text at different positions collapse to
-    * one fph). Drops the position field BEFORE the distinct so the
-    * hash-grain dedup is ONE aggregation exchange ([[fingerprintsOf]]
-    * would pay a (doc_id, sk)-grain distinct first, then need a second).
+    * selections of the same gram text at different positions — including
+    * seam-window duplicates across chunks — collapse to one fph). Drops
+    * the position field BEFORE the distinct so the hash-grain dedup is
+    * ONE aggregation exchange ([[fingerprintsOf]] would pay a
+    * (doc_id, pos, fph)-grain distinct first, then need a second).
     */
-  def docFps(docs: DataFrame): DataFrame =
-    selections(docs)
+  def docFps(docs: DataFrame, chunkLen: Int = ChunkLen): DataFrame =
+    selections(docs, chunkLen)
       .select(col("doc_id"), expr(s"sk div $PosCard").as("fph")).distinct()
 
   /** The frozen reference index a winnow ingestion gate probes: distinct
@@ -154,14 +197,15 @@ object Winnow {
       .select("doc_id").distinct()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Per-doc fingerprint profile: windows examined, fingerprints kept,
-    // density (theory: ~2/(W+1) = 0.286 for random hashes; higher means
-    // internal repetition pushes distinct minima apart).
+    // Per-doc fingerprint profile: windows examined (global grain — seam
+    // windows counted once), fingerprints kept, density (theory:
+    // ~2/(W+1) = 0.286 for random hashes; higher means internal
+    // repetition pushes distinct minima apart).
     "wn_fingerprints" -> { (s, d) =>
-      selections(documents(s, d).select("doc_id", "text"))
+      globalSelections(documents(s, d).select("doc_id", "text"))
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_windows"),
-          countDistinct(col("sk")).as("n_fp"))
+        .agg(countDistinct(col("gi")).as("n_windows"),
+          countDistinct(col("gpos"), col("fph")).as("n_fp"))
         .withColumn("density",
           round(col("n_fp").cast("double") / col("n_windows").cast("double"), 6))
         .orderBy("doc_id")
@@ -190,38 +234,46 @@ object Winnow {
 
   // -------------------------------------------------------------- oracles
 
-  /** Shared CTEs: per-position selection keys and full-window minima,
-    * mirroring [[selections]] term for term. DuckDB generate_series is
-    * end-inclusive = Spark sequence; both window frames are ROWS-based
-    * over consecutive integer positions.
+  /** Shared CTEs: chunk offsets, per-position selection keys, full-window
+    * minima, and global re-basing, mirroring [[selections]] /
+    * [[globalSelections]] term for term. DuckDB generate_series is
+    * end-inclusive with the same stride semantics as Spark sequence; both
+    * window frames are ROWS-based over consecutive integer positions.
     */
-  private def selCtes: String =
-    s"""g AS (SELECT doc_id,
-       |    unnest(generate_series(1, length(text) - ${GramLen - 1})) AS i, text
-       |  FROM documents
-       |  WHERE length(text) BETWEEN $GuaranteeLen AND $PosMax),
-       |sk AS (SELECT doc_id, i,
-       |    (${h60Sql(s"substr(text, CAST(i AS INTEGER), $GramLen)")} % $HashMod)
+  private def selCtes: String = {
+    val stride = ChunkLen - (GuaranteeLen - 1)
+    s"""c AS (SELECT doc_id, text,
+       |    unnest(generate_series(0, length(text) - $GramLen, $stride)) AS off
+       |  FROM documents WHERE length(text) >= $GuaranteeLen),
+       |g AS (SELECT doc_id, off, text,
+       |    unnest(generate_series(1,
+       |      least($ChunkLen, length(text) - off) - ${GramLen - 1})) AS i
+       |  FROM c),
+       |sk AS (SELECT doc_id, off, i,
+       |    (${h60Sql(s"substr(text, CAST(off + i AS INTEGER), $GramLen)")} % $HashMod)
        |      * $PosCard + ($PosMax - i) AS sk
        |  FROM g),
-       |w AS (SELECT doc_id, i,
-       |    min(sk) OVER (PARTITION BY doc_id ORDER BY i
+       |w AS (SELECT doc_id, off, i,
+       |    min(sk) OVER (PARTITION BY doc_id, off ORDER BY i
        |      ROWS BETWEEN ${WinnowW - 1} PRECEDING AND CURRENT ROW) AS skm
        |  FROM sk),
-       |f AS (SELECT doc_id, i, skm AS sk FROM w WHERE i >= $WinnowW)""".stripMargin
+       |f AS (SELECT doc_id, off + i AS gi,
+       |    off + ($PosMax - (skm % $PosCard)) AS gpos, skm // $PosCard AS fph
+       |  FROM w WHERE i >= $WinnowW)""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "wn_fingerprints" ->
       s"""WITH $selCtes
-         |SELECT doc_id, count(*) AS n_windows,
-         |  count(DISTINCT sk) AS n_fp,
-         |  round(CAST(count(DISTINCT sk) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
-         |    AS density
+         |SELECT doc_id, count(DISTINCT gi) AS n_windows,
+         |  count(DISTINCT (gpos, fph)) AS n_fp,
+         |  round(CAST(count(DISTINCT (gpos, fph)) AS DOUBLE)
+         |    / CAST(count(DISTINCT gi) AS DOUBLE), 6) AS density
          |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "wn_overlap_pairs" ->
       s"""WITH $selCtes,
-         |fp AS (SELECT DISTINCT doc_id, sk // $PosCard AS fph FROM f),
+         |fp AS (SELECT DISTINCT doc_id, fph FROM f),
          |fd AS (SELECT doc_id, fph FROM
          |  (SELECT doc_id, fph, count(*) OVER (PARTITION BY fph) AS nd FROM fp)
          |  WHERE nd BETWEEN 2 AND $FpDfCap)
