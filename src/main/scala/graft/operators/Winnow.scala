@@ -36,8 +36,11 @@ import TextHash._
   * order, so a window shared by two overlapping chunks selects the SAME
   * gram in both — after re-basing to global positions, the chunked
   * fingerprint set is IDENTICAL to what an unbounded position field
-  * would produce (WinnowSpec proves set equality and the cross-seam
-  * guarantee with an artificially small chunkLen).
+  * would produce. WinnowSpec's chunk tests prove the set equality
+  * against both a single-chunk run and a packing-free pure-Scala
+  * reference with artificially small chunkLen (docs spanning 8+
+  * chunks, plus a 70,000-char doc), and its cross-seam test plants a
+  * shared GuaranteeLen-char run straddling a chunk seam.
   *
   * 100 TB shape: chunking + gram + window selection is per-doc (partition
   * keys doc_id, chunk offset; window length bounded by chunk length); only
@@ -66,8 +69,11 @@ object Winnow {
   private val PosCard = 1L << 20
   val PosMax: Long = PosCard - 1
 
-  /** Hash field: 40 bits of h60 (40 + 20 = 60 bits < signed-64 range). */
-  private val HashMod = 1L << 40
+  /** Hash field: 40 bits of h60 (40 + 20 = 60 bits < signed-64 range).
+    * Public so WinnowSpec's pure-Scala reference derives the width from
+    * here instead of hard-coding a literal that can drift.
+    */
+  val HashMod = 1L << 40
 
   /** Default chunk length — the largest the 20-bit position field admits.
     * Docs longer than this are strided into overlapping chunks (overlap

@@ -13,8 +13,13 @@ import graft.operators.Winnow
 class WinnowSpec extends SparkSpecBase {
   import spark.implicits._
 
-  /** Reference winnowing, computed independently of any Spark/SQL code:
-    * md5-based 44-bit gram hashes, rightmost-min per window of W.
+  /** Reference winnowing, computed independently of any Spark/SQL code AND
+    * of the engine's packed-key encoding: 40-bit gram hashes (h60 mod
+    * [[Winnow.HashMod]] — the width is READ from the engine so it can never
+    * silently drift again), rightmost-min per window of W by direct index
+    * comparison (min hash; on hash ties the largest position wins). No
+    * position field, no chunking — this is the unbounded ideal the chunked
+    * engine must reproduce exactly.
     */
   private def referenceFingerprints(text: String): Set[(Long, Long)] = {
     val k = Winnow.GramLen
@@ -22,17 +27,28 @@ class WinnowSpec extends SparkSpecBase {
     val md = MessageDigest.getInstance("MD5")
     val n = text.length - k + 1
     // 1-based gram positions, as in the engine
-    val sk = (1 to n).map { i =>
+    val hs = (1 to n).map { i =>
       val hex = md.digest(text.substring(i - 1, i - 1 + k).getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(15)
-      val h = java.lang.Long.parseLong(hex, 16) % (1L << 44)
-      h * 65536L + (65535L - i)
+      java.lang.Long.parseLong(hex, 16) % Winnow.HashMod
     }
     (w to n).map { i =>
-      val m = sk.slice(i - w, i).min
-      (65535L - m % 65536L, m / 65536L) // (pos, fph)
+      // rightmost minimum over the window of positions (i-w+1 .. i):
+      // start at the window's last position and only move left on a
+      // STRICTLY smaller hash
+      var best = i - 1 // 0-based index of position i
+      var j = i - 2
+      while (j >= i - w) { if (hs(j) < hs(best)) best = j; j -= 1 }
+      (best + 1L, hs(best)) // (pos, fph)
     }.toSet
   }
+
+  /** Engine fingerprints per doc as (pos, fph) sets. */
+  private def engineFps(docs: org.apache.spark.sql.DataFrame,
+                        chunkLen: Int): Map[Long, Set[(Long, Long)]] =
+    Winnow.fingerprintsOf(docs, chunkLen)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
 
   test("winnowing guarantee: a shared >= GuaranteeLen-char run always shares a fingerprint") {
     // 40 adversarial pairs: a common substring of exactly GuaranteeLen chars
@@ -66,6 +82,85 @@ class WinnowSpec extends SparkSpecBase {
     texts.foreach { case (id, text) =>
       assert(engine(id) === referenceFingerprints(text), s"doc $id")
     }
+  }
+
+  test("chunked selection equals single-chunk selection and the reference on multi-chunk docs") {
+    // Docs spanning 8+ chunks at an artificially small chunkLen: random
+    // text, periodic text (period 4 < gram length, so identical grams
+    // recur INSIDE single windows — the rightmost-on-tie rule is live in
+    // every window), and mixed text with a long repeated phrase. The
+    // chunked run must equal both the single-chunk run and the
+    // packing-free pure-Scala reference as (pos, fph) sets.
+    val rng = new scala.util.Random(11)
+    def junk(n: Int) = (0 until n).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+    val phrase = "winnowing local fingerprints "
+    val rows = Seq(
+      (0L, junk(450)),
+      (1L, "abcd" * 120),                       // ties in every window
+      (2L, junk(80) + phrase * 9 + junk(90)),   // long internal repeat
+      (3L, junk(Winnow.GuaranteeLen)),          // exactly one window
+      (4L, junk(63) + junk(64))                 // length straddles one seam
+    )
+    val smallChunk = 64
+    val stride = smallChunk - (Winnow.GuaranteeLen - 1)
+    assert(rows.map(_._2.length).max / stride >= 8, "fixture must span 8+ chunks")
+    val docs = rows.toDF("doc_id", "text")
+    val chunked = engineFps(docs, smallChunk)
+    val single = engineFps(docs, Winnow.ChunkLen)
+    rows.foreach { case (id, text) =>
+      val ref = referenceFingerprints(text)
+      assert(chunked(id) === ref, s"chunked vs reference, doc $id")
+      assert(single(id) === ref, s"single-chunk vs reference, doc $id")
+    }
+  }
+
+  test("cross-seam guarantee: a shared run straddling a chunk seam still shares a fingerprint") {
+    // chunkLen=64 -> stride 52: chunk 0 covers 1-based positions 1..64,
+    // chunk 1 starts at 53. Plant the SAME GuaranteeLen-char run at
+    // positions 58..70 of doc A (straddling A's first seam at 64|65) and
+    // at positions 100..112 of doc B (straddling B's second seam at
+    // 104|105... B's chunk grid is the same 0,52,104 offsets, so 100..112
+    // crosses the char-104 boundary). Both runs cross a seam, yet each
+    // lies fully inside SOME chunk (that is the whole point of the
+    // GuaranteeLen-1 overlap), so the pair must share a fingerprint.
+    val smallChunk = 64
+    val g = Winnow.GuaranteeLen // 13
+    val rng = new scala.util.Random(23)
+    def junk(n: Int) = (0 until n).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+    val shared = junk(g)
+    val a = junk(57) + shared + junk(130) // shared at positions 58..70
+    val b = junk(99) + shared + junk(120) // shared at positions 100..112
+    assert(a.substring(57, 57 + g) === shared && b.substring(99, 99 + g) === shared)
+    val docs = Seq((0L, a), (1L, b)).toDF("doc_id", "text")
+    val fp = Winnow.docFps(docs, smallChunk)
+    val nShared = fp.where(col("doc_id") === 0).select("fph")
+      .intersect(fp.where(col("doc_id") === 1).select("fph")).count()
+    assert(nShared >= 1L, "seam-straddling shared run must share a fingerprint")
+    // and the chunked sets still match the unchunked reference exactly
+    val chunked = engineFps(docs, smallChunk)
+    assert(chunked(0L) === referenceFingerprints(a))
+    assert(chunked(1L) === referenceFingerprints(b))
+  }
+
+  test("a 70,000-char doc (past the old 16-bit position bound) fingerprints correctly") {
+    // Well past 65,535 chars: single-chunk at the default ChunkLen (2^20-1)
+    // AND multi-chunk at chunkLen=4096 (~18 chunks) must both equal the
+    // packing-free reference.
+    val rng = new scala.util.Random(41)
+    val sb = new StringBuilder
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "theta", "kappa", "lambda", "sigma")
+    while (sb.length < 70000) {
+      sb.append(words(rng.nextInt(words.length))).append(' ')
+      if (rng.nextInt(13) == 0) sb.append("shared boilerplate phrase ")
+    }
+    val text = sb.toString.take(70000)
+    assert(text.length > 65535, "doc must exceed the old 16-bit bound")
+    val docs = Seq((7L, text)).toDF("doc_id", "text")
+    val ref = referenceFingerprints(text)
+    assert(engineFps(docs, Winnow.ChunkLen)(7L) === ref, "single-chunk vs reference")
+    assert(engineFps(docs, 4096)(7L) === ref, "18-chunk vs reference")
+    assert(ref.exists(_._1 > 65535L), "fingerprints past the old bound must exist")
   }
 
   test("density tracks the 2/(w+1) theory on the fixture corpus") {
