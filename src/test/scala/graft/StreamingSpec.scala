@@ -168,7 +168,28 @@ class StreamingSpec extends SparkSpecBase {
 
   test("winnowIngest: streamed survivors equal the batch winnow-overlap answer") {
     import graft.operators.Winnow
+    val s = spark
+    import s.implicits._
+    // Fixture docs PLUS three planted >65,535-char docs, so the gate is
+    // proven past the old 16-bit position bound (the chunked encoding's
+    // whole reason to exist): a long reference doc, a probe quoting 1,000
+    // chars of it (must be dropped), and an unrelated long probe (must
+    // survive).
+    def longText(seed: Int): String = {
+      val r = new scala.util.Random(seed)
+      val sb = new StringBuilder
+      while (sb.length < 70000) sb.append(('a' + r.nextInt(26)).toChar)
+      sb.toString
+    }
+    val refLong = longText(1)
+    val quote = refLong.substring(40000, 41000)
+    val planted = Seq(
+      (100000L, refLong), // % 5 == 0 -> reference side
+      (100001L, longText(2).patch(20000, quote, 1000)), // probe, quotes ref
+      (100002L, longText(3))) // probe, unrelated
+    assert(planted.forall(_._2.length > 65535))
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .union(planted.toDF("doc_id", "text"))
     val allIds = docs.collect().map(_.getLong(0)).toSet
     val probe = docs.where(col("doc_id") % 5 =!= 0)
     val probeIds = allIds.filter(_ % 5 != 0)
@@ -184,6 +205,8 @@ class StreamingSpec extends SparkSpecBase {
     Graft.releaseCaches(spark)
     assert(dropped.nonEmpty, "fixture near-dup twins must overlap the reference")
     assert(dropped.size < probeIds.size, "gate must not drop everything")
+    assert(dropped.contains(100001L), "long probe quoting the long reference must be dropped")
+    assert(!dropped.contains(100002L), "unrelated long probe must survive")
 
     val tmp = java.nio.file.Files.createTempDirectory("winnow").toString
     probe.repartition(3).write.parquet(s"$tmp/src")
