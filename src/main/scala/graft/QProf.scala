@@ -1,62 +1,71 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** One-off stage profiler (scratch main — retargeted per investigation).
-  * Current target: where ann_knn_components' time goes — graph build vs
-  * the CC iteration, and how many rounds the CC loop runs on the
-  * mutual-kNN graph at sf0.1.
+  * Current target: does running a query at sf0.001 pre-compile the
+  * generated code the SAME query at sf0.1 needs (codegen-cache warm via a
+  * tiny scale factor)? Compare cold sf0.1 first-runs vs sf0.001-warmed
+  * sf0.1 first-runs for representative floor queries.
   */
 object QProf {
   def main(args: Array[String]): Unit = {
-    val d = "/root/testdata/sf0.1"
+    val warm = "/root/testdata/sf0.001"
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Graft.init(spark)
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"STAGE $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings").foreach { t =>
+      spark.read.parquet(s"$d/$t.parquet").count()
+      spark.read.parquet(s"$warm/$t.parquet").count()
     }
-    // warm-up (mirrors Bench): tables + a tiny CC
-    spark.read.parquet(s"$d/embeddings.parquet").count()
-    locally {
-      val n = spark.range(0, 8).select(col("id"))
-      val e = spark.range(0, 6).select(col("id").as("a"), (col("id") + 1).as("b"))
-      graft.operators.Components.connectedComponents(n, e).count()
+    Tables.events(spark, d).count(); Tables.events(spark, warm).count()
+    def t(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val cold = Seq("text_stats", "q_math_funcs", "ts_gapfill", "q_running_sum",
+      "q_semi_join", "q_date_agg", "q_array_funcs", "dedup_exact")
+    val warmed = Seq("text_langid", "q_window_funcs2", "ts_cusum", "q_rollup",
+      "q_anti_join", "q_datetime_funcs", "q_map_funcs", "dedup_minhash_stats")
+      .filter(SparkEntry.queries.contains)
+    println(s"warmed set present: $warmed")
+    // control group: straight cold at sf0.1
+    for (name <- cold) {
+      val dt = t {
+        SparkEntry.queries(name)(spark, d)
+          .write.format("noop").mode("overwrite").save()
+      }
       Graft.releaseCaches(spark)
+      println(f"COLD  $name%-22s $dt%.3f")
     }
-    val g = graft.operators.Similarity.queries("ann_knn_graph")(spark, d)
-    time("knn-graph")(g.count())
-    Graft.releaseCaches(spark)
-    val m = graft.operators.Similarity.queries("ann_mutual_knn")(spark, d)
-      .select(col("a").as("src"), col("b").as("dst")).localCheckpoint()
-    time("mutual-graph")(m.count())
-    Graft.releaseCaches(spark)
-    val nodes = spark.read.parquet(s"$d/embeddings.parquet").select("vec_id")
-    time("cc-on-checkpointed-edges") {
-      graft.operators.Components.connectedComponents(nodes, m).count()
+    // experiment group: warm at sf0.001 first, then time at sf0.1
+    for (name <- warmed) {
+      val tw = t {
+        try SparkEntry.queries(name)(spark, warm)
+          .write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => println(s"WARMFAIL $name: ${e.getMessage.take(80)}") }
+      }
+      Graft.releaseCaches(spark)
+      val dt = t {
+        SparkEntry.queries(name)(spark, d)
+          .write.format("noop").mode("overwrite").save()
+      }
+      Graft.releaseCaches(spark)
+      println(f"WARMED $name%-22s warmCost=$tw%.3f timed=$dt%.3f")
     }
-    println(s"CC rounds = ${graft.operators.Components.lastRounds}")
-    Graft.releaseCaches(spark)
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    time("cc-4-shuffle-partitions") {
-      graft.operators.Components.connectedComponents(nodes, m).count()
+    // and re-time the cold group now that they ran once (identical source)
+    for (name <- cold) {
+      val dt = t {
+        SparkEntry.queries(name)(spark, d)
+          .write.format("noop").mode("overwrite").save()
+      }
+      Graft.releaseCaches(spark)
+      println(f"RERUN $name%-22s $dt%.3f")
     }
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
-    Graft.releaseCaches(spark)
-    spark.conf.set("spark.databricks.optimizer.adaptive.enabled", "true")
-    time("cc-again-32") {
-      graft.operators.Components.connectedComponents(nodes, m).count()
-    }
-    Graft.releaseCaches(spark)
-    time("full-ann_knn_components") {
-      graft.operators.Similarity.queries("ann_knn_components")(spark, d).count()
-    }
-    println(s"CC rounds = ${graft.operators.Components.lastRounds}")
     spark.stop()
   }
 }

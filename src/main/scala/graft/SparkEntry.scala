@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Basket, BpeTrainer, Behavior, Cdc, Clustering, Components, Corpus, Dedup, Drift, Graph, Layout, Learn, Linkage, Markov, Multimodal, Pipeline, Profile, RegexpQueries, Relational, Retrieval, Similarity, Sketches, Skyline, SqlFunctions, Substring, TextAnalysis, TimeSeries, TpchSuite, UnigramLm, UrlOps, Winnow}
+import graft.operators.{Audio, Basket, BpeTrainer, Behavior, Cdc, Clustering, Components, Corpus, Dedup, Drift, Graph, Layout, Learn, Linkage, Markov, Multimodal, Pipeline, Profile, RegexpQueries, Relational, Retrieval, Similarity, Sketches, Skyline, SqlFunctions, Substring, TextAnalysis, TimeSeries, TpchSuite, UnigramLm, UrlOps, Winnow}
 import graft.sources.Sources
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -42,7 +42,7 @@ object SparkEntry {
       Behavior.queries ++ Sketches.queries ++ Retrieval.queries ++ Substring.queries ++
       Profile.queries ++ Learn.queries ++ Basket.queries ++ Drift.queries ++
       Markov.queries ++ Skyline.queries ++ Cdc.queries ++ BpeTrainer.queries ++ UnigramLm.queries ++ UrlOps.queries ++
-      Winnow.queries
+      Winnow.queries ++ Audio.queries
 
   def oracleSql: Map[String, String] =
     RegexpQueries.oracles ++ Relational.oracles ++ TpchSuite.oracles ++
@@ -53,5 +53,5 @@ object SparkEntry {
       Behavior.oracles ++ Sketches.oracles ++ Retrieval.oracles ++ Substring.oracles ++
       Profile.oracles ++ Learn.oracles ++ Basket.oracles ++ Drift.oracles ++
       Markov.oracles ++ Skyline.oracles ++ Cdc.oracles ++ BpeTrainer.oracles ++ UnigramLm.oracles ++ UrlOps.oracles ++
-      Winnow.oracles
+      Winnow.oracles ++ Audio.oracles
 }

@@ -213,27 +213,35 @@ object Clustering {
     },
 
     // Simplified silhouette per trained cluster (Hartigan's centroid
-    // variant: a = distance to OWN trained centroid, b = distance to the
-    // nearest OTHER — O(n·k) against broadcast model state, never the
-    // O(n²) pairwise silhouette): the partition-quality audit you run
-    // before trusting learned clusters as blocking keys at 100 TB.
-    // sil = (b−a)/max(a,b) on 0-clamped sqrt distances; per-cluster means
-    // through 1e-6 fixed-point sums (order-independent), ties (dist2, cid)
-    // as everywhere in this file.
+    // variant: a = distance to the vector's ASSIGNED centroid, b =
+    // distance to the nearest OTHER — O(n·k) against broadcast model
+    // state, never the O(n²) pairwise silhouette): the partition-quality
+    // audit you run before trusting learned clusters as blocking keys at
+    // 100 TB. Membership comes from lloyd's ASSIGNMENT — the same
+    // partition kmeans_assign/kmeans_sizes/semdedup report — never
+    // re-derived by nearest-final-centroid (the two can disagree for
+    // vectors near a boundary, which silently moved vectors between
+    // clusters across queries; a stale assignment now shows up as a
+    // NEGATIVE sil instead of vanishing). Distances are against the final
+    // trained centroids. sil = (b−a)/max(a,b) on 0-clamped sqrt
+    // distances; per-cluster means through 1e-6 fixed-point sums
+    // (order-independent).
     "cluster_silhouette" -> { (s, d) =>
-      val (_, cents) = lloyd(s, d)
-      val cc = cents.select(col("cid"), col("c"), dot(col("c"), col("c")).as("cc"))
-      val e = embeddings(s, d).select(col("vec_id"), toDouble(col("embedding")).as("x"))
-        .withColumn("xx", dot(col("x"), col("x")))
-      e.crossJoin(broadcast(cc))
-        .withColumn("dist2", greatest(
+      val (assign, cents) = lloyd(s, d)
+      val cc = cents.select(col("cid").as("ccid"), col("c"),
+        dot(col("c"), col("c")).as("cc"))
+      assign
+        .select(col("vec_id"), col("cid"), col("x"),
+          dot(col("x"), col("x")).as("xx"))
+        .crossJoin(broadcast(cc))
+        .withColumn("d2", greatest(
           col("xx") - lit(2.0) * dot(col("x"), col("c")) + col("cc"), lit(0.0)))
-        .groupBy("vec_id")
-        .agg(sort_array(collect_list(struct(col("dist2"), col("cid")))).as("ds"))
-        .select(
-          col("ds").getItem(0).getField("cid").as("cluster"),
-          sqrt(col("ds").getItem(0).getField("dist2")).as("a"),
-          sqrt(col("ds").getItem(1).getField("dist2")).as("b"))
+        .groupBy("vec_id", "cid")
+        // own: the single non-null (ccid == cid) row; oth: min over the rest
+        .agg(max(when(col("ccid") === col("cid"), col("d2"))).as("own"),
+          min(when(col("ccid") =!= col("cid"), col("d2"))).as("oth"))
+        .select(col("cid").as("cluster"),
+          sqrt(col("own")).as("a"), sqrt(col("oth")).as("b"))
         .select(col("cluster"),
           when(greatest(col("a"), col("b")) === 0.0, lit(0.0))
             .otherwise((col("b") - col("a")) / greatest(col("a"), col("b")))
@@ -407,18 +415,16 @@ object Clustering {
 
     "cluster_silhouette" ->
       s"""WITH ${lloydCtes(Rounds)},
-         |bx AS (SELECT vec_id, x, ${dotSql("x", "x", Dim)} AS xx FROM e),
-         |dd AS (SELECT v.vec_id, c.cid,
+         |bx AS (SELECT vec_id, cid, x, ${dotSql("x", "x", Dim)} AS xx
+         |  FROM a$Rounds),
+         |dd AS (SELECT v.vec_id, v.cid AS cluster, c.cid AS ccid,
          |    greatest(v.xx - 2 * ${dotSql("v.x", "c.c", Dim)}
-         |      + ${dotSql("c.c", "c.c", Dim)}, 0) AS dist2
+         |      + ${dotSql("c.c", "c.c", Dim)}, 0) AS d2
          |  FROM bx v CROSS JOIN c$Rounds c),
-         |r AS (SELECT vec_id, cid, dist2,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
-         |  FROM dd),
-         |ab AS (SELECT o.vec_id, o.cid AS cluster,
-         |    sqrt(o.dist2) AS a, sqrt(n.dist2) AS b
-         |  FROM (SELECT * FROM r WHERE rn = 1) o
-         |  JOIN (SELECT * FROM r WHERE rn = 2) n USING (vec_id)),
+         |ab AS (SELECT vec_id, cluster,
+         |    sqrt(max(CASE WHEN ccid = cluster THEN d2 END)) AS a,
+         |    sqrt(min(CASE WHEN ccid <> cluster THEN d2 END)) AS b
+         |  FROM dd GROUP BY vec_id, cluster),
          |ss AS (SELECT cluster,
          |    CASE WHEN greatest(a, b) = 0 THEN 0.0
          |         ELSE (b - a) / greatest(a, b) END AS sil

@@ -197,10 +197,13 @@ object Drift {
         .groupBy("source")
         .agg(first("n_s").as("n_docs"), first("n_tot").as("nt"),
           max("num").as("mnum"))
+        // single-source corpus: the rest-ECDF is empty and the statistic
+        // is undefined — NULL, never a divide-by-zero (ANSI would throw)
         .select(col("source"), col("n_docs"),
-          round(col("mnum").cast("double") /
-            (col("n_docs").cast("double") *
-              (col("nt") - col("n_docs")).cast("double")), 6).as("ks_stat"))
+          when(col("nt") === col("n_docs"), lit(null).cast("double"))
+            .otherwise(round(col("mnum").cast("double") /
+              (col("n_docs").cast("double") *
+                (col("nt") - col("n_docs")).cast("double")), 6)).as("ks_stat"))
         .orderBy("source")
     },
 
@@ -232,8 +235,12 @@ object Drift {
         .otherwise((col("bt") - col("c")).cast("double") /
           (col("n_tot") - col("n_s")).cast("double"))
       grid
+        // single-source corpus: every rest-share q is over an empty rest —
+        // all terms NULL, so the sum (and psi) is NULL, never a
+        // divide-by-zero under ANSI
         .select(col("source"), col("n_s"),
-          round((p - q) * log(p / q) * 1e9).cast("long").as("t9"))
+          when(col("n_tot") === col("n_s"), lit(null).cast("long"))
+            .otherwise(round((p - q) * log(p / q) * 1e9).cast("long")).as("t9"))
         .groupBy("source")
         .agg(first("n_s").as("n_docs"),
           round(sum("t9").cast("double") / 1e9, 6).as("psi"))
@@ -261,10 +268,12 @@ object Drift {
         .groupBy("source")
         .agg(first("n_s").as("n_docs"), first("n_tot").as("nt"),
           sum("term").as("tsum"))
+        // single-source corpus -> NULL (same contract as drift_ks_length)
         .select(col("source"), col("n_docs"),
-          round(col("tsum").cast("double") /
-            (col("n_docs").cast("double") *
-              (col("nt") - col("n_docs")).cast("double")), 6).as("w1_dist"))
+          when(col("nt") === col("n_docs"), lit(null).cast("double"))
+            .otherwise(round(col("tsum").cast("double") /
+              (col("n_docs").cast("double") *
+                (col("nt") - col("n_docs")).cast("double")), 6)).as("w1_dist"))
         .orderBy("source")
     }
   )

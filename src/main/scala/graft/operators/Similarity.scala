@@ -65,6 +65,35 @@ object Similarity {
       s"CASE WHEN ${dotSql(e, planeSqlList(j), Dim)} >= 0.0 THEN ${1 << j} ELSE 0 END"
     }.mkString("(", " + ", ")")
 
+  /** Every XOR probe mask touching at most `radius` of the low `bits` sign
+    * bits, ascending (deterministic order; mask 0 = the query's own
+    * bucket). Probing all masks of radius r over a `bits`-bit prefix key
+    * covers every bucket within Hamming distance r — the recall/cost dial
+    * `ann_recall_frontier` measures: candidate volume ~ corpus *
+    * n_masks / 2^bits, recall rises with both fewer bits and larger r.
+    */
+  private[operators] def probeMasks(bits: Int, radius: Int): Seq[Int] =
+    (0 until (1 << bits)).filter(m => Integer.bitCount(m) <= radius)
+
+  /** (bits, radius) operating points `ann_recall_frontier` measures:
+    * radius sweep at the full 6-bit key plus coarser 4-bit points.
+    */
+  val FrontierGrid: Seq[(Int, Int)] =
+    Seq((6, 0), (6, 1), (6, 2), (6, 3), (4, 1), (4, 2))
+
+  /** Multi-probe DEFAULTS, adopted from the measured frontier (the
+    * `ann_recall_frontier` rows are the recorded evidence): probe every
+    * bucket within Hamming radius [[MultiProbeRadius]] of the query's
+    * [[MultiProbeBits]]-bit prefix key. Measured recall@5: 0.82 (sf0.01)
+    * / 0.78 (sf0.1) — vs 0.14 for the previous radius-1 full-key probe —
+    * at the best recall-per-candidate of any ≥0.5 grid point. On the
+    * fixture's tiny key space that is ~2/3 of the corpus per query; at
+    * real scale the key grows with log2(N) (scaling rule above) and the
+    * same radius probes a vanishing fraction.
+    */
+  val MultiProbeBits = 4
+  val MultiProbeRadius = 2
+
   // ------------------------------------------------------------------
   // Banded hyperplane geometry for pairwise near-dup candidate generation
   // (Dedup.dedup_embedding_cosine). Minhash-style banding over sign bits:
@@ -408,20 +437,22 @@ object Similarity {
         col("qb") === col("cb") && col("q_id") =!= col("cand_id")))
     },
 
-    // MULTI-PROBE LSH top-k: each query probes its own bucket PLUS the
-    // NumPlanes Hamming-1 buckets (one sign bit flipped) — the hyperplane
-    // analogue of IVF's multi-probe. Near-misses land one sign flip away
-    // far more often than uniformly, so recall rises steeply while the
-    // candidate set only grows (NumPlanes+1)/2^NumPlanes of the corpus.
-    // Probe buckets are distinct, so no candidate pair duplicates; the
-    // probe explode is query-side only (QuerySet × 7 rows, still
-    // broadcast).
+    // MULTI-PROBE LSH top-k: each query probes every bucket within
+    // Hamming radius MultiProbeRadius of its MultiProbeBits-bit prefix
+    // key — the hyperplane analogue of IVF's multi-probe. Near-misses
+    // land a few sign flips away far more often than uniformly, so
+    // recall rises steeply with radius; the (bits, radius) default is
+    // ADOPTED FROM the measured ann_recall_frontier (recall@5 0.78-0.82
+    // vs 0.14 for the old radius-1 full-key probe). Probe buckets are
+    // distinct, so no candidate pair duplicates; the probe explode is
+    // query-side only (QuerySet × n_probes rows, still broadcast).
     "ann_lsh_multiprobe_topk" -> { (s, d) =>
-      val b = base(s, d).withColumn("bkt", bucket(col("e")))
-      val flips = (0 +: (0 until NumPlanes).map(1 << _)).map(lit(_))
+      val mod = 1 << MultiProbeBits
+      val masks = probeMasks(MultiProbeBits, MultiProbeRadius)
+      val b = base(s, d).withColumn("bkt", bucket(col("e")) % mod)
       val q = b.where(col("vec_id") < QuerySet)
         .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"),
-          col("bkt"), explode(array(flips: _*)).as("m"))
+          col("bkt"), explode(array(masks.map(lit(_)): _*)).as("m"))
         .select(col("q_id"), col("qe"), col("qn"),
           col("m").bitwiseXOR(col("bkt")).as("qb"))
       val c = b.select(col("vec_id").as("cand_id"), col("e").as("ce"),
@@ -444,6 +475,48 @@ object Similarity {
       recallOf("multi_probe", queries("ann_lsh_multiprobe_topk")(s, d))
         .unionByName(recallOf("single_probe", queries("ann_lsh_topk")(s, d)))
         .orderBy("variant")
+    },
+
+    // The recall/cost FRONTIER behind the multi-probe defaults: one row
+    // per (prefix bits, Hamming probe radius) operating point, with the
+    // measured candidate volume (n_cand = joined rows before ranking —
+    // the real cost at scale) next to recall@K vs the exact scan. Fewer
+    // bits coarsen the buckets; larger radius probes more of them — both
+    // trade candidates for recall along different curves, and THIS query
+    // is the recorded evidence for which point the engine defaults to.
+    // Every point is the same broadcast-query equi-join as the production
+    // path (query side explodes to n_probes rows, still broadcast; the
+    // corpus streams once per point).
+    "ann_recall_frontier" -> { (s, d) =>
+      val b2 = base(s, d).withColumn("bkt", bucket(col("e"))).persist()
+      val exact = queries("ann_cosine_topk")(s, d)
+        .select("q_id", "cand_id").persist()
+      def point(bits: Int, radius: Int): DataFrame = {
+        val masks = probeMasks(bits, radius)
+        val mod = 1 << bits
+        val q = b2.where(col("vec_id") < QuerySet)
+          .select(col("vec_id").as("q_id"), col("e").as("qe"),
+            col("nrm").as("qn"), (col("bkt") % mod).as("qb0"),
+            explode(array(masks.map(lit(_)): _*)).as("m"))
+          .select(col("q_id"), col("qe"), col("qn"),
+            col("m").bitwiseXOR(col("qb0")).as("qb"))
+        val c = b2.select(col("vec_id").as("cand_id"), col("e").as("ce"),
+          col("nrm").as("cn"), (col("bkt") % mod).as("cb"))
+        val cand = broadcast(q).join(c,
+          col("qb") === col("cb") && col("q_id") =!= col("cand_id"))
+        val got = ranked(cand).select("q_id", "cand_id")
+        exact.join(got, Seq("q_id", "cand_id"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+          .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+          .crossJoin(broadcast(exact.agg(count(lit(1)).as("total"))))
+          .select(lit(bits.toLong).as("bits"), lit(radius.toLong).as("radius"),
+            lit(masks.size.toLong).as("n_probes"), col("n_cand"),
+            col("hits"), col("total"),
+            round(col("hits").cast("double") / col("total").cast("double"), 6)
+              .as("recall"))
+      }
+      FrontierGrid.map { case (b, r) => point(b, r) }
+        .reduce(_ unionByName _).orderBy("bits", "radius")
     },
 
     // Recall@K when searching over only the first d dims (d in TruncDims)
@@ -1170,23 +1243,27 @@ object Similarity {
 
   /** Flip-mask list for the multi-probe oracles: own bucket + Hamming-1. */
   private def flipMaskSql: String =
-    (0 +: (0 until NumPlanes).map(1 << _)).mkString("[", ", ", "]")
+    probeMasks(MultiProbeBits, MultiProbeRadius).mkString("[", ", ", "]")
 
   /** Multi-probe CTE chain ending in ranked relation `r` (same shape as
-    * [[rankedSql]]'s, so the final SELECT is shared).
+    * [[rankedSql]]'s, so the final SELECT is shared). Mirrors the adopted
+    * (MultiProbeBits, MultiProbeRadius) defaults: prefix key = bkt mod
+    * 2^bits, probe masks = every value of Hamming weight <= radius.
     */
-  private def multiProbeCtes: String =
+  private def multiProbeCtes: String = {
+    val mod = 1 << MultiProbeBits
     s"""$baseSqlCte,
        |b2 AS (SELECT vec_id, e, nrm, ${bucketSql("e")} AS bkt FROM base),
-       |qp AS (SELECT vec_id, e, nrm, xor(bkt, m) AS qb
+       |qp AS (SELECT vec_id, e, nrm, xor(bkt % $mod, m) AS qb
        |  FROM b2, (SELECT unnest($flipMaskSql) AS m) t
        |  WHERE vec_id < $QuerySet),
        |p AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
        |  round(${dotSql("q.e", "c.e", Dim)} / (q.nrm * c.nrm), 6) AS cos
-       |  FROM qp q JOIN b2 c ON q.qb = c.bkt AND q.vec_id <> c.vec_id),
+       |  FROM qp q JOIN b2 c ON q.qb = (c.bkt % $mod) AND q.vec_id <> c.vec_id),
        |r AS (SELECT q_id, cand_id, cos,
        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS INTEGER) AS rnk
        |  FROM p)""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "ann_cosine_topk" -> rankedSql(bucketed = false),
@@ -1255,6 +1332,52 @@ object Similarity {
          |  round(CAST(hits AS DOUBLE) / CAST(total AS DOUBLE), 6)
          |FROM hs, tot
          |ORDER BY variant""".stripMargin,
+
+    "ann_recall_frontier" -> {
+      // per-point CTE chain: masked query buckets (qb) x masked corpus
+      // buckets, exact cosine, rank; one UNION ALL row per grid point
+      val pointCtes = FrontierGrid.map { case (bits, radius) =>
+        val masks = probeMasks(bits, radius).mkString("[", ", ", "]")
+        val mod = 1 << bits
+        val t = s"${bits}_$radius"
+        s"""qp_$t AS (SELECT vec_id, e, nrm, xor(bkt % $mod, m) AS qb
+           |  FROM b2, (SELECT unnest($masks) AS m) t
+           |  WHERE vec_id < $QuerySet),
+           |cd_$t AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+           |  round(${dotSql("q.e", "c.e", Dim)} / (q.nrm * c.nrm), 6) AS cos
+           |  FROM qp_$t q JOIN b2 c
+           |    ON q.qb = (c.bkt % $mod) AND q.vec_id <> c.vec_id),
+           |rk_$t AS (SELECT q_id, cand_id FROM (SELECT q_id, cand_id,
+           |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rnk
+           |  FROM cd_$t) WHERE rnk <= $K)""".stripMargin
+      }.mkString(",\n")
+      val pointRows = FrontierGrid.map { case (bits, radius) =>
+        val nProbes = probeMasks(bits, radius).size
+        val t = s"${bits}_$radius"
+        s"""SELECT CAST($bits AS BIGINT) AS bits, CAST($radius AS BIGINT) AS radius,
+           |  CAST($nProbes AS BIGINT) AS n_probes,
+           |  (SELECT count(*) FROM cd_$t) AS n_cand,
+           |  (SELECT count(*) FROM ex WHERE EXISTS (SELECT 1 FROM rk_$t g
+           |     WHERE g.q_id = ex.q_id AND g.cand_id = ex.cand_id)) AS hits,
+           |  (SELECT count(*) FROM ex) AS total,
+           |  round(CAST((SELECT count(*) FROM ex WHERE EXISTS
+           |      (SELECT 1 FROM rk_$t g
+           |       WHERE g.q_id = ex.q_id AND g.cand_id = ex.cand_id)) AS DOUBLE)
+           |    / CAST((SELECT count(*) FROM ex) AS DOUBLE), 6) AS recall""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""$baseSqlCte,
+         |b2 AS (SELECT vec_id, e, nrm, ${bucketSql("e")} AS bkt FROM base),
+         |pe AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+         |  round(${dotSql("q.e", "c.e", Dim)} / (q.nrm * c.nrm), 6) AS cos
+         |  FROM b2 q JOIN b2 c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < $QuerySet),
+         |ex AS (SELECT q_id, cand_id FROM (SELECT q_id, cand_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rnk
+         |  FROM pe) WHERE rnk <= $K),
+         |$pointCtes
+         |$pointRows
+         |ORDER BY bits, radius""".stripMargin
+    },
 
     "ann_knn_graph" ->
       s"""$knnGraphSqlCtes

@@ -337,16 +337,22 @@ object UnigramLm {
     * row per word (`best`) and its exploded pieces (`bseg`). The lseq
     * key PREPENDS each piece's single-digit length, so a string DESC
     * compare ranks by last-piece-length-first — the engine DP's
-    * backtracked tie-break.
+    * backtracked tie-break. `seg` is carried as a LIST(VARCHAR), never a
+    * separator-joined string: a separator round-trip
+    * (string_split(seg, '|')) would silently mis-split any piece that
+    * itself contained the separator — impossible on the fixture's
+    * alphabetic vocabulary, but a latent corruption for arbitrary input,
+    * and the engine side carries a true array (`ps`) anyway.
     */
   private def vitCtes: String =
     s"""paths(word, cnt, wl, pos, score9, np, lseq, seg) AS (
-       |  SELECT word, cnt, wl, 0, CAST(0 AS BIGINT), 0, '', '' FROM wc
+       |  SELECT word, cnt, wl, 0, CAST(0 AS BIGINT), 0, '',
+       |    CAST([] AS VARCHAR[]) FROM wc
        |  UNION ALL
        |  SELECT p.word, p.cnt, p.wl, p.pos + len(pc.piece),
        |    p.score9 + pc.logp9, p.np + 1,
        |    CAST(len(pc.piece) AS VARCHAR) || p.lseq,
-       |    CASE WHEN p.seg = '' THEN pc.piece ELSE p.seg || '|' || pc.piece END
+       |    list_append(p.seg, pc.piece)
        |  FROM paths p JOIN pieces pc
        |    ON pc.piece = substr(p.word, CAST(p.pos + 1 AS INTEGER), len(pc.piece))
        |      AND p.pos + len(pc.piece) <= p.wl),
@@ -354,7 +360,7 @@ object UnigramLm {
        |    ORDER BY score9 DESC, np ASC, lseq DESC) AS rn
        |  FROM paths WHERE pos = wl),
        |best AS (SELECT word, cnt, np, score9, seg FROM ranked WHERE rn = 1),
-       |bseg AS (SELECT word, cnt, unnest(string_split(seg, '|')) AS piece
+       |bseg AS (SELECT word, cnt, unnest(seg) AS piece
        |  FROM best)""".stripMargin
 
   val oracles: Map[String, String] = Map(
@@ -377,7 +383,8 @@ object UnigramLm {
       s"""WITH RECURSIVE $invCtes,
          |$vitCtes
          |SELECT word, cnt, CAST(np AS BIGINT) AS n_pieces,
-         |  round(CAST(score9 AS DOUBLE) / 1e9, 6) AS score, seg AS segments
+         |  round(CAST(score9 AS DOUBLE) / 1e9, 6) AS score,
+         |  array_to_string(seg, '|') AS segments
          |FROM best ORDER BY word""".stripMargin,
 
     "ulm_em_gain" ->

@@ -227,13 +227,25 @@ class GraftLinesBatchWrite(root: String, truncateFirst: Boolean) extends BatchWr
     new GraftLinesWriterFactory(root)
   }
 
-  /** Driver-side job commit: the only step that makes data visible. */
+  /** Driver-side job commit: the only step that makes data visible.
+    * PROMOTE first, truncate after: promoting overwrites same-named
+    * predecessors atomically, and only then do stale files from a
+    * previous layout (e.g. a higher partition count) get deleted — the
+    * reverse order would open a crash window in which the directory is
+    * EMPTY (old deleted, new still staged), a state no committed write
+    * ever produced.
+    */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    if (truncateFirst) GraftLines.dataFiles(root).foreach(Files.delete)
-    messages.foreach { case LinesCommitMessage(staged, pid, _) =>
-      Files.move(Paths.get(staged), Paths.get(root, f"part-$pid%05d.txt"),
+    val promoted = messages.map { case LinesCommitMessage(staged, pid, _) =>
+      val target = Paths.get(root, f"part-$pid%05d.txt")
+      Files.move(Paths.get(staged), target,
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    }
+      target.getFileName.toString
+    }.toSet
+    if (truncateFirst)
+      GraftLines.dataFiles(root)
+        .filterNot(p => promoted.contains(p.getFileName.toString))
+        .foreach(Files.delete)
     cleanupStaging()
     Files.write(Paths.get(root, "_SUCCESS"), Array.empty[Byte])
   }
@@ -285,16 +297,16 @@ class GraftLinesStreamingWrite(root: String, truncateFirst: Boolean)
   override def commit(epochId: Long,
                       messages: Array[WriterCommitMessage]): Unit = {
     // Complete-output-mode contract (Spark calls WriteBuilder.truncate()
-    // before toStreaming): each epoch REPLACES the visible snapshot, so
-    // drop every data file not named for THIS epoch before promoting.
-    // Replay-idempotent: re-committing epoch N re-deletes older epochs
-    // (already gone) and re-promotes N's deterministic names.
-    if (truncateFirst) {
-      val keep = f"part-e$epochId-"
-      GraftLines.dataFiles(root)
-        .filterNot(_.getFileName.toString.startsWith(keep))
-        .foreach(Files.delete)
-    }
+    // before toStreaming): each epoch REPLACES the visible snapshot.
+    // PROMOTE first, truncate older epochs after — epoch-distinct target
+    // names make the two steps collision-free, and the reverse order
+    // opens a crash window (old epoch deleted, new one still staged)
+    // where a reader sees an EMPTY directory: a snapshot no epoch ever
+    // committed. Promote-then-delete keeps the invariant "the latest
+    // committed epoch is always fully present"; the transient old+new
+    // mix is resolved by the trailing delete, and on replay (commit
+    // re-run after a crash anywhere inside it) re-promotes are no-ops
+    // and the delete re-runs to completion.
     messages.collect { case m: LinesCommitMessage => m }.foreach { m =>
       val staged = Paths.get(m.stagingPath)
       val target = Paths.get(root, f"part-e$epochId-${m.partitionId}%05d.txt")
@@ -305,6 +317,12 @@ class GraftLinesStreamingWrite(root: String, truncateFirst: Boolean)
         throw new IOException(
           s"graftlines epoch $epochId part ${m.partitionId}: " +
             "staged file lost before promote")
+    }
+    if (truncateFirst) {
+      val keep = f"part-e$epochId-"
+      GraftLines.dataFiles(root)
+        .filterNot(_.getFileName.toString.startsWith(keep))
+        .foreach(Files.delete)
     }
   }
 

@@ -77,22 +77,25 @@ class ClusteringSpec extends SparkSpecBase {
       .select(col("vec_id"), col("embedding"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
-    val (_, cents) = localLloydFull(vecs, Clustering.K, Clustering.Rounds)
+    val (assign, cents) = localLloydFull(vecs, Clustering.K, Clustering.Rounds)
     def dot(a: Array[Double], b: Array[Double]): Double = {
       var t = 0.0; var i = 0
       while (i < a.length) { t += a(i) * b(i); i += 1 }
       t
     }
-    // per vector: clamped dist2 to every FINAL centroid, (dist2, cid) order
-    val per = vecs.map { case (_, x) =>
-      val ds = cents.toSeq
-        .map { case (cid, c) =>
-          (math.max(dot(x, x) - 2.0 * dot(x, c) + dot(c, c), 0.0), cid)
-        }
-        .sortBy { case (d, cid) => (d, cid) }
-      val a = math.sqrt(ds(0)._1); val b = math.sqrt(ds(1)._1)
+    // per vector: membership is the ASSIGNMENT (not nearest-final-
+    // centroid — the two can disagree near a boundary); a = clamped dist
+    // to the assigned final centroid, b = min over the OTHER final
+    // centroids
+    val per = vecs.map { case (id, x) =>
+      val own = assign(id)
+      def d2(c: Array[Double]): Double =
+        math.max(dot(x, x) - 2.0 * dot(x, c) + dot(c, c), 0.0)
+      val a = math.sqrt(d2(cents(own)))
+      val b = math.sqrt(
+        cents.collect { case (cid, c) if cid != own => d2(c) }.min)
       val sil = if (math.max(a, b) == 0.0) 0.0 else (b - a) / math.max(a, b)
-      (ds(0)._2, sil)
+      (own, sil)
     }
     val want = per.groupBy(_._1).map { case (cid, rows) =>
       val s6 = rows.map(r => math.round(r._2 * 1e6)).sum
@@ -108,6 +111,17 @@ class ClusteringSpec extends SparkSpecBase {
     // non-vacuous: a meaningful spread, every value in the legal range
     assert(got.forall { case (_, _, m) => m > -1.0 && m < 1.0 })
     assert(got.map(_._3).distinct.length > 1, "silhouette means all equal — degenerate fixture")
+  }
+
+  test("cluster_silhouette membership is consistent with kmeans_sizes") {
+    // the r7 advisory: silhouette used to re-derive membership by
+    // nearest-FINAL-centroid, silently moving boundary vectors between
+    // clusters across queries; per-cluster counts must now agree exactly
+    val sil = Clustering.queries("cluster_silhouette")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val sizes = Clustering.queries("kmeans_sizes")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sil == sizes, s"silhouette clusters $sil vs assignment clusters $sizes")
   }
 
   test("ann_ivf_trained_topk: valid ranks, exact cosines, useful recall vs brute force") {

@@ -56,6 +56,23 @@ class DriftSpec extends SparkSpecBase {
     }
   }
 
+  test("drift_ks/w1/psi: a single-source corpus yields NULL metrics, never a divide-by-zero") {
+    // the r7 advisory's planted counterexample: with one source the
+    // rest-of-corpus side is EMPTY (n_tot == n_s) and every vs-rest
+    // denominator is zero; the contract is a NULL statistic, not an ANSI
+    // error or NaN
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("drift_single_src").toString
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), lit("only").as("source"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    for (name <- Seq("drift_ks_length", "drift_w1_length", "drift_psi_length")) {
+      val rows = Drift.queries(name)(spark, dir).collect()
+      assert(rows.map(_.getString(0)).toSeq == Seq("only"), s"$name rows")
+      assert(rows.forall(_.isNullAt(2)), s"$name must be NULL for a single source")
+    }
+  }
+
   test("drift_psi: matches a driver-side recompute; non-negative with real spread") {
     val rows = q("drift_psi_length").collect()
       .map(r => r.getString(0) -> r.getDouble(2)).toMap

@@ -448,6 +448,15 @@ class SourcesSpec extends SparkSpecBase {
     sw.commit(2L, Array(stage(2L, 9L, Seq("s2"))))
     assert(visible() == Seq("s2"))
     assert(graft.sources.GraftLines.dataFiles(out).size == 1)
+    // PROMOTE-THEN-DELETE ordering (the r7 advisory): a commit whose
+    // promote FAILS must leave the previous epoch's snapshot intact — a
+    // delete-first implementation would already have truncated it,
+    // exposing an empty directory no epoch ever committed
+    val doomed = graft.sources.LinesCommitMessage(
+      s"$out/_staging/does-not-exist.tmp", 0, 1L)
+    intercept[java.io.IOException] { sw.commit(3L, Array(doomed)) }
+    assert(visible() == Seq("s2"),
+      "failed epoch-3 promote must not have truncated epoch 2")
   }
 
   test("graftlines streaming write: end-to-end through the catalog table") {

@@ -13,7 +13,9 @@ class TablesSpec extends SparkSpecBase {
 
   test("events loader yields native TIMESTAMP ts and leaks no session state") {
     assert(spark.conf.getOption(flag).forall(_ == "false"))
-    val ev = Tables.events(spark, sfDir)
+    // drive the UNDERLYING loader, not the memoized Tables.events entry —
+    // a cache hit would skip the flag logic and pass vacuously
+    val ev = Tables.eventsWithTs(spark, sfDir)
     // no legacy flag left behind, whichever path the fixture took
     assert(spark.conf.getOption(flag).forall(_ == "false"),
       "loader leaked nanosAsLong into the session")
@@ -51,7 +53,8 @@ class TablesSpec extends SparkSpecBase {
   test("events loader restores a pre-existing explicit flag value") {
     spark.conf.set(flag, "true")
     try {
-      Tables.events(spark, sfDir).count()
+      // underlying loader: the memoized entry would skip the flag logic
+      Tables.eventsWithTs(spark, sfDir).count()
       assert(spark.conf.get(flag) === "true", "explicit prior value clobbered")
     } finally spark.conf.unset(flag)
   }
