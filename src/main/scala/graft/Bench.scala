@@ -70,13 +70,31 @@ object Bench {
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     if (warmDir.nonEmpty && warmDir != sfDir &&
         new java.io.File(warmDir).isDirectory) {
-      selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-        // a query degenerate at the tiny SF just skips warming; the timed
-        // loop still surfaces any real failure under `failed`
-        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-        Graft.releaseCaches(spark)
+      // 8-way concurrent warm (Janino compiles different sources in
+      // parallel; session-level concurrency is a tested surface —
+      // RegexpIntegrationSpec) — cuts the untimed warm wall 3-4x. A query
+      // degenerate at the tiny SF just skips warming; the timed loop
+      // still surfaces any real failure under `failed`.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      val work = new java.util.concurrent.ConcurrentLinkedQueue[
+        (String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]()
+      selected.toSeq.sortBy(_._1).foreach(work.add)
+      val tasks = (1 to 8).map { _ =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            var next = work.poll()
+            while (next != null) {
+              try next._2(spark, warmDir)
+                .write.format("noop").mode("overwrite").save()
+              catch { case _: Throwable => () }
+              next = work.poll()
+            }
+          }
+        })
       }
+      tasks.foreach(_.get())
+      pool.shutdown()
+      Graft.releaseCaches(spark)
     }
     // ambient container load self-attribution: this box runs other tenants,
     // and load 3-4 has inflated random queries 3-10x in past rounds. A

@@ -1,0 +1,126 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probe: regenerate the documents/embeddings fixtures at a
+  * multiple of sf0.1 (deterministic — SynthDocsSource for text, md5-seeded
+  * arrays for embeddings) plus a handful of >ChunkLen GIANT documents, and
+  * run one representative query per heavy family against the scaled dir,
+  * recording wall seconds and shuffle read/write bytes per query. This is
+  * the cliff hunt the per-query plan locks cannot see: a plan that is
+  * bucketed on paper can still go quadratic inside a bucket when N grows
+  * 20x, and the winnow multi-chunk path only ever executes on docs longer
+  * than 2^20 chars — which no driver fixture contains.
+  *
+  * Usage: runMain graft.ScaleProbe [multiplier] [workDir]
+  * Results land in SCALEPROBE.md (referenced from BASELINE.md).
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(20)
+    val work = if (args.length > 1) args(1) else "/tmp/graft_scaleprobe"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Graft.init(spark)
+
+    val nDocs = 5000L * mult
+    val nVec = 2000L * mult
+    val dir = s"$work/x$mult"
+
+    // ---- corpus: SynthDocsSource text + fixture-compatible columns
+    if (!new java.io.File(s"$dir/documents.parquet").isDirectory) {
+      val docs = spark.read.format("graft.sources.SynthDocsSource")
+        .option("rows", nDocs.toString).option("slices", "64").load()
+        .select(col("doc_id"), col("text"), col("lang"),
+          concat(lit("src"), pmod(col("doc_id"), lit(20))).as("source"),
+          length(col("text")).as("n_chars"))
+      // GIANT docs (2.2M chars — past even the position field's 2^20-1
+      // chunk ceiling): the multi-chunk path against materialized data.
+      // Two of them share a planted run so the overlap report has a
+      // cross-giant signal to find.
+      val giantLen = 2200000
+      def giantText(seed: Int, planted: String): String = {
+        val sb = new StringBuilder(giantLen + 32)
+        var i = 0
+        while (sb.length < giantLen / 2) {
+          sb.append("w").append(graft.sources.SynthDocs.h60(s"g:$seed:$i") % 99989)
+            .append(' ')
+          i += 1
+        }
+        sb.append(planted)
+        while (sb.length < giantLen) {
+          sb.append(" w").append(graft.sources.SynthDocs.h60(s"h:$seed:$i") % 99989)
+          i += 1
+        }
+        sb.toString
+      }
+      val planted = (0 until 20).map(i => s"planted$i").mkString(" ")
+      import spark.implicits._
+      val giants = Seq(
+        (nDocs, giantText(1, planted), "en", "src_g", 0),
+        (nDocs + 1, giantText(2, planted), "en", "src_g", 0),
+        (nDocs + 2, giantText(3, "x"), "en", "src_g", 0))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .withColumn("n_chars", length(col("text")))
+      docs.unionByName(giants).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+    }
+    if (!new java.io.File(s"$dir/embeddings.parquet").isDirectory) {
+      spark.range(nVec).select(col("id").as("vec_id"),
+          expr("transform(sequence(0, 63), j -> " +
+            "CAST(CAST((CAST(conv(substr(md5(concat('e:', CAST(id AS STRING), " +
+            "':', CAST(j AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2000) - 1000 " +
+            "AS DOUBLE) / 1000.0 AS FLOAT))").as("embedding"),
+          pmod(col("id"), lit(20)).cast("int").as("label"))
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }
+
+    // ---- shuffle metrics listener (stage-completion granularity)
+    val shufR = new AtomicLong; val shufW = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        val m = e.stageInfo.taskMetrics
+        if (m != null) {
+          shufR.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          shufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+    })
+
+    val families = Seq(
+      "dedup" -> Seq("dedup_exact", "dedup_minhash_pairs", "dedup_simhash",
+        "dedup_jaccard_prefix", "dedup_embedding_cosine"),
+      "winnow" -> Seq("wn_fingerprints", "wn_overlap_pairs"),
+      "ann" -> Seq("ann_cosine_topk", "ann_lsh_multiprobe_topk"),
+      "cc" -> Seq("ann_knn_components"),
+      "bm25" -> Seq("bm25_topk"),
+      "text" -> Seq("text_stats"))
+
+    println(f"SCALEPROBE mult=$mult docs=${nDocs + 3} vecs=$nVec")
+    for ((fam, qs) <- families; name <- qs) {
+      val t0 = System.nanoTime()
+      val r0 = shufR.get; val w0 = shufW.get
+      var err: String = null
+      try SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => err = String.valueOf(e.getMessage).take(120) }
+      val wall = (System.nanoTime() - t0) / 1e9
+      Graft.releaseCaches(spark)
+      Thread.sleep(500) // let stage-completion events drain
+      val rMb = (shufR.get - r0) / 1e6; val wMb = (shufW.get - w0) / 1e6
+      if (err == null)
+        println(f"PROBE $fam%-7s $name%-26s wall=$wall%8.1fs shufR=$rMb%9.1fMB shufW=$wMb%9.1fMB")
+      else
+        println(f"PROBE $fam%-7s $name%-26s FAILED after $wall%.1fs: $err")
+    }
+    spark.stop()
+  }
+}

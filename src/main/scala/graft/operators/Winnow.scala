@@ -23,8 +23,9 @@ import TextHash._
   * window picks the smallest 40-bit hash and, on hash ties, the LARGEST
   * position — the tie rule that makes selection shift-invariant (aligned
   * windows in two docs sharing text pick the same relative gram). The
-  * 20-bit position field covers chunks up to [[ChunkLen]] = 2^20 - 1
-  * chars; 40-bit fingerprint collisions can only over-link a pair
+  * 20-bit position field admits chunks up to 2^20 - 1 chars (the default
+  * [[ChunkLen]] sits far below that for execution reasons its scaladoc
+  * explains); 40-bit fingerprint collisions can only over-link a pair
   * (~2^-40 each — accepted, and identical in the oracle since both
   * engines compute the same key).
   *
@@ -75,11 +76,29 @@ object Winnow {
     */
   val HashMod = 1L << 40
 
-  /** Default chunk length — the largest the 20-bit position field admits.
-    * Docs longer than this are strided into overlapping chunks (overlap
-    * GuaranteeLen - 1 chars) so the selection never drops a window.
+  /** Default chunk length. Docs longer than this are strided into
+    * overlapping chunks (overlap GuaranteeLen - 1 chars) so the selection
+    * never drops a window; the fingerprint set is chunking-INVARIANT
+    * (WinnowSpec proves set equality across chunk lengths), so this is a
+    * pure execution knob. Two scale forces size it SMALL, not at the
+    * 20-bit field's 2^20-1 ceiling (the r9 scale probe caught both on
+    * 2.1M-char docs, where the ceiling default ran 550+ s without
+    * finishing):
+    *
+    *   1. UTF8String.substring is O(char position) — it scans from the
+    *      string START to find a codepoint offset — so gram hashing at
+    *      position i of a chunk costs O(i) bytes; per-chunk work is
+    *      O(chunkLen²), total O(len · chunkLen). 4 KB chunks bound the
+    *      scan at 4 KB; the 2^20 default made million-char docs
+    *      effectively quadratic.
+    *   2. One window task per (doc, chunk): 2^20-char chunks put a whole
+    *      giant doc in ~2 tasks; 4 KB chunks spread it across ~500.
+    *
+    * Cost of going small: duplicated seam windows, (GuaranteeLen-1)/
+    * stride ≈ 0.3% — noise. Fixture docs (≤ 577 chars) are single-chunk
+    * at any setting ≥ their length, so oracle plans are untouched.
     */
-  val ChunkLen: Int = PosMax.toInt
+  val ChunkLen: Int = 4095
 
   /** Fingerprints in more than this many distinct docs are boilerplate and
     * leave the pair join (same discipline as [[Substring.PairDfCap]]).
@@ -92,15 +111,18 @@ object Winnow {
   /** (doc_id, off, i, sk): every full-window chunk-local position i (gram
     * positions are 1-based; windows need i >= WinnowW) in the chunk at
     * char offset `off`, with min-selection key sk over the window ending
-    * at i. Gram hashing indexes the ORIGINAL text at off + i — the chunk
-    * text itself is never materialized (a substr-of-substr would copy the
-    * chunk per position once Catalyst collapses the projections). The
-    * sliding min is a per-(doc, chunk) ROWS window. A fully map-side
-    * array formulation (mins as a second transform over slices of the
-    * key array) was MEASURED SLOWER (10.7 s vs ~3 s at sf0.1): Catalyst
-    * collapses the projections and inlines the md5 key-array expression
-    * into the sliding-min lambda, recomputing it per window — the same
-    * O(n·w) inlining trap TextHash.shingleRows documents.
+    * at i. The chunk TEXT is materialized once per chunk row (between the
+    * two generators, so whole-stage codegen computes it once per chunk
+    * and the position loop indexes the 4 KB local, never the full
+    * document — gram hashing at chunk position i then scans O(i) ≤
+    * chunkLen bytes instead of O(off + i) of a possibly multi-megabyte
+    * doc; see the [[ChunkLen]] scaling note). The sliding min is a
+    * per-(doc, chunk) ROWS window. A fully map-side array formulation
+    * (mins as a second transform over slices of the key array) was
+    * MEASURED SLOWER (10.7 s vs ~3 s at sf0.1): Catalyst collapses the
+    * projections and inlines the md5 key-array expression into the
+    * sliding-min lambda, recomputing it per window — the same O(n·w)
+    * inlining trap TextHash.shingleRows documents.
     */
   private[operators] def selections(docs: DataFrame,
                                     chunkLen: Int = ChunkLen): DataFrame = {
@@ -117,17 +139,19 @@ object Winnow {
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(0), length(col("text")) - GramLen, lit(stride)))
           .as("off"))
-      // positions explode next so the md5 key runs as a top-level
-      // codegen'd expression; a transform(...) lambda computing the key
-      // inside the array is interpreted per element (measured slower).
-      // The generators and the key projection fuse into one codegen
-      // stage, so the duplicated text column never materializes.
-      .select(col("doc_id"), col("text"), col("off"),
-        explode(sequence(lit(1),
-          least(lit(chunkLen), length(col("text")) - col("off"))
-            - (GramLen - 1))).as("i"))
+      // chunk substring + full-window count, computed ONCE per chunk row
+      // here — the generator below is a projection-collapse barrier, so
+      // the per-position stage sees `chunk` as an already-evaluated
+      // column (the substr-of-substr trap this file used to document is
+      // exactly what this barrier prevents)
+      .select(col("doc_id"), col("off"),
+        col("text").substr(col("off") + 1, lit(chunkLen)).as("chunk"),
+        (least(lit(chunkLen), length(col("text")) - col("off"))
+          - (GramLen - 1)).as("ni"))
+      .select(col("doc_id"), col("off"), col("chunk"),
+        explode(sequence(lit(1), col("ni"))).as("i"))
       .select(col("doc_id"), col("off"), col("i"),
-        (pmod(h60(col("text").substr(col("off") + col("i"), lit(GramLen))),
+        (pmod(h60(col("chunk").substr(col("i"), lit(GramLen))),
           lit(HashMod)) * PosCard + (lit(PosMax) - col("i")))
           .as("sk"))
       .withColumn("skm", min("sk").over(wWin))

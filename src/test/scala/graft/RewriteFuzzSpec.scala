@@ -279,6 +279,75 @@ class RewriteFuzzSpec extends SparkSpecBase {
       df => physical(df).contains("MaxPerKey"))
   }
 
+  test(s"flush-guard fuzz: $ShapesPerFamily shapes under randomized tiny flush guards, on == off") {
+    // The physical operators' memory guards (GroupTopK
+    // maxKeysPerPartition; MaxPerKey maxKeysPerPartition +
+    // maxBufferedRows) promise ANSWER-PRESERVING degradation: a flush
+    // weakens the map-side prune, never the result. Drive both operators
+    // through random shapes under randomized TINY guards (1-6 keys, 1-10
+    // rows vs the fixture's 5+ keys per partition and up to 124 buffered
+    // rows — every shape flushes, most flush repeatedly) and demand
+    // equality with the rewrites off entirely.
+    val t = fuzzTable
+    Graft.init(spark)
+    val guardKeys = Seq("spark.graft.groupTopK.maxKeysPerPartition",
+      "spark.graft.maxPerKey.maxKeysPerPartition",
+      "spark.graft.maxPerKey.maxBufferedRows")
+    // conf-plumbing falsification probe: an illegal guard value must
+    // reach the operator and trip its require — proving the execution
+    // path reads THESE confs (a fuzz that silently ran on defaults
+    // would pass forever)
+    val probeTopK = s"SELECT id FROM (SELECT id, row_number() OVER " +
+      s"(PARTITION BY k ORDER BY id) AS rn FROM $t) WHERE rn <= 2"
+    val probeMpk = s"SELECT id FROM (SELECT id, v, max(v) OVER " +
+      s"(PARTITION BY k) AS mx FROM $t) WHERE v = mx"
+    spark.conf.set("spark.graft.groupTopK.maxKeysPerPartition", "0")
+    intercept[Throwable] { spark.sql(probeTopK).collect() }
+    spark.conf.unset("spark.graft.groupTopK.maxKeysPerPartition")
+    spark.conf.set("spark.graft.maxPerKey.maxBufferedRows", "0")
+    intercept[Throwable] { spark.sql(probeMpk).collect() }
+    spark.conf.unset("spark.graft.maxPerKey.maxBufferedRows")
+
+    val gen: Gen[(String, Boolean, Int, Int)] = for {
+      isTopK <- Gen.oneOf(true, false)
+      k <- Gen.chooseNum(1, 4)
+      twoKeys <- Gen.oneOf(true, false)
+      ordCol <- Gen.oneOf("v DESC NULLS LAST", "v ASC NULLS FIRST", "w DESC")
+      fn <- Gen.oneOf("max", "min")
+      maxKeys <- Gen.chooseNum(1, 6)
+      maxRows <- Gen.chooseNum(1, 10)
+    } yield {
+      val part = if (twoKeys) "k, g2" else "k"
+      val q =
+        if (isTopK)
+          s"SELECT id, k, v FROM (SELECT id, k, g2, v, w, row_number() OVER " +
+            s"(PARTITION BY $part ORDER BY $ordCol, id) AS rn FROM $t) WHERE rn <= $k"
+        else
+          s"SELECT id, k, v FROM (SELECT id, k, g2, v, w, $fn(v) OVER " +
+            s"(PARTITION BY $part) AS mx FROM $t) WHERE v = mx"
+      (q, isTopK, maxKeys, maxRows)
+    }
+    val shapes = sample(gen, 606L, ShapesPerFamily)
+    val on = shapes.zipWithIndex.map { case ((q, isTopK, mk, mr), i) =>
+      spark.conf.set("spark.graft.groupTopK.maxKeysPerPartition", mk.toString)
+      spark.conf.set("spark.graft.maxPerKey.maxKeysPerPartition", mk.toString)
+      spark.conf.set("spark.graft.maxPerKey.maxBufferedRows", mr.toString)
+      try {
+        val df = spark.sql(q)
+        assert(physical(df).contains(if (isTopK) "GroupTopK" else "MaxPerKey"),
+          s"flush-guard shape #$i did not fire its operator:\n$q\n${physical(df)}")
+        rows(q)
+      } finally guardKeys.foreach(spark.conf.unset)
+    }
+    AllSwitches.foreach(k => spark.conf.set(k, "false"))
+    try shapes.zip(on).zipWithIndex.foreach { case (((q, _, mk, mr), want), i) =>
+      val got = rows(q)
+      assert(got == want,
+        s"flush-guard shape #$i diverged (guards $mk keys/$mr rows):\n$q\n" +
+          s"on=${want.take(5)}...\noff=${got.take(5)}...")
+    } finally AllSwitches.foreach(spark.conf.unset)
+  }
+
   test(s"mixed-composition fuzz: $ShapesPerFamily random rule stacks, on == off") {
     val t = fuzzTable
     val gen: Gen[(String, Boolean)] = for {

@@ -143,9 +143,9 @@ class WinnowSpec extends SparkSpecBase {
   }
 
   test("a 70,000-char doc (past the old 16-bit position bound) fingerprints correctly") {
-    // Well past 65,535 chars: single-chunk at the default ChunkLen (2^20-1)
-    // AND multi-chunk at chunkLen=4096 (~18 chunks) must both equal the
-    // packing-free reference.
+    // Well past 65,535 chars: single-chunk at the position field's 2^20-1
+    // ceiling, multi-chunk at the DEFAULT ChunkLen (~18 chunks at 4095),
+    // and multi-chunk at 4096 must all equal the packing-free reference.
     val rng = new scala.util.Random(41)
     val sb = new StringBuilder
     val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
@@ -158,7 +158,8 @@ class WinnowSpec extends SparkSpecBase {
     assert(text.length > 65535, "doc must exceed the old 16-bit bound")
     val docs = Seq((7L, text)).toDF("doc_id", "text")
     val ref = referenceFingerprints(text)
-    assert(engineFps(docs, Winnow.ChunkLen)(7L) === ref, "single-chunk vs reference")
+    assert(engineFps(docs, Winnow.PosMax.toInt)(7L) === ref, "single-chunk vs reference")
+    assert(engineFps(docs, Winnow.ChunkLen)(7L) === ref, "default-chunk vs reference")
     assert(engineFps(docs, 4096)(7L) === ref, "18-chunk vs reference")
     assert(ref.exists(_._1 > 65535L), "fingerprints past the old bound must exist")
   }
