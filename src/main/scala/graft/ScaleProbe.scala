@@ -105,12 +105,11 @@ object ScaleProbe {
       "text" -> Seq("text_stats"))
 
     println(f"SCALEPROBE mult=$mult docs=${nDocs + 3} vecs=$nVec")
-    for ((fam, qs) <- families; name <- qs) {
+    def probe(fam: String, name: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
       val t0 = System.nanoTime()
       val r0 = shufR.get; val w0 = shufW.get
       var err: String = null
-      try SparkEntry.queries(name)(spark, dir)
-        .write.format("noop").mode("overwrite").save()
+      try mk.write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => err = String.valueOf(e.getMessage).take(120) }
       val wall = (System.nanoTime() - t0) / 1e9
       Graft.releaseCaches(spark)
@@ -120,6 +119,20 @@ object ScaleProbe {
         println(f"PROBE $fam%-7s $name%-26s wall=$wall%8.1fs shufR=$rMb%9.1fMB shufW=$wMb%9.1fMB")
       else
         println(f"PROBE $fam%-7s $name%-26s FAILED after $wall%.1fs: $err")
+    }
+    for ((fam, qs) <- families; name <- qs)
+      probe(fam, name)(SparkEntry.queries(name)(spark, dir))
+    // The scaling rule, applied: same banded-LSH near-dup with
+    // planesPerBand sized to log2(N / 8) — the knob the fixture query's
+    // cliff row above motivates.
+    locally {
+      val vecs = Tables.embeddings(spark, dir)
+        .select(col("vec_id"),
+          expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("e"))
+      val r = math.max(graft.operators.Similarity.PairPlanesPerBand,
+        math.ceil(math.log(nVec / 8.0) / math.log(2)).toInt)
+      probe("dedup", s"embedding_cosine_tuned_r$r")(
+        graft.operators.Dedup.embeddingCosineLshOn(vecs, planesPerBand = r))
     }
     spark.stop()
   }

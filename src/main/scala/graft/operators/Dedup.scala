@@ -606,11 +606,30 @@ object Dedup {
     * unpersisting here would drop the cache before first use).
     */
   private val CosThreshold = 0.4
-  private def embeddingCosineLsh(s: SparkSession, d: String): DataFrame = {
-    val base = Similarity.base(s, d).persist()
+  private def embeddingCosineLsh(s: SparkSession, d: String): DataFrame =
+    embeddingCosineLshOn(Similarity.base(s, d).select(col("vec_id"), col("e")))
+
+  /** Banded-LSH cosine near-dup over ANY (vec_id, e) relation with an
+    * EXPLICIT band geometry — the 100 TB entry point behind the fixture
+    * query. The verify join re-checks every candidate with the exact
+    * cosine, so geometry affects only RECALL and candidate cost, never
+    * precision; planesPerBand must grow with log2(N) to keep per-bucket
+    * candidates flat (the r9 scale probe measured the fixture's 4-bit
+    * keys at 40k vectors: ~50M candidate pairs, 6.1 GB shuffle, 170 s —
+    * vs single-digit seconds with log2-sized keys; SCALEPROBE.md).
+    */
+  def embeddingCosineLshOn(vecs: DataFrame,
+                           threshold: Double = CosThreshold,
+                           bands: Int = Similarity.PairBands,
+                           planesPerBand: Int = Similarity.PairPlanesPerBand)
+      : DataFrame = {
+    val planes = Similarity.pairPlanesFor(bands, planesPerBand)
+    val base = vecs.select(col("vec_id"), col("e"))
+      .withColumn("nrm", sqrt(TextHash.dot(col("e"), col("e")))).persist()
     val banded = base.select(col("vec_id"),
-      posexplode(array((0 until Similarity.PairBands)
-        .map(b => Similarity.pairBandKey(col("e"), b)): _*)).as(Seq("band", "key")))
+      posexplode(array((0 until bands)
+        .map(b => Similarity.pairBandKeyOf(col("e"), b, planesPerBand, planes)): _*))
+        .as(Seq("band", "key")))
       // both sides of the self-join below read this — without the persist
       // each side re-runs the bands × hyperplanes × dim projection
       .persist()
@@ -625,9 +644,9 @@ object Dedup {
       .join(base.as("a"), col("vec_a") === col("a.vec_id"))
       .join(base.as("b"), col("vec_b") === col("b.vec_id"))
       .select(col("vec_a"), col("vec_b"),
-        round(dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")), 6)
+        round(TextHash.dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")), 6)
           .as("cos"))
-      .where(col("cos") >= CosThreshold)
+      .where(col("cos") >= threshold)
   }
 
   /** Spec-only brute-force recall baseline for [[embeddingCosineLsh]] —

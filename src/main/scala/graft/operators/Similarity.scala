@@ -114,11 +114,31 @@ object Similarity {
   val PairBands = 16
   val PairPlanesPerBand = 4
 
-  /** Deterministic banded planes (seed 7), 6-dp-rounded like [[planes]]. */
-  lazy val pairPlanes: Array[Array[Double]] = {
+  /** Deterministic banded planes for ANY (bands, planesPerBand) geometry
+    * (seed 7, 6-dp-rounded like [[planes]]); the (PairBands,
+    * PairPlanesPerBand) instance is [[pairPlanes]]. The generalization is
+    * the scaling rule made callable: at N vectors, planesPerBand ~
+    * log2(N / target bucket size) keeps per-bucket candidate counts flat
+    * (SCALEPROBE.md records the fixture geometry's 40k-vector cliff).
+    */
+  def pairPlanesFor(bands: Int, planesPerBand: Int): Array[Array[Double]] = {
     val r = new scala.util.Random(7)
-    Array.fill(PairBands * PairPlanesPerBand, Dim)(math.rint(r.nextGaussian() * 1e6) / 1e6)
+    Array.fill(bands * planesPerBand, Dim)(math.rint(r.nextGaussian() * 1e6) / 1e6)
   }
+
+  /** Deterministic banded planes (seed 7), 6-dp-rounded like [[planes]]. */
+  lazy val pairPlanes: Array[Array[Double]] =
+    pairPlanesFor(PairBands, PairPlanesPerBand)
+
+  /** planesPerBand-bit key of band `b` under an explicit plane set
+    * (LONG-typed: geometries up to 62 bits/band).
+    */
+  private[operators] def pairBandKeyOf(e: Column, b: Int, planesPerBand: Int,
+                                       planes: Array[Array[Double]]): Column =
+    (0 until planesPerBand).map { j =>
+      val p = array(planes(b * planesPerBand + j).map(lit): _*)
+      when(dot(e, p) >= 0.0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
   /** 4-bit key of band `b`: bit j = sign of dot(e, plane_{4b+j}). */
   private[operators] def pairBandKey(e: Column, b: Int): Column =

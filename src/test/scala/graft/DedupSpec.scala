@@ -217,6 +217,26 @@ class DedupSpec extends SparkSpecBase {
     assert(brute.nonEmpty && lsh.nonEmpty)
     assert(lsh.size >= brute.size * 0.9,
       s"overall recall too low: ${lsh.size}/${brute.size}")
+    Graft.releaseCaches(spark)
+    // the generalized entry point at the DEFAULT geometry must be the
+    // fixture query exactly (it IS the query's implementation), and a
+    // log2-scaled geometry (the 100 TB knob) must stay sound: every pair
+    // it returns is a true above-threshold pair — the exact-cosine
+    // verify join makes precision structural regardless of geometry
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.expr(
+          "transform(embedding, v -> CAST(v AS DOUBLE))").as("e"))
+    val viaOn = Dedup.embeddingCosineLshOn(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(viaOn == lsh, "embeddingCosineLshOn(default) must equal the query")
+    Graft.releaseCaches(spark)
+    val tuned = Dedup.embeddingCosineLshOn(vecs, planesPerBand = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    tuned.foreach { case (k, c) =>
+      assert(brute.contains(k) && brute(k) == c, s"tuned geometry invented pair $k")
+    }
+    Graft.releaseCaches(spark)
   }
 
   test("dedup_delta_gate agrees with the full pair relation across the split") {
