@@ -68,13 +68,19 @@ object Bench {
     // shape compiles once, not once per job. SPARK_GRAFT_WARM_DIR=""
     // disables; skipped automatically when it would read the bench dir.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    if (warmDir.nonEmpty && warmDir != sfDir &&
+    def canon(p: String): String =
+      try new java.io.File(p).getCanonicalPath catch { case _: Exception => p }
+    if (warmDir.nonEmpty && canon(warmDir) != canon(sfDir) &&
         new java.io.File(warmDir).isDirectory) {
       // 8-way concurrent warm (Janino compiles different sources in
       // parallel; session-level concurrency is a tested surface —
       // RegexpIntegrationSpec) — cuts the untimed warm wall 3-4x. A query
       // degenerate at the tiny SF just skips warming; the timed loop
-      // still surfaces any real failure under `failed`.
+      // still surfaces any real failure under `failed`. Caches are
+      // released ONCE after the pool drains (sf0.001 intermediates are
+      // tiny; the timed loop's no-cross-query-cache invariant is
+      // guaranteed by this trailing release plus the per-query releases
+      // below).
       val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
       val work = new java.util.concurrent.ConcurrentLinkedQueue[
         (String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]()
@@ -86,7 +92,7 @@ object Bench {
             while (next != null) {
               try next._2(spark, warmDir)
                 .write.format("noop").mode("overwrite").save()
-              catch { case _: Throwable => () }
+              catch { case scala.util.control.NonFatal(_) => () }
               next = work.poll()
             }
           }
@@ -95,6 +101,13 @@ object Bench {
       tasks.foreach(_.get())
       pool.shutdown()
       Graft.releaseCaches(spark)
+      // Concurrent warm queries race session-scoped conf save/restores
+      // (withIterShufflePartitions, the events nanosAsLong retry): two
+      // interleaved save/set/restore pairs can restore the OTHER thread's
+      // temporary value. Reset the racy confs to their intended values
+      // before anything timed runs, whatever the interleaving left behind.
+      spark.conf.set("spark.sql.shuffle.partitions", cpus)
+      spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
     }
     // ambient container load self-attribution: this box runs other tenants,
     // and load 3-4 has inflated random queries 3-10x in past rounds. A

@@ -177,15 +177,26 @@ object Tables {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    evict()
     val key = (spark, dir, name)
     val cached = relCache.get(key)
     if (cached != null) cached
     else {
-      relCache.keySet().removeIf(k => k._1.sparkContext.isStopped)
       val df = spark.read.parquet(s"$dir/$name.parquet")
       relCache.putIfAbsent(key, df)
       df
     }
+  }
+
+  /** Drop stopped-session entries on EVERY access (not just misses — a
+    * hit-only steady state would otherwise pin dead SessionStates
+    * forever), and clear outright if temp-dir churn (test fixtures) ever
+    * grows the map past a sane bound — the map is a metadata cache, so a
+    * clear costs one re-listing per live table, never correctness.
+    */
+  private def evict(): Unit = {
+    relCache.keySet().removeIf(k => k._1.sparkContext.isStopped)
+    if (relCache.size > 512) relCache.clear()
   }
 
   /** events.ts normalization — the fixture's physical type has varied
@@ -250,6 +261,7 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   def events(s: SparkSession, d: String): DataFrame = {
+    evict()
     val key = (s, d, "events@ts")
     val cached = relCache.get(key)
     if (cached != null) cached

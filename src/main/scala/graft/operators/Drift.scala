@@ -472,9 +472,11 @@ object Drift {
         |      - CAST(cgx - cs AS HUGEINT) * n_s) AS num
         |  FROM cum JOIN cg USING (x) CROSS JOIN tot)
         |SELECT source, any_value(n_s) AS n_docs,
-        |  round(CAST(max(num) AS DOUBLE)
-        |    / (CAST(any_value(n_s) AS DOUBLE)
-        |       * CAST(any_value(n_tot) - any_value(n_s) AS DOUBLE)), 6) AS ks_stat
+        |  CASE WHEN any_value(n_tot) = any_value(n_s) THEN NULL
+        |    ELSE round(CAST(max(num) AS DOUBLE)
+        |      / (CAST(any_value(n_s) AS DOUBLE)
+        |         * CAST(any_value(n_tot) - any_value(n_s) AS DOUBLE)), 6)
+        |  END AS ks_stat
         |FROM num GROUP BY source ORDER BY source""".stripMargin,
 
     "drift_psi_length" ->
@@ -497,7 +499,8 @@ object Drift {
          |  FROM (SELECT source, n_s,
          |      CASE WHEN c = 0 THEN 1e-6
          |        ELSE CAST(c AS DOUBLE) / CAST(n_s AS DOUBLE) END AS p,
-         |      CASE WHEN bt - c = 0 THEN 1e-6
+         |      CASE WHEN n_tot = n_s THEN NULL
+         |        WHEN bt - c = 0 THEN 1e-6
          |        ELSE CAST(bt - c AS DOUBLE) / CAST(n_tot - n_s AS DOUBLE) END AS q
          |    FROM grid))
          |SELECT source, any_value(n_s) AS n_docs,
@@ -514,9 +517,11 @@ object Drift {
         |      - CAST(cgx - cs AS HUGEINT) * n_s) * (nx - x) AS term
         |  FROM stp WHERE nx IS NOT NULL)
         |SELECT source, any_value(n_s) AS n_docs,
-        |  round(CAST(sum(term) AS DOUBLE)
-        |    / (CAST(any_value(n_s) AS DOUBLE)
-        |       * CAST(any_value(n_tot) - any_value(n_s) AS DOUBLE)), 6) AS w1_dist
+        |  CASE WHEN any_value(n_tot) = any_value(n_s) THEN NULL
+        |    ELSE round(CAST(sum(term) AS DOUBLE)
+        |      / (CAST(any_value(n_s) AS DOUBLE)
+        |         * CAST(any_value(n_tot) - any_value(n_s) AS DOUBLE)), 6)
+        |  END AS w1_dist
         |FROM terms GROUP BY source ORDER BY source""".stripMargin
   )
 

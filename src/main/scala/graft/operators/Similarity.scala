@@ -140,13 +140,6 @@ object Similarity {
       when(dot(e, p) >= 0.0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** 4-bit key of band `b`: bit j = sign of dot(e, plane_{4b+j}). */
-  private[operators] def pairBandKey(e: Column, b: Int): Column =
-    (0 until PairPlanesPerBand).map { j =>
-      val p = array(pairPlanes(b * PairPlanesPerBand + j).map(lit): _*)
-      when(dot(e, p) >= 0.0, lit(1 << j)).otherwise(lit(0))
-    }.reduce(_ + _)
-
   private[operators] def pairBandKeySql(e: String, b: Int): String =
     (0 until PairPlanesPerBand).map { j =>
       val p = pairPlanes(b * PairPlanesPerBand + j).mkString("[", ", ", "]")

@@ -78,7 +78,9 @@ object Wav {
       val id = tag(b, off)
       val size = rd32(b, off + 4)
       val body = off + 8
-      if (size < 0 || body + size > b.length)
+      // Long arithmetic: a hostile declared size near Int.MaxValue would
+      // wrap `body + size` negative and slip past an Int comparison
+      if (size < 0 || body.toLong + size > b.length)
         throw new IOException(s"wav: chunk '$id' overruns the stream")
       id match {
         case "fmt " =>

@@ -59,6 +59,12 @@ class WavSpec extends SparkSpecBase {
     corrupt { b => b(34) = 8; b } // 8-bit samples
     corrupt(b => b.slice(0, b.length - 3)) // truncated data chunk
     corrupt(b => b.slice(0, 12)) // no chunks at all
+    // hostile declared chunk size near Int.MaxValue: must be the clean
+    // overrun IOException, not an Int-overflow slip-through (OOM/ SIOOBE)
+    corrupt { b =>
+      b(40) = 0xf4.toByte; b(41) = 0xff.toByte
+      b(42) = 0xff.toByte; b(43) = 0x7f.toByte; b
+    }
     // data before fmt: swap the chunks
     val noFmt = ok.slice(0, 12) ++ ok.slice(36, ok.length)
     intercept[IOException] { Wav.decode(noFmt) }
