@@ -259,6 +259,37 @@ object Winnow {
         .agg(count(lit(1)).as("n_shared"))
         .orderBy(desc("n_shared"), col("doc_a"), col("doc_b"))
         .limit(TopPairs)
+    },
+
+    // CONTAINMENT-normalized overlap: n_shared / min(|fp_a|, |fp_b|)
+    // over the df-capped fingerprint universe. The raw pair count above
+    // measures absolute shared mass, which SATURATES for very long
+    // same-distribution docs (the r9 scale probe measured all three
+    // 2.2M-char giants pairing at ~142k shared fingerprints regardless
+    // of planted quotation — SCALEPROBE.md); containment is the
+    // length-robust dial: a short doc quoted wholesale inside a giant
+    // scores ~1.0 while two independent giants score near the
+    // vocabulary background. Same bucketed join as wn_overlap_pairs plus
+    // two doc-count-sized per-doc joins.
+    "wn_containment" -> { (s, d) =>
+      val fp = docFps(documents(s, d).select("doc_id", "text"))
+      val wF = Window.partitionBy("fph")
+      val filt = fp.withColumn("nd", count(lit(1)).over(wF))
+        .where(col("nd") <= FpDfCap)
+        .select("doc_id", "fph")
+      val nf = filt.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+      filt.as("a").join(filt.as("b"),
+          col("a.fph") === col("b.fph") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_shared"))
+        .join(nf.select(col("doc_id").as("doc_a"), col("nf").as("nf_a")), "doc_a")
+        .join(nf.select(col("doc_id").as("doc_b"), col("nf").as("nf_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("n_shared"),
+          round(col("n_shared").cast("double") /
+            least(col("nf_a"), col("nf_b")).cast("double"), 6).as("containment"))
+        .orderBy(desc("containment"), col("doc_a"), col("doc_b"))
+        .limit(TopPairs)
     }
   )
 
@@ -310,6 +341,25 @@ object Winnow {
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
          |FROM fd a JOIN fd b ON a.fph = b.fph AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 ORDER BY n_shared DESC, doc_a, doc_b
+         |LIMIT $TopPairs""".stripMargin,
+
+    "wn_containment" ->
+      s"""WITH $selCtes,
+         |fp AS (SELECT DISTINCT doc_id, fph FROM f),
+         |fd AS (SELECT doc_id, fph FROM
+         |  (SELECT doc_id, fph, count(*) OVER (PARTITION BY fph) AS nd FROM fp)
+         |  WHERE nd <= $FpDfCap),
+         |nf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf FROM fd GROUP BY 1),
+         |sh AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM fd a JOIN fd b ON a.fph = b.fph AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_shared,
+         |  round(CAST(n_shared AS DOUBLE)
+         |    / CAST(least(na.nf, nb.nf) AS DOUBLE), 6) AS containment
+         |FROM sh JOIN nf na ON sh.doc_a = na.doc_id
+         |  JOIN nf nb ON sh.doc_b = nb.doc_id
+         |ORDER BY containment DESC, doc_a, doc_b
          |LIMIT $TopPairs""".stripMargin
   )
 }

@@ -176,6 +176,34 @@ class WinnowSpec extends SparkSpecBase {
     assert(stats.getBoolean(2))
   }
 
+  test("containment laws: values in (0,1], n_shared bounded by the smaller doc, and a planted full quote scores 1.0") {
+    // law checks over the fixture output
+    val rows = SparkEntry.queries("wn_containment")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, n, c) =>
+      assert(a < b); assert(n >= 1L)
+      assert(c > 0.0 && c <= 1.0, s"containment $c out of range for ($a,$b)")
+    }
+    // planted wholesale quote: every window of a short doc embedded in a
+    // longer host is also a window of the host with identical content,
+    // and winnowing selection is shift-invariant — so every fingerprint
+    // hash of the quoted doc must also be selected in the host
+    // (containment 1.0 at the hash grain)
+    val rng = new scala.util.Random(67)
+    def junk(m: Int) = (0 until m).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+    val small = junk(60)
+    val host = junk(400) + small + junk(400)
+    val docs = Seq((0L, host), (1L, small), (2L, junk(500)))
+      .toDF("doc_id", "text")
+    val fp = Winnow.docFps(docs)
+    val nf = fp.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val shared01 = fp.where(col("doc_id") === 0).select("fph")
+      .intersect(fp.where(col("doc_id") === 1).select("fph")).count()
+    assert(shared01 === nf(1L), "every quoted-doc fingerprint must appear in the host")
+  }
+
   test("overlap pairs only report docs that truly share a gram run") {
     // every reported pair shares >= 1 identical GramLen-char substring
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
