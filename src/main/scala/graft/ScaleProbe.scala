@@ -133,6 +133,12 @@ object ScaleProbe {
         math.ceil(math.log(nVec / 8.0) / math.log(2)).toInt)
       probe("dedup", s"embedding_cosine_tuned_r$r")(
         graft.operators.Dedup.embeddingCosineLshOn(vecs, planesPerBand = r))
+      val np = math.max(graft.operators.Similarity.NumPlanes,
+        math.ceil(math.log(nVec / 8.0) / math.log(2)).toInt)
+      probe("cc", s"knn_graph_tuned_p$np")(
+        graft.operators.Similarity.knnGraphOn(vecs, numPlanes = np))
+      probe("cc", "knn_graph_fixture_p6")(
+        graft.operators.Similarity.knnGraphOn(vecs))
     }
     spark.stop()
   }

@@ -41,12 +41,53 @@ object Similarity {
   /** Examples per contrastive batch. */
   val BatchB = 32
 
+  /** Deterministic hyperplanes for ANY plane count (seed 42, 6-dp-rounded
+    * so SQL literals parse back to the exact double; sequential draws, so
+    * planesFor(m).take(n) == planesFor(n) for n <= m — growing the key
+    * only APPENDS planes). This is the kNN-graph occupancy knob: at N
+    * vectors, numPlanes ~ log2(N / target bucket size) keeps per-bucket
+    * pair counts flat (the same rule as [[pairPlanesFor]]; the fixture's
+    * 6 planes give ~8-vector buckets at 500 vectors, ~625 at 40k —
+    * SCALEPROBE.md).
+    */
+  def planesFor(n: Int): Array[Array[Double]] = {
+    val r = new scala.util.Random(42)
+    Array.fill(n, Dim)(math.rint(r.nextGaussian() * 1e6) / 1e6)
+  }
+
   /** Deterministic hyperplanes, rounded to 6 dp so the SQL literal parses
     * back to the exact same double.
     */
-  lazy val planes: Array[Array[Double]] = {
-    val r = new scala.util.Random(42)
-    Array.fill(NumPlanes, Dim)(math.rint(r.nextGaussian() * 1e6) / 1e6)
+  lazy val planes: Array[Array[Double]] = planesFor(NumPlanes)
+
+  /** numPlanes-bit LSH bucket under an explicit plane set (LONG-typed:
+    * keys up to 62 bits).
+    */
+  private def bucketOf(e: Column, numPlanes: Int,
+                       ps: Array[Array[Double]]): Column =
+    (0 until numPlanes).map { j =>
+      when(dot(e, array(ps(j).map(lit): _*)) >= 0.0, lit(1L << j))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-blocked corpus kNN edges over ANY (vec_id, e) relation with an
+    * explicit bucket width — the 100 TB entry point behind ann_knn_graph
+    * (which keeps the fixture's NumPlanes for the oracle). Cosines are
+    * exact within a bucket, so numPlanes trades RECALL and bucket-pair
+    * cost only; per-node top-k rides the GroupTopK rewrite as in the
+    * fixture query.
+    */
+  def knnGraphOn(vecs: DataFrame, k: Int = K,
+                 numPlanes: Int = NumPlanes): DataFrame = {
+    val ps = planesFor(numPlanes)
+    val b = vecs.select(col("vec_id"), col("e"))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+      .withColumn("bkt", bucketOf(col("e"), numPlanes, ps))
+    val q = b.select(col("vec_id").as("q_id"), col("e").as("qe"),
+      col("nrm").as("qn"), col("bkt").as("qb"))
+    val c = b.select(col("vec_id").as("cand_id"), col("e").as("ce"),
+      col("nrm").as("cn"), col("bkt").as("cb"))
+    ranked(q.join(c, col("qb") === col("cb") && col("q_id") =!= col("cand_id")), k)
   }
 
   private def planeLit(j: Int): Column = array(planes(j).map(lit): _*)

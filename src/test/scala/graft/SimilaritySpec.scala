@@ -332,6 +332,34 @@ class SimilaritySpec extends SparkSpecBase {
     assert(mutual.toSet === expect)
     // per-node degree bound: top-K neighbors max
     knn.groupBy(_._1).values.foreach(es => assert(es.size <= Similarity.K))
+    // the generalized entry point at the DEFAULT width must equal the
+    // fixture query (same bucketing, Long-keyed); a WIDER key (the
+    // at-scale knob) refines the partition, so every wider edge must
+    // still be co-bucketed under the 6-bit key (planesFor(9).take(6) ==
+    // planes — growing the key only appends planes). Note top-k edge
+    // sets are NOT monotone under refinement (losing a strong candidate
+    // promotes weaker ones into the top-k), so co-bucketing, not subset,
+    // is the law.
+    val vecsDf = Tables.embeddings(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.expr(
+          "transform(embedding, v -> CAST(v AS DOUBLE))").as("e"))
+    val viaOn = Similarity.knnGraphOn(vecsDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaOn === knn, "knnGraphOn(default) must equal ann_knn_graph")
+    def bucketOf(v: Array[Double]): Int =
+      (0 until Similarity.NumPlanes).map { j =>
+        val d = v.zip(Similarity.planes(j)).map { case (a, b) => a * b }
+          .foldLeft(0.0)(_ + _)
+        if (d >= 0.0) 1 << j else 0
+      }.sum
+    val wider = Similarity.knnGraphOn(vecsDf, numPlanes = 9).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(wider.nonEmpty)
+    wider.foreach { case (a, b) =>
+      assert(bucketOf(vecs(a)) == bucketOf(vecs(b)),
+        s"wider-key edge ($a,$b) crosses a 6-bit bucket: not a refinement")
+    }
   }
 
   test("ann_knn_components: mutual edges never straddle components; singletons self-label") {
