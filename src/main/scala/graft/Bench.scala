@@ -88,9 +88,17 @@ object Bench {
       val tasks = (1 to 8).map { _ =>
         pool.submit(new Runnable {
           def run(): Unit = {
+            // ISOLATED session per worker: session-scoped conf
+            // save/restores inside library operators
+            // (withIterShufflePartitions, the events nanosAsLong retry)
+            // are not concurrency-safe across threads of ONE session;
+            // with a session per worker nothing can leak into the timed
+            // session's confs, while the JVM-wide codegen cache — the
+            // thing being warmed — is shared regardless.
+            val ws = Graft.init(spark.newSession())
             var next = work.poll()
             while (next != null) {
-              try next._2(spark, warmDir)
+              try next._2(ws, warmDir)
                 .write.format("noop").mode("overwrite").save()
               catch { case scala.util.control.NonFatal(_) => () }
               next = work.poll()
@@ -98,14 +106,17 @@ object Bench {
           }
         })
       }
-      tasks.foreach(_.get())
+      // A fatal error in a warm worker (OOM, StackOverflow in one plan)
+      // must not abort the benchmark: log and proceed — the timed loop
+      // has its own per-query failure accounting and ALWAYS emits JSON.
+      try tasks.foreach(_.get())
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warm pass aborted: ${e.getMessage}")
+      }
       pool.shutdown()
       Graft.releaseCaches(spark)
-      // Concurrent warm queries race session-scoped conf save/restores
-      // (withIterShufflePartitions, the events nanosAsLong retry): two
-      // interleaved save/set/restore pairs can restore the OTHER thread's
-      // temporary value. Reset the racy confs to their intended values
-      // before anything timed runs, whatever the interleaving left behind.
+      // belt-and-suspenders: assert the timed session's confs are what
+      // the builder set, whatever the warm pass did
       spark.conf.set("spark.sql.shuffle.partitions", cpus)
       spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
     }

@@ -110,7 +110,12 @@ object Graft {
     * it is a no-op. The conf is session-scoped, so a concurrently planned
     * query may observe the lowered value — harmless by the engine-wide
     * partitioning-invariance discipline (results never depend on
-    * partition counts; only that round's task count changes).
+    * partition counts; only that round's task count changes). The
+    * save/set/restore is NOT safe against a concurrent
+    * withIterShufflePartitions on the SAME session (interleaved pairs
+    * can restore the other call's temporary value): concurrent callers
+    * must use separate sessions (spark.newSession() — shared context,
+    * isolated confs; what Bench's warm pool does).
     */
   def withIterShufflePartitions[T](spark: SparkSession, rows: Long)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"

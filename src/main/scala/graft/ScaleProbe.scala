@@ -129,12 +129,12 @@ object ScaleProbe {
       val vecs = Tables.embeddings(spark, dir)
         .select(col("vec_id"),
           expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("e"))
-      val r = math.max(graft.operators.Similarity.PairPlanesPerBand,
-        math.ceil(math.log(nVec / 8.0) / math.log(2)).toInt)
+      // the occupancy rule once: log2(N / target bucket size of 8)
+      val bits = math.ceil(math.log(nVec / 8.0) / math.log(2)).toInt
+      val r = math.max(graft.operators.Similarity.PairPlanesPerBand, bits)
       probe("dedup", s"embedding_cosine_tuned_r$r")(
         graft.operators.Dedup.embeddingCosineLshOn(vecs, planesPerBand = r))
-      val np = math.max(graft.operators.Similarity.NumPlanes,
-        math.ceil(math.log(nVec / 8.0) / math.log(2)).toInt)
+      val np = math.max(graft.operators.Similarity.NumPlanes, bits)
       probe("cc", s"knn_graph_tuned_p$np")(
         graft.operators.Similarity.knnGraphOn(vecs, numPlanes = np))
       probe("cc", "knn_graph_fixture_p6")(

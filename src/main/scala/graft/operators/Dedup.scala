@@ -623,6 +623,8 @@ object Dedup {
                            bands: Int = Similarity.PairBands,
                            planesPerBand: Int = Similarity.PairPlanesPerBand)
       : DataFrame = {
+    require(planesPerBand >= 1 && planesPerBand <= 62,
+      s"planesPerBand must be in [1, 62] (Long key bits), got $planesPerBand")
     val planes = Similarity.pairPlanesFor(bands, planesPerBand)
     val base = vecs.select(col("vec_id"), col("e"))
       .withColumn("nrm", sqrt(TextHash.dot(col("e"), col("e")))).persist()

@@ -79,6 +79,8 @@ object Similarity {
     */
   def knnGraphOn(vecs: DataFrame, k: Int = K,
                  numPlanes: Int = NumPlanes): DataFrame = {
+    require(numPlanes >= 1 && numPlanes <= 62,
+      s"numPlanes must be in [1, 62] (Long key bits), got $numPlanes")
     val ps = planesFor(numPlanes)
     val b = vecs.select(col("vec_id"), col("e"))
       .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
@@ -454,16 +456,13 @@ object Similarity {
   }
 
   /** LSH-blocked corpus kNN edges (q_id, cand_id, cos, rnk ≤ K) — every
-    * vector ranked against its own bucket (see ann_knn_graph).
+    * vector ranked against its own bucket (see ann_knn_graph). One line:
+    * the oracled fixture query IS [[knnGraphOn]] at the default width
+    * (SimilaritySpec asserts the identity), so there is exactly one
+    * implementation to keep in sync with the oracle.
     */
-  private def knnGraph(s: SparkSession, d: String): DataFrame = {
-    val b = base(s, d).withColumn("bkt", bucket(col("e")))
-    val q = b.select(col("vec_id").as("q_id"), col("e").as("qe"),
-      col("nrm").as("qn"), col("bkt").as("qb"))
-    val c = b.select(col("vec_id").as("cand_id"), col("e").as("ce"),
-      col("nrm").as("cn"), col("bkt").as("cb"))
-    ranked(q.join(c, col("qb") === col("cb") && col("q_id") =!= col("cand_id")))
-  }
+  private def knnGraph(s: SparkSession, d: String): DataFrame =
+    knnGraphOn(base(s, d).select(col("vec_id"), col("e")))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact top-k by cosine: broadcast the (small) query batch, stream the
