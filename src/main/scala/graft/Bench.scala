@@ -109,11 +109,15 @@ object Bench {
       // A fatal error in a warm worker (OOM, StackOverflow in one plan)
       // must not abort the benchmark: log and proceed — the timed loop
       // has its own per-query failure accounting and ALWAYS emits JSON.
-      try tasks.foreach(_.get())
+      // On the failure path the OTHER workers may still be running their
+      // queue: shutdownNow + await so no warm query executes concurrently
+      // with (and inflates) the timed loop below.
+      try { tasks.foreach(_.get()); pool.shutdown() }
       catch { case e: Throwable =>
         System.err.println(s"[bench] warm pass aborted: ${e.getMessage}")
+        pool.shutdownNow()
+        pool.awaitTermination(5, java.util.concurrent.TimeUnit.MINUTES)
       }
-      pool.shutdown()
       Graft.releaseCaches(spark)
       // belt-and-suspenders: assert the timed session's confs are what
       // the builder set, whatever the warm pass did

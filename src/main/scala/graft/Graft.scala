@@ -175,8 +175,13 @@ object Tables {
     * every downstream query still executes it from disk. On a long-lived
     * cluster session this is exactly what a catalog table provides;
     * fixtures are immutable for the life of a JVM, so the snapshot of the
-    * file list can never go stale here. Entries are dropped when their
-    * session is stopped (bounded: sessions x tables).
+    * file list can never go stale here — and a caller that DOES rewrite a
+    * dir must call [[invalidate]] to make the assumption explicit.
+    * Eviction grain is the shared CONTEXT, not the session:
+    * `spark.newSession()` children share one SparkContext, so their
+    * entries (and SessionStates) stay pinned until the whole application
+    * stops — bounded by the 512-entry clear in [[evict]], which only ever
+    * costs a re-listing, never correctness.
     */
   private val relCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
@@ -192,6 +197,16 @@ object Tables {
       df
     }
   }
+
+  /** Drop every memoized relation under `dir` — the explicit escape hatch
+    * for the one caller pattern the memoization forbids: overwriting a
+    * parquet dir and re-reading it through Tables within the same
+    * context. Fixture dirs are write-once so production paths never need
+    * this; tests that regenerate a scratch dir call it to make the
+    * immutability assumption checkable rather than conventional.
+    */
+  def invalidate(dir: String): Unit =
+    relCache.keySet().removeIf(_._2 == dir)
 
   /** Drop stopped-session entries on EVERY access (not just misses — a
     * hit-only steady state would otherwise pin dead SessionStates

@@ -92,6 +92,8 @@ object Wav {
           if (rd16(b, body + 14) != 16)
             throw new IOException("wav: only 16-bit samples supported")
           sampleRate = rd32(b, body + 4)
+          if (sampleRate <= 0)
+            throw new IOException(s"wav: invalid sample rate $sampleRate")
           fmtOk = true
         case "data" =>
           if (!fmtOk) throw new IOException("wav: data chunk before fmt")
@@ -241,9 +243,13 @@ object Audio {
     // surface as n_shared = EBands (same parity) and EBands-1 (the
     // perturbed sample corrupts exactly band 0) pairs.
     "mm_audio_dedup" -> { (s, d) =>
+      // persist (not localCheckpoint): decoded once, both join sides read
+      // the cached blocks, and Graft.releaseCaches can actually free them
+      // after the query (checkpoint RDD blocks are invisible to
+      // cacheManager.clearCache and linger until GC)
       val st = decodeStats(wavTable(s, d)).toDF()
         .select(col("media_id"), col("n_samples"), col("band_e"))
-        .localCheckpoint() // decoded once; both join sides read the blocks
+        .persist()
       val banded = st
         .select(col("media_id"), col("n_samples"),
           posexplode(col("band_e")).as(Seq("band", "e")))

@@ -50,6 +50,19 @@ class TablesSpec extends SparkSpecBase {
     assert(got.toSeq == Seq(123456L, 1123456L, 2123456L), got.toSeq)
   }
 
+  test("invalidate(dir) drops the memoized listing so a rewrite is visible") {
+    val dir = java.nio.file.Files.createTempDirectory("tables_invalidate").toString
+    spark.range(3).select(col("id").as("doc_id"), lit("a").as("text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(Tables.documents(spark, dir).count() === 3)
+    // rewrite with MORE rows: without invalidate the memoized relation's
+    // snapshot of the file listing is stale (FileNotFound or stale rows)
+    spark.range(5).select(col("id").as("doc_id"), lit("b").as("text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Tables.invalidate(dir)
+    assert(Tables.documents(spark, dir).count() === 5)
+  }
+
   test("events loader restores a pre-existing explicit flag value") {
     spark.conf.set(flag, "true")
     try {

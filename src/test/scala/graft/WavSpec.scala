@@ -68,6 +68,9 @@ class WavSpec extends SparkSpecBase {
     // data before fmt: swap the chunks
     val noFmt = ok.slice(0, 12) ++ ok.slice(36, ok.length)
     intercept[IOException] { Wav.decode(noFmt) }
+    // zero / negative sample rate in fmt (bytes 24-27 little-endian)
+    corrupt { b => b(24) = 0; b(25) = 0; b(26) = 0; b(27) = 0; b }
+    corrupt { b => b(24) = 0; b(25) = 0; b(26) = 0; b(27) = 0x80.toByte; b }
   }
 
   test("synthWavBlob decodes back to the planted closed-form samples") {
