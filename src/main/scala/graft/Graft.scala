@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.call_function
 
-import graft.functions.{DamerauLevenshteinDist, DotProductD, JaroWinklerSim, NfcNormalize, RegExpExtractRef, StripAccents}
+import graft.functions.{DamerauLevenshteinDist, DotProductD, JaroWinklerSim, Md5Hash60, NfcNormalize, RegExpExtractRef, StripAccents}
 
 /** Session-level wiring: registers graft's custom Catalyst expressions into
   * the session's function registry so they resolve in both SQL and the
@@ -36,6 +36,10 @@ object Graft {
     reg.createOrReplaceTempFunction(
       "graft_strip_accents",
       exprs => StripAccents(exprs(0)),
+      "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_h60",
+      exprs => Md5Hash60(exprs(0)),
       "scala_udf")
     // Optimizer rules + planner strategy. The supported injection point is
     // SparkSessionExtensions (builder path: .withExtensions(new

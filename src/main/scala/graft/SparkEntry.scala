@@ -33,7 +33,18 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Every query self-initializes its session (idempotent registry +
+    * rule wiring): the driver contract passes an ARBITRARY session into
+    * these lambdas, and library plans resolve graft-registered functions
+    * (e.g. `graft_h60`) at analysis time — a session that never saw
+    * Graft.init would throw UNRESOLVED_ROUTINE.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
+    rawQueries.view.mapValues { f =>
+      (s: SparkSession, d: String) => f(Graft.init(s), d)
+    }.toMap
+
+  private def rawQueries: Map[String, (SparkSession, String) => DataFrame] =
     RegexpQueries.queries ++ Relational.queries ++ TpchSuite.queries ++
       Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
       Multimodal.queries ++ Sources.queries ++ SqlFunctions.queries ++

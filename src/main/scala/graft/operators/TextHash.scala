@@ -21,9 +21,13 @@ object TextHash {
 
   /** 60-bit hash of a string: first 15 hex chars of md5, parsed base-16.
     * DuckDB equivalent: CAST(('0x' || substr(md5(x),1,15)) AS BIGINT).
+    * Implemented as the single codegen'd [[graft.functions.Md5Hash60]]
+    * expression (registered by Graft.init) — bit-identical to the composed
+    * `conv(substring(md5(c), 1, 15), 16, 10)` but without the per-row hex
+    * materialization + base-16 reparse (~0.55 s / 1.45M rows recovered;
+    * Md5Hash60Spec proves value equality including NULL and "").
     */
-  def h60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  def h60(c: Column): Column = call_function("graft_h60", c)
 
   /** SQL snippet (DuckDB) mirroring [[h60]]. */
   def h60Sql(x: String): String =

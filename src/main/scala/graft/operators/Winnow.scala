@@ -88,17 +88,20 @@ object Winnow {
     *   1. UTF8String.substring is O(char position) — it scans from the
     *      string START to find a codepoint offset — so gram hashing at
     *      position i of a chunk costs O(i) bytes; per-chunk work is
-    *      O(chunkLen²), total O(len · chunkLen). 4 KB chunks bound the
-    *      scan at 4 KB; the 2^20 default made million-char docs
-    *      effectively quadratic.
-    *   2. One window task per (doc, chunk): 2^20-char chunks put a whole
-    *      giant doc in ~2 tasks; 4 KB chunks spread it across ~500.
+    *      O(chunkLen²), total O(len · chunkLen). Small chunks bound the
+    *      scan; the 2^20 default made million-char docs effectively
+    *      quadratic.
+    *   2. One selection task per (doc, chunk): 2^20-char chunks put a
+    *      whole giant doc in ~2 tasks; small chunks spread it out.
     *
-    * Cost of going small: duplicated seam windows, (GuaranteeLen-1)/
-    * stride ≈ 0.3% — noise. Fixture docs (≤ 577 chars) are single-chunk
-    * at any setting ≥ their length, so oracle plans are untouched.
+    * Cost of going small: duplicated seam positions, (GuaranteeLen-1)/
+    * stride. 127 (r10 sweep: 1.10 s vs 1.38 s at 255, 1.85 s at 4095 for
+    * sf0.1 selections — the in-chunk substring scan still dominated at
+    * 4 KB) costs 11% duplicated positions and still wins; below ~127 the
+    * md5 floor takes over. Oracle SQL interpolates the same constant, so
+    * both engines chunk identically at any value.
     */
-  val ChunkLen: Int = 4095
+  val ChunkLen: Int = 127
 
   /** Fingerprints in more than this many distinct docs are boilerplate and
     * leave the pair join (same discipline as [[Substring.PairDfCap]]).
@@ -108,24 +111,17 @@ object Winnow {
   /** Pairs reported by `wn_overlap_pairs`. */
   val TopPairs = 50
 
-  /** (doc_id, off, i, sk): every full-window chunk-local position i (gram
-    * positions are 1-based; windows need i >= WinnowW) in the chunk at
-    * char offset `off`, with min-selection key sk over the window ending
-    * at i. The chunk TEXT is materialized once per chunk row (between the
-    * two generators, so whole-stage codegen computes it once per chunk
-    * and the position loop indexes the 4 KB local, never the full
-    * document — gram hashing at chunk position i then scans O(i) ≤
-    * chunkLen bytes instead of O(off + i) of a possibly multi-megabyte
-    * doc; see the [[ChunkLen]] scaling note). The sliding min is a
-    * per-(doc, chunk) ROWS window. A fully map-side array formulation
-    * (mins as a second transform over slices of the key array) was
-    * MEASURED SLOWER (10.7 s vs ~3 s at sf0.1): Catalyst collapses the
-    * projections and inlines the md5 key-array expression into the
-    * sliding-min lambda, recomputing it per window — the same O(n·w)
-    * inlining trap TextHash.shingleRows documents.
+  /** Exchange-based formulation of [[selections]] — kept as the physical
+    * cross-check (WinnowSpec proves row-set equality with the map-side
+    * default on every chunk geometry): the sliding min is a
+    * per-(doc, chunk) ROWS window, which costs an
+    * Exchange(doc_id, off) + Sort over every gram position. The chunk
+    * TEXT is materialized once per chunk row (between the two
+    * generators, so whole-stage codegen computes it once per chunk and
+    * the position loop indexes the small local, never the full document).
     */
-  private[operators] def selections(docs: DataFrame,
-                                    chunkLen: Int = ChunkLen): DataFrame = {
+  private[graft] def selectionsWindowed(docs: DataFrame,
+                                            chunkLen: Int = ChunkLen): DataFrame = {
     require(chunkLen >= GuaranteeLen && chunkLen <= PosMax,
       s"chunkLen must be in [$GuaranteeLen, $PosMax]")
     val stride = chunkLen - (GuaranteeLen - 1)
@@ -157,6 +153,56 @@ object Winnow {
       .withColumn("skm", min("sk").over(wWin))
       .where(col("i") >= WinnowW)
       .select(col("doc_id"), col("off"), col("i"), col("skm").as("sk"))
+  }
+
+  /** (doc_id, off, i, sk): every full-window chunk-local position i (gram
+    * positions are 1-based; windows need i >= WinnowW) in the chunk at
+    * char offset `off`, with min-selection key sk over the window ending
+    * at i. MAP-SIDE sliding min: per chunk, the per-position key ARRAY is
+    * materialized once and the window minimum is `array_min` over a
+    * `slice`, so the per-position Window — and its
+    * Exchange(doc_id, off) + Sort over every gram position — disappears
+    * entirely; the whole selection is a generate/project chain with zero
+    * shuffles (r10: 1.10 s vs 2.0 s windowed at sf0.1). Two Generate
+    * barriers keep the collapse traps at bay: the chunk substring is
+    * exploded out of a 1-element array (evaluated once per chunk row —
+    * never inlined into the key lambda, where the O(position) UTF8String
+    * scan would go quadratic on giant docs), and the position explode
+    * below the key array keeps `ks` an attribute (so the 8-gram md5 runs
+    * once per position, not once per window — the O(n·w) inlining trap a
+    * barrier-free array formulation measured at 10.7 s vs ~3 s in r8;
+    * same trap TextHash.shingleRows documents). [[selectionsWindowed]] is
+    * the exchange-based cross-check; WinnowSpec proves row-set equality.
+    */
+  private[graft] def selections(docs: DataFrame,
+                                    chunkLen: Int = ChunkLen): DataFrame = {
+    require(chunkLen >= GuaranteeLen && chunkLen <= PosMax,
+      s"chunkLen must be in [$GuaranteeLen, $PosMax]")
+    val stride = chunkLen - (GuaranteeLen - 1)
+    docs
+      .where(length(col("text")) >= GuaranteeLen)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), length(col("text")) - GramLen, lit(stride)))
+          .as("off"))
+      // barrier #1: chunk materialized once per chunk row (1-row generate)
+      .select(col("doc_id"), col("off"),
+        (least(lit(chunkLen), length(col("text")) - col("off"))
+          - (GramLen - 1)).as("ni"),
+        explode(array(col("text").substr(col("off") + 1, lit(chunkLen))))
+          .as("chunk"))
+      // per-position selection keys, one md5 per position, as an array
+      .select(col("doc_id"), col("off"), col("ni"),
+        transform(sequence(lit(1), col("ni")), i =>
+          pmod(h60(col("chunk").substr(i, lit(GramLen))), lit(HashMod))
+            * PosCard + (lit(PosMax) - i)).as("ks"))
+      // barrier #2: full-window ends only (ni < WinnowW → no rows; a
+      // bare sequence(W, ni) would count DOWN there)
+      .select(col("doc_id"), col("off"), col("ks"),
+        explode(when(col("ni") >= WinnowW,
+          sequence(lit(WinnowW), col("ni")))).as("i"))
+      .select(col("doc_id"), col("off"), col("i"),
+        array_min(slice(col("ks"), col("i") - (WinnowW - 1), lit(WinnowW)))
+          .as("sk"))
   }
 
   /** [[selections]] re-based to document-global coordinates: gi = global

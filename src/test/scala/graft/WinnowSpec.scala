@@ -144,8 +144,8 @@ class WinnowSpec extends SparkSpecBase {
 
   test("a 70,000-char doc (past the old 16-bit position bound) fingerprints correctly") {
     // Well past 65,535 chars: single-chunk at the position field's 2^20-1
-    // ceiling, multi-chunk at the DEFAULT ChunkLen (~18 chunks at 4095),
-    // and multi-chunk at 4096 must all equal the packing-free reference.
+    // ceiling, multi-chunk at the DEFAULT ChunkLen, and multi-chunk at
+    // 4096 must all equal the packing-free reference.
     val rng = new scala.util.Random(41)
     val sb = new StringBuilder
     val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
@@ -162,6 +162,27 @@ class WinnowSpec extends SparkSpecBase {
     assert(engineFps(docs, Winnow.ChunkLen)(7L) === ref, "default-chunk vs reference")
     assert(engineFps(docs, 4096)(7L) === ref, "18-chunk vs reference")
     assert(ref.exists(_._1 > 65535L), "fingerprints past the old bound must exist")
+  }
+
+  test("map-side selections equal the exchange-based windowed formulation row-for-row") {
+    // the default physical shape (zero-shuffle array sliding-min) must be
+    // row-set identical to the Window formulation on every chunk
+    // geometry, including chunks too short for any full window and seam
+    // duplication at the default ChunkLen
+    val rng = new scala.util.Random(93)
+    def junk(n: Int) = (0 until n).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+    val docs = (Seq((0L, junk(450)), (1L, "abcd" * 120),
+      (2L, junk(Winnow.GuaranteeLen)), (3L, junk(Winnow.GramLen)),
+      (4L, junk(Winnow.ChunkLen + 1))) ++
+      Tables.documents(spark, sfDir).where(col("doc_id") < 20)
+        .select("doc_id", "text").collect()
+        .map(r => (1000L + r.getLong(0), r.getString(1)))).toDF("doc_id", "text")
+    for (cl <- Seq(Winnow.GuaranteeLen, 64, Winnow.ChunkLen, 4095)) {
+      val m = Winnow.selections(docs, cl)
+      val w = Winnow.selectionsWindowed(docs, cl)
+      assert(m.exceptAll(w).isEmpty && w.exceptAll(m).isEmpty,
+        s"formulations diverge at chunkLen=$cl")
+    }
   }
 
   test("density tracks the 2/(w+1) theory on the fixture corpus") {
