@@ -250,18 +250,23 @@ object Components {
   // ---------------------------------------------------------------- oracles
 
   /** CTE list (no WITH keyword): minhash pairs -> undirected edges ->
-    * recursive reachability -> cc(doc_id, component_id). Must be prefixed
-    * with WITH RECURSIVE by the consuming query.
+    * recursive reachability -> cc(doc_id, component_id), over any
+    * (doc_id, text) relation `src` already in scope. Must be prefixed
+    * with WITH RECURSIVE by the consuming query. Parameterized so the
+    * end-to-end pipeline oracle can run the SAME chain over its gated
+    * corpus CTE ([[Pipeline]] `pipeline_pretrain_e2e`).
     */
-  private def ccCtes: String =
-    s"""${Dedup.sigCtes("documents")},
+  private[operators] def ccCtesFor(src: String): String =
+    s"""${Dedup.sigCtes(src)},
        |pairs AS (${Dedup.minhashPairsSqlSelect}),
        |und AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
        |        UNION ALL SELECT doc_b, doc_a FROM pairs),
-       |reach AS (SELECT doc_id AS id, doc_id AS cc FROM documents
+       |reach AS (SELECT doc_id AS id, doc_id AS cc FROM $src
        |          UNION
        |          SELECT u.dst, r.cc FROM reach r JOIN und u ON u.src = r.id),
        |cc AS (SELECT id AS doc_id, min(cc) AS component_id FROM reach GROUP BY id)""".stripMargin
+
+  private def ccCtes: String = ccCtesFor("documents")
 
   val oracles: Map[String, String] = Map(
     "dedup_components" ->
