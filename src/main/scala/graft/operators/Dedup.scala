@@ -618,6 +618,20 @@ object Dedup {
     * keys at 40k vectors: ~50M candidate pairs, 6.1 GB shuffle, 170 s —
     * vs single-digit seconds with log2-sized keys; SCALEPROBE.md).
     */
+  /** [[embeddingCosineLshOn]] with the band-key width DERIVED from a
+    * corpus-size hint via the measured log2 occupancy rule
+    * (Similarity.planesForCorpus) — at 40k vectors this yields the 13-bit
+    * keys the r9 scale probe measured at 22.5 MB candidate shuffle vs the
+    * fixture geometry's 6.1 GB (SCALEPROBE.md). Precision is structural
+    * either way (exact-cosine verify join); the hint only moves
+    * recall/cost. DedupSpec locks hint-derived == explicit geometry.
+    */
+  def embeddingCosineLshSized(vecs: DataFrame, n: Long,
+                              threshold: Double = CosThreshold,
+                              bands: Int = Similarity.PairBands): DataFrame =
+    embeddingCosineLshOn(vecs, threshold, bands,
+      Similarity.planesForCorpus(n))
+
   def embeddingCosineLshOn(vecs: DataFrame,
                            threshold: Double = CosThreshold,
                            bands: Int = Similarity.PairBands,

@@ -77,6 +77,16 @@ object Similarity {
     * cost only; per-node top-k rides the GroupTopK rewrite as in the
     * fixture query.
     */
+  /** [[knnGraphOn]] with the bucket width DERIVED from a corpus-size hint
+    * via the measured log2 occupancy rule ([[planesForCorpus]]) — the
+    * overload a 100 TB caller should reach for so fixture-scale geometry
+    * never silently ships. Hint-derived geometry is exactly
+    * `knnGraphOn(vecs, k, planesForCorpus(n))` (SimilaritySpec locks the
+    * equality), and plane growth is prefix-compatible (planesFor law).
+    */
+  def knnGraphSized(vecs: DataFrame, n: Long, k: Int = K): DataFrame =
+    knnGraphOn(vecs, k, planesForCorpus(n))
+
   def knnGraphOn(vecs: DataFrame, k: Int = K,
                  numPlanes: Int = NumPlanes): DataFrame = {
     require(numPlanes >= 1 && numPlanes <= 62,
@@ -136,6 +146,21 @@ object Similarity {
     */
   val MultiProbeBits = 4
   val MultiProbeRadius = 2
+
+  /** LSH key width for a corpus of `n` vectors from the MEASURED
+    * occupancy rule (SCALEPROBE.md, r9): per-bucket candidate pairs stay
+    * flat when the key carries ~log2(n / targetBucket) bits — the r9
+    * probe measured the fixture's fixed 4-bit band keys at 40k vectors
+    * producing ~50M candidate pairs / 6.1 GB shuffle (162.7 s) vs 22.5 MB
+    * and 37.4 s with the log2-rule's 13-bit keys. Clamped to [1, 62]
+    * (Long key bits); n below one bucket degenerates to 1 bit.
+    */
+  def planesForCorpus(n: Long, targetBucket: Long = 8L): Int = {
+    require(n > 0 && targetBucket > 0, s"need positive sizes: n=$n bucket=$targetBucket")
+    val bits = math.ceil(math.log(math.max(2.0, n.toDouble / targetBucket))
+      / math.log(2.0)).toInt
+    math.max(1, math.min(62, bits))
+  }
 
   // ------------------------------------------------------------------
   // Banded hyperplane geometry for pairwise near-dup candidate generation
@@ -197,6 +222,14 @@ object Similarity {
   // verbatim — the PLUMBING (assignment, multi-probe, cell-local top-k) is
   // the operator under test; swap in trained centroids without touching it.
   // ------------------------------------------------------------------
+  /** ADOPTED from the measured (cells, probes) frontier — the oracled
+    * `ann_ivf_recall_frontier` rows are the recorded evidence (r10):
+    * among grid points reaching recall@5 >= 0.5, (16, 4) has the best
+    * recall per candidate at BOTH SFs (sf0.1: 0.52 recall / 5,045
+    * candidates = 103e-6, vs 80e-6 for (16, 8) and 66e-6 for (8, 4);
+    * sf0.01: 0.56 / 1,374). Doubling probes to 8 buys 0.80 recall at 2x
+    * the candidate volume — the dial a recall-critical caller turns.
+    */
   val IvfCells = 16
   val IvfProbes = 4
 
@@ -224,8 +257,34 @@ object Similarity {
 
   /** Mask the winning index to -inf so the next argmax finds the runner-up. */
   private def maskCell(ds: Column, c: Column): Column =
-    transform(sequence(lit(1), lit(IvfCells)), i =>
+    maskCellN(ds, c, IvfCells)
+
+  /** [[maskCell]] over a dots array of arbitrary length `nc` — the
+    * generalization `ann_ivf_recall_frontier` sweeps cell counts with.
+    */
+  private def maskCellN(ds: Column, c: Column, nc: Int): Column =
+    transform(sequence(lit(1), lit(nc)), i =>
       when(i === c, lit(-1e308)).otherwise(element_at(ds, i)))
+
+  /** First-`nc`-centroid dot array (prefix of the seeded centroid set, so
+    * growing the cell count only APPENDS cells — same prefix law as
+    * [[planesFor]]).
+    */
+  private def centroidDotsN(e: Column, nc: Int): Column =
+    array((0 until nc).map { j =>
+      dot(e, array(centroids(j).map(lit): _*))
+    }: _*)
+
+  private def centroidDotsSqlN(e: String, nc: Int): String =
+    (0 until nc).map { j =>
+      dotSql(e, centroids(j).mkString("[", ", ", "]"), Dim)
+    }.mkString("[", ", ", "]")
+
+  /** (cells, probes) operating points `ann_ivf_recall_frontier` measures:
+    * probe sweep at the full 16-cell set plus a coarser 8-cell column.
+    */
+  val IvfFrontierGrid: Seq[(Int, Int)] =
+    Seq((8, 1), (8, 2), (8, 4), (16, 1), (16, 2), (16, 4), (16, 8))
 
   // ------------------------------------------------------------------
   // Product quantization (PQ): the 64-dim vector is split into PqBlocks
@@ -570,6 +629,47 @@ object Similarity {
       }
       FrontierGrid.map { case (b, r) => point(b, r) }
         .reduce(_ unionByName _).orderBy("bits", "radius")
+    },
+
+    // The recall/cost frontier for the IVF family — the measurement
+    // `ann_recall_frontier` provides for multi-probe LSH, extended to
+    // coarse quantization per the r9 verdict: one row per (cells probed
+    // over, probes per query) point with candidate volume next to
+    // recall@K vs the exact scan. Cell sets are PREFIXES of the seeded
+    // centroid list (growing cells only appends, like the plane law), so
+    // points are comparable; every point is the production ann_ivf_topk
+    // shape (argmax-then-mask probe chain, broadcast query side, corpus
+    // streamed once per point from the persisted base).
+    "ann_ivf_recall_frontier" -> { (s, d) =>
+      val b2 = base(s, d).persist()
+      val exact = queries("ann_cosine_topk")(s, d)
+        .select("q_id", "cand_id").persist()
+      def point(nc: Int, p: Int): DataFrame = {
+        val c = b2.select(col("vec_id").as("cand_id"), col("e").as("ce"),
+          col("nrm").as("cn"), cellOf(centroidDotsN(col("e"), nc)).as("cell"))
+        val q0 = b2.where(col("vec_id") < QuerySet)
+          .withColumn("ds1", centroidDotsN(col("e"), nc))
+        val probed = (1 to p).foldLeft(q0) { (df, k) =>
+          df.withColumn(s"c$k", cellOf(col(s"ds$k")))
+            .withColumn(s"ds${k + 1}", maskCellN(col(s"ds$k"), col(s"c$k"), nc))
+        }
+        val q = probed.select(col("vec_id").as("q_id"), col("e").as("qe"),
+          col("nrm").as("qn"),
+          explode(array((1 to p).map(k => col(s"c$k")): _*)).as("probe"))
+        val cand = broadcast(q).join(c,
+          col("probe") === col("cell") && col("q_id") =!= col("cand_id"))
+        val got = ranked(cand).select("q_id", "cand_id")
+        exact.join(got, Seq("q_id", "cand_id"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+          .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+          .crossJoin(broadcast(exact.agg(count(lit(1)).as("total"))))
+          .select(lit(nc.toLong).as("cells"), lit(p.toLong).as("probes"),
+            col("n_cand"), col("hits"), col("total"),
+            round(col("hits").cast("double") / col("total").cast("double"), 6)
+              .as("recall"))
+      }
+      IvfFrontierGrid.map { case (nc, p) => point(nc, p) }
+        .reduce(_ unionByName _).orderBy("cells", "probes")
     },
 
     // Recall@K when searching over only the first d dims (d in TruncDims)
@@ -1430,6 +1530,64 @@ object Similarity {
          |$pointCtes
          |$pointRows
          |ORDER BY bits, radius""".stripMargin
+    },
+
+    "ann_ivf_recall_frontier" -> {
+      // per-point: query dot prefix + argmax-then-mask probe steps
+      // (ann_ivf_topk's chain, parameterized by cell count), corpus cell
+      // assignment over the same prefix, exact-cosine join, rank; one
+      // UNION ALL row per grid point
+      val pointCtes = IvfFrontierGrid.map { case (nc, p) =>
+        val t = s"${nc}_$p"
+        val steps = (1 to p).map { k =>
+          val prev = if (k == 1) s"d_$t" else s"s${k - 1}_$t"
+          val carry = (1 until k).map(q => s"c$q, ").mkString
+          s"""t${k}_$t AS (SELECT vec_id, e, nrm, ${carry}ds$k,
+             |  list_position(ds$k, list_max(ds$k)) AS c$k FROM $prev),
+             |s${k}_$t AS (SELECT vec_id, e, nrm, ${carry}c$k,
+             |  list_transform(range(1, ${nc + 1}),
+             |    i -> CASE WHEN i = c$k THEN -1e308 ELSE ds$k[i] END) AS ds${k + 1}
+             |  FROM t${k}_$t)""".stripMargin
+        }.mkString(",\n")
+        val probeList = (1 to p).map(k => s"c$k").mkString("[", ", ", "]")
+        s"""d_$t AS (SELECT vec_id, e, nrm, ${centroidDotsSqlN("e", nc)} AS ds1
+           |  FROM base WHERE vec_id < $QuerySet),
+           |$steps,
+           |pr_$t AS (SELECT vec_id, e, nrm, unnest($probeList) AS probe FROM s${p}_$t),
+           |cl_$t AS (SELECT vec_id, e, nrm,
+           |  list_position(${centroidDotsSqlN("e", nc)},
+           |    list_max(${centroidDotsSqlN("e", nc)})) AS cell FROM base),
+           |cd_$t AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+           |  round(${dotSql("q.e", "c.e", Dim)} / (q.nrm * c.nrm), 6) AS cos
+           |  FROM pr_$t q JOIN cl_$t c
+           |    ON q.probe = c.cell AND q.vec_id <> c.vec_id),
+           |rk_$t AS (SELECT q_id, cand_id FROM (SELECT q_id, cand_id,
+           |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rnk
+           |  FROM cd_$t) WHERE rnk <= $K)""".stripMargin
+      }.mkString(",\n")
+      val pointRows = IvfFrontierGrid.map { case (nc, p) =>
+        val t = s"${nc}_$p"
+        s"""SELECT CAST($nc AS BIGINT) AS cells, CAST($p AS BIGINT) AS probes,
+           |  (SELECT count(*) FROM cd_$t) AS n_cand,
+           |  (SELECT count(*) FROM ex WHERE EXISTS (SELECT 1 FROM rk_$t g
+           |     WHERE g.q_id = ex.q_id AND g.cand_id = ex.cand_id)) AS hits,
+           |  (SELECT count(*) FROM ex) AS total,
+           |  round(CAST((SELECT count(*) FROM ex WHERE EXISTS
+           |      (SELECT 1 FROM rk_$t g
+           |       WHERE g.q_id = ex.q_id AND g.cand_id = ex.cand_id)) AS DOUBLE)
+           |    / CAST((SELECT count(*) FROM ex) AS DOUBLE), 6) AS recall""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""$baseSqlCte,
+         |pe AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+         |  round(${dotSql("q.e", "c.e", Dim)} / (q.nrm * c.nrm), 6) AS cos
+         |  FROM base q JOIN base c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < $QuerySet),
+         |ex AS (SELECT q_id, cand_id FROM (SELECT q_id, cand_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rnk
+         |  FROM pe) WHERE rnk <= $K),
+         |$pointCtes
+         |$pointRows
+         |ORDER BY cells, probes""".stripMargin
     },
 
     "ann_knn_graph" ->

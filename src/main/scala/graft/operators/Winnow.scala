@@ -320,9 +320,15 @@ object Winnow {
     "wn_containment" -> { (s, d) =>
       val fp = docFps(documents(s, d).select("doc_id", "text"))
       val wF = Window.partitionBy("fph")
+      // persist: filt feeds BOTH pair-join sides AND the per-doc nf
+      // aggregate. The join sides alone reuse one exchange, but nf hangs
+      // a doc_id-keyed aggregate off the same subtree, and the r10 plan
+      // audit measured the selection pipeline executing twice without
+      // this (1.59M vs 0.81M shuffle records at sf0.1). Caller owns
+      // release (Graft.releaseCaches after the action).
       val filt = fp.withColumn("nd", count(lit(1)).over(wF))
         .where(col("nd") <= FpDfCap)
-        .select("doc_id", "fph")
+        .select("doc_id", "fph").persist()
       val nf = filt.groupBy("doc_id").agg(count(lit(1)).as("nf"))
       filt.as("a").join(filt.as("b"),
           col("a.fph") === col("b.fph") && col("a.doc_id") < col("b.doc_id"))

@@ -237,6 +237,19 @@ class DedupSpec extends SparkSpecBase {
       assert(brute.contains(k) && brute(k) == c, s"tuned geometry invented pair $k")
     }
     Graft.releaseCaches(spark)
+    // the corpus-size-hint overload IS the explicit log2-rule geometry
+    // (and stays sound: precision is structural via the verify join)
+    val sized = Dedup.embeddingCosineLshSized(vecs, n = 40000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    Graft.releaseCaches(spark)
+    val explicit13 = Dedup.embeddingCosineLshOn(vecs,
+      planesPerBand = graft.operators.Similarity.planesForCorpus(40000L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(sized == explicit13, "sized overload must equal explicit rule geometry")
+    sized.foreach { case (k, c) =>
+      assert(brute.contains(k) && brute(k) == c, s"sized geometry invented pair $k")
+    }
+    Graft.releaseCaches(spark)
   }
 
   test("dedup_delta_gate agrees with the full pair relation across the split") {

@@ -362,6 +362,29 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("corpus-size hint: log2 rule reproduces the measured operating points; sized == explicit") {
+    // the SCALEPROBE.md anchor point: 40k vectors -> 13-bit keys
+    assert(Similarity.planesForCorpus(40000L) === 13)
+    // the fixture default falls OUT of the rule (500 vectors -> 6 planes)
+    assert(Similarity.planesForCorpus(500L) === 6)
+    // clamps: degenerate corpora floor at 1 bit; Long-range inputs with a
+    // 1-vector bucket target hit the 62-bit Long-key ceiling
+    assert(Similarity.planesForCorpus(1L) === 1)
+    assert(Similarity.planesForCorpus(Long.MaxValue, targetBucket = 1L) === 62)
+    // hint-derived geometry IS the explicit geometry (the overload may
+    // never drift from the rule it cites)
+    val vecsDf = Tables.embeddings(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.expr(
+          "transform(embedding, v -> CAST(v AS DOUBLE))").as("e"))
+    val sized = Similarity.knnGraphSized(vecsDf, n = 40000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val explicit = Similarity.knnGraphOn(vecsDf, numPlanes = 13).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sized === explicit, "knnGraphSized must equal knnGraphOn(planesForCorpus(n))")
+    Graft.releaseCaches(spark)
+  }
+
   test("ann_knn_components: mutual edges never straddle components; singletons self-label") {
     val cc = Similarity.queries("ann_knn_components")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
