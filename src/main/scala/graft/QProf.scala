@@ -1,17 +1,10 @@
 package graft
 
-import java.util.concurrent.atomic.AtomicLong
-
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.Winnow
-
-/** Scratch: wn_containment / wn_overlap_pairs — is the md5 selection
-  * pipeline recomputed per consumer, and does persisting the df-capped
-  * fingerprint relation pay?
+/** Scratch profiler — current target: profile_orders' Expand x6
+  * multi-distinct vs a per-column union of tiny single-column aggregates.
   */
 object QProf {
   def main(args: Array[String]): Unit = {
@@ -21,49 +14,41 @@ object QProf {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Graft.init(spark)
-    val shufRec = new AtomicLong()
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
-        shufRec.addAndGet(t.taskMetrics.shuffleWriteMetrics.recordsWritten)
-    })
-    import graft.Tables.documents
 
-    def containmentPersist(s: SparkSession, d: String): DataFrame = {
-      val fp = Winnow.docFps(documents(s, d).select("doc_id", "text"))
-      val wF = Window.partitionBy("fph")
-      val filt = fp.withColumn("nd", count(lit(1)).over(wF))
-        .where(col("nd") <= Winnow.FpDfCap)
-        .select("doc_id", "fph").persist()
-      val nf = filt.groupBy("doc_id").agg(count(lit(1)).as("nf"))
-      filt.as("a").join(filt.as("b"),
-          col("a.fph") === col("b.fph") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(count(lit(1)).as("n_shared"))
-        .join(nf.select(col("doc_id").as("doc_a"), col("nf").as("nf_a")), "doc_a")
-        .join(nf.select(col("doc_id").as("doc_b"), col("nf").as("nf_b")), "doc_b")
-        .select(col("doc_a"), col("doc_b"), col("n_shared"),
-          round(col("n_shared").cast("double") /
-            least(col("nf_a"), col("nf_b")).cast("double"), 6).as("containment"))
-        .orderBy(desc("containment"), col("doc_a"), col("doc_b"))
-        .limit(Winnow.TopPairs)
+    // mirror of Profile.ordersCols rendering (strings pass through; the
+    // decimal/date columns render to comparable strings there — for the
+    // A/B only wall time matters, equality is checked on the real path)
+    val df0 = Tables.orders(spark, dir)
+
+    def asIs(): DataFrame = SparkEntry.queries("profile_orders")(spark, dir)
+
+    def perCol(): DataFrame = {
+      val colsQ = df0.columns.toSeq
+      val nRows = df0.agg(count(lit(1)).as("n_rows"))
+      colsQ.map { n =>
+        df0.select(col(n)).groupBy(col(n)).agg(count(lit(1)).as("_c"))
+          .agg(
+            sum(when(col(n).isNull, col("_c")).otherwise(0L)).as("n_nulls"),
+            count(when(col(n).isNotNull, lit(1))).as("n_distinct"),
+            min(col(n)).cast("string").as("min_val"),
+            max(col(n)).cast("string").as("max_val"))
+          .select(lit(n).as("col_name"), col("n_nulls"), col("n_distinct"),
+            col("min_val"), col("max_val"))
+      }.reduce(_ unionByName _)
+        .crossJoin(broadcast(nRows))
+        .orderBy("col_name")
     }
 
-    def run(label: String)(mk: => DataFrame): Unit = {
-      mk.write.format("noop").mode("overwrite").save() // warm
-      Graft.releaseCaches(spark)
+    def time(label: String)(f: => DataFrame): Unit = {
+      f.write.format("noop").mode("overwrite").save()
       for (_ <- 1 to 3) {
-        shufRec.set(0)
         val t0 = System.nanoTime()
-        mk.write.format("noop").mode("overwrite").save()
-        val dt = (System.nanoTime() - t0) / 1e9
-        Graft.releaseCaches(spark)
-        Thread.sleep(300)
-        println(f"$label%-28s $dt%6.2fs shufRecords=${shufRec.get}")
+        f.write.format("noop").mode("overwrite").save()
+        println(f"$label%-12s ${(System.nanoTime() - t0) / 1e9}%6.2fs")
       }
     }
-    run("containment AS-IS")(SparkEntry.queries("wn_containment")(spark, dir))
-    run("containment PERSIST")(containmentPersist(spark, dir))
+    time("asIs")(asIs())
+    time("perCol")(perCol())
     spark.stop()
   }
 }

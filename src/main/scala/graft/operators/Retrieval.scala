@@ -85,16 +85,32 @@ object Retrieval {
         6))
   }
 
-  /** Doc chunk windows: one row per (doc, window start). Pure map-side. */
-  private def chunks(s: SparkSession, d: String): DataFrame =
+  /** Doc chunk windows: one row per (doc, window start). Pure map-side.
+    * Window starts are extracted through stride-aligned GROUP chunks of 8
+    * windows each (same ownership discipline as TextHash.ownedPositions,
+    * on the ChunkStride grid): the direct substr(text, s+1, W) loop
+    * scans O(s) chars per window — quadratic on long docs.
+    */
+  private def chunks(s: SparkSession, d: String): DataFrame = {
+    val grp = 8
+    val gs = grp * ChunkStride
+    val gl = gs + ChunkWidth - 1
     documents(s, d)
-      .select(col("doc_id"), col("source"), col("text"),
-        explode(sequence(lit(0), col("n_chars") - 1, lit(ChunkStride))).as("s"))
+      .select(col("doc_id"), col("source"), col("text"), col("n_chars"),
+        explode(sequence(lit(0), col("n_chars") - 1, lit(gs))).as("off"))
+      .select(col("doc_id"), col("source"), col("off"),
+        ((least(lit(gs - 1), col("n_chars") - 1 - col("off")) / ChunkStride)
+          .cast("int") + 1).as("nw"),
+        explode(array(col("text").substr(col("off") + 1, lit(gl)))).as("gchunk"))
+      .select(col("doc_id"), col("source"), col("off"), col("gchunk"),
+        explode(sequence(lit(0), (col("nw") - 1) * ChunkStride, lit(ChunkStride)))
+          .as("ls"))
       .select(col("doc_id"), col("source"),
-        (col("s") / ChunkStride).cast("long").as("chunk_id"),
-        col("s").as("chunk_start"),
-        col("text").substr(col("s") + 1, lit(ChunkWidth)).as("chunk"))
+        ((col("off") + col("ls")) / ChunkStride).cast("long").as("chunk_id"),
+        (col("off") + col("ls")).as("chunk_start"),
+        col("gchunk").substr(col("ls") + 1, lit(ChunkWidth)).as("chunk"))
       .withColumn("chunk_len", length(col("chunk")).cast("long"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Full BM25 score table for the query vocabulary.
@@ -354,12 +370,13 @@ object Retrieval {
     */
   def cdcChunks(docs: DataFrame): DataFrame = {
     val d = docs.select(col("doc_id"), col("text"), length(col("text")).as("n"))
-    val cuts = d
-      .select(col("doc_id"), col("text"),
-        explode(when(col("n") >= CdcW, sequence(lit(1), col("n") - (CdcW - 1)))
-          .otherwise(array().cast("array<int>"))).as("p"))
-      .where(h60(col("text").substr(col("p"), lit(CdcW))) % CdcD === 0)
-      .select(col("doc_id"), (col("p") + CdcW - 1).cast("long").as("e"))
+    // chunked per-position gram scan (TextHash.ownedPositions): the
+    // direct substr(text, p, CdcW) loop scans O(p) chars per position —
+    // quadratic on long docs (ownedPositions also subsumes the old
+    // n >= CdcW guard: shorter docs emit no positions)
+    val cuts = TextHash.ownedPositions(d.select("doc_id", "text"), CdcW)
+      .where(h60(col("chunk").substr(col("li"), lit(CdcW))) % CdcD === 0)
+      .select(col("doc_id"), (col("i") + CdcW - 1).cast("long").as("e"))
     val ends = cuts
       .union(d.select(col("doc_id"), col("n").cast("long").as("e")))
       .distinct()

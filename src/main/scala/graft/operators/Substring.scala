@@ -60,19 +60,34 @@ object Substring {
     */
   val ProvSliceMod = 10L
 
-  /** (doc_id, i, h): EVERY character position i (1-based) with the 64-bit
-    * hash of its [[ExactLen]]-gram. The per-doc array is built map-side
-    * and exploded — only (doc_id, int, 8-byte hash) rows ever shuffle,
-    * never text.
+  /** Chunk stride for the position-grain gram extractors: documents are
+    * cut into stride-aligned chunks of `stride + gramLen - 1` chars so
+    * every gram's O(position) UTF8String scan is bounded by the CHUNK,
+    * not the document. The stride grid is a perfect OWNERSHIP partition
+    * of start positions (chunk k owns global 0-based starts
+    * [k·S, k·S + S)), and chunk k's text covers exactly its owned grams
+    * (k·S + S - 1 + gramLen - 1 ≤ k·S + S + gramLen - 2 = last chunk
+    * char) — so unlike winnow's overlap chunking there are NO seam
+    * duplicates: the emitted (doc_id, i, h) multiset is identical to the
+    * unchunked form (SubstringSpec proves row-set equality). The r10
+    * scale probe caught the unchunked HOF form burning 1,580 s CPU per
+    * task inside interpreted Substring.nullSafeEval on 2.2M-char giants
+    * (O(len²) scans — the same cliff winnow hit in r9).
     */
-  private[operators] def exactGramsOf(docs: DataFrame): DataFrame =
-    docs
-      .where(length(col("text")) >= ExactLen)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, length(text) - ${ExactLen - 1}), " +
-          s"i -> named_struct('i', i, 'h', xxhash64(substring(text, i, $ExactLen))))"))
-        .as("g"))
-      .select(col("doc_id"), col("g.i").as("i"), col("g.h").as("h"))
+  private[operators] val GramChunkStride = 128
+
+  /** (doc_id, i, h): EVERY character position i (1-based) with the 64-bit
+    * hash of its [[ExactLen]]-gram. Chunked generate/project chain — the
+    * 1-row explode materializes each chunk ONCE per chunk row (the
+    * Generate is a projection-collapse barrier, so the per-position
+    * substring indexes a 147-char local, never the full document), and
+    * every expression stays in whole-stage codegen. Only
+    * (doc_id, int, 8-byte hash) rows ever shuffle, never text.
+    */
+  private[graft] def exactGramsOf(docs: DataFrame): DataFrame =
+    TextHash.ownedPositions(docs, ExactLen, GramChunkStride)
+      .select(col("doc_id"), col("i"),
+        xxhash64(col("chunk").substr(col("li"), lit(ExactLen))).as("h"))
 
   private def exactGrams(s: SparkSession, d: String): DataFrame =
     exactGramsOf(documents(s, d).select("doc_id", "text"))
@@ -224,15 +239,30 @@ object Substring {
 
   /** (doc_id, s, span, h): sampled character windows + 60-bit hash.
     * Docs shorter than SpanLen emit nothing (fixture min 48 chars).
+    * Chunked like [[exactGramsOf]] (stride-aligned ownership, barrier
+    * explode) so each span's substring scan is bounded by a 439-char
+    * chunk, not the document — the unchunked form scanned O(offset)
+    * chars per span (~1e11 char-ops on a 2.2M-char giant).
     */
-  private def spanRows(s: SparkSession, d: String): DataFrame =
+  private def spanRows(s: SparkSession, d: String): DataFrame = {
+    val spansPerChunk = 20
+    val cs = spansPerChunk * SpanStride // chunk stride: owns 20 span starts
+    val cl = cs + SpanLen - 1
     documents(s, d)
       .where(col("n_chars") >= SpanLen)
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(0), col("n_chars") - SpanLen, lit(SpanStride))).as("s"))
-      .select(col("doc_id"), col("s"),
-        col("text").substr(col("s") + 1, lit(SpanLen)).as("span"))
+      .select(col("doc_id"), col("text"), col("n_chars"),
+        explode(sequence(lit(0), col("n_chars") - SpanLen, lit(cs))).as("off"))
+      .select(col("doc_id"), col("off"),
+        (least(lit(cs - 1), col("n_chars") - SpanLen - col("off"))
+          .cast("int") / SpanStride + 1).cast("int").as("nsp"),
+        explode(array(col("text").substr(col("off") + 1, lit(cl)))).as("chunk"))
+      .select(col("doc_id"), col("off"), col("chunk"),
+        explode(sequence(lit(0), (col("nsp") - 1) * SpanStride, lit(SpanStride)))
+          .as("ls"))
+      .select(col("doc_id"), (col("off") + col("ls")).as("s"),
+        col("chunk").substr(col("ls") + 1, lit(SpanLen)).as("span"))
       .withColumn("h", h60(col("span")))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Per-document duplication profile: how many of a doc's sampled spans

@@ -657,10 +657,11 @@ object TextAnalysis {
     */
   def charEntropy(docs: DataFrame): DataFrame = {
     val Fix = 1e9
-    val cells = docs
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), length(col("text")))).as("i"))
-      .select(col("doc_id"), col("text").substr(col("i"), lit(1)).as("ch"))
+    // chunked per-char scan (TextHash.ownedPositions): the direct
+    // substr(text, i, 1) loop scans O(i) chars per position — quadratic
+    // on long docs (the winnow/substring-family cliff)
+    val cells = TextHash.ownedPositions(docs.select("doc_id", "text"), 1)
+      .select(col("doc_id"), col("chunk").substr(col("li"), lit(1)).as("ch"))
       .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
     val n = cells.groupBy("doc_id").agg(sum("c").as("n"))
     val p = col("c").cast("double") / col("n").cast("double")

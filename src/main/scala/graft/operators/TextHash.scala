@@ -33,6 +33,44 @@ object TextHash {
   def h60Sql(x: String): String =
     s"CAST(('0x' || substr(md5($x),1,15)) AS BIGINT)"
 
+  /** Every 1-based text position i that starts a full `window`-char gram,
+    * with a CHUNK-local view: (doc_id, i, chunk, li) where
+    * `substr(chunk, li, k)` for k ≤ window reads the same bytes as
+    * `substr(text, i, k)`. The point is the physical shape:
+    * UTF8String.substring scans from the string START (O(position)), so
+    * any per-position substring loop over the raw document goes quadratic
+    * on long docs — the r9 winnow probe measured 2.2M-char docs
+    * unfinishable, and the r10 probe caught the substring-grain family
+    * burning 1,580 s CPU per task in the same scan. Here the text is cut
+    * into stride-aligned chunks of `stride + window - 1` chars via a
+    * 1-row-explode Generate barrier (evaluated ONCE per chunk row — the
+    * barrier keeps projection collapse from inlining the chunk substring
+    * into the per-position stage), and chunk k OWNS global 0-based starts
+    * [k·stride, (k+1)·stride): ownership tiles the position space with NO
+    * seam duplicates, and the chunk's last char k·stride+stride+window-2
+    * covers every owned gram — so the emitted (doc_id, i) set is exactly
+    * the unchunked one (consumers' specs prove row-set equality). Every
+    * expression stays in whole-stage codegen; per-position scans are
+    * bounded by the chunk, not the document.
+    */
+  def ownedPositions(docs: DataFrame, window: Int, stride: Int = 128): DataFrame = {
+    require(window >= 1 && stride >= 1, s"need window>=1, stride>=1")
+    val c = stride + window - 1
+    docs
+      .where(length(col("text")) >= window)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), length(col("text")) - window, lit(stride)))
+          .as("off"))
+      .select(col("doc_id"), col("off"),
+        least(lit(stride), length(col("text")) - (window - 1) - col("off"))
+          .as("ni"),
+        explode(array(col("text").substr(col("off") + 1, lit(c)))).as("chunk"))
+      .select(col("doc_id"), col("off"), col("chunk"),
+        explode(sequence(lit(1), col("ni"))).as("li"))
+      .select(col("doc_id"), (col("off") + col("li")).as("i"),
+        col("chunk"), col("li"))
+  }
+
   /** Whitespace tokens of lowercased text. DuckDB:
     * string_split_regex(lower(x), '\s+') — both return [""] for "".
     */

@@ -242,27 +242,34 @@ object Audio {
     // the banded-LSH shape, never all-pairs). The planted dup groups
     // surface as n_shared = EBands (same parity) and EBands-1 (the
     // perturbed sample corrupts exactly band 0) pairs.
-    "mm_audio_dedup" -> { (s, d) =>
-      // persist (not localCheckpoint): decoded once, both join sides read
-      // the cached blocks, and Graft.releaseCaches can actually free them
-      // after the query (checkpoint RDD blocks are invisible to
-      // cacheManager.clearCache and linger until GC)
-      val st = decodeStats(wavTable(s, d)).toDF()
-        .select(col("media_id"), col("n_samples"), col("band_e"))
-        .persist()
-      val banded = st
-        .select(col("media_id"), col("n_samples"),
-          posexplode(col("band_e")).as(Seq("band", "e")))
-      banded.as("a").join(banded.as("b"),
-          col("a.n_samples") === col("b.n_samples") &&
-            col("a.band") === col("b.band") && col("a.e") === col("b.e") &&
-            col("a.media_id") < col("b.media_id"))
-        .groupBy(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"))
-        .agg(count(lit(1)).as("n_shared"))
-        .where(col("n_shared") >= MinSharedBands)
-        .orderBy("media_a", "media_b")
-    }
+    "mm_audio_dedup" -> { (s, d) => dedupPairsFor(wavTable(s, d)) }
   )
+
+  /** Banded energy-signature near-dup over ANY clip table — the
+    * composable core of `mm_audio_dedup`, factored out so the scale
+    * probe can drive long synthetic clips through the identical join
+    * shape. persist (not localCheckpoint): decoded once, both join sides
+    * read the cached blocks, and Graft.releaseCaches can actually free
+    * them after the query (checkpoint RDD blocks are invisible to
+    * cacheManager.clearCache and linger until GC).
+    */
+  def dedupPairsFor(clips: org.apache.spark.sql.Dataset[Multimodal.MediaRow])
+      : DataFrame = {
+    val st = decodeStats(clips).toDF()
+      .select(col("media_id"), col("n_samples"), col("band_e"))
+      .persist()
+    val banded = st
+      .select(col("media_id"), col("n_samples"),
+        posexplode(col("band_e")).as(Seq("band", "e")))
+    banded.as("a").join(banded.as("b"),
+        col("a.n_samples") === col("b.n_samples") &&
+          col("a.band") === col("b.band") && col("a.e") === col("b.e") &&
+          col("a.media_id") < col("b.media_id"))
+      .groupBy(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= MinSharedBands)
+      .orderBy("media_a", "media_b")
+  }
 
   /** Closed-form CTEs mirroring [[synthWavBlob]]'s planted samples:
     * seed/pert → n → per-sample list `sm` (1-based). Defines
