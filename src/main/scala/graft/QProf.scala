@@ -49,6 +49,30 @@ object QProf {
     }
     time("asIs")(asIs())
     time("perCol")(perCol())
+
+    // wn_fingerprints: Expand x2 multi-distinct vs distinct-first.
+    // Selection emits exactly ONE (gpos, fph) per (doc_id, gi) — so
+    // distinct triples == distinct (doc_id, gi) grain, and n_windows
+    // over the deduped triples is a plain count.
+    locally {
+      import graft.operators.Winnow
+      val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      def asIsWn() = SparkEntry.queries("wn_fingerprints")(spark, dir)
+      def distinctFirst() = {
+        val tri = Winnow.globalSelections(docs).distinct()
+        tri.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_windows"),
+            countDistinct(col("gpos"), col("fph")).as("n_fp"))
+          .withColumn("density",
+            round(col("n_fp").cast("double") / col("n_windows").cast("double"), 6))
+          .orderBy("doc_id")
+      }
+      time("wn asIs")(asIsWn())
+      time("wn distFirst")(distinctFirst())
+      val a = asIsWn().collect().map(_.toString).sorted
+      val b = distinctFirst().collect().map(_.toString).sorted
+      println(s"WN EQUAL=${a.sameElements(b)}")
+    }
     spark.stop()
   }
 }

@@ -106,7 +106,10 @@ object ScaleProbe {
       // r10 additions — the families the r9 probe skipped (r9 verdict #2)
       "spans" -> Seq("dup_exact_spans", "dup_span_pairs"),
       "graph" -> Seq("graph_textrank", "graph_ppr_stopwords",
-        "graph_lp_communities"),
+        "graph_lp_communities"), // ppr_stopwords: no EN stopwords in the
+                                 // synth corpus -> empty seeds -> empty
+                                 // ranks by contract; ppr_top_seeds below
+                                 // exercises the iteration for real
       "cdc" -> Seq("cdc_chunks", "cdc_dedup_stats"),
       "audio" -> Seq("mm_audio_stats", "mm_audio_dedup"),
       "e2e" -> Seq("pipeline_pretrain_e2e"))
@@ -146,6 +149,18 @@ object ScaleProbe {
         graft.operators.Similarity.knnGraphOn(vecs, numPlanes = np))
       probe("cc", "knn_graph_fixture_p6")(
         graft.operators.Similarity.knnGraphOn(vecs))
+    }
+    // ---- PPR with corpus-derived seeds (the stopword query's seed set is
+    // empty on the synthetic corpus): top-50 nodes by out-weight — the
+    // teleport-set-sized state and reachable-subgraph rounds at 20x.
+    locally {
+      val edges = graft.operators.Graph.cooccurEdges(
+        Tables.documents(spark, dir).select("doc_id", "text")).persist()
+      import org.apache.spark.sql.functions.{desc, sum => fsum}
+      val seeds = edges.groupBy("src").agg(fsum("w").as("ow"))
+        .orderBy(desc("ow")).limit(50).select(col("src").as("node"))
+      probe("graph", "ppr_top_seeds")(
+        graft.operators.Graph.personalizedPagerank(edges, seeds))
     }
     // ---- LONG audio clips (r10): the fixture's clips are 40-56 samples;
     // a real corpus carries seconds-long audio. 10 s at 8 kHz = 80,000

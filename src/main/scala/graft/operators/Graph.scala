@@ -210,6 +210,12 @@ object Graph {
     val outw = e.groupBy("src").agg(sum("w").as("out_w")).persist()
     val sd = seeds.select("node").distinct().persist()
     val ns = sd.count() // seed-set-sized scalar; the one intentional action
+    // Empty seed set → the zero vector: return the empty rank relation
+    // instead of dividing by zero (the BPE pair-exhausted precedent; the
+    // r10 scale probe hit this on a synthetic corpus with no English
+    // stopwords). GraphSpec locks the contract.
+    if (ns == 0L)
+      return sd.select(col("node"), lit(0L).as("rank")).where(lit(false))
     val base = Scale / ns
     val tele = (TeleNum * base) / 100L
     var ranks = sd.select(col("node"), lit(base).as("rank"))

@@ -53,21 +53,57 @@ object TextHash {
     * expression stays in whole-stage codegen; per-position scans are
     * bounded by the chunk, not the document.
     */
-  def ownedPositions(docs: DataFrame, window: Int, stride: Int = 128): DataFrame = {
-    require(window >= 1 && stride >= 1, s"need window>=1, stride>=1")
+  /** L1-block multiplier: blocks of `BlockChunks · stride` chars are cut
+    * from the document first, then chunks are cut from BLOCKS — because
+    * the chunk extraction substring is itself O(offset), single-level
+    * fine chunking costs len²/(2·stride) in extraction scans alone
+    * (measured: the r10 probe's first run saw winnow at stride 114 spend
+    * ~21 GB of char scans per 2.2M-char giant extracting 127-char chunks
+    * — 210 s vs 64 s for the coarse-chunk r9 form). Two levels cost
+    * len²/(2·B) + len·B/(2·stride): ~366M char-ops per giant at B =
+    * 64·128, and nothing at fixture lengths (single block).
+    */
+  val BlockChunks = 64
+
+  /** Grid-restricted variant of the position scan: emits only positions
+    * with `(i - 1) % grid == 0` (the stride-sampled span/window grids);
+    * `fullWindowOnly=false` keeps tail positions whose window is
+    * truncated by the document end (RAG chunk windows want them).
+    */
+  def ownedPositions(docs: DataFrame, window: Int, stride: Int = 128,
+                     grid: Int = 1, fullWindowOnly: Boolean = true): DataFrame = {
+    require(window >= 1 && stride >= 1 && grid >= 1,
+      "need window>=1, stride>=1, grid>=1")
+    require(stride % grid == 0, s"stride $stride must be a multiple of grid $grid")
+    val b = BlockChunks * stride // L1 block stride (multiple of grid)
+    val bl = b + window - 1
     val c = stride + window - 1
+    val last =
+      if (fullWindowOnly) length(col("text")) - window
+      else length(col("text")) - 1
     docs
-      .where(length(col("text")) >= window)
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(0), length(col("text")) - window, lit(stride)))
-          .as("off"))
-      .select(col("doc_id"), col("off"),
-        least(lit(stride), length(col("text")) - (window - 1) - col("off"))
-          .as("ni"),
-        explode(array(col("text").substr(col("off") + 1, lit(c)))).as("chunk"))
-      .select(col("doc_id"), col("off"), col("chunk"),
-        explode(sequence(lit(1), col("ni"))).as("li"))
-      .select(col("doc_id"), (col("off") + col("li")).as("i"),
+      .where(length(col("text")) >= (if (fullWindowOnly) window else 1))
+      // L1: block offsets + block text, materialized once per block row
+      .select(col("doc_id"), col("text"), last.as("lastp"),
+        explode(sequence(lit(0), last, lit(b))).as("boff"))
+      .select(col("doc_id"), col("boff"),
+        (least(lit(b), col("lastp") - col("boff") + 1)).as("bn"),
+        explode(array(col("text").substr(col("boff") + 1, lit(bl))))
+          .as("btext"))
+      // L2: chunk offsets within the block (local), chunk text from the
+      // BLOCK — extraction scan bounded by the block, not the document
+      .select(col("doc_id"), col("boff"), col("btext"), col("bn"),
+        explode(sequence(lit(0), col("bn") - 1, lit(stride))).as("coff"))
+      .select(col("doc_id"), col("boff"), col("coff"),
+        least(lit(stride), col("bn") - col("coff")).as("ni"),
+        explode(array(col("btext").substr(col("coff") + 1, lit(c))))
+          .as("chunk"))
+      // positions on the grid within the chunk (grid divides stride and
+      // the block stride, so local grid phase is always 1)
+      .select(col("doc_id"), col("boff"), col("coff"), col("chunk"),
+        explode(sequence(lit(1), col("ni"), lit(grid))).as("li"))
+      .select(col("doc_id"),
+        (col("boff") + col("coff") + col("li")).as("i"),
         col("chunk"), col("li"))
   }
 

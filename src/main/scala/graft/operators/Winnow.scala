@@ -124,26 +124,9 @@ object Winnow {
                                             chunkLen: Int = ChunkLen): DataFrame = {
     require(chunkLen >= GuaranteeLen && chunkLen <= PosMax,
       s"chunkLen must be in [$GuaranteeLen, $PosMax]")
-    val stride = chunkLen - (GuaranteeLen - 1)
     val wWin = Window.partitionBy("doc_id", "off").orderBy("i")
       .rowsBetween(-(WinnowW - 1), 0)
-    docs
-      .where(length(col("text")) >= GuaranteeLen)
-      // chunk starts 0, stride, 2·stride, ...: every GuaranteeLen-char
-      // span [p, p+G-1] fits some chunk (the feasible-offset interval has
-      // exactly `stride` integers, so the stride grid always hits it).
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(0), length(col("text")) - GramLen, lit(stride)))
-          .as("off"))
-      // chunk substring + full-window count, computed ONCE per chunk row
-      // here — the generator below is a projection-collapse barrier, so
-      // the per-position stage sees `chunk` as an already-evaluated
-      // column (the substr-of-substr trap this file used to document is
-      // exactly what this barrier prevents)
-      .select(col("doc_id"), col("off"),
-        col("text").substr(col("off") + 1, lit(chunkLen)).as("chunk"),
-        (least(lit(chunkLen), length(col("text")) - col("off"))
-          - (GramLen - 1)).as("ni"))
+    chunkRows(docs, chunkLen)
       .select(col("doc_id"), col("off"), col("chunk"),
         explode(sequence(lit(1), col("ni"))).as("i"))
       .select(col("doc_id"), col("off"), col("i"),
@@ -174,28 +157,57 @@ object Winnow {
     * same trap TextHash.shingleRows documents). [[selectionsWindowed]] is
     * the exchange-based cross-check; WinnowSpec proves row-set equality.
     */
+  /** (doc_id, off, chunk, ni) chunk rows on the global stride grid, cut
+    * via TWO extraction levels: L1 blocks of `64 · stride` chars (overlap
+    * GuaranteeLen - 1, like the chunk grid itself), then chunks from the
+    * BLOCK text. The chunk extraction substring is O(offset), so cutting
+    * fine chunks straight from the document costs len²/(2·stride) in
+    * extraction scans alone — the r10 probe measured the single-level
+    * form at 210 s (vs 64 s for r9's 4 KB chunks) on 2.2M-char giants,
+    * ~21 GB of scanning per giant at stride 114. Two levels:
+    * len²/(2·64·stride) + len·64·stride/(2·stride) ≈ 400M char-ops per
+    * giant. Output rows are identical to single-level cutting (the
+    * (off, chunk) set depends only on the stride grid — WinnowSpec's
+    * equality tests cover it through both formulations).
+    */
+  private def chunkRows(docs: DataFrame, chunkLen: Int): DataFrame = {
+    val stride = chunkLen - (GuaranteeLen - 1)
+    val b = 64 * stride
+    val bl = b + GuaranteeLen - 1
+    docs
+      .where(length(col("text")) >= GuaranteeLen)
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"),
+        explode(sequence(lit(0), length(col("text")) - GramLen, lit(b)))
+          .as("boff"))
+      // L1 barrier: block text materialized once per block row
+      .select(col("doc_id"), col("boff"), col("n"),
+        least(lit(64),
+          floor((col("n") - GramLen - col("boff")) / stride).cast("int") + 1)
+          .as("nj"),
+        explode(array(col("text").substr(col("boff") + 1, lit(bl))))
+          .as("btext"))
+      .select(col("doc_id"), col("boff"), col("btext"), col("n"),
+        explode(sequence(lit(0), (col("nj") - 1) * stride, lit(stride)))
+          .as("joff"))
+      // L2 barrier: chunk text from the BLOCK, once per chunk row
+      .select(col("doc_id"), (col("boff") + col("joff")).as("off"),
+        (least(lit(chunkLen), col("n") - col("boff") - col("joff"))
+          - (GramLen - 1)).as("ni"),
+        explode(array(col("btext").substr(col("joff") + 1, lit(chunkLen))))
+          .as("chunk"))
+  }
+
   private[graft] def selections(docs: DataFrame,
                                     chunkLen: Int = ChunkLen): DataFrame = {
     require(chunkLen >= GuaranteeLen && chunkLen <= PosMax,
       s"chunkLen must be in [$GuaranteeLen, $PosMax]")
-    val stride = chunkLen - (GuaranteeLen - 1)
-    docs
-      .where(length(col("text")) >= GuaranteeLen)
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(0), length(col("text")) - GramLen, lit(stride)))
-          .as("off"))
-      // barrier #1: chunk materialized once per chunk row (1-row generate)
-      .select(col("doc_id"), col("off"),
-        (least(lit(chunkLen), length(col("text")) - col("off"))
-          - (GramLen - 1)).as("ni"),
-        explode(array(col("text").substr(col("off") + 1, lit(chunkLen))))
-          .as("chunk"))
+    chunkRows(docs, chunkLen)
       // per-position selection keys, one md5 per position, as an array
       .select(col("doc_id"), col("off"), col("ni"),
         transform(sequence(lit(1), col("ni")), i =>
           pmod(h60(col("chunk").substr(i, lit(GramLen))), lit(HashMod))
             * PosCard + (lit(PosMax) - i)).as("ks"))
-      // barrier #2: full-window ends only (ni < WinnowW → no rows; a
+      // barrier: full-window ends only (ni < WinnowW → no rows; a
       // bare sequence(W, ni) would count DOWN there)
       .select(col("doc_id"), col("off"), col("ks"),
         explode(when(col("ni") >= WinnowW,
@@ -211,7 +223,7 @@ object Winnow {
     * chunk but with IDENTICAL (gi, gpos, fph) — distinct-grain consumers
     * collapse them for free.
     */
-  private[operators] def globalSelections(docs: DataFrame,
+  private[graft] def globalSelections(docs: DataFrame,
                                           chunkLen: Int = ChunkLen): DataFrame =
     selections(docs, chunkLen).select(
       col("doc_id"),

@@ -69,6 +69,12 @@ class GraphSpec extends SparkSpecBase {
     val fix = Graph.queries("graph_ppr_stopwords")(spark, sfDir).collect()
     val fix2 = Graph.queries("graph_ppr_stopwords")(spark, sfDir).collect()
     assert(fix.map(_.toString).toSeq == fix2.map(_.toString).toSeq)
+    // empty seed set -> the zero vector as an EMPTY relation (not a
+    // divide-by-zero: the r10 scale probe hit this on a corpus with no
+    // English stopwords)
+    val none = Graph.personalizedPagerank(df, Seq.empty[String].toDF("node"))
+    assert(none.count() === 0L)
+    assert(none.columns.toSeq === Seq("node", "rank"))
     Graft.releaseCaches(spark)
   }
 
