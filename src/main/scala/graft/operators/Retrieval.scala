@@ -86,31 +86,21 @@ object Retrieval {
   }
 
   /** Doc chunk windows: one row per (doc, window start). Pure map-side.
-    * Window starts are extracted through stride-aligned GROUP chunks of 8
-    * windows each (same ownership discipline as TextHash.ownedPositions,
-    * on the ChunkStride grid): the direct substr(text, s+1, W) loop
-    * scans O(s) chars per window — quadratic on long docs.
+    * Rides [[TextHash.ownedPositions]] on the ChunkStride grid with
+    * fullWindowOnly=false (tail windows shorter than ChunkWidth are
+    * real RAG chunks): the direct substr(text, s+1, W) loop scans O(s)
+    * chars per window — quadratic on long docs.
     */
-  private def chunks(s: SparkSession, d: String): DataFrame = {
-    val grp = 8
-    val gs = grp * ChunkStride
-    val gl = gs + ChunkWidth - 1
-    documents(s, d)
-      .select(col("doc_id"), col("source"), col("text"), col("n_chars"),
-        explode(sequence(lit(0), col("n_chars") - 1, lit(gs))).as("off"))
-      .select(col("doc_id"), col("source"), col("off"),
-        ((least(lit(gs - 1), col("n_chars") - 1 - col("off")) / ChunkStride)
-          .cast("int") + 1).as("nw"),
-        explode(array(col("text").substr(col("off") + 1, lit(gl)))).as("gchunk"))
-      .select(col("doc_id"), col("source"), col("off"), col("gchunk"),
-        explode(sequence(lit(0), (col("nw") - 1) * ChunkStride, lit(ChunkStride)))
-          .as("ls"))
+  private def chunks(s: SparkSession, d: String): DataFrame =
+    TextHash.ownedPositions(
+        documents(s, d).select("doc_id", "source", "text"),
+        window = ChunkWidth, stride = 8 * ChunkStride, grid = ChunkStride,
+        fullWindowOnly = false, carry = Seq("source"))
       .select(col("doc_id"), col("source"),
-        ((col("off") + col("ls")) / ChunkStride).cast("long").as("chunk_id"),
-        (col("off") + col("ls")).as("chunk_start"),
-        col("gchunk").substr(col("ls") + 1, lit(ChunkWidth)).as("chunk"))
+        ((col("i") - 1) / ChunkStride).cast("long").as("chunk_id"),
+        (col("i") - 1).cast("long").as("chunk_start"),
+        col("chunk").substr(col("li"), lit(ChunkWidth)).as("chunk"))
       .withColumn("chunk_len", length(col("chunk")).cast("long"))
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Full BM25 score table for the query vocabulary.

@@ -239,30 +239,18 @@ object Substring {
 
   /** (doc_id, s, span, h): sampled character windows + 60-bit hash.
     * Docs shorter than SpanLen emit nothing (fixture min 48 chars).
-    * Chunked like [[exactGramsOf]] (stride-aligned ownership, barrier
-    * explode) so each span's substring scan is bounded by a 439-char
-    * chunk, not the document — the unchunked form scanned O(offset)
-    * chars per span (~1e11 char-ops on a 2.2M-char giant).
+    * Rides [[TextHash.ownedPositions]] on the SpanStride grid (two-level
+    * chunked extraction) so each span's substring scan is bounded by a
+    * chunk, not the document — the direct form scanned O(offset) chars
+    * per span (~1e11 char-ops on a 2.2M-char giant).
     */
-  private def spanRows(s: SparkSession, d: String): DataFrame = {
-    val spansPerChunk = 20
-    val cs = spansPerChunk * SpanStride // chunk stride: owns 20 span starts
-    val cl = cs + SpanLen - 1
-    documents(s, d)
-      .where(col("n_chars") >= SpanLen)
-      .select(col("doc_id"), col("text"), col("n_chars"),
-        explode(sequence(lit(0), col("n_chars") - SpanLen, lit(cs))).as("off"))
-      .select(col("doc_id"), col("off"),
-        (least(lit(cs - 1), col("n_chars") - SpanLen - col("off"))
-          .cast("int") / SpanStride + 1).cast("int").as("nsp"),
-        explode(array(col("text").substr(col("off") + 1, lit(cl)))).as("chunk"))
-      .select(col("doc_id"), col("off"), col("chunk"),
-        explode(sequence(lit(0), (col("nsp") - 1) * SpanStride, lit(SpanStride)))
-          .as("ls"))
-      .select(col("doc_id"), (col("off") + col("ls")).as("s"),
-        col("chunk").substr(col("ls") + 1, lit(SpanLen)).as("span"))
+  private def spanRows(s: SparkSession, d: String): DataFrame =
+    TextHash.ownedPositions(
+        documents(s, d).select("doc_id", "text"),
+        window = SpanLen, stride = 32 * SpanStride, grid = SpanStride)
+      .select(col("doc_id"), (col("i") - 1).cast("long").as("s"),
+        col("chunk").substr(col("li"), lit(SpanLen)).as("span"))
       .withColumn("h", h60(col("span")))
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Per-document duplication profile: how many of a doc's sampled spans

@@ -71,40 +71,42 @@ object TextHash {
     * truncated by the document end (RAG chunk windows want them).
     */
   def ownedPositions(docs: DataFrame, window: Int, stride: Int = 128,
-                     grid: Int = 1, fullWindowOnly: Boolean = true): DataFrame = {
+                     grid: Int = 1, fullWindowOnly: Boolean = true,
+                     carry: Seq[String] = Nil): DataFrame = {
     require(window >= 1 && stride >= 1 && grid >= 1,
       "need window>=1, stride>=1, grid>=1")
     require(stride % grid == 0, s"stride $stride must be a multiple of grid $grid")
     val b = BlockChunks * stride // L1 block stride (multiple of grid)
     val bl = b + window - 1
     val c = stride + window - 1
+    val cc = carry.map(col)
     val last =
       if (fullWindowOnly) length(col("text")) - window
       else length(col("text")) - 1
     docs
       .where(length(col("text")) >= (if (fullWindowOnly) window else 1))
       // L1: block offsets + block text, materialized once per block row
-      .select(col("doc_id"), col("text"), last.as("lastp"),
-        explode(sequence(lit(0), last, lit(b))).as("boff"))
-      .select(col("doc_id"), col("boff"),
-        (least(lit(b), col("lastp") - col("boff") + 1)).as("bn"),
+      .select(col("doc_id") +: cc :+ col("text") :+ last.as("lastp") :+
+        explode(sequence(lit(0), last, lit(b))).as("boff"): _*)
+      .select(col("doc_id") +: cc :+ col("boff") :+
+        (least(lit(b), col("lastp") - col("boff") + 1)).as("bn") :+
         explode(array(col("text").substr(col("boff") + 1, lit(bl))))
-          .as("btext"))
+          .as("btext"): _*)
       // L2: chunk offsets within the block (local), chunk text from the
       // BLOCK — extraction scan bounded by the block, not the document
-      .select(col("doc_id"), col("boff"), col("btext"), col("bn"),
-        explode(sequence(lit(0), col("bn") - 1, lit(stride))).as("coff"))
-      .select(col("doc_id"), col("boff"), col("coff"),
-        least(lit(stride), col("bn") - col("coff")).as("ni"),
+      .select(col("doc_id") +: cc :+ col("boff") :+ col("btext") :+ col("bn") :+
+        explode(sequence(lit(0), col("bn") - 1, lit(stride))).as("coff"): _*)
+      .select(col("doc_id") +: cc :+ col("boff") :+ col("coff") :+
+        least(lit(stride), col("bn") - col("coff")).as("ni") :+
         explode(array(col("btext").substr(col("coff") + 1, lit(c))))
-          .as("chunk"))
+          .as("chunk"): _*)
       // positions on the grid within the chunk (grid divides stride and
       // the block stride, so local grid phase is always 1)
-      .select(col("doc_id"), col("boff"), col("coff"), col("chunk"),
-        explode(sequence(lit(1), col("ni"), lit(grid))).as("li"))
-      .select(col("doc_id"),
-        (col("boff") + col("coff") + col("li")).as("i"),
-        col("chunk"), col("li"))
+      .select(col("doc_id") +: cc :+ col("boff") :+ col("coff") :+ col("chunk") :+
+        explode(sequence(lit(1), col("ni"), lit(grid))).as("li"): _*)
+      .select(col("doc_id") +: cc :+
+        (col("boff") + col("coff") + col("li")).as("i") :+
+        col("chunk") :+ col("li"): _*)
   }
 
   /** Whitespace tokens of lowercased text. DuckDB:
