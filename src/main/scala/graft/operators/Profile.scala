@@ -10,12 +10,14 @@ import graft.Tables._
   * pipeline runs before trusting a new drop: per column, row/null/distinct
   * counts and min/max rendered to engine-portable strings.
   *
-  * 100 TB shape: ONE scan of the table computes every column's aggregates
-  * in a single map-side-combined reduction to a 1-row frame (no per-column
-  * rescans, no shuffle of data rows — only partial-agg states move), then
-  * the 1×(6·k) row pivots to k rows ON THE DRIVER-SIDE-SIZED result, not
-  * on the data. countDistinct over several columns in one aggregate is
-  * planned by Spark as expand+distinct — still a single scan.
+  * 100 TB shape: one single-column pipeline PER COLUMN, unioned — each
+  * column's scan is pruned to that column, its groupBy(value) collapses
+  * map-side (low-cardinality columns shrink to a handful of partial-agg
+  * states), and the per-column final aggregate is a 1-row frame. This
+  * replaced the k-column multi-countDistinct single aggregate, whose
+  * Expand ×k pushes k copies of every row through the aggregate:
+  * measured 2.3 s → 0.5 s at sf0.1 (r10 A/B). Only partial-agg states
+  * and distinct values move; data rows never shuffle.
   *
   * Portability: doubles render through DECIMAL(18,2) (raw double→string
   * formatting differs across engines), timestamps through DATE.
@@ -35,22 +37,21 @@ object Profile {
   }
 
   private def profile(df: DataFrame, cols: Seq[(String, Column => Column)]): DataFrame = {
-    val aggs = count(lit(1)).as("__rows") +: cols.flatMap { case (n, render) =>
-      Seq(
-        sum(when(col(n).isNull, 1L).otherwise(0L)).as(s"${n}__nulls"),
-        countDistinct(col(n)).as(s"${n}__nd"),
-        render(min(col(n))).as(s"${n}__mn"),
-        render(max(col(n))).as(s"${n}__mx"))
-    }
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    val rows = array(cols.map { case (n, _) =>
-      struct(lit(n).as("col_name"), col(s"${n}__nulls").as("n_nulls"),
-        col(s"${n}__nd").as("n_distinct"), col(s"${n}__mn").as("min_val"),
-        col(s"${n}__mx").as("max_val"))
-    }: _*)
-    one.select(col("__rows").as("n_rows"), explode(rows).as("p"))
-      .select(col("p.col_name"), col("n_rows"), col("p.n_nulls"),
-        col("p.n_distinct"), col("p.min_val"), col("p.max_val"))
+    val nRows = df.agg(count(lit(1)).as("n_rows"))
+    cols.map { case (n, render) =>
+      df.select(col(n)).groupBy(col(n)).agg(count(lit(1)).as("_c"))
+        .agg(
+          sum(when(col(n).isNull, col("_c")).otherwise(0L)).as("n_nulls"),
+          count(when(col(n).isNotNull, lit(1))).as("n_distinct"),
+          render(min(col(n))).as("min_val"),
+          render(max(col(n))).as("max_val"))
+        .select(lit(n).as("col_name"),
+          coalesce(col("n_nulls"), lit(0L)).as("n_nulls"),
+          col("n_distinct"), col("min_val"), col("max_val"))
+    }.reduce(_ unionByName _)
+      .crossJoin(broadcast(nRows))
+      .select("col_name", "n_rows", "n_nulls", "n_distinct",
+        "min_val", "max_val")
       .orderBy("col_name")
   }
 
