@@ -110,13 +110,20 @@ object Bench {
       // must not abort the benchmark: log and proceed — the timed loop
       // has its own per-query failure accounting and ALWAYS emits JSON.
       // On the failure path the OTHER workers may still be running their
-      // queue: shutdownNow + await so no warm query executes concurrently
-      // with (and inflates) the timed loop below.
+      // queue: shutdownNow interrupts the worker THREADS, but a thread
+      // interrupted inside a JobWaiter dies without killing its Spark
+      // job — cancelAllJobs on the shared context is what actually stops
+      // leftover warm jobs from burning cores under the timed loop (the
+      // timed session has submitted nothing yet, so this cancels only
+      // warm work). If a worker is STILL alive after the wait, flag it.
       try { tasks.foreach(_.get()); pool.shutdown() }
       catch { case e: Throwable =>
         System.err.println(s"[bench] warm pass aborted: ${e.getMessage}")
         pool.shutdownNow()
-        pool.awaitTermination(5, java.util.concurrent.TimeUnit.MINUTES)
+        spark.sparkContext.cancelAllJobs()
+        if (!pool.awaitTermination(5, java.util.concurrent.TimeUnit.MINUTES))
+          System.err.println("[bench] WARNING: warm worker still running " +
+            "after 5 min — timed results may be contaminated")
       }
       Graft.releaseCaches(spark)
       // belt-and-suspenders: assert the timed session's confs are what

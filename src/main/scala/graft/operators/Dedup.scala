@@ -303,7 +303,21 @@ object Dedup {
     * with a micro-batch-sized incoming side the banded join broadcasts
     * the batch, not the reference corpus.
     */
-  def minhashMatchesAgainst(incoming: DataFrame, refSigs: DataFrame): DataFrame = {
+  def minhashMatchesAgainst(incoming: DataFrame, refSigs: DataFrame): DataFrame =
+    minhashMatchesReleasable(incoming, refSigs)._1
+
+  /** [[minhashMatchesAgainst]] plus the HANDLE of the one relation it
+    * persists (the incoming-side signatures, consumed by the band explode
+    * and the verify join) — so a per-micro-batch caller
+    * (StreamingOps.gatedIngest) can unpersist exactly what the batch
+    * created after its action, WITHOUT a blanket cacheManager clear that
+    * would also evict the caller's long-lived reference index between
+    * batches (the r10 review caught the streaming probe rebuilding its
+    * 100k-doc index once per micro-batch through exactly that).
+    */
+  private[graft] def minhashMatchesReleasable(incoming: DataFrame,
+                                              refSigs: DataFrame)
+      : (DataFrame, DataFrame) = {
     val inSig = signaturesFor(incoming).persist()
     def bandsOf(sig: DataFrame) = sig.select(col("doc_id"),
       posexplode(array((0 until Bands).map(b => col(s"k$b")): _*)).as(Seq("band", "key")))
@@ -315,11 +329,12 @@ object Dedup {
     val matches = (0 until NumHashes)
       .map(j => when(col(s"sa.s$j") === col(s"sb.s$j"), 1).otherwise(0))
       .reduce(_ + _)
-    cand
+    val out = cand
       .join(inSig.as("sa"), col("doc_in") === col("sa.doc_id"))
       .join(refSigs.as("sb"), col("doc_ref") === col("sb.doc_id"))
       .where((matches.cast("double") / NumHashes) >= 0.5)
       .select(col("doc_in").as("doc_id")).distinct()
+    (out, inSig)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -614,8 +614,13 @@ object Similarity {
             col("m").bitwiseXOR(col("qb0")).as("qb"))
         val c = b2.select(col("vec_id").as("cand_id"), col("e").as("ce"),
           col("nrm").as("cn"), (col("bkt") % mod).as("cb"))
+        // persist: cand feeds the rank AND the n_cand count — a
+        // broadcast join has no exchange for ReusedExchange to share,
+        // so without this the candidate generation + cosine scoring
+        // runs twice per grid point (caller releases via releaseCaches)
         val cand = broadcast(q).join(c,
           col("qb") === col("cb") && col("q_id") =!= col("cand_id"))
+          .persist()
         val got = ranked(cand).select("q_id", "cand_id")
         exact.join(got, Seq("q_id", "cand_id"), "left_semi")
           .agg(count(lit(1)).as("hits"))
@@ -656,8 +661,11 @@ object Similarity {
         val q = probed.select(col("vec_id").as("q_id"), col("e").as("qe"),
           col("nrm").as("qn"),
           explode(array((1 to p).map(k => col(s"c$k")): _*)).as("probe"))
+        // persist: cand feeds the rank AND the n_cand count (broadcast
+        // join — no exchange to reuse; see ann_recall_frontier)
         val cand = broadcast(q).join(c,
           col("probe") === col("cell") && col("q_id") =!= col("cand_id"))
+          .persist()
         val got = ranked(cand).select("q_id", "cand_id")
         exact.join(got, Seq("q_id", "cand_id"), "left_semi")
           .agg(count(lit(1)).as("hits"))
