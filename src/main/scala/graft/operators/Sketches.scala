@@ -368,8 +368,19 @@ object Sketches {
     // shard, merge later, lose nothing). n_zero is emitted as a
     // hash-checked VALUE so the oracle grounds more than booleans.
     "hll_by_source_check" -> { (s, d) =>
+      // HLL registers are DUPLICATE-INSENSITIVE (max of per-hash ranks),
+      // so every consumer here — the per-source sketches, the exact
+      // distinct counts, and the direct global sketch — runs off ONE
+      // persisted distinct (source, tok) relation instead of three full
+      // tokenize passes (two of them multi-distinct shaped): r10,
+      // 3.14 s floor → one tokenize + one distinct exchange. The
+      // merge-vs-global audit stays non-vacuous: the global registers
+      // are still computed by a DIRECT pass over the token stream, not
+      // by merging the per-source sketches (that is the property under
+      // test).
       val tokSrc = documents(s, d)
         .select(col("source"), explode(toks(col("text"))).as("tok"))
+        .distinct().persist()
       val cells = tokSrc.groupBy("source").agg(hll(col("tok")).as("regs"))
         .select(col("source"), posexplode(col("regs")).as(Seq("idx", "reg")))
         .persist()
@@ -377,14 +388,14 @@ object Sketches {
         sum(when(col("reg") === 0, 1L).otherwise(0L)).as("n_zero"),
         sum(pow(lit(2.0), -col("reg").cast("double"))).as("s"))
       val exact = tokSrc.groupBy("source")
-        .agg(count_distinct(col("tok")).as("exact_distinct"))
+        .agg(count(lit(1)).as("exact_distinct"))
       val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(HllM.toDouble))
       val raw = alpha * lit(HllM.toDouble) * lit(HllM.toDouble) / col("s")
       val est = when(raw <= lit(2.5 * HllM) && col("n_zero") > 0,
         lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("n_zero").cast("double")))
         .otherwise(raw)
       val merged = cells.groupBy("idx").agg(max("reg").as("mreg"))
-      val global = hllRegs(s, d)
+      val global = tokSrc.agg(hll(col("tok")).as("regs"))
         .select(posexplode(col("regs")).as(Seq("gidx", "greg")))
       val same = merged.join(global, col("idx") === col("gidx"), "full")
         .agg(sum(when(coalesce(col("mreg"), lit(-1)) =!=
