@@ -290,12 +290,27 @@ object Winnow {
     // ~2/(W+1) = 0.286 for random hashes; higher means internal
     // repetition pushes distinct minima apart).
     "wn_fingerprints" -> { (s, d) =>
-      globalSelections(documents(s, d).select("doc_id", "text"))
-        .groupBy("doc_id")
-        .agg(countDistinct(col("gi")).as("n_windows"),
-          countDistinct(col("gpos"), col("fph")).as("n_fp"))
+      // n_windows is CLOSED-FORM: the chunk coverage guarantee means
+      // every global window end in [WinnowW, n_grams] is selected
+      // exactly once at the distinct-gi grain, so countDistinct(gi) ==
+      // len - GuaranteeLen + 1 by construction (WinnowSpec's coverage
+      // laws). Asserting the theory here while the ORACLE still counts
+      // its DISTINCT gi turns the hash compare into a genuine coverage
+      // cross-check — and drops the Expand x2 multi-distinct (the
+      // remaining n_fp is a single-distinct two-phase agg; r10 floor
+      // 3.09 s -> ~2.7 s under load-7 contention).
+      val docs = documents(s, d).select("doc_id", "text")
+      val nfp = globalSelections(docs)
+        .select("doc_id", "gpos", "fph").distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+      docs.where(length(col("text")) >= GuaranteeLen)
+        .select(col("doc_id"),
+          (length(col("text")) - (GuaranteeLen - 1)).cast("long")
+            .as("n_windows"))
+        .join(nfp, "doc_id")
         .withColumn("density",
           round(col("n_fp").cast("double") / col("n_windows").cast("double"), 6))
+        .select("doc_id", "n_windows", "n_fp", "density")
         .orderBy("doc_id")
     },
 
