@@ -92,15 +92,17 @@ object Drift {
     // matrix (|sources|² output). Dot products and norms accumulate as
     // DECIMAL(38,0) sums of exact integer products (count products
     // overflow a long at corpus scale; double sums are order-dependent).
+    // The gram scan rides TextHash.ownedPositions so every per-position
+    // substring is chunk-bounded — the direct substr(text, i, 3) loop
+    // scans O(i) chars per position and goes quadratic on million-char
+    // docs (the r10 probe's Cliff #3; ChunkedScanSpec locks the gram
+    // multiset equal to the direct form).
     "source_style_cosine" -> { (s, d) =>
       val dec = DecimalType(38, 0)
-      val g = documents(s, d)
-        .select(col("source"), col("text"),
-          // guarded: sequence(1, n<1) counts DOWN in Spark
-          explode(when(length(col("text")) >= 3,
-            sequence(lit(1), length(col("text")) - 2))
-            .otherwise(array().cast("array<int>"))).as("i"))
-        .select(col("source"), col("text").substr(col("i"), lit(3)).as("gram"))
+      val g = TextHash.ownedPositions(
+          documents(s, d).select(col("doc_id"), col("source"), col("text")),
+          window = 3, carry = Seq("source"))
+        .select(col("source"), col("chunk").substr(col("li"), lit(3)).as("gram"))
         .groupBy("source", "gram").agg(count(lit(1)).as("c"))
         .persist() // feeds the norm aggregate AND both self-join sides
       val nrm = g.groupBy("source")

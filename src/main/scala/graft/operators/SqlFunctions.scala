@@ -653,12 +653,17 @@ object SqlFunctions {
         .select(col("l_extendedprice").as("v"), col("l_orderkey"), col("l_linenumber"))
       val ranked = graft.operators.Ranking
         .globalRank(vals, Seq(asc("v"), asc("l_orderkey"), asc("l_linenumber")))
-      val tgt = ranked
-        .crossJoin(broadcast(ranked.agg(count(lit(1)).as("n_total"))))
-      ps.map { p =>
-        tgt.where(col("rank") === ceil(lit(p) * col("n_total")).cast("long"))
-          .select(lit(p).as("p"), col("v").as("value"))
-      }.reduce(_.unionByName(_)).orderBy("p")
+      // ONE pass: a K-row broadcast targets frame (p, target rank) joined
+      // onto the ranked relation — the per-p union-of-filters form re-ran
+      // the 600k-row rank window once per quantile (the checkpoint shares
+      // the range shuffle, not the window scan). A tied target rank can
+      // serve two ps; the join fans out, never drops.
+      val targets = ranked.agg(count(lit(1)).as("n_total"))
+        .select(explode(array(ps.map(lit(_)): _*)).as("p"), col("n_total"))
+        .select(col("p"), ceil(col("p") * col("n_total")).cast("long").as("rank"))
+      ranked.join(broadcast(targets), "rank")
+        .select(col("p"), col("v").as("value"))
+        .orderBy("p")
     },
 
     // EXACT weighted median at corpus scale, on the same distributed

@@ -110,6 +110,26 @@ class ChunkedScanSpec extends SparkSpecBase {
     assertSetEqual(got, ref, "cdcChunks")
   }
 
+  test("source_style_cosine's carried gram matrix equals the direct form") {
+    // the Drift rewire: window-3 grams with a carried source column —
+    // COUNTS must match (the cosine is over the count matrix), so compare
+    // at the aggregated (source, gram, c) grain
+    val sd = docs.withColumn("source", concat(lit("s"), col("doc_id") % 3))
+    val got = TextHash.ownedPositions(
+        sd.select(col("doc_id"), col("source"), col("text")),
+        window = 3, carry = Seq("source"))
+      .select(col("source"), col("chunk").substr(col("li"), lit(3)).as("gram"))
+      .groupBy("source", "gram").agg(count(lit(1)).as("c"))
+    val ref = sd
+      .select(col("source"), col("text"),
+        explode(when(length(col("text")) >= 3,
+          sequence(lit(1), length(col("text")) - 2))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col("source"), col("text").substr(col("i"), lit(3)).as("gram"))
+      .groupBy("source", "gram").agg(count(lit(1)).as("c"))
+    assertSetEqual(got, ref, "style gram matrix")
+  }
+
   test("retrieval chunk windows equal the direct stride-window form") {
     // drive the grouped-chunk rewrite through its public query on the
     // fixture, against the direct per-window reference over the same table
