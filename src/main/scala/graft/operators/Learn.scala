@@ -344,18 +344,28 @@ object Learn {
   /** Score a (doc_id, text) relation against a trained [[NbModel]] —
     * per-(doc, class) log-posterior with exact decimal sums. Pure batch
     * relational ops over broadcast model state, so the same call scores a
-    * micro-batch inside foreachBatch unchanged.
+    * micro-batch inside foreachBatch unchanged. The per-token log-probs
+    * are computed at MODEL grain first — round(log(.)) runs class×vocab
+    * times instead of once per (occurrence × class), and the hot
+    * corpus-sized path is two broadcast probes + a coalesce (values
+    * identical: same integer count inputs, same expression).
     */
   private[graft] def nbScoreDocs(docs: DataFrame, m: NbModel): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
+    val lp = m.cc.join(m.ctot, "cls").crossJoin(m.v)
+      .select(col("cls"), col("tok"),
+        round(log((col("cnt") + 1).cast("double") /
+          (col("n_c") + col("v")).cast("double")), 6).as("lp"))
+    val lpu = m.ctot.crossJoin(m.v)
+      .select(col("cls"),
+        round(log(lit(1L).cast("double") /
+          (col("n_c") + col("v")).cast("double")), 6).as("lpu"))
     docs.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
       .crossJoin(broadcast(m.pri.select("cls")))
-      .join(broadcast(m.cc), Seq("cls", "tok"), "left")
-      .join(broadcast(m.ctot), Seq("cls"))
-      .crossJoin(broadcast(m.v))
+      .join(broadcast(lp), Seq("cls", "tok"), "left")
+      .join(broadcast(lpu), Seq("cls"))
       .select(col("doc_id"), col("cls"),
-        round(log((coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
-          (col("n_c") + col("v")).cast("double")), 6).as("lp"))
+        coalesce(col("lp"), col("lpu")).as("lp"))
       .groupBy("doc_id", "cls")
       .agg(sum(col("lp").cast(DecimalType(18, 6))).as("s"))
       .join(broadcast(m.pri), "cls")
@@ -374,7 +384,12 @@ object Learn {
       .select(col("doc_id"), col("cls").as("pred"), round(col("score"), 6).as("score"))
   }
 
-  /** Per-(doc, class) NB log-posterior scores — see nb_lang_scores. */
+  /** Per-(doc, class) NB log-posterior scores — see nb_lang_scores. The
+    * model pass and the scorer pass each tokenize the corpus (lineage
+    * recompute) — a persisted shared token stream was A/B'd wall-neutral
+    * at sf0.1, and a corpus-sized persist is a spill liability at scale
+    * where re-exploding a columnar scan is cheap (REJECTED, BASELINE.md).
+    */
   private def nbScores(s: SparkSession, d: String): DataFrame =
     nbScoreDocs(documents(s, d), nbModel(s, d))
 
