@@ -112,7 +112,13 @@ object ScaleProbe {
                                  // exercises the iteration for real
       "cdc" -> Seq("cdc_chunks", "cdc_dedup_stats"),
       "audio" -> Seq("mm_audio_stats", "mm_audio_dedup"),
-      "e2e" -> Seq("pipeline_pretrain_e2e"))
+      "e2e" -> Seq("pipeline_pretrain_e2e"),
+      // style: chars the 2.2M-char giants through the char-3-gram matrix —
+      // the direct substr(text, i, 3) form this query had until r10 was
+      // O(len²) per doc (unfinishable on giants); the ownedPositions form
+      // must hold linear. nb: the 2-pass train+score grid at 20× docs.
+      "style" -> Seq("source_style_cosine"),
+      "nb" -> Seq("nb_lang_scores"))
 
     println(f"SCALEPROBE mult=$mult docs=${nDocs + 3} vecs=$nVec")
     def probe(fam: String, name: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {

@@ -352,11 +352,14 @@ object Learn {
     */
   private[graft] def nbScoreDocs(docs: DataFrame, m: NbModel): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val lp = m.cc.join(m.ctot, "cls").crossJoin(m.v)
+    // broadcast hints keep the model-grain subtree's plan shape
+    // unconditional (PlanSpec locks no CartesianProduct) even when the
+    // model relations arrive checkpointed with unknown stats
+    val lp = m.cc.join(broadcast(m.ctot), "cls").crossJoin(broadcast(m.v))
       .select(col("cls"), col("tok"),
         round(log((col("cnt") + 1).cast("double") /
           (col("n_c") + col("v")).cast("double")), 6).as("lp"))
-    val lpu = m.ctot.crossJoin(m.v)
+    val lpu = m.ctot.crossJoin(broadcast(m.v))
       .select(col("cls"),
         round(log(lit(1L).cast("double") /
           (col("n_c") + col("v")).cast("double")), 6).as("lpu"))
