@@ -119,6 +119,11 @@ object Bench {
       try { tasks.foreach(_.get()); pool.shutdown() }
       catch { case e: Throwable =>
         System.err.println(s"[bench] warm pass aborted: ${e.getMessage}")
+        // drain the queue FIRST: a surviving worker whose in-flight job
+        // dies to the cancellation below swallows that SparkException
+        // (NonFatal) and would otherwise poll + submit a NEW job that
+        // the one-shot cancelAllJobs no longer covers
+        work.clear()
         pool.shutdownNow()
         spark.sparkContext.cancelAllJobs()
         if (!pool.awaitTermination(5, java.util.concurrent.TimeUnit.MINUTES))

@@ -69,6 +69,27 @@ object Corpus {
     */
   val SampleSalt = "graft-s1:"
 
+  /** (doc_id, n_shingles, n_overlap, overlap_ratio) of `probe` against
+    * the benchmark shingle set — the ONE definition of the contamination
+    * ratio (distinct-3-shingle grain, coalesce'd hit sum, 6-dp rounding)
+    * shared by `contamination_check` and the e2e pretrain funnel, so the
+    * gate the funnel applies can never drift from the standalone query
+    * its spec reconciles against. The benchmark side shingles ONLY the
+    * benchmark docs (benchmark-sized → broadcast); the probe side
+    * streams through the join.
+    */
+  def contamOverlap(probe: DataFrame, benchDocs: DataFrame): DataFrame = {
+    val benchSh = shingleRows(benchDocs.select("doc_id", "text"))
+      .select("sh").distinct().withColumn("_hit", lit(1))
+    shingleRows(probe.select("doc_id", "text")).distinct()
+      .join(broadcast(benchSh), Seq("sh"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("_hit"), lit(0))).as("n_overlap"))
+      .withColumn("overlap_ratio",
+        round(col("n_overlap").cast("double") / col("n_shingles"), 6))
+  }
+
   /** Salt for the train/val/test split (independent of [[SampleSalt]]). */
   val SplitSalt = "graft-split:"
 
@@ -434,17 +455,7 @@ object Corpus {
     // broadcast; the corpus side streams through the semi-join probe.
     "contamination_check" -> { (s, d) =>
       val docs = documents(s, d).select("doc_id", "text")
-      val sh = shingleRows(docs).distinct()
-      // benchmark side shingles ONLY the benchmark docs (filter before the
-      // shingle window — 2% of the corpus, not a second full pass)
-      val benchSh = shingleRows(docs.where(col("doc_id") % BenchMod === 0))
-        .select("sh").distinct().withColumn("_hit", lit(1))
-      sh.join(broadcast(benchSh), Seq("sh"), "left_outer")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_shingles"),
-          sum(coalesce(col("_hit"), lit(0))).as("n_overlap"))
-        .withColumn("overlap_ratio",
-          round(col("n_overlap").cast("double") / col("n_shingles"), 6))
+      contamOverlap(docs, docs.where(col("doc_id") % BenchMod === 0))
         .withColumn("is_benchmark", col("doc_id") % BenchMod === 0)
         .withColumn("contaminated",
           col("overlap_ratio") >= ContamThreshold && !col("is_benchmark"))

@@ -60,6 +60,7 @@ object Dedup {
     * 8-byte hash) pairs, map-side-combined before exchange.
     */
   private def signaturesFor(docs: DataFrame): DataFrame = {
+    graft.Graft.init(docs.sparkSession) // graft_h60 on any caller session
     val exploded = shingleRows(docs)
       .select(col("doc_id"), (h60(col("sh")) % P).as("h"))
     val sigAggs = (0 until NumHashes).map { j =>
@@ -137,6 +138,7 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, minJaccard: Double,
                         dfCap: Option[Long]): DataFrame = {
+    graft.Graft.init(docs.sparkSession) // graft_h60 on any caller session
     val e = shingleRows(docs)
       .select(col("doc_id"), h60(col("sh")).as("g"))
       .distinct()
@@ -200,6 +202,7 @@ object Dedup {
     * keep predicate is pure integer arithmetic — no fp boundary cases.
     */
   def prefixJaccardPairs(docs: DataFrame, num: Int, den: Int): DataFrame = {
+    graft.Graft.init(docs.sparkSession) // graft_h60 on any caller session
     val e = shingleRows(docs)
       .select(col("doc_id"), h60(col("sh")).as("g"))
       .distinct()

@@ -55,6 +55,7 @@ object Pipeline {
     * URL/quality gates first).
     */
   def pretrainFunnelFor(docs: DataFrame): DataFrame = {
+    graft.Graft.init(docs.sparkSession) // graft_h60 on any caller session
     val urlFlags = UrlOps.domainCapRank(docs.select("doc_id", "source"))
       .select(col("doc_id"),
         (col("host") =!= "" && col("rn") <= UrlOps.DomainCap).as("url_ok"))
@@ -72,17 +73,11 @@ object Pipeline {
       .toDF("doc_id", "component_id")
     val reps = cc.groupBy("component_id").agg(min("doc_id").as("doc_id"))
     val g4 = g3.join(reps, "doc_id") // + component_id
-    val benchSh = TextHash.shingleRows(
-        docs.where(col("doc_id") % Corpus.BenchMod === 0)
-          .select("doc_id", "text"))
-      .select("sh").distinct().withColumn("_hit", lit(1))
-    val contam = TextHash.shingleRows(g4.select("doc_id", "text")).distinct()
-      .join(broadcast(benchSh), Seq("sh"), "left_outer")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_sh"),
-        sum(coalesce(col("_hit"), lit(0))).as("n_ov"))
-      .where(round(col("n_ov").cast("double") / col("n_sh"), 6)
-        >= Corpus.ContamThreshold)
+    // the SAME ratio relation contamination_check reports (shared
+    // helper) — only the gate predicate is funnel-specific
+    val contam = Corpus.contamOverlap(g4.select("doc_id", "text"),
+        docs.where(col("doc_id") % Corpus.BenchMod === 0))
+      .where(col("overlap_ratio") >= Corpus.ContamThreshold)
       .select("doc_id")
     val g5 = g4.where(col("doc_id") % Corpus.BenchMod =!= 0)
       .join(contam, Seq("doc_id"), "left_anti")

@@ -359,6 +359,7 @@ object Retrieval {
     * one whole-doc chunk via the document-end boundary.
     */
   def cdcChunks(docs: DataFrame): DataFrame = {
+    graft.Graft.init(docs.sparkSession) // graft_h60 on any caller session
     val d = docs.select(col("doc_id"), col("text"), length(col("text")).as("n"))
     // chunked per-position gram scan (TextHash.ownedPositions): the
     // direct substr(text, p, CdcW) loop scans O(p) chars per position —
@@ -379,13 +380,28 @@ object Retrieval {
     // caught this stage grinding on 2.2M-char giants). Each span joins
     // its covering CdcBlock-char blocks (usually 1-2) and concatenates
     // the in-order pieces — per-piece scans bounded by the block.
+    // ... and the BLOCK extraction substring is itself O(offset), so
+    // cutting bs-char blocks straight from the raw document pays
+    // len²/(2·bs) in extraction scans (~1.2e9 char-ops per 2.2M-char
+    // giant). Two levels, like TextHash.ownedPositions: L1 super-blocks
+    // of 64·bs chars from the document, bs-blocks from SUPER-BLOCK text —
+    // len²/(2·64·bs) + len·32 char-ops. Each explode(array(...)) is a
+    // Generate barrier so the substring materializes once per row.
     val bs = CdcBlock
+    val L = TextHash.BlockChunks // 64
+    val sb = L * bs
     val blocks = d
-      .select(col("doc_id"),
-        explode(sequence(lit(0L), expr(s"(n - 1) DIV $bs"))).as("bid"),
-        col("text"))
-      .select(col("doc_id"), col("bid"),
-        explode(array(col("text").substr((col("bid") * bs + 1).cast("int"),
+      .select(col("doc_id"), col("n"), col("text"),
+        explode(sequence(lit(0L), expr(s"(n - 1) DIV $sb"))).as("sbid"))
+      .select(col("doc_id"), col("sbid"),
+        least(lit(L.toLong),
+          expr(s"((n - 1) DIV $bs) + 1") - col("sbid") * L).as("nb"),
+        explode(array(col("text").substr((col("sbid") * sb + 1).cast("int"),
+          lit(sb)))).as("stext"))
+      .select(col("doc_id"), col("sbid"), col("stext"),
+        explode(sequence(lit(0L), col("nb") - 1)).as("j"))
+      .select(col("doc_id"), (col("sbid") * L + col("j")).as("bid"),
+        explode(array(col("stext").substr((col("j") * bs + 1).cast("int"),
           lit(bs)))).as("btext"))
     val pieces = spans
       .select(col("doc_id"), col("b"), col("e"),

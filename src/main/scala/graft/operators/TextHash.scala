@@ -27,7 +27,26 @@ object TextHash {
     * materialization + base-16 reparse (~0.55 s / 1.45M rows recovered;
     * Md5Hash60Spec proves value equality including NULL and "").
     */
-  def h60(c: Column): Column = call_function("graft_h60", c)
+  /** Self-registering safety net: h60/dot resolve through the session
+    * function registry (call_function), so a library caller composing
+    * e.g. Dedup.signatureIndex on a session that never saw Graft.init
+    * would die at analysis with UNRESOLVED_ROUTINE. Guarded by a registry
+    * lookup so the per-plan-build cost is one hash probe (Graft.init's
+    * createOrReplace would WARN-log on every call); the public entry
+    * points ALSO init on their own DataFrame's session — the
+    * active-session heuristic can miss exotic multi-session builds.
+    */
+  private def ensureInit(): Unit =
+    org.apache.spark.sql.SparkSession.getActiveSession.foreach { s =>
+      if (!s.sessionState.functionRegistry.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier("graft_h60")))
+        graft.Graft.init(s)
+    }
+
+  def h60(c: Column): Column = {
+    ensureInit()
+    call_function("graft_h60", c)
+  }
 
   /** SQL snippet (DuckDB) mirroring [[h60]]. */
   def h60Sql(x: String): String =
@@ -160,7 +179,10 @@ object TextHash {
     * equivalent HOF formulation (aggregate + zip_with) is 10x slower:
     * Spark evaluates lambda HOFs interpreted.
     */
-  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+  def dot(a: Column, b: Column): Column = {
+    ensureInit() // same safety net as [[h60]]
+    call_function("graft_dot", a, b)
+  }
 
   /** Cast a float array to double element-wise (float*float in a zip_with
     * lambda would multiply in float32 and break oracle parity).

@@ -245,9 +245,11 @@ object Winnow {
     * ONE aggregation exchange ([[fingerprintsOf]] would pay a
     * (doc_id, pos, fph)-grain distinct first, then need a second).
     */
-  def docFps(docs: DataFrame, chunkLen: Int = ChunkLen): DataFrame =
+  def docFps(docs: DataFrame, chunkLen: Int = ChunkLen): DataFrame = {
+    graft.Graft.init(docs.sparkSession) // graft_h60 on any caller session
     selections(docs, chunkLen)
       .select(col("doc_id"), expr(s"sk div $PosCard").as("fph")).distinct()
+  }
 
   /** The frozen reference index a winnow ingestion gate probes: distinct
     * (ref_id, fph) fingerprint postings, with fingerprints in more than

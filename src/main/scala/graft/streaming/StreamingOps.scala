@@ -168,12 +168,14 @@ object StreamingOps {
   def nearDupIngest(spark: SparkSession, srcDir: String,
                     schema: org.apache.spark.sql.types.StructType,
                     refSigs: DataFrame, checkpointDir: String,
-                    outDir: String): Long =
+                    outDir: String): Long = {
+    graft.Graft.init(spark) // graft_h60 on any caller session
     gatedIngest(spark, srcDir, schema, checkpointDir, outDir) { batch =>
       val (out, inSig) = graft.operators.Dedup.minhashMatchesReleasable(
         batch.select("doc_id", "text"), refSigs)
       (out, () => { inSig.unpersist(); () })
     }
+  }
 
   /** Shared ingestion-gate mechanics for [[nearDupIngest]] /
     * [[winnowIngest]]: drain `srcDir` with `Trigger.AvailableNow`,
@@ -228,12 +230,14 @@ object StreamingOps {
   def winnowIngest(spark: SparkSession, srcDir: String,
                    schema: org.apache.spark.sql.types.StructType,
                    refIdx: DataFrame, minShared: Long, checkpointDir: String,
-                   outDir: String): Long =
+                   outDir: String): Long = {
+    graft.Graft.init(spark) // graft_h60 on any caller session
     gatedIngest(spark, srcDir, schema, checkpointDir, outDir) { batch =>
       // winnowMatchesAgainst persists nothing batch-side — no cleanup
       (graft.operators.Winnow.winnowMatchesAgainst(
         batch.select("doc_id", "text"), refIdx, minShared), () => ())
     }
+  }
 
   case class FunnelEvent(user: String, ts: Timestamp, etype: String)
   case class FunnelPath(user: String, tViewUs: Option[Long],

@@ -110,6 +110,42 @@ class ChunkedScanSpec extends SparkSpecBase {
     assertSetEqual(got, ref, "cdcChunks")
   }
 
+  test("cdcChunks two-level block assembly holds past one super-block") {
+    // the L1 super-block is 64·2048 = 131,072 chars; a ~300k-char doc
+    // forces 3 super-blocks so the (sbid, j) -> bid tiling and the
+    // truncated tail super-block are both exercised. Reference: raw
+    // substr spans (O(len) per chunk — fine at this length, quadratic
+    // at probe scale, which is why the engine form exists).
+    import graft.operators.TextHash.h60
+    val rng = new scala.util.Random(23)
+    val big = (0 until 300123).map(_ =>
+      if (rng.nextInt(6) == 0) ' ' else ('a' + rng.nextInt(26)).toChar).mkString
+    val bdocs = Seq((0L, big), (1L, big.take(131072)), (2L, big.take(131073)))
+      .toDF("doc_id", "text")
+    val got = Retrieval.cdcChunks(bdocs)
+    val d = bdocs.select(col("doc_id"), col("text"), length(col("text")).as("n"))
+    val cuts = d
+      .select(col("doc_id"), col("text"),
+        explode(when(col("n") >= Retrieval.CdcW,
+          sequence(lit(1), col("n") - (Retrieval.CdcW - 1)))
+          .otherwise(array().cast("array<int>"))).as("p"))
+      .where(h60(col("text").substr(col("p"), lit(Retrieval.CdcW)))
+        % Retrieval.CdcD === 0)
+      .select(col("doc_id"), (col("p") + Retrieval.CdcW - 1).cast("long").as("e"))
+    val ends = cuts.union(d.select(col("doc_id"), col("n").cast("long").as("e")))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("e")
+    val ref = ends
+      .withColumn("b", coalesce(lag("e", 1).over(w), lit(0L)))
+      .join(d, "doc_id")
+      .select(col("doc_id"), (col("b") + 1).as("chunk_start"),
+        (col("e") - col("b")).as("chunk_len"),
+        col("text").substr((col("b") + 1).cast("int"),
+          (col("e") - col("b")).cast("int")).as("chunk"))
+    assertSetEqual(got, ref, "cdcChunks multi-super-block")
+  }
+
   test("source_style_cosine's carried gram matrix equals the direct form") {
     // the Drift rewire: window-3 grams with a carried source column —
     // COUNTS must match (the cosine is over the count matrix), so compare
