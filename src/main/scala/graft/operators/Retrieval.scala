@@ -345,6 +345,78 @@ object Retrieval {
             col("n_chunks").cast("double"), 6).as("dup_chunk_frac"),
           round(col("sum_len").cast("double") / col("n_chunks").cast("double"), 6)
             .as("mean_chunk_len"))
+    },
+
+    // HYBRID retrieval fusion — the first query that joins the text and
+    // embedding modalities: per query document, the exact-cosine semantic
+    // ranking and the distinct-word-3-shingle Jaccard lexical ranking are
+    // RRF-fused (1/(K+r) + 1/(K+r), the rank-level fusion production RAG
+    // stacks run between a BM25 leg and a vector leg). Corpus: the
+    // embedded prefix of the documents table (the seed-42 fixtures align
+    // doc_id with vec_id; docs 0..|embeddings|-1 carry vectors). Scale
+    // shape: the semantic leg is the ann_cosine_topk broadcast-query
+    // brute scan (the production swap-in is the IVF/LSH leg); the lexical
+    // leg ships 60-bit shingle keys through a query-side-filtered
+    // inverted join (never all-pairs — the query batch is the small
+    // side); the fusion joins two (|queries| × corpus) rank relations.
+    // Both legs round scores to 6 dp BEFORE their rank windows and break
+    // ties on cand_id, so ranks can never straddle an ulp; rrf itself is
+    // exact rational arithmetic on integer ranks, rounded at 6 dp with
+    // the same cand_id tie-break.
+    "rag_hybrid_fusion" -> { (s, d) =>
+      val b = Similarity.base(s, d) // (vec_id, e: array<double>, nrm)
+      val docsE = documents(s, d).select(col("doc_id"), col("text"))
+        .join(b.select(col("vec_id").as("doc_id"), col("e"), col("nrm")),
+          "doc_id")
+        .persist() // feeds the semantic grid AND both lexical sides
+      // semantic leg: FULL ranking of the embedded corpus per query
+      val q = docsE.where(col("doc_id") < Similarity.QuerySet)
+        .select(col("doc_id").as("q_id"), col("e").as("qe"),
+          col("nrm").as("qn"))
+      val c = docsE.select(col("doc_id").as("cand_id"), col("e").as("ce"),
+        col("nrm").as("cn"))
+      val ws = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
+      val sem = broadcast(q).join(c, col("q_id") =!= col("cand_id"))
+        .select(col("q_id"), col("cand_id"),
+          round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6)
+            .as("cos"))
+        .withColumn("r_sem", row_number().over(ws))
+        .persist() // scaffold for the lexical leg + the fusion join
+      // lexical leg: distinct-shingle Jaccard, inverted 60-bit-key join
+      val sh = shingleRows(docsE.select("doc_id", "text"))
+        .select(col("doc_id"), h60(col("sh")).as("g")).distinct()
+        .persist() // n + both sides of the intersection join
+      val n = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+      val qsh = sh.where(col("doc_id") < Similarity.QuerySet)
+        .select(col("doc_id").as("q_id"), col("g"))
+      val inter = broadcast(qsh)
+        .join(sh.select(col("doc_id").as("cand_id"), col("g")), "g")
+        .where(col("q_id") =!= col("cand_id"))
+        .groupBy("q_id", "cand_id").agg(count(lit(1)).as("ov"))
+      // rank over the FULL semantic scaffold so zero-overlap candidates
+      // still rank (jac 0); docs with < 3 tokens have no shingle rows —
+      // coalesce + the greatest() guard keep 0/0 at exactly 0
+      val jac = sem.select("q_id", "cand_id")
+        .join(inter, Seq("q_id", "cand_id"), "left")
+        .join(n.toDF("q_id", "na"), Seq("q_id"), "left")
+        .join(n.toDF("cand_id", "nb"), Seq("cand_id"), "left")
+        .select(col("q_id"), col("cand_id"),
+          round(coalesce(col("ov"), lit(0L)).cast("double") /
+            greatest(coalesce(col("na"), lit(0L)) + coalesce(col("nb"), lit(0L))
+              - coalesce(col("ov"), lit(0L)), lit(1L)), 6).as("jac"))
+      val wl = Window.partitionBy("q_id").orderBy(col("jac").desc, col("cand_id"))
+      val lex = jac.withColumn("r_lex", row_number().over(wl))
+      val wf = Window.partitionBy("q_id").orderBy(col("rrf").desc, col("cand_id"))
+      sem.select("q_id", "cand_id", "r_sem")
+        .join(lex.select("q_id", "cand_id", "r_lex"), Seq("q_id", "cand_id"))
+        .withColumn("rrf",
+          round(lit(1.0) / (lit(RrfK) + col("r_sem"))
+            + lit(1.0) / (lit(RrfK) + col("r_lex")), 6))
+        .withColumn("rnk", row_number().over(wf))
+        .where(col("rnk") <= TopK)
+        .select(col("q_id"), col("cand_id"), col("r_sem"), col("r_lex"),
+          col("rrf"), col("rnk"))
+        .orderBy("q_id", "rnk")
     }
   )
 
@@ -598,7 +670,54 @@ object Retrieval {
          |  round(CAST(count(*) - count(DISTINCT ${TextHash.h60Sql("chunk")})
          |    AS DOUBLE) / count(*), 6) AS dup_chunk_frac,
          |  round(CAST(sum(chunk_len) AS DOUBLE) / count(*), 6) AS mean_chunk_len
-         |FROM ch""".stripMargin
+         |FROM ch""".stripMargin,
+
+    "rag_hybrid_fusion" ->
+      s"""WITH b AS (SELECT vec_id, embedding AS e,
+         |    sqrt(${dotSql("embedding", "embedding", Similarity.Dim)}) AS nrm
+         |  FROM embeddings),
+         |de AS (SELECT d.doc_id, d.text, b.e, b.nrm
+         |  FROM documents d JOIN b ON d.doc_id = b.vec_id),
+         |sem AS (SELECT q.doc_id AS q_id, c.doc_id AS cand_id,
+         |    round(${dotSql("q.e", "c.e", Similarity.Dim)} / (q.nrm * c.nrm), 6) AS cos
+         |  FROM de q JOIN de c
+         |    ON q.doc_id < ${Similarity.QuerySet} AND q.doc_id <> c.doc_id),
+         |semr AS (SELECT q_id, cand_id,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id)
+         |      AS INTEGER) AS r_sem
+         |  FROM sem),
+         |tok AS (SELECT doc_id, ${toksSql("text")} AS t FROM de),
+         |shl AS (SELECT doc_id, ${shingles3Sql("t")} AS s FROM tok),
+         |e AS (SELECT doc_id,
+         |    unnest(list_distinct(list_transform(s, x -> ${h60Sql("x")}))) AS g
+         |  FROM shl),
+         |n AS (SELECT doc_id, count(*) AS nsh FROM e GROUP BY doc_id),
+         |ov AS (SELECT a.doc_id AS q_id, c.doc_id AS cand_id, count(*) AS ov
+         |  FROM e a JOIN e c ON a.g = c.g
+         |    AND a.doc_id < ${Similarity.QuerySet} AND a.doc_id <> c.doc_id
+         |  GROUP BY 1, 2),
+         |jac AS (SELECT s.q_id, s.cand_id,
+         |    round(CAST(coalesce(ov.ov, 0) AS DOUBLE)
+         |      / greatest(coalesce(nq.nsh, 0) + coalesce(nc.nsh, 0)
+         |        - coalesce(ov.ov, 0), 1), 6) AS jac
+         |  FROM semr s
+         |  LEFT JOIN ov ON ov.q_id = s.q_id AND ov.cand_id = s.cand_id
+         |  LEFT JOIN n nq ON nq.doc_id = s.q_id
+         |  LEFT JOIN n nc ON nc.doc_id = s.cand_id),
+         |lexr AS (SELECT q_id, cand_id,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY jac DESC, cand_id)
+         |      AS INTEGER) AS r_lex
+         |  FROM jac),
+         |f AS (SELECT semr.q_id, semr.cand_id, r_sem, r_lex,
+         |    round(1.0 / ($RrfK + r_sem) + 1.0 / ($RrfK + r_lex), 6) AS rrf
+         |  FROM semr JOIN lexr
+         |    ON semr.q_id = lexr.q_id AND semr.cand_id = lexr.cand_id),
+         |rk AS (SELECT q_id, cand_id, r_sem, r_lex, rrf,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, cand_id)
+         |      AS INTEGER) AS rnk
+         |  FROM f)
+         |SELECT q_id, cand_id, r_sem, r_lex, rrf, rnk FROM rk
+         |WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin
   )
 
   /** CTE list producing `ch` = (doc_id, chunk_start, chunk_len, chunk) —

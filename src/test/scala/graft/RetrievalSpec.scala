@@ -340,4 +340,39 @@ class RetrievalSpec extends SparkSpecBase {
       assert(nRel < nRanked, "tf threshold made every retrieved doc relevant")
     }
   }
+
+  test("rag_hybrid_fusion: rank laws, rrf recompute, both legs contribute") {
+    import graft.operators.Similarity
+    val rows = q("rag_hybrid_fusion").collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until Similarity.QuerySet).toSet,
+      "one block per query doc")
+    byQ.foreach { case (_, rs) =>
+      val ranked = rs.sortBy(_.getInt(5))
+      assert(ranked.map(_.getInt(5)).toSeq == (1 to ranked.length))
+      // rrf is exactly the rounded rational of the two integer ranks
+      ranked.foreach { r =>
+        val want = BigDecimal(
+          1.0 / (Retrieval.RrfK + r.getInt(2)) + 1.0 / (Retrieval.RrfK + r.getInt(3)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(r.getDouble(4) == want, s"rrf mismatch: $r")
+      }
+      // fused order is non-increasing in rrf with cand_id tiebreak
+      val pairs = ranked.map(r => (r.getDouble(4), r.getLong(1))).toSeq
+      assert(pairs.sliding(2).forall {
+        case Seq((s1, c1), (s2, c2)) => s1 > s2 || (s1 == s2 && c1 < c2)
+        case _ => true
+      })
+    }
+    // nontriviality: the fusion must not collapse to either single leg —
+    // somewhere the two legs disagree enough that the fused top-TopK set
+    // differs from the semantic-only top-TopK (else the lexical leg is
+    // dead weight and the query proves nothing)
+    val semOnly = rows.filter(r => r.getInt(2) <= 10).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fused = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fused != semOnly, "fused top-k equals the semantic leg everywhere")
+    // both legs' best candidates reach the fused list somewhere
+    assert(rows.exists(_.getInt(2) == 1), "no semantic #1 made the fused list")
+    assert(rows.exists(_.getInt(3) == 1), "no lexical #1 made the fused list")
+  }
 }
