@@ -118,7 +118,22 @@ object ScaleProbe {
       // O(len²) per doc (unfinishable on giants); the ownedPositions form
       // must hold linear. nb: the 2-pass train+score grid at 20× docs.
       "style" -> Seq("source_style_cosine"),
-      "nb" -> Seq("nb_lang_scores"))
+      "nb" -> Seq("nb_lang_scores"),
+      // fusion: both legs at 20× — the semantic brute grid over 40k
+      // vectors and the query-side-filtered shingle inverted join over
+      // 100k docs (incl. the giants on the lexical side)
+      "fusion" -> Seq("rag_hybrid_fusion"))
+
+    // SCALEPROBE_ONLY="fusion,style" probes a subset of families (the
+    // extra locally{} probes below run only on a full pass) — lets an
+    // added family be measured without re-paying the documented
+    // fixture-geometry cliff row (~390 s).
+    val only = sys.env.get("SCALEPROBE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(f) => families.filter { case (fam, _) => f(fam) }
+      case None => families
+    }
 
     println(f"SCALEPROBE mult=$mult docs=${nDocs + 3} vecs=$nVec")
     def probe(fam: String, name: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
@@ -136,8 +151,9 @@ object ScaleProbe {
       else
         println(f"PROBE $fam%-7s $name%-26s FAILED after $wall%.1fs: $err")
     }
-    for ((fam, qs) <- families; name <- qs)
+    for ((fam, qs) <- selected; name <- qs)
       probe(fam, name)(SparkEntry.queries(name)(spark, dir))
+    if (only.isEmpty) {
     // The scaling rule, applied: same banded-LSH near-dup with
     // planesPerBand sized to log2(N / 8) — the knob the fixture query's
     // cliff row above motivates.
@@ -227,6 +243,7 @@ object ScaleProbe {
         f"rows=$nIncoming kept=$kept rate=${nIncoming / wall}%8.1f rows/s")
       Graft.releaseCaches(spark)
     }
+    } // only.isEmpty gate over the extra locally{} probes
     spark.stop()
   }
 }
