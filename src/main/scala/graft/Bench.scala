@@ -96,6 +96,12 @@ object Bench {
             // session's confs, while the JVM-wide codegen cache — the
             // thing being warmed — is shared regardless.
             val ws = Graft.init(spark.newSession())
+            // Job-group tag (thread-local on the shared context): the
+            // abort path below can cancelJobGroup AFTER the pool has
+            // terminated, catching a job a surviving worker submitted
+            // after the one-shot cancelAllJobs (r10 advisory).
+            ws.sparkContext.setJobGroup("graft-warm", "bench warm pass",
+              interruptOnCancel = true)
             var next = work.poll()
             while (next != null) {
               try next._2(ws, warmDir)
@@ -129,6 +135,12 @@ object Bench {
         if (!pool.awaitTermination(5, java.util.concurrent.TimeUnit.MINUTES))
           System.err.println("[bench] WARNING: warm worker still running " +
             "after 5 min — timed results may be contaminated")
+        // Close the residual race: a worker that polled an item just
+        // before work.clear() can submit its job after the one-shot
+        // cancelAllJobs and then exit (so awaitTermination won't flag
+        // it) — every warm job carries the graft-warm group, so this
+        // second cancel issued AFTER the pool settled reaps it.
+        spark.sparkContext.cancelJobGroup("graft-warm")
       }
       Graft.releaseCaches(spark)
       // belt-and-suspenders: assert the timed session's confs are what

@@ -130,6 +130,17 @@ object ScaleProbe {
     // fixture-geometry cliff row (~390 s).
     val only = sys.env.get("SCALEPROBE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Fail loudly on a misspelled/empty selection: a silent zero-family
+    // probe prints the header, probes nothing and exits 0 — a run that
+    // LOOKS successful while measuring nothing (r10 advisory).
+    only.foreach { f =>
+      val known = families.map(_._1).toSet
+      val unknown = f -- known
+      require(f.nonEmpty, "SCALEPROBE_ONLY is set but names no families")
+      require(unknown.isEmpty,
+        s"SCALEPROBE_ONLY names unknown families: ${unknown.mkString(",")} " +
+          s"(known: ${known.toSeq.sorted.mkString(",")})")
+    }
     val selected = only match {
       case Some(f) => families.filter { case (fam, _) => f(fam) }
       case None => families

@@ -45,7 +45,10 @@ object Retrieval {
     * expression tree.
     */
   private val QueryTerms = Seq("join", "vector", "scan", "filter")
-  private val TopK = 10
+  // private[graft]: RetrievalSpec's fused-vs-semantic-leg nontriviality
+  // check compares against this same cutoff (a drifted literal there would
+  // make the check vacuous — r10 advisory)
+  private[graft] val TopK = 10
   /** Retrieval-eval list depth and binary-relevance tf threshold. */
   private val EvalK = 100
   /** Cutoff for retrieval_ndcg. */

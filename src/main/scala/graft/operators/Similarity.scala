@@ -157,9 +157,17 @@ object Similarity {
     */
   def planesForCorpus(n: Long, targetBucket: Long = 8L): Int = {
     require(n > 0 && targetBucket > 0, s"need positive sizes: n=$n bucket=$targetBucket")
-    val bits = math.ceil(math.log(math.max(2.0, n.toDouble / targetBucket))
-      / math.log(2.0)).toInt
-    math.max(1, math.min(62, bits))
+    // Integer-exact form of ceil(log2(max(2, n/targetBucket))) clamped to
+    // [1, 62]: the smallest b >= 1 with targetBucket * 2^b >= n. Same law
+    // as the float version at every input (ceil(log2(ceil(x))) ==
+    // ceil(log2(x)) for x > 1 since the bracketing powers of 2 are
+    // integers) but with no log-of-a-power-of-two rounding hazard — the
+    // DuckDB oracle of the sized queries replicates this exact loop as
+    // list_min(list_filter(range(1, 63), b -> (1 << b) >= q)).
+    val q = (n - 1) / targetBucket + 1 // ceil(n / targetBucket), no overflow
+    var b = 1
+    while (b < 62 && (1L << b) < q) b += 1
+    b
   }
 
   // ------------------------------------------------------------------

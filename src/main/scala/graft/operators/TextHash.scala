@@ -19,14 +19,6 @@ object TextHash {
   /** Mersenne prime 2^31-1; modulus for minhash permutations. */
   val P = 2147483647L
 
-  /** 60-bit hash of a string: first 15 hex chars of md5, parsed base-16.
-    * DuckDB equivalent: CAST(('0x' || substr(md5(x),1,15)) AS BIGINT).
-    * Implemented as the single codegen'd [[graft.functions.Md5Hash60]]
-    * expression (registered by Graft.init) — bit-identical to the composed
-    * `conv(substring(md5(c), 1, 15), 16, 10)` but without the per-row hex
-    * materialization + base-16 reparse (~0.55 s / 1.45M rows recovered;
-    * Md5Hash60Spec proves value equality including NULL and "").
-    */
   /** Self-registering safety net: h60/dot resolve through the session
     * function registry (call_function), so a library caller composing
     * e.g. Dedup.signatureIndex on a session that never saw Graft.init
@@ -43,6 +35,14 @@ object TextHash {
         graft.Graft.init(s)
     }
 
+  /** 60-bit hash of a string: first 15 hex chars of md5, parsed base-16.
+    * DuckDB equivalent: CAST(('0x' || substr(md5(x),1,15)) AS BIGINT).
+    * Implemented as the single codegen'd [[graft.functions.Md5Hash60]]
+    * expression (registered by Graft.init) — bit-identical to the composed
+    * `conv(substring(md5(c), 1, 15), 16, 10)` but without the per-row hex
+    * materialization + base-16 reparse (~0.55 s / 1.45M rows recovered;
+    * Md5Hash60Spec proves value equality including NULL and "").
+    */
   def h60(c: Column): Column = {
     ensureInit()
     call_function("graft_h60", c)

@@ -368,7 +368,8 @@ class RetrievalSpec extends SparkSpecBase {
     // somewhere the two legs disagree enough that the fused top-TopK set
     // differs from the semantic-only top-TopK (else the lexical leg is
     // dead weight and the query proves nothing)
-    val semOnly = rows.filter(r => r.getInt(2) <= 10).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val semOnly = rows.filter(r => r.getInt(2) <= Retrieval.TopK)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
     val fused = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(fused != semOnly, "fused top-k equals the semantic leg everywhere")
     // both legs' best candidates reach the fused list somewhere
