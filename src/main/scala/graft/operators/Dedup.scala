@@ -444,6 +444,20 @@ object Dedup {
       embeddingCosineLsh(s, d).orderBy("vec_a", "vec_b")
     },
 
+    // The SIZED production path end-to-end: [[embeddingCosineLshSized]]
+    // with band-key width DERIVED from the measured corpus size — the
+    // geometry a 100 TB caller ships (the pinned query above keeps the
+    // 4-bit fixture bands for oracle continuity; SCALEPROBE documents
+    // their 40k-vector cliff). DuckDB-oracled at both SFs (r10 verdict
+    // #2): sf0.01 derives 6-bit bands, sf0.1 derives 8-bit — widths no
+    // pinned query exercises. Precision is structural either way (exact
+    // cosine verify); the derived width only moves recall/candidate cost.
+    "dedup_embedding_cosine_sized" -> { (s, d) =>
+      val vecs = Similarity.base(s, d).select(col("vec_id"), col("e"))
+      embeddingCosineLshSized(vecs, embeddings(s, d).count())
+        .orderBy("vec_a", "vec_b")
+    },
+
     // Segment-grain dedup WITH document reconstruction (the RefinedWeb /
     // CCNet "remove duplicated paragraphs, keep the remainder" move —
     // paragraph grain stands in as fixed 20-token segments on this flat
@@ -851,6 +865,28 @@ object Dedup {
          |FROM keys ka JOIN keys kb ON ka.vec_id < kb.vec_id AND ($bandEq)
          | JOIN base a ON a.vec_id = ka.vec_id
          | JOIN base b ON b.vec_id = kb.vec_id
+         |WHERE round(${dotSql("a.e", "b.e", 64)} / (a.nrm * b.nrm), 6) >= $CosThreshold
+         |ORDER BY vec_a, vec_b""".stripMargin
+    },
+
+    "dedup_embedding_cosine_sized" -> {
+      val flat = Similarity.pairPlanesFor(Similarity.PairBands,
+        Similarity.OraclePlanesCap)
+      s"""WITH ${Similarity.sizedPbCteSql},
+         |pl AS (SELECT ${Similarity.planesSqlLit(flat)} AS p),
+         |base AS (SELECT vec_id, embedding AS e,
+         |  sqrt(${dotSql("embedding", "embedding", 64)}) AS nrm FROM embeddings),
+         |bk AS (SELECT vec_id, t.b AS band,
+         |  ${Similarity.sizedKeySql("e", "CAST(t.b AS INTEGER) * par.pb", "par.pb")} AS key
+         |  FROM base, par, pl,
+         |    (SELECT unnest(range(0, ${Similarity.PairBands})) AS b) t),
+         |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |  FROM bk x JOIN bk y
+         |    ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id)
+         |SELECT vec_a, vec_b,
+         |  round(${dotSql("a.e", "b.e", 64)} / (a.nrm * b.nrm), 6) AS cos
+         |FROM cand JOIN base a ON vec_a = a.vec_id
+         |  JOIN base b ON vec_b = b.vec_id
          |WHERE round(${dotSql("a.e", "b.e", 64)} / (a.nrm * b.nrm), 6) >= $CosThreshold
          |ORDER BY vec_a, vec_b""".stripMargin
     },

@@ -170,6 +170,51 @@ object Similarity {
     b
   }
 
+  /** Plane cap for the SIZED-geometry oracles (`ann_knn_graph_sized`,
+    * `dedup_embedding_cosine_sized`): their static SQL embeds this many
+    * planes (per band, for the pair query), so the data-driven
+    * pb = planesForCorpus(count(*)) law replays up to corpora of
+    * 8 * 2^OraclePlanesCap = 8192 vectors — both fixture SFs (500 -> 6
+    * bits, 2000 -> 8 bits) with headroom. Beyond the cap the oracle
+    * THROWS (DuckDB error()) instead of silently indexing planes out of
+    * range; the ENGINE has no such cap (planesForCorpus clamps at 62).
+    */
+  val OraclePlanesCap = 10
+
+  /** CTE (no WITH) computing `par(pb)` = planesForCorpus(count(*)) of the
+    * embeddings relation in DuckDB — the integer law replicated verbatim:
+    * smallest b in [1, 62] with 2^b >= ceil(n / 8), capped loudly.
+    */
+  private[operators] def sizedPbCteSql: String =
+    s"""par AS (
+       |  SELECT CASE WHEN pb > $OraclePlanesCap
+       |    THEN CAST(error('corpus exceeds sized-oracle plane cap') AS INT)
+       |    ELSE pb END AS pb
+       |  FROM (SELECT CAST(COALESCE(list_min(list_filter(range(1, 63),
+       |      b -> (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) >= (count(*) + 7) // 8)),
+       |    62) AS INT) AS pb FROM embeddings))""".stripMargin
+
+  /** Flat list-of-lists SQL literal for a plane (or any double-matrix)
+    * set — embedded ONCE and indexed by the data-driven geometry, unlike
+    * the fixture oracles' per-plane unrolled dot products.
+    */
+  private[operators] def planesSqlLit(ps: Array[Array[Double]]): String =
+    ps.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+
+  /** DuckDB expression for the low-`pbExpr`-bit sign key of `e` over the
+    * flat plane list `p` starting at plane offset `offExpr` (0-based):
+    * bit j = sign of dot(e, p[off + j]), matching [[pairBandKeyOf]] /
+    * [[bucketOf]] bit-for-bit (list_sum(list_transform(...)) is the same
+    * left-to-right double fold as graft_dot — the dotSql contract).
+    */
+  private[operators] def sizedKeySql(e: String, offExpr: String,
+                                     pbExpr: String): String =
+    s"""list_sum(list_transform(range(0, $pbExpr), j ->
+       |    CASE WHEN list_sum(list_transform(range(1, ${Dim + 1}),
+       |        i -> CAST($e[i] AS DOUBLE) * pl.p[$offExpr + CAST(j AS INTEGER) + 1][i])) >= 0.0
+       |      THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+       |      ELSE CAST(0 AS BIGINT) END))""".stripMargin
+
   // ------------------------------------------------------------------
   // Banded hyperplane geometry for pairwise near-dup candidate generation
   // (Dedup.dedup_embedding_cosine). Minhash-style banding over sign bits:
@@ -725,6 +770,20 @@ object Similarity {
     // the N² cliff; per-node top-k rides the GroupTopK rewrite).
     "ann_knn_graph" -> { (s, d) =>
       knnGraph(s, d).orderBy("q_id", "rnk")
+    },
+
+    // The SIZED kNN graph — [[knnGraphSized]] end-to-end with the bucket
+    // width DERIVED from the measured corpus size (planesForCorpus), so
+    // the production-default geometry path is DuckDB-oracled, not just
+    // spec-locked (r10 verdict #2). At sf0.01 (500 vectors) the law lands
+    // on the fixture's 6 bits; at sf0.1 (2000) it derives 8 — a geometry
+    // no pinned query exercises. The oracle replays the same law from
+    // count(*) against a flat plane-literal prefix (planesFor's sequential
+    // draws make width growth append-only).
+    "ann_knn_graph_sized" -> { (s, d) =>
+      val b = base(s, d).select(col("vec_id"), col("e"))
+      knnGraphSized(b, graft.Tables.embeddings(s, d).count())
+        .orderBy("q_id", "rnk")
     },
 
     // Mutual-kNN pruning of that graph: keep (a,b) only when each is in
@@ -1608,6 +1667,24 @@ object Similarity {
 
     "ann_knn_graph" ->
       s"""$knnGraphSqlCtes
+         |SELECT q_id, cand_id, cos, rnk FROM r WHERE rnk <= $K
+         |ORDER BY q_id, rnk""".stripMargin,
+
+    "ann_knn_graph_sized" ->
+      s"""WITH $sizedPbCteSql,
+         |pl AS (SELECT ${planesSqlLit(planesFor(OraclePlanesCap))} AS p),
+         |base AS (SELECT vec_id, embedding AS e,
+         |  sqrt(${dotSql("embedding", "embedding", Dim)}) AS nrm FROM embeddings),
+         |b2 AS (SELECT vec_id, e, nrm,
+         |  ${sizedKeySql("e", "0", "par.pb")} AS bkt
+         |  FROM base, par, pl),
+         |p AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+         |  round(${dotSql("q.e", "c.e", Dim)} / (q.nrm * c.nrm), 6) AS cos
+         |  FROM b2 q JOIN b2 c ON q.bkt = c.bkt AND q.vec_id <> c.vec_id),
+         |r AS (SELECT q_id, cand_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, cand_id) AS INTEGER) AS rnk
+         |  FROM p)
          |SELECT q_id, cand_id, cos, rnk FROM r WHERE rnk <= $K
          |ORDER BY q_id, rnk""".stripMargin,
 

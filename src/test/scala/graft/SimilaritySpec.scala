@@ -371,6 +371,15 @@ class SimilaritySpec extends SparkSpecBase {
     // 1-vector bucket target hit the 62-bit Long-key ceiling
     assert(Similarity.planesForCorpus(1L) === 1)
     assert(Similarity.planesForCorpus(Long.MaxValue, targetBucket = 1L) === 62)
+    // integer-law boundaries (the float form's power-of-two hazard): exact
+    // bucket*2^b corpora stay at b; one vector more steps to b+1. The r11
+    // sized-query oracles replicate this exact law in SQL from count(*).
+    assert(Similarity.planesForCorpus(512L) === 6)   // 8 * 2^6 exactly
+    assert(Similarity.planesForCorpus(513L) === 7)
+    assert(Similarity.planesForCorpus(16L) === 1)    // 8 * 2^1 exactly
+    assert(Similarity.planesForCorpus(17L) === 2)
+    // the two fixture SFs the sized oracles replay the law at
+    assert(Similarity.planesForCorpus(2000L) === 8)
     // hint-derived geometry IS the explicit geometry (the overload may
     // never drift from the rule it cites)
     val vecsDf = Tables.embeddings(spark, sfDir)
