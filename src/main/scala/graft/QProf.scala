@@ -1,10 +1,14 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Scratch profiler — current target: profile_orders' Expand x6
-  * multi-distinct vs a per-column union of tiny single-column aggregates.
+/** Scratch profiler — current target: the r11 additions' floors.
+  * Separates one-time plan/codegen cost from steady-state execution by
+  * running each query cold, then repeatedly in the same session (the
+  * bench's per-query discipline releases caches between runs, mirrored
+  * here), so a floor dominated by Janino compilation of a geometry the
+  * sf0.001 warm pass never sees (the SIZED queries build a different
+  * plan per corpus size) shows up as cold >> warm.
   */
 object QProf {
   def main(args: Array[String]): Unit = {
@@ -15,63 +19,30 @@ object QProf {
     spark.sparkContext.setLogLevel("WARN")
     Graft.init(spark)
 
-    // mirror of Profile.ordersCols rendering (strings pass through; the
-    // decimal/date columns render to comparable strings there — for the
-    // A/B only wall time matters, equality is checked on the real path)
-    val df0 = Tables.orders(spark, dir)
-
-    def asIs(): DataFrame = SparkEntry.queries("profile_orders")(spark, dir)
-
-    def perCol(): DataFrame = {
-      val colsQ = df0.columns.toSeq
-      val nRows = df0.agg(count(lit(1)).as("n_rows"))
-      colsQ.map { n =>
-        df0.select(col(n)).groupBy(col(n)).agg(count(lit(1)).as("_c"))
-          .agg(
-            sum(when(col(n).isNull, col("_c")).otherwise(0L)).as("n_nulls"),
-            count(when(col(n).isNotNull, lit(1))).as("n_distinct"),
-            min(col(n)).cast("string").as("min_val"),
-            max(col(n)).cast("string").as("max_val"))
-          .select(lit(n).as("col_name"), col("n_nulls"), col("n_distinct"),
-            col("min_val"), col("max_val"))
-      }.reduce(_ unionByName _)
-        .crossJoin(broadcast(nRows))
-        .orderBy("col_name")
-    }
-
     def time(label: String)(f: => DataFrame): Unit = {
-      f.write.format("noop").mode("overwrite").save()
-      for (_ <- 1 to 3) {
+      for (i <- 1 to 4) {
         val t0 = System.nanoTime()
         f.write.format("noop").mode("overwrite").save()
-        println(f"$label%-12s ${(System.nanoTime() - t0) / 1e9}%6.2fs")
+        Graft.releaseCaches(spark)
+        println(f"$label%-32s run$i ${(System.nanoTime() - t0) / 1e9}%6.2fs")
       }
     }
-    time("asIs")(asIs())
-    time("perCol")(perCol())
-
-    // wn_fingerprints: Expand x2 multi-distinct vs distinct-first.
-    // Selection emits exactly ONE (gpos, fph) per (doc_id, gi) — so
-    // distinct triples == distinct (doc_id, gi) grain, and n_windows
-    // over the deduped triples is a plain count.
-    locally {
-      import graft.operators.Winnow
-      val docs = Tables.documents(spark, dir).select("doc_id", "text")
-      def asIsWn() = SparkEntry.queries("wn_fingerprints")(spark, dir)
-      def distinctFirst() = {
-        val tri = Winnow.globalSelections(docs).distinct()
-        tri.groupBy("doc_id")
-          .agg(count(lit(1)).as("n_windows"),
-            countDistinct(col("gpos"), col("fph")).as("n_fp"))
-          .withColumn("density",
-            round(col("n_fp").cast("double") / col("n_windows").cast("double"), 6))
-          .orderBy("doc_id")
+    for (q <- Seq("dedup_embedding_cosine_sized", "minhash_recall_frontier",
+        "ann_knn_graph_sized"))
+      time(q)(SparkEntry.queries(q)(spark, dir))
+    // decompose: build+analyze+optimize vs execute
+    for (q <- Seq("dedup_embedding_cosine_sized", "minhash_recall_frontier")) {
+      for (i <- 1 to 3) {
+        val t0 = System.nanoTime()
+        val df = SparkEntry.queries(q)(spark, dir)
+        val t1 = System.nanoTime()
+        df.queryExecution.executedPlan // force analysis + optimization
+        val t2 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        val t3 = System.nanoTime()
+        Graft.releaseCaches(spark)
+        println(f"$q%-32s i$i build=${(t1 - t0) / 1e9}%5.2fs plan=${(t2 - t1) / 1e9}%5.2fs exec=${(t3 - t2) / 1e9}%5.2fs")
       }
-      time("wn asIs")(asIsWn())
-      time("wn distFirst")(distinctFirst())
-      val a = asIsWn().collect().map(_.toString).sorted
-      val b = distinctFirst().collect().map(_.toString).sorted
-      println(s"WN EQUAL=${a.sameElements(b)}")
     }
     spark.stop()
   }

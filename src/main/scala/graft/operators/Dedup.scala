@@ -32,9 +32,30 @@ object Dedup {
 
   // MinHash geometry: 32 permutations in 8 bands of 4 rows. With the
   // planted fixture dups at J~0.98, P(collision) ~ 1; at J=0.5 ~ 0.4.
+  // ADOPTED from the measured (bands, rows) frontier — the oracled
+  // `minhash_recall_frontier` rows are the recorded evidence (r11):
+  // (8, 4) reaches recall 1.0 vs the exact J >= 0.5 truth at BOTH SFs
+  // with near-perfect candidate precision (sf0.1: 257 candidates / 256
+  // truth pairs = 0.996; sf0.01: 25/25 = 1.0), while the 2-row
+  // geometries flood candidate generation for the same recall
+  // ((16, 2): 2,280 candidates = 0.112 precision; (8, 2): 1,360 =
+  // 0.188) and the strict geometries shed borderline-J truth
+  // ((4, 8): recall 0.992; (2, 16): 0.836). (4, 4) also hits 256/256
+  // at sf0.1 but with half the band margin against per-band unlucky
+  // permutations at lower J — (8, 4) keeps the margin at equal hash
+  // budget.
   private val NumHashes = 32
   private val Bands = 8
   private val Rows = NumHashes / Bands
+
+  /** (bands, rows-per-band) operating points `minhash_recall_frontier`
+    * measures, all reading PREFIXES of the one 32-component signature
+    * relation (band b under (bands, rows) = components [b*rows,
+    * (b+1)*rows)): the three 32-hash geometries around the default plus
+    * the 16-hash halves and the strict 2x16 corner.
+    */
+  val MinhashFrontierGrid: Seq[(Int, Int)] =
+    Seq((2, 16), (4, 4), (4, 8), (8, 2), (8, 4), (16, 2))
   // Permutation coefficients must be LARGE so a*h wraps around mod P —
   // small multipliers leave (a*h+b) monotone in h and every component
   // collapses to the set's global min-hash (caught by DedupSpec's exact-
@@ -576,6 +597,65 @@ object Dedup {
         .select(col("n_candidates"), col("n_truth"), col("n_tp"),
           round(col("n_tp").cast("double") / col("n_candidates"), 6).as("precision"),
           round(col("n_tp").cast("double") / col("n_truth"), 6).as("recall"))
+    },
+
+    // The (bands, rows) FRONTIER behind that one-point audit: raw banded
+    // candidate volume + precision/recall vs the same exact J >= 0.5
+    // truth at six geometries, all derived from ONE 32-component
+    // signature relation (band b under (bands, rows) reads components
+    // [b*rows, (b+1)*rows), so every geometry is a prefix regrouping —
+    // the signatures are computed once, never re-hashed). This is the
+    // measurement that justifies the production default (8, 4): rows
+    // control the candidate-volume/recall trade (P(band match) = J^rows),
+    // bands buy recall back linearly in index size. The keyed explode is
+    // sum(bands) rows per doc; candidate generation stays the banded
+    // equi-join — never all-pairs — per geometry.
+    "minhash_recall_frontier" -> { (s, d) =>
+      val docs = documents(s, d).select("doc_id", "text")
+      val sig = signaturesFor(docs).persist()
+      val keyed = sig.select(col("doc_id"), explode(array(
+        MinhashFrontierGrid.zipWithIndex.flatMap { case ((bb, rr), gi) =>
+          (0 until bb).map { b =>
+            struct(lit(gi).as("g"), lit(b).as("band"),
+              concat_ws(",",
+                (b * rr until (b + 1) * rr).map(j => col(s"s$j")): _*).as("key"))
+          }
+        }: _*)).as("e"))
+        .select(col("doc_id"), col("e.g").as("g"),
+          col("e.band").as("band"), col("e.key").as("key"))
+      val cand = keyed.as("x")
+        .join(keyed.as("y"),
+          col("x.g") === col("y.g") && col("x.band") === col("y.band") &&
+            col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.g").as("g"),
+          col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct().persist()
+      val truth = ngramJaccardPairs(docs, 0.5, dfCap = None)
+        .select("doc_a", "doc_b")
+      val nc = cand.groupBy("g").agg(count(lit(1)).as("n_candidates"))
+      val tp = cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+        .groupBy("g").agg(count(lit(1)).as("n_tp"))
+      val nt = truth.agg(count(lit(1)).as("n_truth"))
+      val meta = s.range(1).select(explode(array(
+        MinhashFrontierGrid.zipWithIndex.map { case ((bb, rr), gi) =>
+          struct(lit(gi).as("g"), lit(bb).as("bands"),
+            lit(rr).as("rows_per_band")) }: _*)).as("m"))
+        .select(col("m.g").as("g"), col("m.bands").as("bands"),
+          col("m.rows_per_band").as("rows_per_band"))
+      meta.join(nc, Seq("g"), "left").join(tp, Seq("g"), "left")
+        .crossJoin(nt) // 1-row aggregate — broadcast, not a data product
+        .select(col("bands"), col("rows_per_band"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          col("n_truth"),
+          coalesce(col("n_tp"), lit(0L)).as("n_tp"),
+          // divide by the PRE-coalesce count: a candidate-free geometry
+          // reports NULL precision (matching the oracle's NULLIF), never
+          // a NaN that would diverge between engines
+          round(coalesce(col("n_tp"), lit(0L)).cast("double") /
+            col("n_candidates"), 6).as("precision"),
+          round(coalesce(col("n_tp"), lit(0L)).cast("double") /
+            col("n_truth"), 6).as("recall"))
+        .orderBy("bands", "rows_per_band")
     }
   )
 
@@ -987,7 +1067,44 @@ object Dedup {
          |    sum(CASE WHEN c THEN 1 ELSE 0 END), 6) AS precision,
          |  round(CAST(sum(CASE WHEN c AND t THEN 1 ELSE 0 END) AS DOUBLE) /
          |    sum(CASE WHEN t THEN 1 ELSE 0 END), 6) AS recall
-         |FROM j""".stripMargin
+         |FROM j""".stripMargin,
+
+    "minhash_recall_frontier" -> {
+      def bandEqFor(bb: Int, rr: Int): String =
+        (0 until bb).map { b =>
+          "(" + (0 until rr).map(r => s"a.s${b * rr + r} = b.s${b * rr + r}")
+            .mkString(" AND ") + ")"
+        }.mkString(" OR ")
+      val candCtes = MinhashFrontierGrid.zipWithIndex.map { case ((bb, rr), gi) =>
+        s"""c$gi AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (${bandEqFor(bb, rr)}))""".stripMargin
+      }.mkString(",\n")
+      val arms = MinhashFrontierGrid.zipWithIndex.map { case ((bb, rr), gi) =>
+        s"""SELECT $bb AS bands, $rr AS rows_per_band,
+           |  (SELECT count(*) FROM c$gi) AS n_candidates,
+           |  (SELECT count(*) FROM tr) AS n_truth,
+           |  (SELECT count(*) FROM c$gi JOIN tr USING (doc_a, doc_b)) AS n_tp,
+           |  round(CAST((SELECT count(*) FROM c$gi JOIN tr USING (doc_a, doc_b)) AS DOUBLE)
+           |    / NULLIF((SELECT count(*) FROM c$gi), 0), 6) AS precision,
+           |  round(CAST((SELECT count(*) FROM c$gi JOIN tr USING (doc_a, doc_b)) AS DOUBLE)
+           |    / (SELECT count(*) FROM tr), 6) AS recall""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""$sigSqlCte,
+         |e2 AS (SELECT doc_id,
+         |    unnest(list_distinct(list_transform(${shingles3Sql("t")},
+         |      x -> ${h60Sql("x")}))) AS g
+         |  FROM tok),
+         |n2 AS (SELECT doc_id, count(*) AS nsh FROM e2 GROUP BY doc_id),
+         |p2 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |      FROM e2 a JOIN e2 b ON a.g = b.g AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2),
+         |tr AS (SELECT doc_a, doc_b
+         |  FROM p2 JOIN n2 x ON doc_a = x.doc_id JOIN n2 y ON doc_b = y.doc_id
+         |  WHERE CAST(inter AS DOUBLE) / (x.nsh + y.nsh - inter) >= 0.5),
+         |$candCtes
+         |SELECT * FROM ($arms)
+         |ORDER BY bands, rows_per_band""".stripMargin
+    }
   )
 
   /** Shared oracle CTE: fixed-SegLen-token segments of every document plus

@@ -332,6 +332,34 @@ class DedupSpec extends SparkSpecBase {
     assert(mh.contains((1L, 2L)))
   }
 
+  test("minhash_recall_frontier: frontier laws hold and the default point dominates") {
+    val rows = Dedup.queries("minhash_recall_frontier")(spark, sfDir).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) Double.NaN else r.getDouble(5), r.getDouble(6))))
+      .toMap
+    val nVerified = Dedup.queries("dedup_minhash_pairs")(spark, sfDir).count()
+    Graft.releaseCaches(spark)
+    assert(rows.keySet === Dedup.MinhashFrontierGrid.toSet)
+    val truths = rows.values.map(_._2).toSet
+    assert(truths.size === 1, "n_truth is geometry-independent")
+    rows.foreach { case ((bb, rr), (cand, truth, tp, prec, rec)) =>
+      assert(tp <= math.min(cand, truth), s"($bb,$rr): tp bound")
+      if (cand > 0) assert(math.abs(prec - tp.toDouble / cand) < 1e-6)
+      assert(math.abs(rec - tp.toDouble / truth) < 1e-6)
+    }
+    // more rows per band at equal bands can only SHED candidates (a
+    // (b, 2r)-band match implies both (b, r) halves match... not in our
+    // grouping — but P(match) = J^rows falls monotonically and the
+    // planted corpus follows it): check the measured monotonicity
+    for (bb <- Seq(4, 8); Seq(lo, hi) = Seq(2, 4, 8, 16).filter(r => rows.contains((bb, r))))
+      assert(rows((bb, hi))._1 <= rows((bb, lo))._1,
+        s"bands=$bb: rows=$hi generated MORE candidates than rows=$lo")
+    // the production default's raw candidates cover its verified output
+    assert(nVerified <= rows((Dedup.MinhashFrontierGrid.find(_ == (8, 4)).get))._1,
+      "verified est>=0.5 pairs exceed the (8,4) raw candidate count")
+  }
+
   test("segment rewrite: planted-overlap adversary corpus") {
     import spark.implicits._
     // 20-token segments built from unique markers; seg(x) repeats marker x.
