@@ -363,14 +363,22 @@ object Learn {
       .select(col("cls"),
         round(log(lit(1L).cast("double") /
           (col("n_c") + col("v")).cast("double")), 6).as("lpu"))
+    // (doc, tok) COUNT grain before the ×|classes| fan-out: summing cnt
+    // copies of a decimal lp equals cnt × lp exactly (decimal × integer
+    // is exact; |lp| ≤ ~20 and cnt ≤ doc length keep 18,6 in range), so
+    // the class joins and the (doc, cls) aggregate see the distinct-token
+    // relation (sf0.1: 116k rows vs 270k occurrences — measured EQUAL
+    // output, ~0.4 s faster steady / 3× faster cold, BASELINE.md r11).
     docs.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tcnt"))
       .crossJoin(broadcast(m.pri.select("cls")))
       .join(broadcast(lp), Seq("cls", "tok"), "left")
       .join(broadcast(lpu), Seq("cls"))
       .select(col("doc_id"), col("cls"),
-        coalesce(col("lp"), col("lpu")).as("lp"))
+        (coalesce(col("lp"), col("lpu")).cast(DecimalType(18, 6)) *
+          col("tcnt")).as("lpc"))
       .groupBy("doc_id", "cls")
-      .agg(sum(col("lp").cast(DecimalType(18, 6))).as("s"))
+      .agg(sum(col("lpc")).as("s"))
       .join(broadcast(m.pri), "cls")
       .select(col("doc_id"), col("cls"),
         (col("s") + col("lp_prior").cast(DecimalType(18, 6))).cast("double")
