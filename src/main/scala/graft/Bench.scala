@@ -18,6 +18,14 @@ object Bench {
     // window, join, custom expressions) so the timed loop measures plans,
     // not infrastructure.
     Graft.init(spark)
+    // ambient load BEFORE any of our own work: the quiesce below waits
+    // for the 1-min average to decay back toward this, not toward an
+    // unreachable zero on a shared box
+    def loadavg1(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val ambientLoad = loadavg1()
     spark.range(1000).selectExpr("sum(id)").collect()
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "documents", "embeddings").foreach { t =>
@@ -81,11 +89,12 @@ object Bench {
       // tiny; the timed loop's no-cross-query-cache invariant is
       // guaranteed by this trailing release plus the per-query releases
       // below).
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      val warmWidth = sys.env.getOrElse("SPARK_GRAFT_WARM_WIDTH", "8").toInt
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(warmWidth)
       val work = new java.util.concurrent.ConcurrentLinkedQueue[
         (String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]()
       selected.toSeq.sortBy(_._1).foreach(work.add)
-      val tasks = (1 to 8).map { _ =>
+      val tasks = (1 to warmWidth).map { _ =>
         pool.submit(new Runnable {
           def run(): Unit = {
             // ISOLATED session per worker: session-scoped conf
@@ -143,10 +152,55 @@ object Bench {
         spark.sparkContext.cancelJobGroup("graft-warm")
       }
       Graft.releaseCaches(spark)
+      // SIZED-geometry codegen warm: the sized queries' plan shape
+      // depends on the BENCH corpus size (pb = planesForCorpus(n)), which
+      // the sf0.001 warm pass never compiles (it derives its own tiny
+      // pb). Derive pb from the bench dir's row COUNT — the untimed
+      // header warm-up already counts every sfDir table; no sfDir DATA
+      // or results are touched — and compile the same plan shape against
+      // warmDir vectors (codegen keys on schema+operators, not paths).
+      locally {
+        try {
+          val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+          val pb = graft.operators.Similarity.planesForCorpus(n)
+          val wv = spark.read.parquet(s"$warmDir/embeddings.parquet")
+            .select(org.apache.spark.sql.functions.col("vec_id"),
+              org.apache.spark.sql.functions
+                .expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("e"))
+          graft.operators.Dedup.embeddingCosineLshOn(wv, planesPerBand = pb)
+            .write.format("noop").mode("overwrite").save()
+          graft.operators.Similarity.knnGraphOn(wv, numPlanes = pb)
+            .write.format("noop").mode("overwrite").save()
+        } catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] sized warm skipped: ${e.getMessage}")
+        }
+        Graft.releaseCaches(spark)
+      }
       // belt-and-suspenders: assert the timed session's confs are what
       // the builder set, whatever the warm pass did
       spark.conf.set("spark.sql.shuffle.partitions", cpus)
       spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      // Post-warm QUIESCE (untimed, bounded): the warm pool leaves an
+      // echo — JIT C2 backlog, ContextCleaner/BlockManager async cleanup
+      // of warm shuffle+broadcast state, and a heap of warm garbage —
+      // that r9/r10 runs measured as 2-2.5x inflation on early-alphabet
+      // timed queries, decaying to floor mid-run. Collect the warm
+      // garbage once, then wait (<= SPARK_GRAFT_QUIESCE_MS budget,
+      // default 60 s; 0 disables) for the 1-min loadavg to decay back
+      // toward the pre-warm ambient (the instantaneous runnable count
+      // settles within a second — measured — so the slow-decaying
+      // average is what the early-alphabet queries actually contend
+      // with on a shared box reading load-based schedulers).
+      val quiesceMs = sys.env.getOrElse("SPARK_GRAFT_QUIESCE_MS", "60000").toLong
+      if (quiesceMs > 0) {
+        System.gc()
+        val target = math.max(4.0, ambientLoad + 1.0)
+        val t0 = System.currentTimeMillis()
+        while (System.currentTimeMillis() - t0 < quiesceMs && loadavg1() > target)
+          Thread.sleep(1000)
+        System.err.println(s"[bench] quiesce: ${System.currentTimeMillis() - t0} ms, " +
+          s"ambient=$ambientLoad load=${loadavg1()}")
+      }
     }
     // ambient container load self-attribution: this box runs other tenants,
     // and load 3-4 has inflated random queries 3-10x in past rounds. A

@@ -97,10 +97,15 @@ object ScaleProbe {
 
     val families = Seq(
       "dedup" -> Seq("dedup_exact", "dedup_minhash_pairs", "dedup_simhash",
-        "dedup_jaccard_prefix", "dedup_embedding_cosine"),
+        "dedup_jaccard_prefix", "dedup_embedding_cosine_sized"),
+      // the fixture-geometry LSH row is its OWN family: its 40k-vector
+      // quadratic candidate cliff is the DOCUMENTED contrast row
+      // (SCALEPROBE.md r9), so a 50x dedup sweep can skip re-paying it
+      // while the full pass keeps recording it
+      "dedup_pinned" -> Seq("dedup_embedding_cosine"),
       "winnow" -> Seq("wn_fingerprints", "wn_overlap_pairs"),
       "ann" -> Seq("ann_cosine_topk", "ann_lsh_multiprobe_topk"),
-      "cc" -> Seq("ann_knn_components"),
+      "cc" -> Seq("ann_knn_components", "ann_knn_graph_sized"),
       "bm25" -> Seq("bm25_topk"),
       "text" -> Seq("text_stats"),
       // r10 additions — the families the r9 probe skipped (r9 verdict #2)
@@ -122,10 +127,16 @@ object ScaleProbe {
       // fusion: both legs at 20× — the semantic brute grid over 40k
       // vectors and the query-side-filtered shingle inverted join over
       // 100k docs (incl. the giants on the lexical side)
-      "fusion" -> Seq("rag_hybrid_fusion"))
+      "fusion" -> Seq("rag_hybrid_fusion"),
+      "frontier" -> Seq("minhash_recall_frontier"))
 
-    // SCALEPROBE_ONLY="fusion,style" probes a subset of families (the
-    // extra locally{} probes below run only on a full pass) — lets an
+    // Names of the extra composed probes below (not SparkEntry queries) —
+    // selectable through SCALEPROBE_ONLY like the query families; a full
+    // pass (no SCALEPROBE_ONLY) runs everything.
+    val extraFams = Seq("tuned", "ppr_seeds", "audio_long", "stream_ingest",
+      "cc_sized", "e2e_uncapped")
+
+    // SCALEPROBE_ONLY="fusion,style" probes a subset of families — lets an
     // added family be measured without re-paying the documented
     // fixture-geometry cliff row (~390 s).
     val only = sys.env.get("SCALEPROBE_ONLY")
@@ -134,7 +145,7 @@ object ScaleProbe {
     // probe prints the header, probes nothing and exits 0 — a run that
     // LOOKS successful while measuring nothing (r10 advisory).
     only.foreach { f =>
-      val known = families.map(_._1).toSet
+      val known = families.map(_._1).toSet ++ extraFams
       val unknown = f -- known
       require(f.nonEmpty, "SCALEPROBE_ONLY is set but names no families")
       require(unknown.isEmpty,
@@ -145,6 +156,8 @@ object ScaleProbe {
       case Some(f) => families.filter { case (fam, _) => f(fam) }
       case None => families
     }
+    /** Whether an extra composed probe runs: named explicitly, or full pass. */
+    def famOn(f: String): Boolean = only.forall(_.contains(f))
 
     println(f"SCALEPROBE mult=$mult docs=${nDocs + 3} vecs=$nVec")
     def probe(fam: String, name: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
@@ -164,11 +177,10 @@ object ScaleProbe {
     }
     for ((fam, qs) <- selected; name <- qs)
       probe(fam, name)(SparkEntry.queries(name)(spark, dir))
-    if (only.isEmpty) {
     // The scaling rule, applied: same banded-LSH near-dup with
     // planesPerBand sized to log2(N / 8) — the knob the fixture query's
     // cliff row above motivates.
-    locally {
+    if (famOn("tuned")) locally {
       val vecs = Tables.embeddings(spark, dir)
         .select(col("vec_id"),
           expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("e"))
@@ -186,7 +198,7 @@ object ScaleProbe {
     // ---- PPR with corpus-derived seeds (the stopword query's seed set is
     // empty on the synthetic corpus): top-50 nodes by out-weight — the
     // teleport-set-sized state and reachable-subgraph rounds at 20x.
-    locally {
+    if (famOn("ppr_seeds")) locally {
       val edges = graft.operators.Graph.cooccurEdges(
         Tables.documents(spark, dir).select("doc_id", "text")).persist()
       import org.apache.spark.sql.functions.{desc, sum => fsum}
@@ -202,7 +214,7 @@ object ScaleProbe {
     // per-clip LCG (probe-local — no oracle here, only the shape), with
     // the fixture's dup-group structure: every 4th clip shares a group
     // seed, sample 0 perturbed by parity.
-    locally {
+    if (famOn("audio_long")) locally {
       import spark.implicits._
       val nClips = 2000
       val longSamples = 80000
@@ -230,15 +242,23 @@ object ScaleProbe {
     // ---- streaming ingestion face (r10): rows/s through nearDupIngest
     // against a reference signature index built over the FULL scaled
     // corpus — the shape a 100 TB ingest gate runs per micro-batch.
-    locally {
+    // Batch geometry is tunable (r11 task #4: the r10 row measured
+    // 403 rows/s at 500-doc batches with the ~1.2 s/batch fixed
+    // Structured-Streaming cost dominating — re-probe at production
+    // batch sizes to show the fixed cost amortizing): one parquet file
+    // per micro-batch under maxFilesPerTrigger=1.
+    if (famOn("stream_ingest")) locally {
       val docs = Tables.documents(spark, dir).select("doc_id", "text")
-      val incomingDir = s"$work/x${mult}_incoming"
-      val nIncoming = 5000L
+      val batchRows = sys.env.getOrElse("SCALEPROBE_INGEST_BATCH", "500").toLong
+      val nBatches = sys.env.getOrElse("SCALEPROBE_INGEST_NBATCHES", "10").toInt
+      val nIncoming = batchRows * nBatches
+      require(nIncoming <= nDocs,
+        s"ingest probe: $nIncoming incoming docs exceed the $nDocs-doc corpus")
+      val incomingDir = s"$work/x${mult}_incoming_${batchRows}x$nBatches"
       if (!new java.io.File(incomingDir).isDirectory) {
-        // 10 files -> 10 micro-batches under maxFilesPerTrigger=1
         docs.where(col("doc_id") < nIncoming)
           .withColumn("doc_id", col("doc_id") + 10000000L)
-          .repartition(10)
+          .repartition(nBatches)
           .write.mode("overwrite").parquet(incomingDir)
       }
       val schema = spark.read.parquet(incomingDir).schema
@@ -250,11 +270,49 @@ object ScaleProbe {
       val kept = graft.streaming.StreamingOps.nearDupIngest(
         spark, incomingDir, schema, refSigs, ck, out)
       val wall = (System.nanoTime() - t0) / 1e9
-      println(f"PROBE stream  neardup_ingest             wall=$wall%8.1fs " +
-        f"rows=$nIncoming kept=$kept rate=${nIncoming / wall}%8.1f rows/s")
+      println(f"PROBE stream  neardup_ingest_${batchRows}x$nBatches%-11s wall=$wall%8.1fs " +
+        f"rows=$nIncoming kept=$kept rate=${nIncoming / wall}%8.1f rows/s " +
+        f"per_batch=${wall / nBatches}%6.2fs")
       Graft.releaseCaches(spark)
     }
-    } // only.isEmpty gate over the extra locally{} probes
+    // ---- mutual-kNN + connected components over the SIZED kNN graph
+    // (r11: the iterative CC path at derived geometry — ann_knn_components
+    // above keeps the fixture's 6-bit buckets, which at 100k vectors is
+    // the documented occupancy cliff; the production path derives
+    // log2(N/8) bits from the measured corpus size).
+    if (famOn("cc_sized")) locally {
+      val vecs = Tables.embeddings(spark, dir)
+        .select(col("vec_id"),
+          expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("e"))
+      val n = Tables.embeddings(spark, dir).count()
+      probe("cc", "mutual_knn_cc_sized") {
+        val g = graft.operators.Similarity.knnGraphSized(vecs, n).persist()
+        val fwd = g.where(col("q_id") < col("cand_id"))
+          .select(col("q_id").as("a"), col("cand_id").as("b"))
+        val rev = g.where(col("q_id") > col("cand_id"))
+          .select(col("cand_id").as("a"), col("q_id").as("b"))
+        val mutual = fwd.join(rev, Seq("a", "b"), "left_semi")
+        graft.operators.Components.connectedComponents(
+            vecs.select(col("vec_id")),
+            mutual.select(col("a").as("src"), col("b").as("dst")))
+          .toDF("vec_id", "component_id")
+      }
+    }
+    // ---- e2e funnel with the domain cap NON-BINDING (r11 task #6): the
+    // synth corpus's 20 sources make the URL cap the binding gate, so the
+    // downstream stages (near-dup CC, contamination firewall, packing)
+    // never see scaled volume end-to-end. Re-source every doc onto a
+    // many-domain layout (40 docs/domain < DomainCap=80) and run the
+    // SAME funnel — the full DAG at probe volume in one plan.
+    if (famOn("e2e_uncapped")) locally {
+      val nDomains = math.max(1L, nDocs / 40L)
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          concat(lit("src"), pmod(col("doc_id"), lit(nDomains))).as("source"),
+          col("text"))
+      probe("e2e", "pretrain_funnel_uncapped")(
+        graft.operators.Pipeline.pretrainFunnelFor(docs))
+    }
     spark.stop()
   }
 }
