@@ -12,6 +12,18 @@ import graft.functions.{DamerauLevenshteinDist, DotProductD, JaroWinklerSim, Md5
   */
 object Graft {
   def init(spark: SparkSession): SparkSession = {
+    // Align Spark's whole-stage-codegen fallback with HotSpot's
+    // -XX:DontCompileHugeMethods threshold (8000 bytecodes): at the
+    // default 65535, a stage whose generated method lands between 8000
+    // and 65535 bytecodes compiles under Janino but is NEVER JIT'd — it
+    // executes as interpreted bytecode, which the r11 probe measured at
+    // 13× on the sized-LSH banded projection (208 unrolled 64-dim dot
+    // products in one method: 36 s → 2.4 s at 40k vectors once the
+    // stage falls back to Volcano + per-expression compiled eval).
+    // Guarded: only replace the known-bad default, never a caller's
+    // explicit choice.
+    if (spark.conf.get("spark.sql.codegen.hugeMethodLimit", "65535") == "65535")
+      spark.conf.set("spark.sql.codegen.hugeMethodLimit", "8000")
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "regexp_extract_ref",
