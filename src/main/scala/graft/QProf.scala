@@ -1,13 +1,12 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch profiler — current target: the 20×-probe inversion of
-  * `dedup_embedding_cosine_sized` (36 s / 23 MB shuffle at 40k vectors
-  * vs 15.8 s / 1.3 GB at 100k: the SMALLER corpus is slower with less
-  * shuffle — the signature of an AQE broadcast conversion turning the
-  * banded self-join or the verify join into a slow broadcast build).
+/** Scratch profiler — current target: the uncapped-funnel probe's stage
+  * accounting (prove the URL domain cap is NON-binding on the
+  * many-domain re-sourced corpus, so the r11 SCALEPROBE row shows the
+  * full DAG at 20× volume, not a 1,600-doc trickle).
   */
 object QProf {
   def main(args: Array[String]): Unit = {
@@ -17,38 +16,22 @@ object QProf {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Graft.init(spark)
-
-    def time(label: String)(f: => DataFrame): Unit = {
-      for (i <- 1 to 2) {
-        val t0 = System.nanoTime()
-        f.write.format("noop").mode("overwrite").save()
-        Graft.releaseCaches(spark)
-        println(f"$label%-36s run$i ${(System.nanoTime() - t0) / 1e9}%6.2fs")
-      }
-    }
-    val vecs = Tables.embeddings(spark, dir)
-      .select(col("vec_id"),
-        expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("e"))
-    val n = Tables.embeddings(spark, dir).count()
-    println(s"n=$n pb=${graft.operators.Similarity.planesForCorpus(n)}")
-    time("sized asIs")(
-      graft.operators.Dedup.embeddingCosineLshSized(vecs, n))
-    spark.conf.set("spark.sql.codegen.hugeMethodLimit", "8000")
-    time("sized huge8000")(
-      graft.operators.Dedup.embeddingCosineLshSized(vecs, n))
-    spark.conf.set("spark.sql.codegen.hugeMethodLimit", "65535")
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    time("sized noWSCG")(
-      graft.operators.Dedup.embeddingCosineLshSized(vecs, n))
-    spark.conf.set("spark.sql.codegen.wholeStage", "true")
-    // where does the time go? count the candidate relation only
-    locally {
-      val t0 = System.nanoTime()
-      val out = graft.operators.Dedup.embeddingCosineLshSized(vecs, n)
-      println("rows=" + out.count() + f" count wall=${(System.nanoTime() - t0) / 1e9}%6.2fs")
-      out.explain("formatted")
-      Graft.releaseCaches(spark)
-    }
+    val nDocs = Tables.documents(spark, dir).count() - 3 // minus giants
+    val nDomains = math.max(1L, nDocs / 40L)
+    val fillerWords = Seq("the", "and", "of", "to", "in", "is", "it",
+      "for", "on", "a")
+    val v = graft.operators.TextHash.h60(substring(col("text"), 1, 40))
+    val filler = concat_ws(" ", fillerWords.zipWithIndex.flatMap {
+      case (w, j) => Seq(lit(w), concat(lit("f"), v, lit("_" + j)))
+    }: _*)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        concat(lit("https://d"), pmod(col("doc_id"), lit(nDomains)),
+          lit(".com/doc"), col("doc_id")).as("url"),
+        concat(col("text"), lit(" "), filler).as("text"))
+    val row = graft.operators.Pipeline.pretrainFunnelFor(docs).collect()(0)
+    println("FUNNEL " + row.schema.fieldNames.zipWithIndex
+      .map { case (f, i) => s"$f=${row.get(i)}" }.mkString(" "))
     spark.stop()
   }
 }

@@ -298,18 +298,36 @@ object ScaleProbe {
           .toDF("vec_id", "component_id")
       }
     }
-    // ---- e2e funnel with the domain cap NON-BINDING (r11 task #6): the
-    // synth corpus's 20 sources make the URL cap the binding gate, so the
-    // downstream stages (near-dup CC, contamination firewall, packing)
-    // never see scaled volume end-to-end. Re-source every doc onto a
-    // many-domain layout (40 docs/domain < DomainCap=80) and run the
-    // SAME funnel — the full DAG at probe volume in one plan.
+    // ---- e2e funnel with the early gates NON-BINDING (r11 task #6): on
+    // the raw synth corpus the funnel collapses at its first two stages —
+    // synthUrl derives only doc_id%5 domains (cap keeps ≤ 5×80 docs) and
+    // the 4-11-token synthetic docs all score ~0.34 < the 0.5 quality
+    // bar — so near-dup CC, contamination and packing never see scaled
+    // volume end-to-end (they are only probed at scale in isolation).
+    // Build a probe corpus the gates pass: a caller-provided many-domain
+    // url column (40 docs/domain < DomainCap=80 — exercises the r11
+    // url-forwarding path) and a quality-raising filler of stopwords
+    // interleaved with tokens derived from the doc's own 40-char text
+    // prefix (exact dups get identical filler and SURVIVE as dups, so
+    // exact-dedup + the near-dup CC keep real work; distinct docs get
+    // distinct filler shingles, so no false pair mass is planted). The
+    // whole corpus build is lazy — the funnel still runs as ONE plan.
     if (famOn("e2e_uncapped")) locally {
       val nDomains = math.max(1L, nDocs / 40L)
+      val fillerWords = Seq("the", "and", "of", "to", "in", "is", "it",
+        "for", "on", "a")
+      val v = graft.operators.TextHash.h60(substring(col("text"), 1, 40))
+      val filler = concat_ws(" ", fillerWords.zipWithIndex.flatMap {
+        case (w, j) => Seq(lit(w), concat(lit("f"), v, lit("_" + j)))
+      }: _*)
       val docs = Tables.documents(spark, dir)
-        .select(col("doc_id"),
-          concat(lit("src"), pmod(col("doc_id"), lit(nDomains))).as("source"),
-          col("text"))
+        .select(col("doc_id"), col("source"),
+          // the VARYING part must be the registrable domain itself —
+          // a dNNN.example.com subdomain collapses to reg_domain
+          // example.com and the cap binds on one domain again
+          concat(lit("https://d"), pmod(col("doc_id"), lit(nDomains)),
+            lit(".com/doc"), col("doc_id")).as("url"),
+          concat(col("text"), lit(" "), filler).as("text"))
       probe("e2e", "pretrain_funnel_uncapped")(
         graft.operators.Pipeline.pretrainFunnelFor(docs))
     }

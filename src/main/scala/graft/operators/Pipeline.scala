@@ -56,7 +56,13 @@ object Pipeline {
     */
   def pretrainFunnelFor(docs: DataFrame): DataFrame = {
     graft.Graft.init(docs.sparkSession) // graft_h60 on any caller session
-    val urlFlags = UrlOps.domainCapRank(docs.select("doc_id", "source"))
+    // forward a caller-provided url column to the curation stage (a real
+    // corpus curates on its own URLs; the url-less fixture synthesizes —
+    // UrlOps.withDomain); the oracled fixture path is unchanged
+    val urlIn =
+      if (docs.columns.contains("url")) Seq("doc_id", "source", "url")
+      else Seq("doc_id", "source")
+    val urlFlags = UrlOps.domainCapRank(docs.select(urlIn.map(col): _*))
       .select(col("doc_id"),
         (col("host") =!= "" && col("rn") <= UrlOps.DomainCap).as("url_ok"))
     val qFlags = TextAnalysis.stats(docs.select("doc_id", "text"))

@@ -133,7 +133,16 @@ object UrlOps {
     val host = regexp_extract(hp, "^([^:]*)", 1)
     val r3 = regexp_extract(host, Reg3Re, 1)
     val r2 = regexp_extract(host, Reg2Re, 1)
-    docs.withColumn("url", synthUrl)
+    // A corpus that CARRIES a url column curates on it (the real-world
+    // shape — crawled docs arrive with their URL); the url-less fixture
+    // synthesizes the deterministic one the oracles mirror. The funnel
+    // forwards url when present, so the domain-cap stage is no longer
+    // pinned to the fixture's 5 synthetic domains (r11: lets the scale
+    // probe run the cap NON-binding).
+    val withUrl =
+      if (docs.columns.contains("url")) docs
+      else docs.withColumn("url", synthUrl)
+    withUrl
       .withColumn("host", host)
       .withColumn("reg_domain", when(r3 =!= "", r3).otherwise(r2))
   }
@@ -143,7 +152,7 @@ object UrlOps {
     * definition `url_domain_caps` and the web-curation funnel both rank
     * with (a salt/tiebreak change can't desynchronize them).
     */
-  private[operators] def domainCapRank(docs: DataFrame): DataFrame = {
+  private[graft] def domainCapRank(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy("reg_domain").orderBy(col("k"), col("doc_id"))
     withDomain(docs)
       .withColumn("k",
@@ -155,7 +164,7 @@ object UrlOps {
   /** CTE chain ending in `rr(doc_id, host, reg_domain, rn)` — the DuckDB
     * mirror of [[domainCapRank]].
     */
-  private[operators] def domainCapRankSql: String =
+  private[graft] def domainCapRankSql: String =
     s"""$withDomainSql,
        |kk AS (SELECT doc_id, reg_domain, host,
        |  ${h60Sql("'urlcap' || CAST(doc_id AS VARCHAR)")} AS k FROM wd),

@@ -131,6 +131,34 @@ class PipelineSpec extends SparkSpecBase {
     assert(g("n_packs") === expPacks)
   }
 
+  test("funnel forwards a caller-provided url column; url-less corpus synthesizes") {
+    val s = spark
+    import s.implicits._
+    def body(stem: String) = (1 to 40)
+      .map(i => s"the shiny $stem kettle $stem$i rests of the old shelf and")
+      .mkString(" ")
+    // url-less: doc 19 dies to the synthesized relative URL (id % 19)
+    val bare = Seq((19L, "SA", body("s19")), (3L, "SB", body("s3")))
+      .toDF("doc_id", "source", "text")
+    val r0 = Pipeline.pretrainFunnelFor(bare).head()
+    assert(r0.getLong(r0.fieldIndex("after_url")) === 1L,
+      "url-less corpus must curate on the SYNTHESIZED url (doc 19 relative)")
+    // same corpus carrying its own urls: doc 19 now has a real host and
+    // survives; a relative caller url still dies
+    val withUrl = Seq(
+      (19L, "SA", "https://a.com/doc19", body("s19")),
+      (3L, "SB", "/relative/doc3", body("s3")))
+      .toDF("doc_id", "source", "url", "text")
+    val r1 = Pipeline.pretrainFunnelFor(withUrl).head()
+    assert(r1.getLong(r1.fieldIndex("after_url")) === 1L)
+    val kept = graft.operators.UrlOps.domainCapRank(
+        withUrl.select("doc_id", "source", "url"))
+      .where(org.apache.spark.sql.functions.col("host") =!= "")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(19L),
+      "caller urls must decide the gate: 19 has a host, 3 is relative")
+  }
+
   test("pretrain e2e funnel on the fixture reconciles with the standalone gates") {
     val r = Pipeline.queries("pipeline_pretrain_e2e")(spark, sfDir).head()
     def g(n: String) = r.getLong(r.fieldIndex(n))
