@@ -43,7 +43,8 @@ class EntrySpec extends SparkSpecBase {
       "sample_weighted" -> "top-K selection window over a limit(WeightedK) relation",
       "cluster_balanced_rates" -> "clusterRates window over the |clusters|-row aggregate",
       "cluster_balanced_sample" -> "same |clusters|-row clusterRates aggregate",
-      "ts_cusum" -> "global max over the day-grain CUSUM relation: ≤ calendar-days rows"
+      "ts_cusum" -> "global max over the day-grain CUSUM relation: ≤ calendar-days rows",
+      "q_winsorize" -> "group-offset cumsum over the groupBy(l_returnflag) aggregate: ≤ |distinct return flags| rows (the r11 rank-based bounds pass)"
     )
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
