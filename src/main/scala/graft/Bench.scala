@@ -210,6 +210,43 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString
         .split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
+    // ---- contention CALIBRATION probes (r11 verdict #1b): every stored
+    // r11 window carried an external co-tenant, and the 1-min loadavg is
+    // a poor inflation proxy on a 32-core box (load 4 of 32 cores should
+    // cost ~nothing, yet uniform 1.3x inflation was measured — the
+    // signature of MEMORY-BANDWIDTH contention, which loadavg cannot
+    // see). So the bench now measures effective machine throughput
+    // directly: after each timed query it runs two fixed single-thread
+    // probes — an ALU-bound xorshift loop (pure CPU-share signal) and a
+    // sequential sum over a 128 MB array (DRAM-bandwidth signal; sized
+    // past any LLC) — and the artifact reports value_normalized =
+    // sum(dt_q / infl_q) with infl_q = max(alu_q, mem_q relative to the
+    // run's own calmest sample, floored at 1). The raw total REMAINS the
+    // gate figure; the normalized one is the companion that separates
+    // co-tenant windows from code regressions using measurements stored
+    // inside the artifact itself (per-query alu/mem samples included).
+    val memArr = new Array[Long](16 << 20) // 128 MB, allocated once
+    java.util.Arrays.fill(memArr, 0x9E3779B97F4A7C15L)
+    var calSink = 0L // observed below so the JIT cannot elide the probes
+    def aluOnce(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x243F6A8885A308D3L; var i = 0
+      while (i < 12000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      calSink ^= x
+      (System.nanoTime() - t0) / 1e6
+    }
+    def memOnce(): Double = {
+      val t0 = System.nanoTime()
+      var s = 0L; var i = 0; val n = memArr.length
+      while (i < n) { s += memArr(i); i += 1 }
+      calSink ^= s
+      (System.nanoTime() - t0) / 1e6
+    }
+    // min-of-2 per sample: a GC pause or scheduler hiccup in one probe
+    // must not fabricate inflation for the query it follows
+    def calib(): (Double, Double) =
+      (math.min(aluOnce(), aluOnce()), math.min(memOnce(), memOnce()))
+    (1 to 3).foreach(_ => calib()) // JIT-compile the probes untimed
     val loadStart = loadavg()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -223,22 +260,35 @@ object Bench {
       // intermediates; release them so storage memory doesn't accumulate
       // across the run (and no query benefits from a predecessor's cache)
       Graft.releaseCaches(spark)
-      (name, dt, loadavg())
+      val (ca, cm) = calib()
+      (name, dt, loadavg(), ca, cm)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    if (calSink == 42L) System.err.println("") // keep calSink observably live
+    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val loads = results.map { case (k, _, l) => s"\"" + k + "\":" + l }
+    val loads = results.map { case (k, _, l, _, _) => s"\"" + k + "\":" + l }
+      .mkString("{", ",", "}")
+    val calAlu = results.map { case (k, _, _, a, _) => s"\"" + k + "\":" + a }
+      .mkString("{", ",", "}")
+    val calMem = results.map { case (k, _, _, _, m) => s"\"" + k + "\":" + m }
       .mkString("{", ",", "}")
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val valueNorm = if (results.isEmpty) 0.0 else {
+      val aluMin = results.map(_._4).min
+      val memMin = results.map(_._5).min
+      results.map { case (_, dt, _, ca, cm) =>
+        dt / math.max(1.0, math.max(ca / aluMin, cm / memMin))
+      }.sum
+    }
     // Serialize the large per-query maps FIRST and the headline fields
     // (value/failed/load_start/sf) LAST: the driver stores only the final
     // 2000 chars of stdout, so the gate total must live in the tail.
-    println(s"""{"metric":"total","unit":"sec","queries":$qs,"load":$loads,"value":$total,"failed":$failedJson,"load_start":$loadStart,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","unit":"sec","queries":$qs,"load":$loads,"calib_alu":$calAlu,"calib_mem":$calMem,"value":$total,"value_normalized":$valueNorm,"failed":$failedJson,"load_start":$loadStart,"sf":"$sfDir"}""")
     // Compact trailer: the driver stores only the last ~2000 chars of
     // stdout, and a truncated big line is not parseable JSON. This second
     // line is complete, self-contained JSON that always fits in the tail.
-    println(s"""{"metric":"total","unit":"sec","value":$total,"n_queries":${results.size},"failed":$failedJson,"load_start":$loadStart,"load_end":${loadavg()},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","unit":"sec","value":$total,"value_normalized":$valueNorm,"n_queries":${results.size},"failed":$failedJson,"load_start":$loadStart,"load_end":${loadavg()},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -9,6 +9,14 @@ import graft.functions.{DamerauLevenshteinDist, DotProductD, JaroWinklerSim, Md5
   * the session's function registry so they resolve in both SQL and the
   * DataFrame API (via `call_function`). Idempotent; call at the top of every
   * entry point.
+  *
+  * SESSION-WIDE SIDE EFFECT (documented, opt-out available): `init` lowers
+  * `spark.sql.codegen.hugeMethodLimit` from the 65535 default to 8000 —
+  * HotSpot's DontCompileHugeMethods threshold — because generated methods
+  * in (8000, 65535] bytecodes are never JIT-compiled and run as
+  * interpreted bytecode (measured 13× on wide-unroll stages). Set
+  * `spark.graft.keepHugeMethodLimit=true` to keep Spark's default, e.g.
+  * when deliberately forcing whole-stage codegen of large methods.
   */
 object Graft {
   def init(spark: SparkSession): SparkSession = {
@@ -20,9 +28,13 @@ object Graft {
     // 13× on the sized-LSH banded projection (208 unrolled 64-dim dot
     // products in one method: 36 s → 2.4 s at 40k vectors once the
     // stage falls back to Volcano + per-expression compiled eval).
-    // Guarded: only replace the known-bad default, never a caller's
-    // explicit choice.
-    if (spark.conf.get("spark.sql.codegen.hugeMethodLimit", "65535") == "65535")
+    // Guarded two ways: only a value equal to the known-bad default is
+    // replaced, and a caller who WANTS 65535 (Spark's RuntimeConfig
+    // cannot distinguish unset-default from an explicit 65535) can opt
+    // out of the override entirely by setting
+    // spark.graft.keepHugeMethodLimit=true before init.
+    if (!spark.conf.get("spark.graft.keepHugeMethodLimit", "false").toBoolean &&
+        spark.conf.get("spark.sql.codegen.hugeMethodLimit", "65535") == "65535")
       spark.conf.set("spark.sql.codegen.hugeMethodLimit", "8000")
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(

@@ -134,7 +134,7 @@ object ScaleProbe {
     // selectable through SCALEPROBE_ONLY like the query families; a full
     // pass (no SCALEPROBE_ONLY) runs everything.
     val extraFams = Seq("tuned", "ppr_seeds", "audio_long", "stream_ingest",
-      "cc_sized", "e2e_uncapped")
+      "stream_state", "cc_sized", "e2e_uncapped")
 
     // SCALEPROBE_ONLY="fusion,style" probes a subset of families — lets an
     // added family be measured without re-paying the documented
@@ -275,6 +275,65 @@ object ScaleProbe {
         f"per_batch=${wall / nBatches}%6.2fs")
       Graft.releaseCaches(spark)
     }
+    // ---- streaming-gate STATE growth (r11 verdict #6): r11 measured
+    // rows/s; at 100 TB the risks are the STATIC index side and the
+    // checkpoint. Both gates run against a 10x-replicated frozen index
+    // (each replica id-offset and text-salted so its tail shingles
+    // differ), draining 3 WAVES of new files through ONE checkpoint —
+    // each wave is a restart (Trigger.AvailableNow stops between waves,
+    // the next call resumes from the same file-source log). Recorded per
+    // wave: wall, per-batch wall (must stay FLAT across restarts — a
+    // growing file-source log that re-lists or re-compacts superlinearly
+    // would show here) and checkpoint bytes (must grow ~linearly in
+    // files seen, kilobytes not data-bytes).
+    if (famOn("stream_state")) locally {
+      def dirBytes(p: java.io.File): Long =
+        if (p.isFile) p.length
+        else Option(p.listFiles).map(_.map(dirBytes).sum).getOrElse(0L)
+      val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      val IndexRep = 10
+      val refDocs = (0 until IndexRep).map { r =>
+        docs.select((col("doc_id") + lit(r * 100000000L)).as("doc_id"),
+          concat(col("text"), lit(s" ridx$r")).as("text"))
+      }.reduce(_ union _)
+      val batchRows = sys.env.getOrElse("SCALEPROBE_STATE_BATCH", "2000").toLong
+      val nB = 5; val waves = 3
+      require(batchRows * nB * waves <= nDocs,
+        s"state probe: ${batchRows * nB * waves} incoming docs exceed the $nDocs-doc corpus")
+      val gates: Seq[(String, org.apache.spark.sql.DataFrame,
+          (String, String, String) => Long)] = {
+        val refSigs = graft.operators.Dedup.signatureIndex(refDocs).persist()
+        val refIdx = graft.operators.Winnow.referenceIndex(refDocs).persist()
+        Seq(
+          ("neardup", refSigs, (src: String, ck: String, out: String) =>
+            graft.streaming.StreamingOps.nearDupIngest(spark, src,
+              spark.read.parquet(src).schema, refSigs, ck, out)),
+          ("winnow", refIdx, (src: String, ck: String, out: String) =>
+            graft.streaming.StreamingOps.winnowIngest(spark, src,
+              spark.read.parquet(src).schema, refIdx, 24L, ck, out)))
+      }
+      gates.foreach { case (gate, idx, run) =>
+        val nIdx = idx.count() // build the 10x index outside timed waves
+        val root = java.nio.file.Files
+          .createTempDirectory(s"state_$gate").toString
+        val src = s"$root/src"; val ck = s"$root/ck"; val out = s"$root/out"
+        for (w <- 0 until waves) {
+          docs.where(col("doc_id") >= w * batchRows * nB &&
+              col("doc_id") < (w + 1) * batchRows * nB)
+            .withColumn("doc_id", col("doc_id") + 2000000000L) // clear of every replica range
+            .repartition(nB)
+            .write.mode("append").parquet(src)
+          val t0 = System.nanoTime()
+          val kept = run(src, ck, out)
+          val wall = (System.nanoTime() - t0) / 1e9
+          val ckKb = dirBytes(new java.io.File(ck)) / 1024
+          println(f"PROBE stream  ${gate}_state_w$w%-15s wall=$wall%8.1fs " +
+            f"per_batch=${wall / nB}%6.2fs ck_kb=$ckKb%8d kept=$kept " +
+            f"idx_rows=$nIdx")
+        }
+        idx.unpersist()
+      }
+    }
     // ---- mutual-kNN + connected components over the SIZED kNN graph
     // (r11: the iterative CC path at derived geometry — ann_knn_components
     // above keeps the fixture's 6-bit buckets, which at 100k vectors is
@@ -316,7 +375,25 @@ object ScaleProbe {
       val nDomains = math.max(1L, nDocs / 40L)
       val fillerWords = Seq("the", "and", "of", "to", "in", "is", "it",
         "for", "on", "a")
-      val v = graft.operators.TextHash.h60(substring(col("text"), 1, 40))
+      // r12 (verdict task #4): the r11 probe keyed EVERY doc's filler on
+      // its own 40-char text prefix, which diluted the fixture's planted
+      // near-dups (different prefixes -> disjoint f-tokens -> J drops
+      // under 0.5) and left the funnel's CC stage with near-zero edge
+      // mass at volume. Now a KNOWN 2/5 of docs form 2-doc near-dup
+      // pairs by construction: docs with doc_id%5 in {0,1} share filler
+      // keyed on the pair bucket doc_id - doc_id%5, so (5k, 5k+1) share
+      // all 20 filler tokens and land at J ~= 0.6 regardless of base
+      // text — ~nDocs/5 planted pairs (20k at 20x, detection p ~= 0.65
+      // under the (8,4) banding at J 0.6 -> >= 10^4 CC edges). The
+      // remaining 3/5 stay prefix-keyed: exact dups there share filler
+      // and SURVIVE as exact dups; distinct docs get distinct shingles,
+      // so no un-planted pair mass appears.
+      val pairBucket = col("doc_id") - pmod(col("doc_id"), lit(5))
+      val v = when(pmod(col("doc_id"), lit(5)) < 2,
+        concat(lit("c"), pairBucket.cast("string")))
+        .otherwise(
+          graft.operators.TextHash.h60(substring(col("text"), 1, 40))
+            .cast("string"))
       val filler = concat_ws(" ", fillerWords.zipWithIndex.flatMap {
         case (w, j) => Seq(lit(w), concat(lit("f"), v, lit("_" + j)))
       }: _*)
@@ -330,6 +407,20 @@ object ScaleProbe {
           concat(col("text"), lit(" "), filler).as("text"))
       probe("e2e", "pretrain_funnel_uncapped")(
         graft.operators.Pipeline.pretrainFunnelFor(docs))
+      // Stage mass evidence (one extra funnel pass, collected): the CC
+      // stage must MERGE at scale — after_exact - after_neardup >= the
+      // planted clusters that survive banding, each merge requiring at
+      // least one real near-dup edge through minhash -> verify -> CC.
+      val row = graft.operators.Pipeline.pretrainFunnelFor(docs).head()
+      Graft.releaseCaches(spark)
+      val sch = row.schema.fieldNames.zipWithIndex.toMap
+      val ae = row.getLong(sch("after_exact"))
+      val an = row.getLong(sch("after_neardup"))
+      println(s"FUNNEL_STAGES n_docs=${row.getLong(sch("n_docs"))} " +
+        s"after_url=${row.getLong(sch("after_url"))} " +
+        s"after_quality=${row.getLong(sch("after_quality"))} " +
+        s"after_exact=$ae after_neardup=$an cc_merged=${ae - an} " +
+        s"after_contam=${row.getLong(sch("after_contam"))}")
     }
     spark.stop()
   }

@@ -56,6 +56,54 @@ object Dedup {
     */
   val MinhashFrontierGrid: Seq[(Int, Int)] =
     Seq((2, 16), (4, 4), (4, 8), (8, 2), (8, 4), (16, 2))
+
+  /** Hamming radius defining a SimHash near-dup (both the production
+    * `dedup_simhash_pairs` verify and the frontier's exact truth).
+    */
+  val SimhashHammingMax = 10
+
+  /** (bands, bits-per-band) operating points `simhash_recall_frontier`
+    * measures, every geometry a disjoint re-chunking of the SAME 60-bit
+    * fingerprint (band k under (bands, bits) = bits [k*bits, (k+1)*bits)
+    * — fingerprints computed once, never re-hashed). Pigeonhole gives a
+    * STRUCTURAL recall floor: distance <= 10 can touch at most 10 bands,
+    * so any geometry with > 10 bands has recall exactly 1.0; the
+    * production default (4, 15) trades that guarantee for 32768-value
+    * keys and a small candidate volume — and the oracled frontier
+    * MEASURES what the trade costs at radius 10 (sf0.01 / sf0.1 agree):
+    *
+    *   (4,15) recall 0.26/0.25  cand 0.92x/0.86x of truth
+    *   (5,12) recall 0.51/0.49  (6,10) recall 0.73/0.73
+    *   (10,6) recall 0.9993/0.9995
+    *   (12,5) recall 1.0 (structural)  cand 36x/34x of the (4,15) volume
+    *   (20,3) recall 1.0 (structural)  cand 42x/40x
+    *
+    * Reading at scale: recall at d <= 10 over 60 bits REQUIRES > 10
+    * bands, i.e. <= 5-bit keys — 32-value buckets whose size grows as
+    * n/32, a quadratic candidate join at corpus scale. Wide 15-bit bands
+    * are the shape that scales, and they are structurally complete only
+    * for d <= bands-1 = 3 (the radius real SimHash deployments use —
+    * Manku et al. WWW'07 run 64-bit fingerprints at k = 3). The pinned
+    * `dedup_simhash_pairs` keeps (4,15) @ d <= 10 for oracle continuity
+    * with this measured caveat; a 100 TB caller either tightens the
+    * radius to 3 (recall becomes structural at (4,15)) or accepts the
+    * 11-band pigeonhole index's bucket growth, which the frontier's
+    * truth side implements losslessly.
+    */
+  val SimhashFrontierGrid: Seq[(Int, Int)] =
+    Seq((4, 15), (5, 12), (6, 10), (10, 6), (12, 5), (20, 3))
+
+  /** The 11 disjoint (shift, width) bands behind the frontier's EXACT
+    * truth side: 5 six-bit + 6 five-bit bands cover all 60 bits, and 11
+    * bands > SimhashHammingMax guarantees every qualifying pair collides
+    * in at least one band — lossless candidate generation, then the
+    * exact bit_count(xor) <= 10 verify. Truth without the all-pairs
+    * product.
+    */
+  val SimhashTruthBands: Seq[(Int, Int)] = {
+    val widths = Seq.fill(5)(6) ++ Seq.fill(6)(5)
+    widths.scanLeft(0)(_ + _).zip(widths)
+  }
   // Permutation coefficients must be LARGE so a*h wraps around mod P —
   // small multipliers leave (a*h+b) monotone in h and every component
   // collapses to the set's global min-hash (caught by DedupSpec's exact-
@@ -159,11 +207,7 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, minJaccard: Double,
                         dfCap: Option[Long]): DataFrame = {
-    graft.Graft.init(docs.sparkSession) // graft_h60 on any caller session
-    val e = shingleRows(docs)
-      .select(col("doc_id"), h60(col("sh")).as("g"))
-      .distinct()
-      .persist()
+    val e = shingleIndex(docs).persist()
     val n = e.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val inter = dfCap match {
       case None =>
@@ -197,6 +241,40 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** The distinct (doc_id, g) inverted shingle index shared by the exact
+    * Jaccard operators — one 60-bit hash per distinct 3-shingle per doc.
+    * NOT persisted here: each caller decides (and owns the release).
+    */
+  def shingleIndex(docs: DataFrame): DataFrame = {
+    graft.Graft.init(docs.sparkSession) // graft_h60 on any caller session
+    shingleRows(docs)
+      .select(col("doc_id"), h60(col("sh")).as("g"))
+      .distinct()
+  }
+
+  /** The AllPairs prefix index over a (doc_id, g) shingle relation: one
+    * (doc_id, nsh, g) row per shingle in each doc's prefix of the
+    * |x| - ceil(num/den * |x|) + 1 RAREST shingles under the global
+    * ascending (document frequency, hash) order. Any pair with Jaccard
+    * >= num/den must collide inside both prefixes, and a corpus-hot
+    * shingle sorts last so it lands in almost nobody's prefix — this is
+    * the relation whose max bucket size stays bounded where the raw
+    * index's explodes (DedupSpec's boilerplate adversary measures both).
+    */
+  def prefixRows(e: DataFrame, num: Int, den: Int): DataFrame = {
+    val dfs = e.groupBy("g").agg(count(lit(1)).as("df"))
+    // Per-doc shingles in ascending (df, g) order; ceil via integer DIV.
+    e.join(dfs, "g")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("ts"),
+        count(lit(1)).as("nsh"))
+      .select(col("doc_id"), col("nsh"),
+        explode(slice(col("ts"), lit(1),
+          (col("nsh") - expr(s"(nsh * $num + ${den - 1}) DIV $den") + 1)
+            .cast("int"))).as("pt"))
+      .select(col("doc_id"), col("nsh"), col("pt.g").as("g"))
+  }
+
   /** Exact Jaccard pairs >= num/den via PREFIX FILTERING (the AllPairs /
     * PPJoin family: Bayardo et al. "Scaling Up All Pairs Similarity
     * Search", WWW'07; Xiao et al. PPJoin) — the LOSSLESS alternative to
@@ -221,27 +299,18 @@ object Dedup {
     * the candidate-bounded join (cost ~ |candidates| x doc length, never
     * hot-token quadratic). Threshold is exact-rational (num/den) so the
     * keep predicate is pure integer arithmetic — no fp boundary cases.
+    *
+    * Since round 12 this is THE production exact-Jaccard path: every
+    * `queries` entry (including the MinHash audit/frontier truth sides)
+    * routes through it; the raw inverted-index self-join survives only as
+    * `ngramJaccardPairs(..., dfCap = None)` for DedupSpec's equality
+    * cross-checks.
     */
   def prefixJaccardPairs(docs: DataFrame, num: Int, den: Int): DataFrame = {
     graft.Graft.init(docs.sparkSession) // graft_h60 on any caller session
-    val e = shingleRows(docs)
-      .select(col("doc_id"), h60(col("sh")).as("g"))
-      .distinct()
-      .persist()
+    val e = shingleIndex(docs).persist()
     val n = e.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-    val dfs = e.groupBy("g").agg(count(lit(1)).as("df"))
-    // Per-doc shingles in ascending (df, g) order; ceil via integer DIV.
-    val docT = e.join(dfs, "g")
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("ts"),
-        count(lit(1)).as("nsh"))
-    val pref = docT
-      .select(col("doc_id"), col("nsh"),
-        explode(slice(col("ts"), lit(1),
-          (col("nsh") - expr(s"(nsh * $num + ${den - 1}) DIV $den") + 1)
-            .cast("int"))).as("pt"))
-      .select(col("doc_id"), col("nsh"), col("pt.g").as("g"))
-      .persist()
+    val pref = prefixRows(e, num, den).persist()
     // Candidate pairs: shared prefix shingle + the length filter
     // (J >= t forces min(|x|,|y|) >= t*max(|x|,|y|)).
     val cand = pref.as("a")
@@ -377,10 +446,13 @@ object Dedup {
       minhashPairs(s, d).orderBy("doc_a", "doc_b")
     },
 
-    // Exact n-gram Jaccard >= 0.6 via inverted shingle index (no cross join:
-    // only docs sharing a shingle ever meet, shuffled on the shingle hash).
+    // Exact n-gram Jaccard >= 0.6 = 3/5, via LOSSLESS prefix filtering
+    // (since r12: the raw inverted-index self-join carried the engine's
+    // one unbounded hot-shingle bucket; prefix filtering returns the
+    // identical rows — DedupSpec proves equality — with the hot bucket
+    // structurally impossible).
     "dedup_ngram_jaccard" -> { (s, d) =>
-      ngramJaccardPairs(documents(s, d).select("doc_id", "text"), 0.6, dfCap = None)
+      prefixJaccardPairs(documents(s, d).select("doc_id", "text"), 3, 5)
         .orderBy("doc_a", "doc_b")
     },
 
@@ -435,6 +507,12 @@ object Dedup {
     },
 
     // SimHash near-dup pairs: band on 4x15-bit chunks, verify Hamming <= 10.
+    // MEASURED recall at this radius: 0.26/0.25 (sf0.01/sf0.1) — see the
+    // simhash_recall_frontier scaladoc at [[SimhashFrontierGrid]]: 4 bands
+    // are structurally complete only to d <= 3 (the radius production
+    // SimHash deployments use); full recall at d <= 10 needs > 10 bands,
+    // whose <= 5-bit keys do not scale. Pinned geometry kept for oracle
+    // continuity, caveat recorded where the constant lives.
     "dedup_simhash_pairs" -> { (s, d) =>
       val fp = simhashed(s, d)
       val chunks = fp.select(col("doc_id"), col("simhash"),
@@ -538,8 +616,10 @@ object Dedup {
     // how much the corpus shrinks as the definition of "duplicate"
     // loosens.
     "dedup_threshold_curve" -> { (s, d) =>
-      val p = ngramJaccardPairs(documents(s, d).select("doc_id", "text"),
-        ThresholdLadder.min, dfCap = None).localCheckpoint()
+      // ThresholdLadder.min = 0.5 = 1/2 as the exact rational (r12: prefix
+      // filtering replaces the uncapped inverted-index join, lossless).
+      val p = prefixJaccardPairs(documents(s, d).select("doc_id", "text"),
+        1, 2).localCheckpoint()
       val byDoc = p
         .select(explode(array(col("doc_a"), col("doc_b"))).as("doc"), col("jaccard"))
         .groupBy("doc").agg(max("jaccard").as("mj"))
@@ -587,7 +667,7 @@ object Dedup {
       val docs = documents(s, d).select("doc_id", "text")
       val cand = minhashPairsFor(docs)
         .select(col("doc_a"), col("doc_b"), lit(1).as("c"))
-      val truth = ngramJaccardPairs(docs, 0.5, dfCap = None)
+      val truth = prefixJaccardPairs(docs, 1, 2) // J >= 0.5 = 1/2, lossless
         .select(col("doc_a"), col("doc_b"), lit(1).as("t"))
       cand.join(truth, Seq("doc_a", "doc_b"), "full_outer")
         .agg(count(col("c")).as("n_candidates"),
@@ -630,8 +710,10 @@ object Dedup {
         .select(col("x.g").as("g"),
           col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct().persist()
-      val truth = ngramJaccardPairs(docs, 0.5, dfCap = None)
-        .select("doc_a", "doc_b")
+      // J >= 0.5 = 1/2 truth via lossless prefix filtering; checkpointed
+      // because BOTH the semi-join and the 1-row count consume it.
+      val truth = prefixJaccardPairs(docs, 1, 2)
+        .select("doc_a", "doc_b").localCheckpoint()
       val nc = cand.groupBy("g").agg(count(lit(1)).as("n_candidates"))
       val tp = cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
         .groupBy("g").agg(count(lit(1)).as("n_tp"))
@@ -656,6 +738,71 @@ object Dedup {
           round(coalesce(col("n_tp"), lit(0L)).cast("double") /
             col("n_truth"), 6).as("recall"))
         .orderBy("bands", "rows_per_band")
+    },
+
+    // The (bands, bits-per-band) frontier for SimHash banding — completes
+    // the measured-recall discipline across all three candidate-generation
+    // families (LSH: ann_recall_frontier, IVF: ann_ivf_recall_frontier,
+    // MinHash: minhash_recall_frontier; SimHash was the last one whose
+    // geometry was asserted, not measured). One fingerprint relation;
+    // every geometry re-chunks the same 60 bits; candidates stay the
+    // banded equi-join. Truth is EXACT (Hamming <= SimhashHammingMax) via
+    // the 11-band pigeonhole index — lossless, never all-pairs.
+    "simhash_recall_frontier" -> { (s, d) =>
+      val fp = simhashed(s, d).persist()
+      val keyed = fp.select(col("doc_id"), explode(array(
+        SimhashFrontierGrid.zipWithIndex.flatMap { case ((bb, w), gi) =>
+          (0 until bb).map { b =>
+            struct(lit(gi).as("g"), lit(b).as("band"),
+              shiftright(col("simhash"), b * w)
+                .bitwiseAND(lit((1L << w) - 1)).as("key"))
+          }
+        }: _*)).as("e"))
+        .select(col("doc_id"), col("e.g").as("g"),
+          col("e.band").as("band"), col("e.key").as("key"))
+      val cand = keyed.as("x")
+        .join(keyed.as("y"),
+          col("x.g") === col("y.g") && col("x.band") === col("y.band") &&
+            col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.g").as("g"),
+          col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct().persist()
+      val tkeyed = fp.select(col("doc_id"), col("simhash"),
+        posexplode(array(SimhashTruthBands.map { case (off, w) =>
+          shiftright(col("simhash"), off).bitwiseAND(lit((1L << w) - 1))
+        }: _*)).as(Seq("band", "key")))
+      val truth = tkeyed.as("x")
+        .join(tkeyed.as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          call_function("bit_count",
+            col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+        .distinct()
+        .where(col("hamming") <= SimhashHammingMax)
+        .select("doc_a", "doc_b")
+        .localCheckpoint() // consumed by the semi-join AND the 1-row count
+      val nc = cand.groupBy("g").agg(count(lit(1)).as("n_candidates"))
+      val tp = cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+        .groupBy("g").agg(count(lit(1)).as("n_tp"))
+      val nt = truth.agg(count(lit(1)).as("n_truth"))
+      val meta = s.range(1).select(explode(array(
+        SimhashFrontierGrid.zipWithIndex.map { case ((bb, w), gi) =>
+          struct(lit(gi).as("g"), lit(bb).as("bands"),
+            lit(w).as("bits_per_band")) }: _*)).as("m"))
+        .select(col("m.g").as("g"), col("m.bands").as("bands"),
+          col("m.bits_per_band").as("bits_per_band"))
+      meta.join(nc, Seq("g"), "left").join(tp, Seq("g"), "left")
+        .crossJoin(nt) // 1-row aggregate — broadcast, not a data product
+        .select(col("bands"), col("bits_per_band"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          col("n_truth"),
+          coalesce(col("n_tp"), lit(0L)).as("n_tp"),
+          round(coalesce(col("n_tp"), lit(0L)).cast("double") /
+            col("n_candidates"), 6).as("precision"),
+          round(coalesce(col("n_tp"), lit(0L)).cast("double") /
+            col("n_truth"), 6).as("recall"))
+        .orderBy("bands", "bits_per_band")
     }
   )
 
@@ -1104,6 +1251,39 @@ object Dedup {
          |$candCtes
          |SELECT * FROM ($arms)
          |ORDER BY bands, rows_per_band""".stripMargin
+    },
+
+    "simhash_recall_frontier" -> {
+      def bandEqFor(bb: Int, w: Int): String =
+        (0 until bb).map { b =>
+          val m = (1L << w) - 1
+          s"((a.simhash >> ${b * w}) & $m) = ((b.simhash >> ${b * w}) & $m)"
+        }.mkString(" OR ")
+      val truthEq = SimhashTruthBands.map { case (off, w) =>
+        val m = (1L << w) - 1
+        s"((a.simhash >> $off) & $m) = ((b.simhash >> $off) & $m)"
+      }.mkString(" OR ")
+      val candCtes = SimhashFrontierGrid.zipWithIndex.map { case ((bb, w), gi) =>
+        s"""c$gi AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id AND (${bandEqFor(bb, w)}))""".stripMargin
+      }.mkString(",\n")
+      val arms = SimhashFrontierGrid.zipWithIndex.map { case ((bb, w), gi) =>
+        s"""SELECT $bb AS bands, $w AS bits_per_band,
+           |  (SELECT count(*) FROM c$gi) AS n_candidates,
+           |  (SELECT count(*) FROM tr) AS n_truth,
+           |  (SELECT count(*) FROM c$gi JOIN tr USING (doc_a, doc_b)) AS n_tp,
+           |  round(CAST((SELECT count(*) FROM c$gi JOIN tr USING (doc_a, doc_b)) AS DOUBLE)
+           |    / NULLIF((SELECT count(*) FROM c$gi), 0), 6) AS precision,
+           |  round(CAST((SELECT count(*) FROM c$gi JOIN tr USING (doc_a, doc_b)) AS DOUBLE)
+           |    / (SELECT count(*) FROM tr), 6) AS recall""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""$simhashSqlCte,
+         |tr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id AND ($truthEq)
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimhashHammingMax),
+         |$candCtes
+         |SELECT * FROM ($arms)
+         |ORDER BY bands, bits_per_band""".stripMargin
     }
   )
 

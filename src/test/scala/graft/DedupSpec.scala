@@ -129,11 +129,51 @@ class DedupSpec extends SparkSpecBase {
   }
 
   test("prefix filtering equals the uncapped inverted index row-for-row") {
-    val uncapped = Dedup.queries("dedup_ngram_jaccard")(spark, sfDir).collect()
+    // Since r12 dedup_ngram_jaccard itself rides prefixJaccardPairs, so
+    // the uncapped side must be the RAW inverted-index self-join — kept
+    // in the library solely for this cross-check.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(docs, 0.6, dfCap = None).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     val prefix = Dedup.queries("dedup_jaccard_prefix")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(prefix === uncapped)
+    Graft.releaseCaches(spark)
+  }
+
+  test("boilerplate adversary: prefix index bucket stays bounded where " +
+    "the raw index's explodes, with identical pairs") {
+    val s = spark
+    import s.implicits._
+    // 400 docs all sharing one 12-token boilerplate: the raw inverted
+    // index has a 400+-doc posting list per boiler shingle (~80k meeting
+    // pairs PER hot shingle in the self-join). Each doc's 15-token unique
+    // tail yields 15 df=1 shingles — more than the t=1/2 prefix length
+    // (25 - ceil(25/2) + 1 = 13), so no regular doc admits a hot shingle
+    // into its prefix and the prefix index's hottest bucket is the two
+    // planted near-dups' shared rare shingle (plus the few hot shingles
+    // only THEY are short enough to need) — O(1), not O(corpus).
+    val boiler = (1 to 12).map(i => s"b$i").mkString(" ")
+    val docs = ((0 until 400).map { i =>
+      val tail = (0 until 15).map(j => s"u${i}_$j").mkString(" ")
+      (i.toLong, s"$boiler $tail")
+    } :+ (9000L, s"$boiler dupmark") :+ (9001L, s"$boiler dupmark"))
+      .toDF("doc_id", "text")
+    val e = Dedup.shingleIndex(docs).persist()
+    val rawMax = e.groupBy("g").count().agg(max("count")).head().getLong(0)
+    val prefMax = Dedup.prefixRows(e, 1, 2)
+      .groupBy("g").count().agg(max("count")).head().getLong(0)
+    assert(rawMax >= 400L, s"adversary corpus must have a hot bucket, got $rawMax")
+    assert(prefMax <= 8L,
+      s"prefix index hottest bucket must stay bounded, got $prefMax (raw $rawMax)")
+    val uncapped = Dedup.ngramJaccardPairs(docs, 0.5, dfCap = None).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val prefix = Dedup.prefixJaccardPairs(docs, 1, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(prefix === uncapped)
+    assert(prefix.contains((9000L, 9001L)))
+    Graft.releaseCaches(spark)
   }
 
   test("prefix filtering is lossless on hot-boilerplate corpora the df cap misses") {
@@ -352,12 +392,66 @@ class DedupSpec extends SparkSpecBase {
     // (b, 2r)-band match implies both (b, r) halves match... not in our
     // grouping — but P(match) = J^rows falls monotonically and the
     // planted corpus follows it): check the measured monotonicity
-    for (bb <- Seq(4, 8); Seq(lo, hi) = Seq(2, 4, 8, 16).filter(r => rows.contains((bb, r))))
-      assert(rows((bb, hi))._1 <= rows((bb, lo))._1,
-        s"bands=$bb: rows=$hi generated MORE candidates than rows=$lo")
+    // sliding(2) over however many rows-per-band points a band count has:
+    // scales with the grid and fails with the assertion message instead
+    // of a MatchError if the grid ever gains/loses a point.
+    for {
+      bb <- Seq(4, 8)
+      pair <- Seq(2, 4, 8, 16).filter(r => rows.contains((bb, r))).sliding(2)
+      if pair.size == 2
+    } assert(rows((bb, pair(1)))._1 <= rows((bb, pair(0)))._1,
+      s"bands=$bb: rows=${pair(1)} generated MORE candidates than rows=${pair(0)}")
     // the production default's raw candidates cover its verified output
     assert(nVerified <= rows((Dedup.MinhashFrontierGrid.find(_ == (8, 4)).get))._1,
       "verified est>=0.5 pairs exceed the (8,4) raw candidate count")
+  }
+
+  test("simhash_recall_frontier: pigeonhole recall floor, truth exactness, " +
+    "frontier laws") {
+    // the truth-band layout must tile all 60 bits with > HammingMax bands
+    // — the structural precondition for the lossless truth side
+    assert(Dedup.SimhashTruthBands.map(_._2).sum === 60)
+    assert(Dedup.SimhashTruthBands.size > Dedup.SimhashHammingMax)
+    assert(Dedup.SimhashTruthBands ===
+      Dedup.SimhashTruthBands.sortBy(_._1), "bands in ascending shift order")
+    Dedup.SimhashTruthBands.sliding(2).foreach {
+      case Seq((o1, w1), (o2, _)) => assert(o1 + w1 === o2, "bands disjoint+contiguous")
+      case _ =>
+    }
+    val rows = Dedup.queries("simhash_recall_frontier")(spark, sfDir).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) Double.NaN else r.getDouble(5), r.getDouble(6))))
+      .toMap
+    val nVerified = Dedup.queries("dedup_simhash_pairs")(spark, sfDir).count()
+    Graft.releaseCaches(spark)
+    assert(rows.keySet === Dedup.SimhashFrontierGrid.toSet)
+    val truths = rows.values.map(_._2).toSet
+    assert(truths.size === 1, "n_truth is geometry-independent")
+    rows.foreach { case ((bb, w), (cand, truth, tp, prec, rec)) =>
+      assert(tp <= math.min(cand, truth), s"($bb,$w): tp bound")
+      if (cand > 0) assert(math.abs(prec - tp.toDouble / cand) < 1e-6)
+      assert(math.abs(rec - tp.toDouble / truth) < 1e-6)
+      // pigeonhole: > HammingMax bands makes recall structural, not
+      // statistical — any <= 10-bit difference leaves >= 1 band untouched
+      if (bb > Dedup.SimhashHammingMax)
+        assert(rec === 1.0, s"($bb,$w): pigeonhole guarantees recall 1.0")
+    }
+    // STRUCTURAL candidate monotonicity: where every band of the coarse
+    // geometry fully contains an aligned band of the fine one, a coarse
+    // match implies a fine match — the fine candidate set is a superset
+    // regardless of data. (Not all adjacent grid points qualify: a 15-bit
+    // band at shift 15 contains no aligned 12-bit band, so (4,15) vs
+    // (5,12) is only statistically ordered and deliberately unasserted.)
+    for ((coarse, fine) <- Seq(
+      ((4, 15), (6, 10)), ((5, 12), (10, 6)), ((6, 10), (12, 5)),
+      ((10, 6), (20, 3)), ((12, 5), (20, 3))))
+      assert(rows(coarse)._1 <= rows(fine)._1,
+        s"$coarse generated MORE candidates than $fine despite band containment")
+    // the production (4,15) banding's raw candidates cover its verified
+    // Hamming<=10 output
+    assert(nVerified <= rows((4, 15))._1,
+      "verified pairs exceed the (4,15) raw candidate count")
   }
 
   test("segment rewrite: planted-overlap adversary corpus") {

@@ -49,6 +49,26 @@ class InitSpec extends SparkSpecBase {
         "doc_id")).count() == 1)
   }
 
+  test("hugeMethodLimit override: lowers the default, honors the opt-out " +
+    "and explicit non-default values") {
+    val key = "spark.sql.codegen.hugeMethodLimit"
+    // fresh session: init replaces the known-bad 65535 default with 8000
+    val a = freshSession()
+    Graft.init(a)
+    assert(a.conf.get(key) === "8000")
+    // opt-out: keepHugeMethodLimit leaves the default untouched
+    val b = freshSession()
+    b.conf.set("spark.graft.keepHugeMethodLimit", "true")
+    Graft.init(b)
+    assert(b.conf.get(key, "65535") === "65535")
+    b.conf.unset("spark.graft.keepHugeMethodLimit")
+    // an explicit non-default caller value is never replaced
+    val c = freshSession()
+    c.conf.set(key, "12000")
+    Graft.init(c)
+    assert(c.conf.get(key) === "12000")
+  }
+
   test("h60/dot used directly self-init via the active session") {
     val s = freshSession()
     SparkSession.setActiveSession(s)
