@@ -216,12 +216,16 @@ object Bench {
     // cost ~nothing, yet uniform 1.3x inflation was measured — the
     // signature of MEMORY-BANDWIDTH contention, which loadavg cannot
     // see). So the bench now measures effective machine throughput
-    // directly: after each timed query it runs two fixed single-thread
-    // probes — an ALU-bound xorshift loop (pure CPU-share signal) and a
-    // sequential sum over a 128 MB array (DRAM-bandwidth signal; sized
-    // past any LLC) — and the artifact reports value_normalized =
-    // sum(dt_q / infl_q) with infl_q = max(alu_q, mem_q relative to the
-    // run's own calmest sample, floored at 1). The raw total REMAINS the
+    // directly: after each timed query it runs three fixed probes — a
+    // single-thread ALU-bound xorshift loop (CPU-share signal), a
+    // single-thread sequential sum over a 128 MB array (DRAM-bandwidth
+    // signal; sized past any LLC), and an all-cores spinner GANG (core-
+    // availability signal: the one a k-core co-tenant actually moves on
+    // a 32-core box — run 2 measured queries 1.5x over floor while both
+    // single-thread probes read ~1.0x) — and the artifact reports
+    // value_normalized = sum(dt_q / infl_q) with infl_q = max of the
+    // three ratios vs the run's own calmest sample, floored at 1. The
+    // raw total REMAINS the
     // gate figure; the normalized one is the companion that separates
     // co-tenant windows from code regressions using measurements stored
     // inside the artifact itself (per-query alu/mem samples included).
@@ -242,10 +246,34 @@ object Bench {
       calSink ^= s
       (System.nanoTime() - t0) / 1e6
     }
+    // ALL-CORES probe: a co-tenant holding k of the 32 cores slows a
+    // 32-wide Spark stage by ~k/32 while a single-thread probe sees
+    // NOTHING (31 free cores left) — so the width-sensitive signal is a
+    // gang of `cpus` spinner threads timed wall-clock: on an idle box the
+    // gang finishes in one quantum; with k cores taken, ~k threads queue
+    // behind the co-tenant and the wall stretches by the same factor the
+    // wide stages feel.
+    val nGang = cpus.toInt
+    def parOnce(): Double = {
+      val t0 = System.nanoTime()
+      val ths = (1 to nGang).map { k =>
+        val t = new Thread(new Runnable {
+          def run(): Unit = {
+            var x = (k.toLong << 1) | 1L; var i = 0
+            while (i < 6000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+            if (x == 42L) calSink ^= 1L
+          }
+        })
+        t.start(); t
+      }
+      ths.foreach(_.join())
+      (System.nanoTime() - t0) / 1e6
+    }
     // min-of-2 per sample: a GC pause or scheduler hiccup in one probe
     // must not fabricate inflation for the query it follows
-    def calib(): (Double, Double) =
-      (math.min(aluOnce(), aluOnce()), math.min(memOnce(), memOnce()))
+    def calib(): (Double, Double, Double) =
+      (math.min(aluOnce(), aluOnce()), math.min(memOnce(), memOnce()),
+        math.min(parOnce(), parOnce()))
     (1 to 3).foreach(_ => calib()) // JIT-compile the probes untimed
     val loadStart = loadavg()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -260,31 +288,51 @@ object Bench {
       // intermediates; release them so storage memory doesn't accumulate
       // across the run (and no query benefits from a predecessor's cache)
       Graft.releaseCaches(spark)
-      val (ca, cm) = calib()
-      (name, dt, loadavg(), ca, cm)
+      val (ca, cm, cp) = calib()
+      (name, dt, loadavg(), ca, cm, cp)
     }
     if (calSink == 42L) System.err.println("") // keep calSink observably live
-    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val loads = results.map { case (k, _, l, _, _) => s"\"" + k + "\":" + l }
+    val loads = results.map { case (k, _, l, _, _, _) => s"\"" + k + "\":" + l }
       .mkString("{", ",", "}")
-    val calAlu = results.map { case (k, _, _, a, _) => s"\"" + k + "\":" + a }
+    val calAlu = results.map { case (k, _, _, a, _, _) => s"\"" + k + "\":" + a }
       .mkString("{", ",", "}")
-    val calMem = results.map { case (k, _, _, _, m) => s"\"" + k + "\":" + m }
+    val calMem = results.map { case (k, _, _, _, m, _) => s"\"" + k + "\":" + m }
+      .mkString("{", ",", "}")
+    val calPar = results.map { case (k, _, _, _, _, p) => s"\"" + k + "\":" + p }
       .mkString("{", ",", "}")
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // Per-query inflation from the MIN of the query's two EDGE samples
+    // (the probe after query i-1 ran just before query i started): a
+    // burst that hits one probe but not the query itself (run 3 measured
+    // a 290 ms gang sample beside a 0.67 s query — 16x would have been
+    // misattributed) must straddle BOTH edges to count, and the result
+    // can only UNDER-correct (a burst covering the query but neither
+    // edge is simply not credited) — the normalized figure stays
+    // conservative. Capped at 4x as a final guard.
     val valueNorm = if (results.isEmpty) 0.0 else {
       val aluMin = results.map(_._4).min
       val memMin = results.map(_._5).min
-      results.map { case (_, dt, _, ca, cm) =>
-        dt / math.max(1.0, math.max(ca / aluMin, cm / memMin))
+      val parMin = results.map(_._6).min
+      results.zipWithIndex.map { case ((_, dt, _, _, _, _), i) =>
+        def edge(f: ((String, Double, Double, Double, Double, Double)) => Double,
+                 ref: Double): Double = {
+          val after = f(results(i)) / ref
+          val before = if (i == 0) after else f(results(i - 1)) / ref
+          math.min(before, after)
+        }
+        val infl = math.max(1.0, math.min(4.0,
+          math.max(edge(_._6, parMin),
+            math.max(edge(_._4, aluMin), edge(_._5, memMin)))))
+        dt / infl
       }.sum
     }
     // Serialize the large per-query maps FIRST and the headline fields
     // (value/failed/load_start/sf) LAST: the driver stores only the final
     // 2000 chars of stdout, so the gate total must live in the tail.
-    println(s"""{"metric":"total","unit":"sec","queries":$qs,"load":$loads,"calib_alu":$calAlu,"calib_mem":$calMem,"value":$total,"value_normalized":$valueNorm,"failed":$failedJson,"load_start":$loadStart,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","unit":"sec","queries":$qs,"load":$loads,"calib_alu":$calAlu,"calib_mem":$calMem,"calib_par":$calPar,"value":$total,"value_normalized":$valueNorm,"failed":$failedJson,"load_start":$loadStart,"sf":"$sfDir"}""")
     // Compact trailer: the driver stores only the last ~2000 chars of
     // stdout, and a truncated big line is not parseable JSON. This second
     // line is complete, self-contained JSON that always fits in the tail.

@@ -35,17 +35,27 @@ object BytecodeAudit {
     * maxMethodCodeSize is -1 when a subtree's Janino stats are
     * unavailable (counted as 0 stages over — compile failures surface in
     * the suite's execution tests, not here).
+    *
+    * Runs on an AQE-OFF sibling session: debug.codegenStringSeq cannot
+    * descend into an un-executed AdaptiveSparkPlanExec (it found 3 of
+    * ~1100 subtrees with AQE on — measured), and generated-method sizes
+    * are driven by expression/operator complexity, which AQE's runtime
+    * re-planning does not change materially. The caller's session is
+    * untouched.
     */
   def audit(spark: SparkSession, d: String,
-            names: Seq[String]): Seq[(String, Int, Int, Int)] =
+            names: Seq[String]): Seq[(String, Int, Int, Int)] = {
+    val s = Graft.init(spark.newSession())
+    s.conf.set("spark.sql.adaptive.enabled", "false")
     names.map { n =>
-      val df = SparkEntry.queries(n)(spark, d)
+      val df = SparkEntry.queries(n)(s, d)
       val stages = codegenStringSeq(df.queryExecution.executedPlan)
-      Graft.releaseCaches(spark)
+      Graft.releaseCaches(s)
       val sizes = stages.map(_._3.maxMethodCodeSize)
       (n, stages.size, if (sizes.isEmpty) 0 else sizes.max,
         sizes.count(_ > JitLimit))
     }
+  }
 
   def main(args: Array[String]): Unit = {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

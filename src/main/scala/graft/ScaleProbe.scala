@@ -290,11 +290,28 @@ object ScaleProbe {
       def dirBytes(p: java.io.File): Long =
         if (p.isFile) p.length
         else Option(p.listFiles).map(_.map(dirBytes).sum).getOrElse(0L)
-      val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      // Probe-corpus construction (two first-run lessons baked in):
+      //  1. every doc gets a ~35-char doc-UNIQUE tail, because the synth
+      //     vocabulary is so small that every raw 8-gram is corpus-common
+      //     and Winnow.FpDfCap strips the whole raw index (first run:
+      //     9 surviving postings of 1M docs) — the tail grams are df=1
+      //     and give the winnow gate real per-doc match signal;
+      //  2. replica 0 is that corpus VERBATIM (incoming docs must
+      //     genuinely match and be dropped — a gate probed only on
+      //     misses is vacuous) while replicas 1..9 are vowel-mutated
+      //     (token-INTERIOR mutation: a space-interleave would leave the
+      //     unique-tail grams intact in all 10 replicas, pushing their
+      //     df to 10 > FpDfCap and silently killing the match signal
+      //     again) — fingerprint-distinct real index mass.
+      val base = Tables.documents(spark, dir).select(col("doc_id"),
+        concat(col("text"), lit(" uniq"), col("doc_id"),
+          lit(" tailpart"), col("doc_id"), lit(" endmark"), col("doc_id"))
+          .as("text"))
       val IndexRep = 10
       val refDocs = (0 until IndexRep).map { r =>
-        docs.select((col("doc_id") + lit(r * 100000000L)).as("doc_id"),
-          concat(col("text"), lit(s" ridx$r")).as("text"))
+        base.select((col("doc_id") + lit(r * 100000000L)).as("doc_id"),
+          (if (r == 0) col("text")
+           else regexp_replace(col("text"), "[aeiouq]", s"$r")).as("text"))
       }.reduce(_ union _)
       val batchRows = sys.env.getOrElse("SCALEPROBE_STATE_BATCH", "2000").toLong
       val nB = 5; val waves = 3
@@ -308,9 +325,13 @@ object ScaleProbe {
           ("neardup", refSigs, (src: String, ck: String, out: String) =>
             graft.streaming.StreamingOps.nearDupIngest(spark, src,
               spark.read.parquet(src).schema, refSigs, ck, out)),
+          // minShared=2, not the 24 the long-doc specs use: the synth
+          // corpus docs are 4-11 tokens (~2-10 winnow fingerprints each),
+          // so 24 can never fire and the gate's MATCH path would go
+          // unprobed (first run: kept == everything)
           ("winnow", refIdx, (src: String, ck: String, out: String) =>
             graft.streaming.StreamingOps.winnowIngest(spark, src,
-              spark.read.parquet(src).schema, refIdx, 24L, ck, out)))
+              spark.read.parquet(src).schema, refIdx, 2L, ck, out)))
       }
       gates.foreach { case (gate, idx, run) =>
         val nIdx = idx.count() // build the 10x index outside timed waves
@@ -318,7 +339,7 @@ object ScaleProbe {
           .createTempDirectory(s"state_$gate").toString
         val src = s"$root/src"; val ck = s"$root/ck"; val out = s"$root/out"
         for (w <- 0 until waves) {
-          docs.where(col("doc_id") >= w * batchRows * nB &&
+          base.where(col("doc_id") >= w * batchRows * nB &&
               col("doc_id") < (w + 1) * batchRows * nB)
             .withColumn("doc_id", col("doc_id") + 2000000000L) // clear of every replica range
             .repartition(nB)

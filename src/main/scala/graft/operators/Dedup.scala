@@ -338,6 +338,66 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** Directional-containment pairs (max(|A∩B|/|A|, |A∩B|/|B|) >=
+    * [[ContainmentMin]]) with the candidate stage under the SAME lossless
+    * prefix law as [[prefixJaccardPairs]]: if the overlap covers >=
+    * ceil(4/5 * ns) of the smaller side s, it must intersect s's prefix
+    * of the ns - ceil(4*ns/5) + 1 rarest shingles (else it would fit in
+    * the ceil(4/5*ns) - 1 trailing ones). Unlike Jaccard there is NO
+    * length filter — any doc can contain a much smaller one — so the
+    * join is prefix x FULL index, run symmetrically (either side may be
+    * the smaller). A hot shingle still never forms a prefix-side bucket:
+    * only docs with nothing rarer carry it in their prefix, and such
+    * all-boilerplate corpora have genuinely quadratic OUTPUT (every pair
+    * really is a mutual containment) — the shape is output-bound, not
+    * hot-key-bound. Verification computes exact intersections against
+    * full shingle sets; the final predicate/columns are byte-identical
+    * to [[containmentPairsRaw]], so DedupSpec's equality check and the
+    * unchanged DuckDB oracle both hold row-for-row.
+    */
+  def containmentPairs(docs: DataFrame): DataFrame = {
+    val e = shingleIndex(docs).persist()
+    val n = e.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val pref = prefixRows(e, 4, 5) // ContainmentMin = 0.8 = 4/5 exact
+    val cand = pref.as("a")
+      .join(e.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    cand
+      .join(e.as("fa"), col("doc_a") === col("fa.doc_id"))
+      .join(e.as("fb"),
+        col("doc_b") === col("fb.doc_id") && col("fa.g") === col("fb.g"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+      .join(n.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(n.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("inter").cast("double") / col("na.nsh")).as("cont_a_in_b"),
+        (col("inter").cast("double") / col("nb.nsh")).as("cont_b_in_a"))
+      .where(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= ContainmentMin)
+  }
+
+  /** The pre-r12 raw inverted-index containment join — the hot-shingle
+    * self-join shape. Retained ONLY for DedupSpec's equality cross-check
+    * against [[containmentPairs]]; not reachable from `queries`.
+    */
+  private[graft] def containmentPairsRaw(docs: DataFrame): DataFrame = {
+    val e = shingleIndex(docs).persist()
+    val n = e.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    e.as("a")
+      .join(e.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(n.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(n.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("inter").cast("double") / col("na.nsh")).as("cont_a_in_b"),
+        (col("inter").cast("double") / col("nb.nsh")).as("cont_b_in_a"))
+      .where(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= ContainmentMin)
+  }
+
   /** Smallest doc_id per identical text — the exact-dedup keep set, shared
     * by dedup_exact and the pipeline.
     */
@@ -473,22 +533,16 @@ object Dedup {
     // doc fully inside a 500-shingle doc has jaccard 0.1 but containment
     // 1.0). Emits both directions' exact fractions per canonical pair;
     // int/int divisions, so values hash-match the oracle bit-for-bit.
+    // Since r12 the candidate stage rides the SAME lossless prefix law as
+    // the Jaccard operators: max-containment >= 4/5 means the overlap
+    // covers >= ceil(4/5 * nsh) of the SMALLER side, so it must intersect
+    // that side's prefix of the nsh - ceil(4*nsh/5) + 1 rarest shingles —
+    // candidates are prefix x FULL-index (the larger side needs no length
+    // bound: a 50-shingle doc sits inside a 5000-shingle one), never the
+    // raw hot-shingle self-join. DedupSpec proves row equality with the
+    // raw form (kept as containmentPairsRaw for the cross-check only).
     "dedup_containment" -> { (s, d) =>
-      val e = shingleRows(documents(s, d).select("doc_id", "text"))
-        .select(col("doc_id"), h60(col("sh")).as("g"))
-        .distinct()
-        .persist()
-      val n = e.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-      e.as("a")
-        .join(e.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("inter"))
-        .join(n.as("na"), col("doc_a") === col("na.doc_id"))
-        .join(n.as("nb"), col("doc_b") === col("nb.doc_id"))
-        .select(col("doc_a"), col("doc_b"), col("inter"),
-          (col("inter").cast("double") / col("na.nsh")).as("cont_a_in_b"),
-          (col("inter").cast("double") / col("nb.nsh")).as("cont_b_in_a"))
-        .where(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= ContainmentMin)
+      containmentPairs(documents(s, d).select("doc_id", "text"))
         .orderBy("doc_a", "doc_b")
     },
 
@@ -526,8 +580,10 @@ object Dedup {
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
           call_function("bit_count",
             col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+        // filter before distinct (pair-functional column): identical rows,
+        // and the distinct's shuffle carries only qualifying pairs
+        .where(col("hamming") <= SimhashHammingMax)
         .distinct()
-        .where(col("hamming") <= 10)
         .orderBy("doc_a", "doc_b")
     },
 
@@ -778,9 +834,12 @@ object Dedup {
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
           call_function("bit_count",
             col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-        .distinct()
+        // filter BEFORE distinct: hamming is pair-functional, so the
+        // result set is identical, but the distinct's shuffle sees only
+        // the qualifying ~3% of the 11-band candidate volume
         .where(col("hamming") <= SimhashHammingMax)
         .select("doc_a", "doc_b")
+        .distinct()
         .localCheckpoint() // consumed by the semi-join AND the 1-row count
       val nc = cand.groupBy("g").agg(count(lit(1)).as("n_candidates"))
       val tp = cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")

@@ -38,6 +38,42 @@ object TextAnalysis {
   val stopwords: Seq[String] =
     Seq("the", "a", "an", "is", "of", "and", "to", "in")
 
+  /** Sample size for `dsir_resample_stats` (Gumbel-top-k over the DSIR
+    * log-weights). Small relative to every fixture corpus so the mixture
+    * SHIFT toward the target slice is visible in the stats table.
+    */
+  val DsirSampleK = 200
+
+  /** DSIR-style per-doc importance log-weight (see `dsir_weights`):
+    * (doc_id, n_tok, dsir_logw) under add-one-smoothed unigram LMs,
+    * target = the `lang='en'` slice. Both vocabularies broadcast onto
+    * the token stream; per-token log-ratios round to 6 dp then sum
+    * exactly as DECIMAL per doc (double sums are partition-order-
+    * dependent). Shared by the weights query and the resample half.
+    */
+  def dsirLogWeights(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("tok"))
+    val cvoc = tok.groupBy("tok").agg(count(lit(1)).as("cnt_c"))
+    val tvoc = tok.where(col("lang") === "en")
+      .groupBy("tok").agg(count(lit(1)).as("cnt_t0"))
+    val voc = cvoc.join(tvoc, Seq("tok"), "left")
+      .select(col("tok"), col("cnt_c"),
+        coalesce(col("cnt_t0"), lit(0L)).as("cnt_t"))
+    val k = tok.agg(count(lit(1)).as("n_c"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_t"),
+      countDistinct("tok").as("v"))
+    tok.join(broadcast(voc), "tok").crossJoin(broadcast(k))
+      .select(col("doc_id"), round(log(
+        ((col("cnt_t") + 1).cast("double") / (col("n_t") + col("v")).cast("double"))
+          / ((col("cnt_c") + 1).cast("double") / (col("n_c") + col("v")).cast("double"))),
+        6).as("lr"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        round(sum(col("lr").cast(DecimalType(18, 6))).cast("double"), 6)
+          .as("dsir_logw"))
+  }
+
   /** BPE-ish tokenizer: letter runs, digit runs, or single non-space
     * symbols — the classic pre-tokenization split.
     */
@@ -284,27 +320,45 @@ object TextAnalysis {
     // stream; per-token log-ratios round to 6 dp then sum exactly as
     // DECIMAL per doc (double sums are partition-order-dependent).
     "dsir_weights" -> { (s, d) =>
-      val tok = documents(s, d)
-        .select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("tok"))
-      val cvoc = tok.groupBy("tok").agg(count(lit(1)).as("cnt_c"))
-      val tvoc = tok.where(col("lang") === "en")
-        .groupBy("tok").agg(count(lit(1)).as("cnt_t0"))
-      val voc = cvoc.join(tvoc, Seq("tok"), "left")
-        .select(col("tok"), col("cnt_c"),
-          coalesce(col("cnt_t0"), lit(0L)).as("cnt_t"))
-      val k = tok.agg(count(lit(1)).as("n_c"),
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_t"),
-        countDistinct("tok").as("v"))
-      tok.join(broadcast(voc), "tok").crossJoin(broadcast(k))
-        .select(col("doc_id"), round(log(
-          ((col("cnt_t") + 1).cast("double") / (col("n_t") + col("v")).cast("double"))
-            / ((col("cnt_c") + 1).cast("double") / (col("n_c") + col("v")).cast("double"))),
-          6).as("lr"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tok"),
-          round(sum(col("lr").cast(DecimalType(18, 6))).cast("double"), 6)
-            .as("dsir_logw"))
-        .orderBy("doc_id")
+      dsirLogWeights(s, d).orderBy("doc_id")
+    },
+
+    // The RESAMPLE half of DSIR (Xie et al. 2023 §2: importance
+    // resampling is Gumbel-top-k over the log-weights): each doc gets a
+    // DETERMINISTIC Gumbel perturbation G = -ln(-ln(u)) with u derived
+    // from h60('dsir' || doc_id) — identical integers in both engines, so
+    // the selected SET is reproducible — and the top
+    // [[DsirSampleK]] keys (doc_id tiebreak) form the sample. Top-k rides
+    // TakeOrderedAndProject (per-partition heads merged on the driver —
+    // bounded, never a global sort). Output is the evidence the sampler
+    // exists to produce: the per-lang mixture of the selected docs next
+    // to the corpus mixture — importance resampling toward the 'en'
+    // target must SHIFT the selected share (spec asserts the direction;
+    // the oracle pins the exact table).
+    "dsir_resample_stats" -> { (s, d) =>
+      val gk = dsirLogWeights(s, d)
+        .join(documents(s, d).select("doc_id", "lang"), "doc_id")
+        .select(col("doc_id"), col("lang"),
+          round(col("dsir_logw") -
+            log(-log((pmod(h60(concat(lit("dsir"), col("doc_id").cast("string"))),
+              lit(1000000L)).cast("double") + 0.5) / 1e6)), 6).as("gk"))
+      val sel = gk.orderBy(col("gk").desc, col("doc_id")).limit(DsirSampleK)
+        .persist() // consumed by the per-lang counts AND the 1-row total
+      val selByLang = sel.groupBy("lang").agg(count(lit(1)).as("n_sel"))
+      val nSel = sel.agg(count(lit(1)).as("k"))
+      val corpus = documents(s, d).groupBy("lang")
+        .agg(count(lit(1)).as("n_corpus"))
+      val nAll = documents(s, d).agg(count(lit(1)).as("n"))
+      corpus.join(selByLang, Seq("lang"), "left")
+        .crossJoin(nSel).crossJoin(nAll) // 1-row aggregates — broadcast
+        .select(col("lang"),
+          coalesce(col("n_sel"), lit(0L)).as("n_sel"),
+          col("n_corpus"),
+          round(coalesce(col("n_sel"), lit(0L)).cast("double") /
+            col("k").cast("double"), 6).as("sel_share"),
+          round(col("n_corpus").cast("double") /
+            col("n").cast("double"), 6).as("corpus_share"))
+        .orderBy("lang")
     },
 
     // Collocation mining: adjacent-token pairs scored by pointwise mutual
@@ -877,6 +931,43 @@ object TextAnalysis {
          |SELECT doc_id, count(*) AS n_tok,
          |  round(CAST(sum(CAST(lr AS DECIMAL(18,6))) AS DOUBLE), 6) AS dsir_logw
          |FROM lr GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dsir_resample_stats" ->
+      s"""WITH tok AS (SELECT doc_id, lang, unnest(${toksSql("text")}) AS tok
+         |  FROM documents),
+         |cv AS (SELECT tok, count(*) AS cnt_c FROM tok GROUP BY 1),
+         |tv AS (SELECT tok, count(*) AS cnt_t0 FROM tok WHERE lang = 'en' GROUP BY 1),
+         |voc AS (SELECT cv.tok, cnt_c, CAST(coalesce(cnt_t0, 0) AS BIGINT) AS cnt_t
+         |  FROM cv LEFT JOIN tv ON cv.tok = tv.tok),
+         |k AS (SELECT count(*) AS n_c,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         |    count(DISTINCT tok) AS v
+         |  FROM tok),
+         |lr AS (SELECT doc_id,
+         |    round(ln((CAST(cnt_t + 1 AS DOUBLE) / CAST(n_t + v AS DOUBLE))
+         |      / (CAST(cnt_c + 1 AS DOUBLE) / CAST(n_c + v AS DOUBLE))), 6) AS lr
+         |  FROM tok JOIN voc USING (tok) CROSS JOIN k),
+         |w AS (SELECT doc_id,
+         |    round(CAST(sum(CAST(lr AS DECIMAL(18,6))) AS DOUBLE), 6) AS dsir_logw
+         |  FROM lr GROUP BY doc_id),
+         |g AS (SELECT d.doc_id, d.lang,
+         |    round(w.dsir_logw - ln(-ln(
+         |      (CAST(${h60Sql("'dsir' || CAST(d.doc_id AS VARCHAR)")} % 1000000 AS DOUBLE)
+         |        + 0.5) / 1000000.0)), 6) AS gk
+         |  FROM w JOIN documents d USING (doc_id)),
+         |sel AS (SELECT lang FROM g ORDER BY gk DESC, doc_id LIMIT $DsirSampleK),
+         |ns AS (SELECT count(*) AS k2 FROM sel),
+         |sl AS (SELECT lang, count(*) AS n_sel FROM sel GROUP BY 1),
+         |cs AS (SELECT lang, count(*) AS n_corpus FROM documents GROUP BY 1),
+         |na AS (SELECT count(*) AS n FROM documents)
+         |SELECT cs.lang, CAST(coalesce(sl.n_sel, 0) AS BIGINT) AS n_sel,
+         |  cs.n_corpus,
+         |  round(CAST(coalesce(sl.n_sel, 0) AS DOUBLE) / CAST(k2 AS DOUBLE), 6)
+         |    AS sel_share,
+         |  round(CAST(cs.n_corpus AS DOUBLE) / CAST(n AS DOUBLE), 6)
+         |    AS corpus_share
+         |FROM cs LEFT JOIN sl USING (lang) CROSS JOIN ns CROSS JOIN na
+         |ORDER BY lang""".stripMargin,
 
     "text_fingerprint" ->
       s"""SELECT doc_id,

@@ -176,6 +176,36 @@ class DedupSpec extends SparkSpecBase {
     Graft.releaseCaches(spark)
   }
 
+  test("containment: prefix-filtered candidates equal the raw self-join " +
+    "row-for-row (fixture + quote adversary)") {
+    val s = spark
+    import s.implicits._
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val fixture = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    assert(asMap(Dedup.containmentPairs(fixture)) ===
+      asMap(Dedup.containmentPairsRaw(fixture)))
+    Graft.releaseCaches(spark)
+    // adversary: a small quote fully inside a large doc (containment 1.0,
+    // jaccard ~0.1 — the pair Jaccard is blind to), plus boilerplate-heavy
+    // docs whose shared shingles are corpus-hot
+    val big = ((1 to 60).map(i => s"w$i") ++ (1 to 6).map(i => s"q$i"))
+      .mkString(" ")
+    val quote = (1 to 6).map(i => s"q$i").mkString(" ")
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ")
+    val docs = (Seq((1L, big), (2L, quote)) ++
+      (10 until 40).map(i => (i.toLong, s"$boiler only$i")) :+
+      (50L, boiler) :+ (51L, s"$boiler extra"))
+      .toDF("doc_id", "text")
+    val got = asMap(Dedup.containmentPairs(docs))
+    assert(got === asMap(Dedup.containmentPairsRaw(docs)))
+    assert(got.contains((1L, 2L)), "quote-inside-doc pair must be found")
+    assert(got((1L, 2L))._1 === 4L) // the quote's 4 interior shingles
+    Graft.releaseCaches(spark)
+  }
+
   test("prefix filtering is lossless on hot-boilerplate corpora the df cap misses") {
     val s = spark
     import s.implicits._

@@ -160,6 +160,25 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("dsir_resample_stats: Gumbel-top-k shifts the mixture toward the " +
+    "target lang; counts consistent; deterministic") {
+    val rows = TextAnalysis.queries("dsir_resample_stats")(spark, sfDir).collect()
+    val nCorpus = Tables.documents(spark, sfDir).count()
+    val k = math.min(TextAnalysis.DsirSampleK.toLong, nCorpus)
+    assert(rows.map(_.getLong(1)).sum === k, "selected counts sum to K")
+    assert(rows.map(_.getLong(2)).sum === nCorpus)
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2), s"${r.getString(0)}: n_sel <= n_corpus")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    val en = rows.find(_.getString(0) == "en").get
+    // importance resampling toward the en target must RAISE the en share
+    assert(en.getDouble(3) > en.getDouble(4),
+      s"en sel_share ${en.getDouble(3)} !> corpus_share ${en.getDouble(4)}")
+    val again = TextAnalysis.queries("dsir_resample_stats")(spark, sfDir).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("colloc_pmi: supported pairs, PMI matches a recomputation") {
     val rows = TextAnalysis.queries("colloc_pmi")(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= TextAnalysis.CollocTopK)
