@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.call_function
 
-import graft.functions.{DamerauLevenshteinDist, DotProductD, JaroWinklerSim, Md5Hash60, NfcNormalize, RegExpExtractRef, StripAccents}
+import graft.functions.{DamerauLevenshteinDist, DotProductD, JaroWinklerSim, Md5Hash60, NfcNormalize, PqCodes1, PqLuts, PqReconErr2, RegExpExtractRef, StripAccents}
 
 /** Session-level wiring: registers graft's custom Catalyst expressions into
   * the session's function registry so they resolve in both SQL and the
@@ -64,6 +64,18 @@ object Graft {
     reg.createOrReplaceTempFunction(
       "graft_h60",
       exprs => Md5Hash60(exprs(0)),
+      "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_pq_codes",
+      exprs => PqCodes1(exprs(0)),
+      "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_pq_err2",
+      exprs => PqReconErr2(exprs(0)),
+      "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_pq_luts",
+      exprs => PqLuts(exprs(0)),
       "scala_udf")
     // Optimizer rules + planner strategy. The supported injection point is
     // SparkSessionExtensions (builder path: .withExtensions(new

@@ -353,17 +353,18 @@ object Similarity {
   val PqSub: Int = Dim / PqBlocks
   val PqK = 16
 
-  /** [block][centroid][subdim], seed 31, 6-dp-rounded like [[planes]]. */
-  lazy val pqCodebooks: Array[Array[Array[Double]]] = {
-    val r = new scala.util.Random(31)
-    Array.fill(PqBlocks, PqK, PqSub)(math.rint(r.nextGaussian() * 1e6) / 1e6)
-  }
+  /** [block][centroid][subdim], seed 31, 6-dp-rounded like [[planes]].
+    * Since r12 the single source of truth lives in
+    * [[graft.functions.PqOps]] (the loop-codegen kernel embeds them
+    * statically); this alias keeps the oracle-literal builders below and
+    * every existing caller on the same arrays.
+    */
+  lazy val pqCodebooks: Array[Array[Array[Double]]] = graft.functions.PqOps.books
 
   /** Per-centroid self-dot c·c, computed ONCE here in Scala and embedded
     * as the same literal in both engines — no cross-engine arithmetic.
     */
-  lazy val pqCC: Array[Array[Double]] =
-    pqCodebooks.map(_.map(c => c.foldLeft(0.0)((a, x) => a + x * x)))
+  lazy val pqCC: Array[Array[Double]] = graft.functions.PqOps.cc
 
   // ------------------------------------------------------------------
   // Random projection (Johnson-Lindenstrauss): a deterministic Gaussian
@@ -888,22 +889,22 @@ object Similarity {
     // shuffle of the big side. Approximation error comes only from the
     // codebook (same ranking contract as the other ann_* queries:
     // round-6 distance asc, cand_id tie-break).
+    // r12: same loop-kernel swap as emb_quantize_pq — codes from
+    // graft_pq_codes (1-based, matching array_position), the per-query
+    // ADC table as ONE flattened graft_pq_luts array (block b, code c →
+    // element b*16 + c, both 1-based at the element_at seam).
     "ann_pq_adc_topk" -> { (s, d) =>
       graft.Graft.init(s)
       val e = embeddings(s, d).select(col("vec_id"), toDouble(col("embedding")).as("x"))
-      def xs(b: Int) = slice(col("x"), b * PqSub + 1, PqSub)
-      def dists(b: Int): Column = array((0 until PqK).map { j =>
-        val c = array(pqCodebooks(b)(j).map(lit): _*)
-        dot(xs(b), xs(b)) - lit(2.0) * dot(xs(b), c) + lit(pqCC(b)(j))
-      }: _*)
       val codes = e.select(col("vec_id").as("cand_id") +:
         (0 until PqBlocks).map(b =>
-          array_position(dists(b), array_min(dists(b))).as(s"c$b")): _*)
+          element_at(call_function("graft_pq_codes", col("x")), b + 1)
+            .as(s"c$b")): _*)
       val luts = e.where(col("vec_id") < QuerySet)
-        .select(col("vec_id").as("q_id") +:
-          (0 until PqBlocks).map(b => dists(b).as(s"lut$b")): _*)
+        .select(col("vec_id").as("q_id"),
+          call_function("graft_pq_luts", col("x")).as("lut"))
       val adc = (0 until PqBlocks)
-        .map(b => element_at(col(s"lut$b"), col(s"c$b").cast("int")))
+        .map(b => element_at(col("lut"), (lit(b * PqK) + col(s"c$b")).cast("int")))
         .reduce(_ + _)
       val w = Window.partitionBy("q_id").orderBy(col("adc").asc, col("cand_id").asc)
       codes.join(broadcast(luts), col("q_id") =!= col("cand_id"))
@@ -921,22 +922,20 @@ object Similarity {
     // fixed block order. Pure per-row map over one corpus scan — never a
     // shuffle; codes emitted as a comma-joined string (atomic-column
     // contract). 0-based codes.
+    // r12: the 8x16 distance grid runs as graft.functions.PqOps LOOP
+    // kernels instead of an unrolled 44,879-bytecode projection (which
+    // HotSpot refused to JIT — the BytecodeAudit's largest row). Same
+    // arithmetic in the same association order; oracle hashes unchanged.
     "emb_quantize_pq" -> { (s, d) =>
       graft.Graft.init(s)
       val e = embeddings(s, d).select(col("vec_id"), toDouble(col("embedding")).as("x"))
-      def xs(b: Int) = slice(col("x"), b * PqSub + 1, PqSub)
-      def dists(b: Int): Column = array((0 until PqK).map { j =>
-        val c = array(pqCodebooks(b)(j).map(lit): _*)
-        dot(xs(b), xs(b)) - lit(2.0) * dot(xs(b), c) + lit(pqCC(b)(j))
-      }: _*)
-      val withDs = e.select(col("vec_id") +:
-        (0 until PqBlocks).map(b => dists(b).as(s"ds$b")): _*)
-      withDs.select(col("vec_id"),
+      val withC = e.select(col("vec_id"),
+        call_function("graft_pq_codes", col("x")).as("c1"),
+        call_function("graft_pq_err2", col("x")).as("err"))
+      withC.select(col("vec_id"),
         concat_ws(",", (0 until PqBlocks).map(b =>
-          (array_position(col(s"ds$b"), array_min(col(s"ds$b"))) - 1)
-            .cast("string")): _*).as("codes"),
-        round((0 until PqBlocks).map(b => array_min(col(s"ds$b"))).reduce(_ + _), 6)
-          .as("recon_err2"))
+          (element_at(col("c1"), b + 1) - 1).cast("string")): _*).as("codes"),
+        round(col("err"), 6).as("recon_err2"))
         .orderBy("vec_id")
     },
 

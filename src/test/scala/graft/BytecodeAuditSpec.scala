@@ -20,14 +20,12 @@ class BytecodeAuditSpec extends SparkSpecBase {
     // query -> why its over-limit stage is accepted (or restructure it).
     // Measured 2026-08-16 (r12): identical sets and sizes at sf0.001,
     // sf0.01 and sf0.1 — these are plan-shape constants, not data-sized.
+    // The audit's original top three rows (the PQ family's 35-45 KB
+    // unrolls) were RESTRUCTURED onto graft.functions.PqOps loop kernels
+    // in-round: 44879 → 1761 B, 43756 → 3124 B, 35638 → 582 B, floors
+    // 0.96 → 0.24 s / 1.90 → 0.50 s at sf0.1 — so the whitelist now
+    // carries only the three marginal signature aggregates.
     val accepted: Map[String, String] = Map(
-      "emb_quantize_pq" -> ("44879 B: the 8-block x 16-centroid argmin " +
-        "unrolled as one projection; Volcano fallback measured fast " +
-        "(floor 0.96 s r11) — restructure candidate: loop-codegen expr"),
-      "ann_pq_adc_topk" -> ("43756 B: 8x16 ADC lookup-table build " +
-        "unrolled in one stage; same family as emb_quantize_pq"),
-      "emb_pq_train_gain" -> ("35638 B: trained-codebook assignment " +
-        "unroll, shares the PQ shape"),
       "dedup_minhash_pairs" -> ("9195 B: the 32-permutation signature " +
         "aggregate sits just over the window; one stage, floor 1.66 s"),
       "dedup_simhash" -> ("8501 B: the 60-bit vote aggregate, just over"),

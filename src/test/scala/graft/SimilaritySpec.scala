@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{call_function, col}
+
 import graft.operators.Similarity
 
 /** ANN pack: brute-force top-k cross-checked against an independent Scala
@@ -18,6 +20,47 @@ class SimilaritySpec extends SparkSpecBase {
     var i = 0
     while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
     d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("PqOps loop kernels equal an independent brute recompute " +
+    "(codes/err2/luts laws; eval == codegen)") {
+    import graft.functions.PqOps
+    val rng = new scala.util.Random(7)
+    for (trial <- 1 to 20) {
+      val x = Array.fill(PqOps.Dim)(math.rint(rng.nextGaussian() * 1e6) / 1e6)
+      val xd = new org.apache.spark.sql.catalyst.util.GenericArrayData(x)
+      // brute: same formula, naive map/min over scala collections
+      val bruteD = (0 until PqOps.Blocks).map { b =>
+        (0 until PqOps.K).map { j =>
+          val xs = x.slice(b * PqOps.Sub, (b + 1) * PqOps.Sub)
+          val c = PqOps.books(b)(j)
+          var xx = 0.0; var xc = 0.0
+          for (k <- 0 until PqOps.Sub) { xx += xs(k) * xs(k); xc += xs(k) * c(k) }
+          xx - 2.0 * xc + PqOps.cc(b)(j)
+        }
+      }
+      val codes = PqOps.codes(xd)
+      val luts = PqOps.luts(xd)
+      for (b <- 0 until PqOps.Blocks) {
+        assert(codes(b) == bruteD(b).indexOf(bruteD(b).min) + 1L, s"trial $trial block $b")
+        for (j <- 0 until PqOps.K)
+          assert(luts(b * PqOps.K + j) == bruteD(b)(j), s"trial $trial lut($b,$j)")
+      }
+      assert(PqOps.err2(xd) == bruteD.map(_.min).sum)
+    }
+    // eval == codegen through a real plan, plus null/short-input contract
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Array.fill(PqOps.Dim)(0.5)),
+      (2L, Array.fill(PqOps.Dim - 1)(0.5))).toDF("id", "x")
+      .select(col("id"),
+        call_function("graft_pq_codes", col("x")).as("c"),
+        call_function("graft_pq_err2", col("x")).as("e"),
+        call_function("graft_pq_luts", col("x")).as("l"))
+    val rows = df.orderBy("id").collect()
+    assert(!rows(0).isNullAt(1) && !rows(0).isNullAt(2) && !rows(0).isNullAt(3))
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(2) && rows(1).isNullAt(3),
+      "short input must yield NULL, never a partial code")
   }
 
   test("ann_cosine_topk matches independent brute-force ranking") {
