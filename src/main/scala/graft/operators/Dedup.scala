@@ -587,6 +587,34 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     },
 
+    // The EXACT complement of dedup_simhash_pairs: every pair at Hamming
+    // <= SimhashHammingMax, none missed — candidates from the 11-band
+    // pigeonhole index ([[SimhashTruthBands]]: > HammingMax disjoint
+    // bands, so a qualifying pair cannot differ in all of them), verified
+    // by bit_count before the distinct. This is the frontier's truth side
+    // promoted to a first-class operator: the measured-recall (4,15)
+    // query is the shape that scales (wide keys); THIS one is the
+    // audit-grade variant whose <= 6-bit keys pay n/32-sized buckets for
+    // structural recall 1.0 — the radius-vs-bandwidth trade documented at
+    // [[SimhashFrontierGrid]], now available as a query on either side.
+    "dedup_simhash_pairs_exact" -> { (s, d) =>
+      val fp = simhashed(s, d)
+      val tkeyed = fp.select(col("doc_id"), col("simhash"),
+        posexplode(array(SimhashTruthBands.map { case (off, w) =>
+          shiftright(col("simhash"), off).bitwiseAND(lit((1L << w) - 1))
+        }: _*)).as(Seq("band", "key")))
+      tkeyed.as("x")
+        .join(tkeyed.as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          call_function("bit_count",
+            col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+        .where(col("hamming") <= SimhashHammingMax)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    },
+
     // Embedding cosine near-dup pairs via banded hyperplane LSH — the
     // 100 TB shape: candidate generation is an equi-join on (band, key)
     // exactly like minhash banding, never an all-pairs product (PlanSpec
@@ -1310,6 +1338,19 @@ object Dedup {
          |$candCtes
          |SELECT * FROM ($arms)
          |ORDER BY bands, rows_per_band""".stripMargin
+    },
+
+    "dedup_simhash_pairs_exact" -> {
+      val exTruthEq = SimhashTruthBands.map { case (off, w) =>
+        val m = (1L << w) - 1
+        s"((a.simhash >> $off) & $m) = ((b.simhash >> $off) & $m)"
+      }.mkString(" OR ")
+      s"""$simhashSqlCte
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id AND ($exTruthEq)
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimhashHammingMax
+         |ORDER BY doc_a, doc_b""".stripMargin
     },
 
     "simhash_recall_frontier" -> {

@@ -484,6 +484,26 @@ class DedupSpec extends SparkSpecBase {
       "verified pairs exceed the (4,15) raw candidate count")
   }
 
+  test("dedup_simhash_pairs_exact: superset of the banded (4,15) pairs, " +
+    "count equals the frontier's n_truth, hamming bound holds") {
+    val exact = Dedup.queries("dedup_simhash_pairs_exact")(spark, sfDir).collect()
+    exact.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getInt(2) <= Dedup.SimhashHammingMax)
+    }
+    val exactSet = exact.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactSet.size == exact.length, "pairs are distinct")
+    val banded = Dedup.queries("dedup_simhash_pairs")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded.subsetOf(exactSet),
+      "the measured-recall banded operator must never exceed the exact one")
+    val truth = Dedup.queries("simhash_recall_frontier")(spark, sfDir)
+      .head().getLong(3)
+    assert(exactSet.size.toLong == truth,
+      "exact operator must reproduce the frontier's truth cardinality")
+    Graft.releaseCaches(spark)
+  }
+
   test("segment rewrite: planted-overlap adversary corpus") {
     import spark.implicits._
     // 20-token segments built from unique markers; seg(x) repeats marker x.
