@@ -36,7 +36,9 @@ class BytecodeAuditSpec extends SparkSpecBase {
       "dedup_simhash" -> ("8501 B: hash-agg boilerplate of the 60 vote " +
         "sum columns, just over"),
       "dedup_simhash_pairs" -> ("8449 B: same vote aggregate feeding " +
-        "the band join (2 stages share it)"))
+        "the band join (2 stages share it)"),
+      "dedup_simhash_pairs_exact" -> ("8449 B: the same shared simhash " +
+        "vote aggregate under the 11-band pigeonhole join"))
     val rows = BytecodeAudit.audit(spark, sfDir,
       SparkEntry.queries.keys.toSeq.sorted)
     val offenders = rows.filter(_._4 > 0).filterNot(r => accepted.contains(r._1))
