@@ -104,6 +104,23 @@ object Dedup {
     val widths = Seq.fill(5)(6) ++ Seq.fill(6)(5)
     widths.scanLeft(0)(_ + _).zip(widths)
   }
+
+  /** Index of the FIRST band (under the given (shift, width) layout) where
+    * two fingerprints agree, evaluated on their XOR. Banded candidate
+    * generation emits a colliding pair once PER matching band — a pair at
+    * Hamming 0 collides in all 11 truth bands — so the raw join output
+    * needs a `distinct()` (a full shuffle + hash-agg over the duplicate-
+    * multiplied candidate mass). Keeping only the row whose matched band
+    * IS this index yields each pair exactly once from a codegen'd scalar
+    * predicate instead: same result set, no distinct shuffle. At 100 TB
+    * the distinct's shuffle grows with candidate multiplicity (x bands on
+    * near-identical corpora); this filter is flat per candidate row.
+    */
+  private def firstZeroBand(xorv: Column, bands: Seq[(Int, Int)]): Column =
+    bands.zipWithIndex.foldRight(lit(-1): Column) { case (((off, w), i), rest) =>
+      when(shiftright(xorv, off).bitwiseAND(lit((1L << w) - 1)) === 0L, lit(i))
+        .otherwise(rest)
+    }
   // Permutation coefficients must be LARGE so a*h wraps around mod P —
   // small multipliers leave (a*h+b) monotone in h and every component
   // collapses to the set's global min-hash (caught by DedupSpec's exact-
@@ -573,17 +590,19 @@ object Dedup {
         posexplode(array((0 until 4).map(k =>
           shiftright(col("simhash"), 15 * k).bitwiseAND(lit(32767L))): _*))
           .as(Seq("chunk_id", "chunk")))
+      val xorv = col("x.simhash").bitwiseXOR(col("y.simhash"))
       chunks.as("x")
         .join(chunks.as("y"),
           col("x.chunk_id") === col("y.chunk_id") && col("x.chunk") === col("y.chunk") &&
             col("x.doc_id") < col("y.doc_id"))
+        // hamming filter first (short-circuits the And for the ~97% of
+        // candidates it kills), then [[firstZeroBand]] dedups in place of
+        // the former distinct() — identical rows, no pair-mass shuffle
+        .where(call_function("bit_count", xorv) <= SimhashHammingMax &&
+          col("x.chunk_id") === firstZeroBand(xorv,
+            (0 until 4).map(k => (15 * k, 15))))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          call_function("bit_count",
-            col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-        // filter before distinct (pair-functional column): identical rows,
-        // and the distinct's shuffle carries only qualifying pairs
-        .where(col("hamming") <= SimhashHammingMax)
-        .distinct()
+          call_function("bit_count", xorv).as("hamming"))
         .orderBy("doc_a", "doc_b")
     },
 
@@ -591,7 +610,7 @@ object Dedup {
     // <= SimhashHammingMax, none missed — candidates from the 11-band
     // pigeonhole index ([[SimhashTruthBands]]: > HammingMax disjoint
     // bands, so a qualifying pair cannot differ in all of them), verified
-    // by bit_count before the distinct. This is the frontier's truth side
+    // by bit_count, deduped by [[firstZeroBand]]. The frontier's truth side
     // promoted to a first-class operator: the measured-recall (4,15)
     // query is the shape that scales (wide keys); THIS one is the
     // audit-grade variant whose <= 6-bit keys pay n/32-sized buckets for
@@ -603,15 +622,20 @@ object Dedup {
         posexplode(array(SimhashTruthBands.map { case (off, w) =>
           shiftright(col("simhash"), off).bitwiseAND(lit((1L << w) - 1))
         }: _*)).as(Seq("band", "key")))
+      val xorv = col("x.simhash").bitwiseXOR(col("y.simhash"))
       tkeyed.as("x")
         .join(tkeyed.as("y"),
           col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
             col("x.doc_id") < col("y.doc_id"))
+        // hamming filter first (kills ~97% of the 11-band candidate
+        // volume), then [[firstZeroBand]] keeps each qualifying pair at
+        // exactly one band — replaces the duplicate-multiplied distinct()
+        // (a pair at hamming h collides in >= 11 - h truth bands, so the
+        // old distinct shuffled up to 11x the qualifying pair mass)
+        .where(call_function("bit_count", xorv) <= SimhashHammingMax &&
+          col("x.band") === firstZeroBand(xorv, SimhashTruthBands))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          call_function("bit_count",
-            col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-        .where(col("hamming") <= SimhashHammingMax)
-        .distinct()
+          call_function("bit_count", xorv).as("hamming"))
         .orderBy("doc_a", "doc_b")
     },
 
@@ -834,7 +858,16 @@ object Dedup {
     // the 11-band pigeonhole index — lossless, never all-pairs.
     "simhash_recall_frontier" -> { (s, d) =>
       val fp = simhashed(s, d).persist()
-      val keyed = fp.select(col("doc_id"), explode(array(
+      val xorv = col("x.simhash").bitwiseXOR(col("y.simhash"))
+      // Distinct-candidate counts per geometry, WITHOUT materializing a
+      // distinct pair relation: the banded equi-join emits a colliding
+      // pair once per matching band, and [[firstZeroBand]] (dispatched on
+      // g) keeps exactly one of those rows, so groupBy(g).count equals
+      // the old cand.distinct() count. The former shape shuffled the
+      // full 6-geometry candidate mass (the (12,5)/(20,3) arms alone are
+      // 36-42x the (4,15) volume) through distinct + persist + semi-join;
+      // this one streams it through a codegen'd filter into a partial agg.
+      val keyed = fp.select(col("doc_id"), col("simhash"), explode(array(
         SimhashFrontierGrid.zipWithIndex.flatMap { case ((bb, w), gi) =>
           (0 until bb).map { b =>
             struct(lit(gi).as("g"), lit(b).as("band"),
@@ -842,15 +875,24 @@ object Dedup {
                 .bitwiseAND(lit((1L << w) - 1)).as("key"))
           }
         }: _*)).as("e"))
-        .select(col("doc_id"), col("e.g").as("g"),
+        .select(col("doc_id"), col("simhash"), col("e.g").as("g"),
           col("e.band").as("band"), col("e.key").as("key"))
-      val cand = keyed.as("x")
+      val firstForG = SimhashFrontierGrid.zipWithIndex
+        .foldRight(lit(-1): Column) { case (((bb, w), gi), rest) =>
+          when(col("x.g") === gi,
+            firstZeroBand(xorv, (0 until bb).map(b => (b * w, w))))
+            .otherwise(rest)
+        }
+      val nc = keyed.as("x")
         .join(keyed.as("y"),
           col("x.g") === col("y.g") && col("x.band") === col("y.band") &&
             col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.g").as("g"),
-          col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct().persist()
+        .where(col("x.band") === firstForG)
+        .select(col("x.g").as("g"))
+        .groupBy("g").agg(count(lit(1)).as("n_candidates"))
+      // Exact truth (hamming <= max) via the 11-band pigeonhole index,
+      // first-match-filtered like dedup_simhash_pairs_exact; only the
+      // pair's XOR survives — it determines collision in EVERY geometry.
       val tkeyed = fp.select(col("doc_id"), col("simhash"),
         posexplode(array(SimhashTruthBands.map { case (off, w) =>
           shiftright(col("simhash"), off).bitwiseAND(lit((1L << w) - 1))
@@ -859,20 +901,25 @@ object Dedup {
         .join(tkeyed.as("y"),
           col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
             col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          call_function("bit_count",
-            col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-        // filter BEFORE distinct: hamming is pair-functional, so the
-        // result set is identical, but the distinct's shuffle sees only
-        // the qualifying ~3% of the 11-band candidate volume
-        .where(col("hamming") <= SimhashHammingMax)
-        .select("doc_a", "doc_b")
-        .distinct()
-        .localCheckpoint() // consumed by the semi-join AND the 1-row count
-      val nc = cand.groupBy("g").agg(count(lit(1)).as("n_candidates"))
-      val tp = cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
-        .groupBy("g").agg(count(lit(1)).as("n_tp"))
-      val nt = truth.agg(count(lit(1)).as("n_truth"))
+        .where(call_function("bit_count", xorv) <= SimhashHammingMax &&
+          col("x.band") === firstZeroBand(xorv, SimhashTruthBands))
+        .select(xorv.as("xorv"))
+        .localCheckpoint() // consumed once; checkpoint keeps it tiny+warm
+      // True positives per geometry, computed directly on the truth
+      // pairs' XORs: a truth pair is a candidate of geometry g iff SOME
+      // band of g reads zero — no semi-join against a candidate relation.
+      val collides = SimhashFrontierGrid.map { case (bb, w) =>
+        (0 until bb).map(b =>
+          shiftright(col("xorv"), b * w)
+            .bitwiseAND(lit((1L << w) - 1)) === 0L).reduce(_ || _)
+      }
+      val tpRow = truth.agg(count(lit(1)).as("n_truth"),
+        collides.zipWithIndex.map { case (c, gi) =>
+          sum(when(c, 1L).otherwise(0L)).as(s"tp$gi") }: _*)
+      val tp = tpRow.select(col("n_truth"), explode(array(
+        SimhashFrontierGrid.indices.map(gi =>
+          struct(lit(gi).as("g"), col(s"tp$gi").as("n_tp"))): _*)).as("e"))
+        .select(col("e.g").as("g"), col("e.n_tp").as("n_tp"), col("n_truth"))
       val meta = s.range(1).select(explode(array(
         SimhashFrontierGrid.zipWithIndex.map { case ((bb, w), gi) =>
           struct(lit(gi).as("g"), lit(bb).as("bands"),
@@ -880,7 +927,6 @@ object Dedup {
         .select(col("m.g").as("g"), col("m.bands").as("bands"),
           col("m.bits_per_band").as("bits_per_band"))
       meta.join(nc, Seq("g"), "left").join(tp, Seq("g"), "left")
-        .crossJoin(nt) // 1-row aggregate — broadcast, not a data product
         .select(col("bands"), col("bits_per_band"),
           coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
           col("n_truth"),
