@@ -49,7 +49,20 @@ object BytecodeAudit {
     s.conf.set("spark.sql.adaptive.enabled", "false")
     names.map { n =>
       val df = SparkEntry.queries(n)(s, d)
-      val stages = codegenStringSeq(df.queryExecution.executedPlan)
+      // Persisted subtrees hide their build plan behind an
+      // InMemoryTableScan: the cache-FILL stages (e.g. a 60-column vote
+      // aggregate) still execute once per query but are absent from the
+      // executed plan's own WholeStageCodegen walk. Descend into every
+      // cachedPlan (recursively — a cached plan can scan another cache)
+      // so a .persist() can never move a stage out of the audit's sight.
+      def plans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] =
+        p +: p.collect {
+          case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+            plans(m.relation.cachedPlan)
+        }.flatten
+      val stages = plans(df.queryExecution.executedPlan)
+        .flatMap(codegenStringSeq(_))
       Graft.releaseCaches(s)
       val sizes = stages.map(_._3.maxMethodCodeSize)
       (n, stages.size, if (sizes.isEmpty) 0 else sizes.max,

@@ -35,10 +35,24 @@ class BytecodeAuditSpec extends SparkSpecBase {
         "the 32 signature min columns; one stage, floor 1.66 s"),
       "dedup_simhash" -> ("8501 B: hash-agg boilerplate of the 60 vote " +
         "sum columns, just over"),
-      "dedup_simhash_pairs" -> ("8449 B: same vote aggregate feeding " +
-        "the band join (2 stages share it)"),
-      "dedup_simhash_pairs_exact" -> ("8449 B: the same shared simhash " +
-        "vote aggregate under the 11-band pigeonhole join"))
+      "dedup_simhash_pairs" -> ("8501 B: same vote aggregate feeding " +
+        "the band join (cache-fill + scan stages share it)"),
+      "dedup_simhash_pairs_exact" -> ("8501 B: the same shared simhash " +
+        "vote aggregate under the 11-band pigeonhole join"),
+      "simhash_recall_frontier" -> ("8501 B: the same vote aggregate " +
+        "behind the persisted fingerprint relation"),
+      // Surfaced when the audit learned to descend into cachedPlans
+      // (these stages were hidden behind .persist() InMemoryRelations
+      // from the day they were written — executing Volcano-style under
+      // the hugeMethodLimit=8000 fallback all along). Restructure
+      // candidates: the PqOps loop-kernel pattern applies.
+      "minhash_recall_frontier" -> ("13025 B: the 32-column signature " +
+        "aggregate + frontier band-key explode, behind the persisted " +
+        "signature relation"),
+      "dedup_embedding_cosine" -> ("17968 B: unrolled 16x4-bit " +
+        "hyperplane band keys over 64-dim vectors"),
+      "dedup_embedding_cosine_sized" -> ("28170 B: the sized-geometry " +
+        "variant of the same unrolled hyperplane projection"))
     val rows = BytecodeAudit.audit(spark, sfDir,
       SparkEntry.queries.keys.toSeq.sorted)
     val offenders = rows.filter(_._4 > 0).filterNot(r => accepted.contains(r._1))
