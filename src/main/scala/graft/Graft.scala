@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.call_function
 
-import graft.functions.{DamerauLevenshteinDist, DotProductD, JaroWinklerSim, Md5Hash60, NfcNormalize, PqCodes1, PqLuts, PqReconErr2, RegExpExtractRef, StripAccents}
+import graft.functions.{DamerauLevenshteinDist, DotProductD, JaroWinklerSim, LshBandKeys, Md5Hash60, NfcNormalize, PqCodes1, PqLuts, PqReconErr2, RegExpExtractRef, StripAccents}
 
 /** Session-level wiring: registers graft's custom Catalyst expressions into
   * the session's function registry so they resolve in both SQL and the
@@ -76,6 +76,14 @@ object Graft {
     reg.createOrReplaceTempFunction(
       "graft_pq_luts",
       exprs => PqLuts(exprs(0)),
+      "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_lsh_band_keys",
+      // geometry args must be literal ints: the plane matrix is derived
+      // from them at plan time (seed 7; see LshOps.planes)
+      exprs => LshBandKeys(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue()),
       "scala_udf")
     // Optimizer rules + planner strategy. The supported injection point is
     // SparkSessionExtensions (builder path: .withExtensions(new

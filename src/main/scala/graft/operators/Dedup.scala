@@ -1037,12 +1037,16 @@ object Dedup {
       : DataFrame = {
     require(planesPerBand >= 1 && planesPerBand <= 62,
       s"planesPerBand must be in [1, 62] (Long key bits), got $planesPerBand")
-    val planes = Similarity.pairPlanesFor(bands, planesPerBand)
+    graft.Graft.init(vecs.sparkSession) // graft_lsh_band_keys on any session
     val base = vecs.select(col("vec_id"), col("e"))
       .withColumn("nrm", sqrt(TextHash.dot(col("e"), col("e")))).persist()
+    // graft_lsh_band_keys: the former per-band unrolled sign projection
+    // generated 17,968 B (16x4) / 28,170 B (16x8 sized) methods — past
+    // the JIT window, Volcano fallback (BytecodeAudit, cachedPlan
+    // descent). The loop kernel emits the identical keys from ~1 KB.
     val banded = base.select(col("vec_id"),
-      posexplode(array((0 until bands)
-        .map(b => Similarity.pairBandKeyOf(col("e"), b, planesPerBand, planes)): _*))
+      posexplode(call_function("graft_lsh_band_keys",
+        col("e"), lit(bands), lit(planesPerBand)))
         .as(Seq("band", "key")))
       // both sides of the self-join below read this — without the persist
       // each side re-runs the bands × hyperplanes × dim projection

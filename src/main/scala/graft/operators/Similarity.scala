@@ -242,10 +242,8 @@ object Similarity {
     * log2(N / target bucket size) keeps per-bucket candidate counts flat
     * (SCALEPROBE.md records the fixture geometry's 40k-vector cliff).
     */
-  def pairPlanesFor(bands: Int, planesPerBand: Int): Array[Array[Double]] = {
-    val r = new scala.util.Random(7)
-    Array.fill(bands * planesPerBand, Dim)(math.rint(r.nextGaussian() * 1e6) / 1e6)
-  }
+  def pairPlanesFor(bands: Int, planesPerBand: Int): Array[Array[Double]] =
+    graft.functions.LshOps.planes(bands, planesPerBand) // single source (seed 7)
 
   /** Deterministic banded planes (seed 7), 6-dp-rounded like [[planes]]. */
   lazy val pairPlanes: Array[Array[Double]] =
@@ -254,8 +252,11 @@ object Similarity {
   /** planesPerBand-bit key of band `b` under an explicit plane set
     * (LONG-typed: geometries up to 62 bits/band).
     */
-  private[operators] def pairBandKeyOf(e: Column, b: Int, planesPerBand: Int,
-                                       planes: Array[Array[Double]]): Column =
+  // private[graft]: since the LshOps loop kernel took over the query
+  // path, the unrolled form's remaining caller is the SimilaritySpec
+  // parity pin (kernel == unrolled through a real plan)
+  private[graft] def pairBandKeyOf(e: Column, b: Int, planesPerBand: Int,
+                                   planes: Array[Array[Double]]): Column =
     (0 until planesPerBand).map { j =>
       val p = array(planes(b * planesPerBand + j).map(lit): _*)
       when(dot(e, p) >= 0.0, lit(1L << j)).otherwise(lit(0L))

@@ -42,17 +42,15 @@ class BytecodeAuditSpec extends SparkSpecBase {
       "simhash_recall_frontier" -> ("8501 B: the same vote aggregate " +
         "behind the persisted fingerprint relation"),
       // Surfaced when the audit learned to descend into cachedPlans
-      // (these stages were hidden behind .persist() InMemoryRelations
-      // from the day they were written — executing Volcano-style under
-      // the hugeMethodLimit=8000 fallback all along). Restructure
-      // candidates: the PqOps loop-kernel pattern applies.
+      // (hidden behind a .persist() InMemoryRelation from the day it was
+      // written — executing Volcano-style under the hugeMethodLimit=8000
+      // fallback all along). The same sweep surfaced the embedding-LSH
+      // sign projections (17968/28170 B) — restructured to the
+      // graft_lsh_band_keys loop kernel (954 B) rather than whitelisted;
+      // this one is the known un-shrinkable agg-boilerplate shape.
       "minhash_recall_frontier" -> ("13025 B: the 32-column signature " +
         "aggregate + frontier band-key explode, behind the persisted " +
-        "signature relation"),
-      "dedup_embedding_cosine" -> ("17968 B: unrolled 16x4-bit " +
-        "hyperplane band keys over 64-dim vectors"),
-      "dedup_embedding_cosine_sized" -> ("28170 B: the sized-geometry " +
-        "variant of the same unrolled hyperplane projection"))
+        "signature relation"))
     val rows = BytecodeAudit.audit(spark, sfDir,
       SparkEntry.queries.keys.toSeq.sorted)
     val offenders = rows.filter(_._4 > 0).filterNot(r => accepted.contains(r._1))

@@ -63,6 +63,53 @@ class SimilaritySpec extends SparkSpecBase {
       "short input must yield NULL, never a partial code")
   }
 
+  test("LshOps band-key kernel equals the unrolled sign projection " +
+    "(both geometries; eval == codegen; null/short contract)") {
+    import graft.functions.LshOps
+    val rng = new scala.util.Random(11)
+    for ((bands, pb) <- Seq((16, 4), (16, 8)); trial <- 1 to 10) {
+      val x = Array.fill(LshOps.Dim)(math.rint(rng.nextGaussian() * 1e6) / 1e6)
+      val xd = new org.apache.spark.sql.catalyst.util.GenericArrayData(x)
+      val ps = LshOps.planes(bands, pb)
+      // brute: same left-to-right fold as graft_dot / the kernel
+      val brute = (0 until bands).map { b =>
+        (0 until pb).map { j =>
+          val p = ps(b * pb + j)
+          var s = 0.0
+          for (k <- 0 until LshOps.Dim) s += x(k) * p(k)
+          if (s >= 0.0) 1L << j else 0L
+        }.sum
+      }
+      assert(LshOps.bandKeys(xd, bands, pb).toSeq === brute,
+        s"trial $trial geometry ($bands,$pb)")
+    }
+    // parity with the pre-kernel unrolled Catalyst form through a real
+    // plan (the shape the DuckDB oracle mirrors), plus the null contract
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{array, lit, posexplode}
+    Graft.init(spark)
+    val valid = Seq((1L, Array.fill(LshOps.Dim)(0.7)),
+      (2L, Array.tabulate(LshOps.Dim)(i => if (i % 2 == 0) -0.3 else 0.9)))
+    val df = valid.toDF("vec_id", "e")
+    val planes = Similarity.pairPlanesFor(16, 4)
+    val unrolled = df.select(col("vec_id"),
+      posexplode(array((0 until 16).map(b =>
+        Similarity.pairBandKeyOf(col("e"), b, 4, planes)): _*))
+        .as(Seq("band", "key"))).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val kernel = df.select(col("vec_id"),
+      posexplode(call_function("graft_lsh_band_keys",
+        col("e"), lit(16), lit(4))).as(Seq("band", "key"))).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(kernel === unrolled)
+    val short = Seq((3L, Array.fill(LshOps.Dim - 1)(0.5))).toDF("vec_id", "e")
+      .select(call_function("graft_lsh_band_keys",
+        col("e"), lit(16), lit(4)).as("k")).collect()
+    assert(short.head.isNullAt(0),
+      "short input must yield NULL (row excluded), never all-zero keys")
+  }
+
   test("ann_cosine_topk matches independent brute-force ranking") {
     val got = Similarity.queries("ann_cosine_topk")(spark, sfDir).collect()
       .groupBy(_.getLong(0))
