@@ -278,19 +278,34 @@ object Dedup {
     * the relation whose max bucket size stays bounded where the raw
     * index's explodes (DedupSpec's boilerplate adversary measures both).
     */
-  def prefixRows(e: DataFrame, num: Int, den: Int): DataFrame = {
+  def prefixRows(e: DataFrame, num: Int, den: Int): DataFrame =
+    prefixRowsOf(prefixState(e), num, den)
+
+  /** The per-doc AllPairs state behind [[prefixRows]]: one row per doc
+    * with `nsh` and `ts`, the doc's distinct shingles as (df, g) structs
+    * sorted ascending under the global (document frequency, hash) order —
+    * ONE shuffle + per-doc sort, consumed by BOTH the prefix explode and
+    * the array-verify (`ts.g` is the doc's full sorted shingle-hash
+    * array, so candidate verification is a per-pair array intersection
+    * against this relation instead of a corpus-sized double join).
+    */
+  def prefixState(e: DataFrame): DataFrame = {
     val dfs = e.groupBy("g").agg(count(lit(1)).as("df"))
-    // Per-doc shingles in ascending (df, g) order; ceil via integer DIV.
     e.join(dfs, "g")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("ts"),
         count(lit(1)).as("nsh"))
-      .select(col("doc_id"), col("nsh"),
-        explode(slice(col("ts"), lit(1),
-          (col("nsh") - expr(s"(nsh * $num + ${den - 1}) DIV $den") + 1)
-            .cast("int"))).as("pt"))
-      .select(col("doc_id"), col("nsh"), col("pt.g").as("g"))
   }
+
+  /** Prefix explode of [[prefixState]]: each doc's |x| - ceil(t*|x|) + 1
+    * rarest shingles (ceil via integer DIV).
+    */
+  private def prefixRowsOf(st: DataFrame, num: Int, den: Int): DataFrame =
+    st.select(col("doc_id"), col("nsh"),
+      explode(slice(col("ts"), lit(1),
+        (col("nsh") - expr(s"(nsh * $num + ${den - 1}) DIV $den") + 1)
+          .cast("int"))).as("pt"))
+      .select(col("doc_id"), col("nsh"), col("pt.g").as("g"))
 
   /** Exact Jaccard pairs >= num/den via PREFIX FILTERING (the AllPairs /
     * PPJoin family: Bayardo et al. "Scaling Up All Pairs Similarity
@@ -326,8 +341,12 @@ object Dedup {
   def prefixJaccardPairs(docs: DataFrame, num: Int, den: Int): DataFrame = {
     graft.Graft.init(docs.sparkSession) // graft_h60 on any caller session
     val e = shingleIndex(docs).persist()
-    val n = e.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-    val pref = prefixRows(e, num, den).persist()
+    val st = prefixState(e).persist()
+    // eager fill: the verify's broadcast subtree (garr) and the probe
+    // side otherwise race to materialize the cold st/e caches from
+    // separate jobs (see containmentPairs)
+    st.count()
+    val pref = prefixRowsOf(st, num, den)
     // Candidate pairs: shared prefix shingle + the length filter
     // (J >= t forces min(|x|,|y|) >= t*max(|x|,|y|)).
     val cand = pref.as("a")
@@ -337,21 +356,28 @@ object Dedup {
           col("a.nsh") * den >= col("b.nsh") * num)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val inter = cand
-      .join(e.as("fa"), col("doc_a") === col("fa.doc_id"))
-      .join(e.as("fb"),
-        col("doc_b") === col("fb.doc_id") && col("fa.g") === col("fb.g"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(n.as("na"), col("doc_a") === col("na.doc_id"))
-      .join(n.as("nb"), col("doc_b") === col("nb.doc_id"))
+    // Verify against the full sorted shingle arrays already sitting in
+    // the prefix state (ts.g — a codegen'd GetArrayStructFields, not a
+    // lambda HOF): |A ∩ B| per candidate pair via one array
+    // intersection, replacing the former candidate x doc-length row
+    // expansion through two corpus-sized joins + a pair groupBy. The
+    // doc-length relation rode along for free the same way (nsh is in
+    // the state), dropping the separate n aggregation + two length
+    // joins. Same integers, same division — bit-identical output.
+    val garr = st.select(col("doc_id"), col("nsh"),
+      col("ts").getField("g").as("ga"))
+    cand
+      .join(garr.as("fa"), col("doc_a") === col("fa.doc_id"))
+      .join(garr.as("fb"), col("doc_b") === col("fb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("fa.ga"), col("fb.ga"))).cast("long")
+          .as("inter"),
+        col("fa.nsh").as("na"), col("fb.nsh").as("nb"))
       // keep predicate in exact integers; jaccard column rendered exactly
       // as in ngramJaccardPairs so the two operators are hash-comparable
-      .where(col("inter") * den >=
-        (col("na.nsh") + col("nb.nsh") - col("inter")) * num)
+      .where(col("inter") * den >= (col("na") + col("nb") - col("inter")) * num)
       .select(col("doc_a"), col("doc_b"),
-        (col("inter").cast("double") / (col("na.nsh") + col("nb.nsh") - col("inter")))
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
           .as("jaccard"))
   }
 
@@ -382,6 +408,14 @@ object Dedup {
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .distinct()
+    // verify by candidate x shingle expansion against the (persisted,
+    // broadcastable) index — NOT the prefixJaccardPairs array-verify.
+    // This is the shape behind the query's 1.75 s floor across twelve
+    // full-run windows; an array-verify variant was tried in the r12
+    // continuation and showed no win here (containment's prefix x
+    // full-index candidate stage dominates, not the verify), so the
+    // proven shape stays. The Jaccard family keeps the array-verify,
+    // where the same mini-run A/B measured 1.3-2x wins family-wide.
     cand
       .join(e.as("fa"), col("doc_a") === col("fa.doc_id"))
       .join(e.as("fb"),
@@ -586,6 +620,7 @@ object Dedup {
     // continuity, caveat recorded where the constant lives.
     "dedup_simhash_pairs" -> { (s, d) =>
       val fp = simhashed(s, d).persist() // exact-size plan -> broadcast join
+      fp.count() // eager: broadcast + probe jobs otherwise both fill it
       val chunks = fp.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(k =>
           shiftright(col("simhash"), 15 * k).bitwiseAND(lit(32767L))): _*))
@@ -624,6 +659,7 @@ object Dedup {
       // row-copy + comparator cost on every candidate it emits — the
       // frontier measured the same join 10x faster under broadcast-hash
       val fp = simhashed(s, d).persist()
+      fp.count() // eager: broadcast + probe jobs otherwise both fill it
       val tkeyed = fp.select(col("doc_id"), col("simhash"),
         posexplode(array(SimhashTruthBands.map { case (off, w) =>
           shiftright(col("simhash"), off).bitwiseAND(lit((1L << w) - 1))
