@@ -470,6 +470,10 @@ object Dedup {
     // consuming action, call Graft.releaseCaches (the result is lazy, so
     // unpersisting here would drop the cache before it is ever used).
     val sig = signaturesFor(docs).persist()
+    // eager fill: when the verify joins plan as broadcast-hash, their
+    // build jobs launch concurrently with the candidate probe and all
+    // race to materialize the cold signature cache
+    sig.count()
     val bands = sig.select(col("doc_id"),
       posexplode(array((0 until Bands).map(b => col(s"k$b")): _*)).as(Seq("band", "key")))
     // A pair can collide in several bands -> distinct before verification.
@@ -860,6 +864,10 @@ object Dedup {
         .select(col("x.g").as("g"),
           col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct().persist()
+      // eager fill: nc and tp are both broadcast-side aggregates of the
+      // final 6-row join — their jobs launch concurrently and otherwise
+      // both compute the cold banded-join+distinct relation
+      cand.count()
       // J >= 0.5 = 1/2 truth via lossless prefix filtering; checkpointed
       // because BOTH the semi-join and the 1-row count consume it.
       val truth = prefixJaccardPairs(docs, 1, 2)

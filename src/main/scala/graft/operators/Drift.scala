@@ -105,6 +105,7 @@ object Drift {
         .select(col("source"), col("chunk").substr(col("li"), lit(3)).as("gram"))
         .groupBy("source", "gram").agg(count(lit(1)).as("c"))
         .persist() // feeds the norm aggregate AND both self-join sides
+        .transform { df => df.count(); df } // eager: the two broadcast(nrm) jobs otherwise race to fill it
       val nrm = g.groupBy("source")
         .agg(sum(col("c").cast(dec) * col("c")).as("ss"))
         .select(col("source"), sqrt(col("ss").cast("double")).as("nrm"))
@@ -136,6 +137,7 @@ object Drift {
       // (source, tok, c) shuffle srcTok already defines (persisted —
       // three consumers; caller releases via Graft.releaseCaches)
       val st = srcTok(s, d).persist()
+      st.count() // eager: the broadcast(topw) jobs otherwise race the probe to fill it
       val topw = st.groupBy(col("tok").as("word")).agg(sum("c").as("c"))
         .orderBy(desc("c"), asc("word")).limit(DeltaTopM).select("word")
       val ns = st.groupBy("source").agg(sum("c").as("n_s"))

@@ -90,6 +90,11 @@ object Pipeline {
       .select(col("doc_id"), col("component_id"), col("source"),
         size(TextHash.toks(col("text"))).cast("long").as("n_tok"))
       .persist()
+      // eager fill: fin and packs are both broadcast-side aggregates of
+      // the final cross join — their jobs launch concurrently and
+      // otherwise both compute the cold survivor relation (flags/g3 are
+      // already warmed transitively by the CC build above)
+      .transform { df => df.count(); df }
     val sk = TextHash.h60(
       concat(lit(Corpus.SplitSalt), col("component_id").cast("string"))) % 1000
     val headCounts = flags.agg(

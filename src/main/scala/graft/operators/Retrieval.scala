@@ -372,6 +372,7 @@ object Retrieval {
         .join(b.select(col("vec_id").as("doc_id"), col("e"), col("nrm")),
           "doc_id")
         .persist() // feeds the semantic grid AND both lexical sides
+        .transform { df => df.count(); df } // eager: broadcast(q)/broadcast(qsh) jobs otherwise race to fill it
       // semantic leg: FULL ranking of the embedded corpus per query
       val q = docsE.where(col("doc_id") < Similarity.QuerySet)
         .select(col("doc_id").as("q_id"), col("e").as("qe"),
@@ -389,6 +390,7 @@ object Retrieval {
       val sh = shingleRows(docsE.select("doc_id", "text"))
         .select(col("doc_id"), h60(col("sh")).as("g")).distinct()
         .persist() // n + both sides of the intersection join
+        .transform { df => df.count(); df } // eager: same race, three consumers
       val n = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
       val qsh = sh.where(col("doc_id") < Similarity.QuerySet)
         .select(col("doc_id").as("q_id"), col("g"))

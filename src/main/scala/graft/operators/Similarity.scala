@@ -797,6 +797,7 @@ object Similarity {
       // window graph; without it the corpus×bucket join runs twice
       // (caller releases via Graft.releaseCaches)
       val g = knnGraph(s, d).persist()
+      g.count() // eager: the semi-join's broadcast + probe jobs otherwise both fill it
       val fwd = g.where(col("q_id") < col("cand_id"))
         .select(col("q_id").as("a"), col("cand_id").as("b"), col("cos"))
       val rev = g.where(col("q_id") > col("cand_id"))
@@ -815,6 +816,7 @@ object Similarity {
       // edge materialization would otherwise recompute the banded join
       // again (measured 12.4 s -> the graph is the dominant cost)
       val g = knnGraph(s, d).persist()
+      g.count() // eager: the semi-join's broadcast + probe jobs otherwise both fill it
       val fwd = g.where(col("q_id") < col("cand_id"))
         .select(col("q_id").as("a"), col("cand_id").as("b"))
       val rev = g.where(col("q_id") > col("cand_id"))

@@ -358,6 +358,10 @@ object Winnow {
       val filt = fp.withColumn("nd", count(lit(1)).over(wF))
         .where(col("nd") <= FpDfCap)
         .select("doc_id", "fph").persist()
+      // eager fill: the two nf broadcast subtrees and the pair-join probe
+      // otherwise race to materialize the cold cache from separate jobs
+      // (same defect class as Dedup's prefixState — see containmentPairs)
+      filt.count()
       val nf = filt.groupBy("doc_id").agg(count(lit(1)).as("nf"))
       filt.as("a").join(filt.as("b"),
           col("a.fph") === col("b.fph") && col("a.doc_id") < col("b.doc_id"))
